@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * Registration + Column-level API for graft's custom Catalyst expressions.
+ *
+ * `register(spark)` installs them into the session's function registry so
+ * they are usable from SQL text (the BQ-dialect layer relies on this for
+ * `FARM_FINGERPRINT` in user scripts).
+ */
+object GraftFunctions {
+
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  def register(spark: SparkSession): Unit = {
+    val key = spark.sessionState.toString
+    if (registered.putIfAbsent(key, true) == null || !isRegistered(spark)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("farm_fingerprint"),
+        new ExpressionInfo(classOf[FarmFingerprint].getName, "farm_fingerprint"),
+        (children: Seq[Expression]) => FarmFingerprint(children.head))
+    }
+  }
+
+  private def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("farm_fingerprint"))
+
+  /** BigQuery-compatible FARM_FINGERPRINT as a Column op (requires register). */
+  def farm_fingerprint(c: Column): Column = call_function("farm_fingerprint", c)
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Shared helpers for the driver-facing query inventory. */
+object Tables {
+
+  /** Load one of the driver-provided parquet tables from an sf dir. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * Money/quantity columns go through exact DECIMAL arithmetic before any
+   * aggregation so Spark and the DuckDB oracle produce bit-identical
+   * results regardless of partition-level summation order (double addition
+   * is not associative; decimal is exact). Final values are cast back to
+   * DOUBLE — exact-decimal → double conversion is deterministic on both
+   * engines.
+   */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact-decimal sum exposed as a double. */
+  def dsum(c: Column): Column = F.sum(dec(c)).cast("double")
+
+  /** Exact-decimal avg exposed as a double (sum/count in double at the end). */
+  def davg(c: Column): Column = F.sum(dec(c)).cast("double") / F.count(F.lit(1))
+}
