@@ -11,10 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.Events.queries ++
+      graft.queries.Arrays.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+      graft.queries.Events.oracle ++
+      graft.queries.Arrays.oracle
 }

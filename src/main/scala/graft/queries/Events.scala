@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Window / event-stream operator inventory (SURVEY §2.2 window rows) on the
+ * `events` table.
+ *
+ * Timestamp convention: the parquet `ts` column is nanosecond-precision,
+ * read as a raw ns LONG (see Tables.events). Window ordering uses the raw
+ * ns value — bit-identical to DuckDB's TIMESTAMP_NS ordering — and emitted
+ * instants go through `ts DIV 1000` == DuckDB `epoch_us(ts)`.
+ *
+ * Scale notes: all windows are partitioned by `user_id` (hash-distributed,
+ * no global sort) except NTILE, which the reference uses for
+ * conversion-value segmentation — a deliberately global, single-pass window
+ * over the *aggregated* (small) relation, mirroring model_bqml.sql:49.
+ */
+object Events {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+
+  /** Microsecond epoch from the raw nanosecond long (matches DuckDB
+    * epoch_us truncation for positive epochs). */
+  private val epochUsExpr = "ts DIV 1000"
+  private def epochUs(): org.apache.spark.sql.Column = expr(epochUsExpr)
+
+  /** First-event-per-user dedup: ROW_NUMBER() ... = 1
+    * (model_bqml.sql:134-138; output.sql:112,118). */
+  def q10FirstEvent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_event_type"),
+        col("value").as("first_value"), epochUs().as("first_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Global NTILE segmentation over an aggregated relation
+    * (model_bqml.sql:49): per-user value totals → 10 segments → stats. */
+  def q11Ntile(s: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("user_total"))
+    val w = Window.orderBy(col("user_total"), col("user_id"))
+    perUser
+      .withColumn("segment", ntile(10).over(w).cast("long"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("user_total")).as("lo"),
+        max(col("user_total")).as("hi"))
+      .orderBy(col("segment"))
+  }
+
+  /** Agg-then-window LAG/LEAD (model_bqml.sql:35-44): the boundary-smoothing
+    * shape of the conversion-value calibration. */
+  def q12LagLead(s: SparkSession, dir: String): DataFrame = {
+    val agg = ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    val w = Window.orderBy(col("event_type"))
+    agg.select(col("event_type"), col("n"), col("total"),
+        lag(col("total"), 1).over(w).as("prev_total"),
+        lead(col("total"), 1).over(w).as("next_total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sessionization: 30-minute-gap sessions via lag + running sum — the
+    * classic stateful shape, kept fully distributed (per-user windows). */
+  def q21Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    ev(s, dir)
+      .withColumn("us", epochUs())
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs || lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON property extraction from the props column (GA4 event_params
+    * analog): get_json_object + typed cast + agg. */
+  def q24JsonProps(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Hourly histogram: EXTRACT(HOUR FROM ts) bucketing (model_bqml.sql:90,125-133). */
+  def q25HourBuckets(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(hour(timestamp_micros(epochUs())).cast("long").as("hour_of_day"),
+        col("value"))
+      .groupBy(col("hour_of_day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour_of_day"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_first_event" -> (q10FirstEvent _),
+    "q11_ntile" -> (q11Ntile _),
+    "q12_lag_lead" -> (q12LagLead _),
+    "q21_sessionize" -> (q21Sessionize _),
+    "q24_json_props" -> (q24JsonProps _),
+    "q25_hour_buckets" -> (q25HourBuckets _))
+
+  val oracle: Map[String, String] = Map(
+    "q10_first_event" ->
+      """SELECT user_id, first_event_type, first_value, first_ts_us FROM (
+        |  SELECT user_id, event_type AS first_event_type, value AS first_value,
+        |    epoch_us(ts) AS first_ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q11_ntile" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS user_total
+        |  FROM events GROUP BY user_id),
+        |seg AS (
+        |  SELECT user_total,
+        |    CAST(ntile(10) OVER (ORDER BY user_total, user_id) AS BIGINT) AS segment
+        |  FROM per_user)
+        |SELECT segment, COUNT(1) AS n_users, min(user_total) AS lo, max(user_total) AS hi
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
+    "q12_lag_lead" ->
+      """WITH agg AS (
+        |  SELECT event_type, COUNT(1) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, total,
+        |  lag(total, 1) OVER (ORDER BY event_type) AS prev_total,
+        |  lead(total, 1) OVER (ORDER BY event_type) AS next_total
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q21_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR lag(epoch_us(ts), 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(1) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q24_json_props" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_hour_buckets" ->
+      """SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour_of_day, COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY hour_of_day ORDER BY hour_of_day""".stripMargin)
+}

@@ -2,23 +2,29 @@ package graft.queries
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
 /**
- * Relational operator inventory (SURVEY §2.2): each entry is one operator
- * shape the reference's generated SQL relies on, expressed Spark-first on
- * the driver-provided TPC-H-ish tables, with a DuckDB oracle in
- * [[Relational.oracle]].
+ * Relational operator inventory (SURVEY §2.2) on the TPC-H-ish tables:
+ * each entry is one operator shape the reference's generated SQL relies on,
+ * expressed Spark-first, with a DuckDB oracle in [[Relational.oracle]].
  *
  * Conventions (driver compare contract):
  *  - every computed column is aliased identically in Spark and oracle SQL;
  *  - money/qty aggregates use exact decimal arithmetic (see Tables.dec);
  *  - every result has a total deterministic ORDER BY.
+ *
+ * Scale notes are per-query scaladoc; the global ones: aggregations are
+ * partial (map-side) by construction, joins broadcast the small side
+ * explicitly, and no operator collects to the driver except the scripted
+ * scalar lookup (q20), which is a 1-row action by design.
  */
 object Relational {
 
-  /** Hash-agg with multiple aggregates (model_bqml.sql:214-259 shape / TPC-H Q1). */
+  /** Hash-agg with multiple aggregates (model_bqml.sql:214-259 shape / TPC-H Q1).
+    * Scale: map-side partial agg on 6 groups — no shuffle pressure. */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -31,7 +37,172 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** Deterministic hash-mod split on FARM_FINGERPRINT (model_bqml.sql:95-101). */
+  /** Filter + projection; predicates and 3-column ReadSchema reach the scan
+    * (PushedFilters on l_discount + l_shipdate). */
+  def q2FilterProj(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")).between(lit("1995-01-01"), lit("1995-03-31"))
+        && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** SELECT DISTINCT (output.sql:38,58,72,79). */
+  def q3Distinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  /** INNER equi-join + agg (model_bqml.sql:205-207). Customer side is the
+    * small build side — broadcast it so the orders scan never shuffles. */
+  def q4JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val c = load(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Multi-way join over the star schema (TPC-H Q5 shape): fact table joins
+    * broadcast dims; revenue grouped by region. */
+  def q5JoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+    val o = load(s, dir, "orders")
+    val c = load(s, dir, "customer")
+    val n = load(s, dir, "nation")
+    val r = load(s, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** IN (subquery) semi-join (model_bqml.sql:102-108). */
+  def q6SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val big = load(s, dir, "orders").filter(col("o_totalprice") > 150000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT IN / NOT EXISTS anti-join (output.sql:82-83). */
+  def q7AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val o = load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** LEFT OUTER join onto an aggregated subquery + IFNULL defaults
+    * (model_bqml.sql:156-176). */
+  def q8LeftJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val agg = load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("tot"))
+    c.join(agg, c("c_custkey") === agg("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("tot"), lit(0.0)).as("total_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Range/band join (output.sql:48-49): probability-style BETWEEN join onto
+    * a tiny segments relation. The build side is O(segments) rows → broadcast
+    * nested-loop, exactly the plan the reference's conversion-values join
+    * wants; never a shuffle at any scale. */
+  def q9RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val seg = o
+      .select(col("o_totalprice"), ntile(10).over(w).as("seg"))
+      .groupBy(col("seg"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    o.join(broadcast(seg), col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .withColumn("seg", col("seg").cast("long"))
+      .orderBy(col("seg"))
+  }
+
+  /** Conditional aggregation SUM(IF(...)) per group (model_bqml.sql:250). */
+  def q14CondAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** STRING_AGG(DISTINCT ...) determinism via sorted collect_set
+    * (bigquery.py:106-115; SURVEY §2.3 STRING_AGG caveat). */
+  def q15StringAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val n = load(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-K: ORDER BY cnt DESC LIMIT k with total tiebreak (bigquery.py:93-100).
+    * Catalyst plans TakeOrderedAndProject — no global sort materialization. */
+  def q16TopK(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("cnt").desc, col("o_custkey").asc)
+      .limit(10)
+
+  /** Scalar string functions (SURVEY §2.3): LOWER, SUBSTR, LENGTH, REGEXP. */
+  def q18ScalarString(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        col("p_name").rlike("steel").as("has_steel"),
+        split(col("p_type"), " ").getItem(0).as("type_first"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions (SURVEY §2.3): year/month extraction + formatting. */
+  def q19DateFuncs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("month"))
+
+  /** DECLARE/SET scripting shape (output.sql:2-7,19): scalar computed first,
+    * spliced into the follow-up plan driver-side. The scalar action is a
+    * 1-row agg — the only intentional driver round-trip in the inventory. */
+  def q20Scripting(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val maxDate = o.agg(max(to_date(col("o_orderdate")))).first().getDate(0)
+    o.filter(to_date(col("o_orderdate")) > date_sub(lit(maxDate), 30))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Deterministic hash-mod split on FARM_FINGERPRINT (model_bqml.sql:95-101).
+    * No oracle — DuckDB has no farmhash; value parity is covered by the
+    * guava golden tests in FarmHashSpec. */
   def qHashSplit(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     load(s, dir, "customer")
@@ -42,8 +213,34 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** UNION ALL of two class branches + re-agg (model_bqml.sql:304-311). */
+  def q13UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val pos = e.filter(col("event_type") === "purchase")
+    val neg = e.filter(col("event_type") =!= "purchase" && col("value") > 100)
+    pos.unionAll(neg)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "q2_filter_proj" -> (q2FilterProj _),
+    "q3_distinct" -> (q3Distinct _),
+    "q4_join_agg" -> (q4JoinAgg _),
+    "q5_join_multi" -> (q5JoinMulti _),
+    "q6_semi_join" -> (q6SemiJoin _),
+    "q7_anti_join" -> (q7AntiJoin _),
+    "q8_left_join_agg" -> (q8LeftJoinAgg _),
+    "q9_range_join" -> (q9RangeJoin _),
+    "q13_union_all" -> (q13UnionAll _),
+    "q14_cond_agg" -> (q14CondAgg _),
+    "q15_string_agg" -> (q15StringAgg _),
+    "q16_topk" -> (q16TopK _),
+    "q18_scalar_string" -> (q18ScalarString _),
+    "q19_date_funcs" -> (q19DateFuncs _),
+    "q20_scripting" -> (q20Scripting _),
     "q_hash_split" -> (qHashSplit _))
 
   val oracle: Map[String, String] = Map(
@@ -56,5 +253,102 @@ object Relational {
         |  COUNT(1) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_proj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q4_join_agg" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q5_join_multi" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_left_join_agg" ->
+      """SELECT c_custkey,
+        |  COALESCE(cnt, 0) AS n_orders,
+        |  COALESCE(tot, 0.0) AS total_price
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(1) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
+        |  FROM orders GROUP BY o_custkey) agg
+        |ON c_custkey = agg.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_range_join" ->
+      """WITH b AS (
+        |  SELECT o_totalprice, CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS seg
+        |  FROM orders),
+        |segs AS (
+        |  SELECT seg, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM b GROUP BY seg)
+        |SELECT s.seg, COUNT(1) AS n,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN segs s
+        |  ON o.o_totalprice >= s.lo AND o.o_totalprice <= s.hi
+        |GROUP BY s.seg ORDER BY s.seg""".stripMargin,
+    "q13_union_all" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT * FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_type <> 'purchase' AND value > 100)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_cond_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |  COUNT(1) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q15_string_agg" ->
+      """SELECT n_name,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  COUNT(1) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q16_topk" ->
+      """SELECT o_custkey, COUNT(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY cnt DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q18_scalar_string" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lower,
+        |  length(p_name) AS name_len,
+        |  substring(p_name, 1, 5) AS name_prefix,
+        |  regexp_matches(p_name, 'steel') AS has_steel,
+        |  string_split(p_type, ' ')[1] AS type_first
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q19_date_funcs" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+    "q20_scripting" ->
+      """SELECT o_orderstatus, COUNT(1) AS n
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >
+        |  (SELECT max(CAST(o_orderdate AS DATE)) FROM orders) - INTERVAL 30 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -12,6 +12,20 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /**
+   * The events table carries a nanosecond-precision timestamp, which Spark's
+   * parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). We read it
+   * under the `nanosAsLong` legacy conf, so `ts` arrives as a raw
+   * nanosecond LONG — which is *better* for oracle parity: Spark and DuckDB
+   * then share an exact total order on ts (no sub-microsecond truncation
+   * ambiguity in window ordering). Derive instants via `ts DIV 1000` →
+   * `timestamp_micros` (truncation identical to DuckDB's `epoch_us`).
+   */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /**
    * Money/quantity columns go through exact DECIMAL arithmetic before any
    * aggregation so Spark and the DuckDB oracle produce bit-identical
    * results regardless of partition-level summation order (double addition
