@@ -13,12 +13,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Arrays.queries
+      graft.queries.Arrays.queries ++
+      graft.queries.Text.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries ++
+      graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Events.oracle ++
-      graft.queries.Arrays.oracle
+      graft.queries.Arrays.oracle ++
+      graft.queries.Text.oracle ++
+      graft.queries.Dedup.oracle ++
+      graft.queries.Similarity.oracle ++
+      graft.queries.Multimodal.oracle
 }

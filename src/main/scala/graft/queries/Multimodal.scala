@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.operators.BinaryBatch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Multimodal-column operators (builder brief §multimodal). The documents
+ * table stands in for a media table: its text re-encoded as an opaque
+ * binary payload column, decoded per-partition in batches via
+ * [[graft.operators.BinaryBatch]] (mapInPandas-shaped). The decode itself is
+ * a deterministic stub (no media libs in the container), which makes the
+ * whole flow oracle-checkable: the fake features are pure functions of the
+ * payload bytes that DuckDB can recompute.
+ */
+object Multimodal {
+
+  /** Build the opaque-binary media table from documents. */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batched decode → per-doc media features. */
+  def mmDecode(s: SparkSession, dir: String): DataFrame =
+    BinaryBatch.decode(s, media(s, dir), "doc_id", "payload")
+      .orderBy(col("doc_id"))
+
+  /** Decode + downstream relational agg (features join back to metadata). */
+  def mmFeatureAgg(s: SparkSession, dir: String): DataFrame = {
+    val feats = BinaryBatch.decode(s, media(s, dir), "doc_id", "payload")
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    feats.join(docs, "doc_id")
+      .groupBy(col("lang"), col("width"))
+      .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"))
+      .orderBy(col("lang"), col("width"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode" -> (mmDecode _),
+    "mm_feature_agg" -> (mmFeatureAgg _))
+
+  // The stub decoder is a pure byte function — DuckDB recomputes it:
+  // width  = 16*(1+(first byte & 3)), height = 16*(1+(last byte & 3)),
+  // n_frames = 1 + len%7 (documents text is ASCII, so ascii()/length()
+  // operate on the same bytes the Spark side sees).
+  val oracle: Map[String, String] = Map(
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) AS width,
+        |  CAST(16 * (1 + (ascii(substring(text, length(text), 1)) & 3)) AS BIGINT) AS height,
+        |  CAST(1 + length(text) % 7 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_feature_agg" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS byte_len,
+        |    CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) AS width
+        |  FROM documents)
+        |SELECT lang, width, COUNT(1) AS n,
+        |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes
+        |FROM f JOIN documents USING (doc_id)
+        |GROUP BY lang, width ORDER BY lang, width""".stripMargin)
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Similarity search over the embeddings table (builder brief §similarity):
+ * brute-force cosine top-k as the exactness baseline, and sign-LSH
+ * (random-hyperplane-style, anchors drawn deterministically from the data)
+ * bucketing as the scale path.
+ *
+ * Scale design: brute-force is a broadcast of the (small) query set against
+ * a distributed candidate scan — O(|C|·|Q|) with no shuffle until top-k; the
+ * per-query top-k is a partial TakeOrdered per partition. The LSH variant
+ * replaces the full scan with an equi-join on bucket id.
+ *
+ * Float convention: elements promoted to double before accumulation; dot
+ * products folded in index order (zip_with + ordered aggregate) on both
+ * engines; emitted similarities rounded to 6 dp.
+ */
+object Similarity {
+
+  private def dArr(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Index-ordered dot product of two equal-length double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-5: queries = vec_id < 10, candidates = rest. */
+  def simBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Sign-LSH bucketing: 8 anchor vectors (vec_id 0..7, broadcast) give an
+    * 8-bit bucket per vector; the bucket histogram is the oracle-checked
+    * output. At scale the ANN search becomes an equi-join on this bucket. */
+  def simLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("aid"), col("v").as("av"))
+    e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(anchors))
+      .withColumn("bit",
+        when(dot(col("v"), col("av")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(aid AS INT))")).otherwise(lit(0L)))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> (simBruteforceTopk _),
+    "sim_lsh_buckets" -> (simLshBuckets _))
+
+  val oracle: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        |el AS (
+        |  SELECT qid, c.vec_id AS neighbor,
+        |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS d,
+        |    SUM(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS cc
+        |  FROM q, c, generate_series(1, 64) t(i)
+        |  GROUP BY qid, c.vec_id),
+        |ranked AS (
+        |  SELECT qid, neighbor, d / (sqrt(qq) * sqrt(cc)) AS sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
+        |  FROM el)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, round(sim, 6) AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim_lsh_buckets" ->
+      """WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        |dots AS (
+        |  SELECT v.vec_id, a.aid, SUM(av[i]::DOUBLE * embedding[i]::DOUBLE) AS d
+        |  FROM v, a, generate_series(1, 64) t(i)
+        |  GROUP BY v.vec_id, a.aid),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << CAST(aid AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id)
+        |SELECT bucket, COUNT(1) AS n FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin)
+}
