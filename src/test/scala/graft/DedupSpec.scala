@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the near-dup operators on planted duplicates. */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def docsDir(): String = {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 16 distinct words; near-dup changes only the last word → word-set
+    // jaccard 15/17≈0.88, 3-shingle jaccard 13/15≈0.87 (high band-collision
+    // odds; the fixed hash constants make the outcome deterministic).
+    val base = "spark makes big data processing fast scalable reliable for everyone working with huge datasets every day"
+    val nearDup = "spark makes big data processing fast scalable reliable for everyone working with huge datasets every night"
+    val unrelated = "completely different words about cooking pasta with tomato sauce basil"
+    val rows = Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, nearDup, "en", "s0", nearDup.length.toLong),          // near-dup of 0
+      (2L, base, "en", "s1", base.length.toLong),                // exact dup of 0
+      (3L, unrelated, "en", "s0", unrelated.length.toLong),
+      (4L, "tiny doc", "en", "s0", 8L))                          // < 3 words branch
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir.toString
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated docs") {
+    val dir = docsDir()
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), "exact dup must collide in every band")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)),
+      s"near-dup should be caught by at least one band; got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("exact-dup pair has jaccard 1.0 in LSH output") {
+    val dir = docsDir()
+    val jac = Dedup.dedupMinhashLsh(spark, dir)
+      .filter(col("da") === 0 && col("db") === 2)
+      .select("jac").collect()
+    assert(jac.length == 1 && jac.head.getDouble(0) == 1.0)
+  }
+
+  test("simhash: identical texts get identical signatures, disjoint texts differ") {
+    val dir = docsDir()
+    val sigs = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(2L))
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("word jaccard emits the planted same-lang pairs above threshold") {
+    val dir = docsDir()
+    val rows = Dedup.dedupJaccardWords(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(rows((0L, 2L)) == 1.0)
+    assert(rows.contains((0L, 1L)) && rows((0L, 1L)) >= 0.8)
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

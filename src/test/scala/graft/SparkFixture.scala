@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local session for specs (one JVM-wide session; Spark reuses it). */
+trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
+  lazy val spark: SparkSession = SparkFixture.session
+
+  /** Write rows as a parquet table under a temp dir shaped like an sf dir. */
+  def writeTable(dir: java.nio.file.Path, name: String, df: org.apache.spark.sql.DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  def tmpSfDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_test_sf")
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
