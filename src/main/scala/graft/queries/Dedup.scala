@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -23,22 +24,48 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         array_distinct(filter(split(col("text"), " "), w => w =!= "")).as("words"))
 
-  /** Exact word-set Jaccard over same-lang pairs (lang = blocking key).
-    * Word-level inverted-index join: |A∩B| via shared-word counting. */
+  private val JaccardThreshold = 0.8
+
+  /**
+   * Exact word-set Jaccard over same-lang pairs (lang = blocking key),
+   * accelerated with prefix filtering (PPJoin-style): if J(A,B) ≥ t, the
+   * two sets must share a token within the first |X| − ⌈t·|X|⌉ + 1 tokens
+   * of a canonical global-rarity ordering — so the inverted-index join runs
+   * only on those prefix tokens (the rarest ones), not on every token.
+   * The exact verification (array_intersect on the full distinct word sets)
+   * keeps the output identical to the naive all-pairs oracle.
+   */
   def dedupJaccardWords(s: SparkSession, dir: String): DataFrame = {
-    val dw = docWords(s, dir)
-    val counts = dw.select(col("doc_id"), size(col("words")).cast("long").as("nw"))
+    val dw = docWords(s, dir) // doc_id, lang, words (distinct)
     val ex = dw.select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
-    val a = ex.select(col("doc_id").as("da"), col("lang").as("la"), col("w"))
-    val b = ex.select(col("doc_id").as("db"), col("lang").as("lb"), col("w").as("wb"))
-    val inter = a.join(b, col("w") === col("wb") && col("la") === col("lb") && col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("nw", "na"), "da")
-      .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("nw", "nb"), "db")
-      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jac") >= 0.8)
+
+    // canonical token order: ascending global document frequency, ties by word
+    val dfreq = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val prefixes = ex
+      .join(broadcast(dfreq), "w") // vocab is small; at scale this becomes a plain shuffle join
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ordered"),
+        count(lit(1)).as("nw"))
+      .withColumn("plen", (col("nw") - ceil(col("nw") * JaccardThreshold) + 1).cast("int"))
+      .select(col("doc_id"), col("lang"),
+        explode(slice(transform(col("ordered"), t => t.getField("w")), lit(1), col("plen")))
+          .as("ptoken"))
+
+    val a = prefixes.select(col("doc_id").as("da"), col("lang").as("la"), col("ptoken"))
+    val b = prefixes.select(col("doc_id").as("db"), col("lang").as("lb"), col("ptoken").as("pb"))
+    val cand = a.join(b,
+        col("ptoken") === col("pb") && col("la") === col("lb") && col("da") < col("db"))
+      .select(col("da"), col("db"))
+      .distinct()
+
+    val sets = dw.select(col("doc_id"), col("words"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("words").as("wa")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("words").as("wb")), "db")
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("wa")) + size(col("wb")) - col("inter")).cast("double"))
+      .filter(col("jac") >= JaccardThreshold)
       .select(col("da"), col("db"), col("inter"), col("jac"))
       .orderBy(col("da"), col("db"))
   }
@@ -99,10 +126,21 @@ object Dedup {
   private def permA(j: Int): Long = ((0x9e3779b97f4a7c15L * (2 * j + 1)) >>> 33) | 1L
   private def permB(j: Int): Long = (0xc6a4a7935bd1e995L * (j + 7)) >>> 33
 
+  /** Degenerate-bucket guard: LSH buckets larger than this are skipped
+    * (standard production practice — a bucket with thousands of members is
+    * a boilerplate/spam cluster, and exact-verifying its O(b²) pairs is
+    * exactly the blowup LSH exists to avoid). */
+  private val MaxBucketSize = 50
+
+  /** Cheap signature-agreement prefilter before exact verification:
+    * fraction of equal minhashes estimates Jaccard (E[agree] = J). */
+  private val MinhashEstThreshold = 0.35
+
   /**
    * MinHash + LSH near-dup candidate pairs, verified with exact shingle
    * Jaccard. 3-word shingles → farm_fingerprint → 32 affine min-hashes →
-   * 8 band keys → equi-join on (band, key) → exact verify on candidates.
+   * 8 band keys → equi-join on (band, key) → minhash-agreement prefilter →
+   * exact verify on surviving candidates.
    * No oracle (DuckDB has no farmhash); semantics covered by DedupSpec and
    * cross-checked against dedup_jaccard_words in spirit.
    */
@@ -123,31 +161,45 @@ object Dedup {
           h.bitwiseXOR(shiftrightunsigned(h, 32)).bitwiseAND(lit(0xffffffffL))
         }))
 
-    // 32 min-hashes as fold-free array minimums (codegen-friendly)
-    val minhashCols = (0 until MinhashPerms).map { j =>
-      array_min(transform(col("sh_hashes"), h => h * permA(j) + permB(j))).as(s"mh$j")
-    }
-    val withMh = base.select((col("doc_id") +: col("shingles") +: minhashCols): _*)
+    // 32 min-hashes packed into one array column (codegen-friendly minima)
+    val mhArr = array((0 until MinhashPerms).map { j =>
+      array_min(transform(col("sh_hashes"), h => h * permA(j) + permB(j)))
+    }: _*)
+    val withMh = base.select(col("doc_id"), mhArr.as("mh"))
 
     // band keys: hash of the 4 minhashes in each band
     val bandCols = (0 until LshBands).map { b =>
-      val slice = (0 until 4).map(r => col(s"mh${b * 4 + r}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("key")).as(s"bk$b")
+      val slice = (0 until 4).map(r => col("mh")(b * 4 + r))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("key"))
     }
+    // Candidate generation stays NARROW: (band, key, doc_id, mh[32]) flows
+    // through the self-join — shingle arrays re-attach by doc_id only for
+    // candidates that survive. Oversized buckets (degenerate boilerplate
+    // clusters) are dropped before the quadratic pair expansion.
     val banded = withMh
-      .select(col("doc_id"), col("shingles"), array(bandCols: _*).as("bands"))
-      .select(col("doc_id"), col("shingles"), explode(col("bands")).as("bk"))
-      .select(col("doc_id"), col("shingles"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("mh"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"), col("mh"))
+    val wb = Window.partitionBy(col("band"), col("key"))
+    val pruned = banded
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= MaxBucketSize)
+      .drop("bsz")
 
-    val left = banded.select(col("band"), col("key"), col("doc_id").as("da"), col("shingles").as("sha"))
-    val right = banded.select(col("band").as("band_r"), col("key").as("key_r"),
-      col("doc_id").as("db"), col("shingles").as("shb"))
+    val left = pruned.select(col("band"), col("key"), col("doc_id").as("da"), col("mh").as("mha"))
+    val right = pruned.select(col("band").as("band_r"), col("key").as("key_r"),
+      col("doc_id").as("db"), col("mh").as("mhb"))
+    val agree = size(filter(zip_with(col("mha"), col("mhb"),
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
     val cand = left.join(right,
         col("band") === col("band_r") && col("key") === col("key_r") && col("da") < col("db"))
-      .select(col("da"), col("db"), col("sha"), col("shb"))
       .dropDuplicates("da", "db")
+      .filter(agree >= lit((MinhashEstThreshold * MinhashPerms).toInt))
+      .select(col("da"), col("db"))
 
+    val shingleSets = base.select(col("doc_id"), col("shingles"))
     cand
+      .join(shingleSets.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
+      .join(shingleSets.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
       .withColumn("jac", col("inter") / col("uni"))
