@@ -1,0 +1,123 @@
+package graft.workers
+
+import graft.core.Dag
+import graft.core.Dag.{Worker, WorkerContext}
+import graft.core.Spec.WorkerValue
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.RFormula
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * BQML / Vertex-AI semantics on MLlib (SURVEY §2.5):
+ * `CREATE OR REPLACE MODEL ... OPTIONS(MODEL_TYPE=...)` → estimator fit,
+ * `ML.PREDICT` → transform + positive-class probability,
+ * `ML.EVALUATE` → evaluator metrics table. The model-type names are the
+ * reference's accepted list (compiler.py:50-62).
+ */
+object Ml {
+
+  private def estimator(modelType: String, labelCol: String) = modelType.toUpperCase match {
+    case "LOGISTIC_REG" => new LogisticRegression().setLabelCol(labelCol)
+    case "BOOSTED_TREE_CLASSIFIER" => new GBTClassifier().setLabelCol(labelCol)
+    case "BOOSTED_TREE_REGRESSOR" => new GBTRegressor().setLabelCol(labelCol)
+    case "RANDOM_FOREST_CLASSIFIER" => new RandomForestClassifier().setLabelCol(labelCol)
+    case "RANDOM_FOREST_REGRESSOR" => new RandomForestRegressor().setLabelCol(labelCol)
+    case "LINEAR_REG" => new LinearRegression().setLabelCol(labelCol)
+    case other => throw new IllegalArgumentException(s"Unsupported MODEL_TYPE: $other")
+  }
+
+  private def isClassifier(modelType: String): Boolean =
+    modelType.toUpperCase.endsWith("CLASSIFIER") || modelType.toUpperCase == "LOGISTIC_REG"
+
+  /** VertexAITabularTrainer / BQML CREATE MODEL → RFormula + estimator fit,
+    * persisted with model.write.overwrite (SURVEY §2.5). */
+  final class Trainer(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val table = Workers.str(params, "training_table", Workers.str(params, "bq_table_id"))
+      val modelType = Workers.str(params, "model_type", "LOGISTIC_REG")
+      val labelCol = Workers.str(params, "label_col", "label")
+      val modelUri = Workers.str(params, "model_uri")
+      require(table.nonEmpty && modelUri.nonEmpty, "'training_table' and 'model_uri' are required")
+      val df = Workers.resolveTable(spark, table)
+      val featureCols = {
+        val explicit = Workers.strList(params, "feature_cols")
+        if (explicit.nonEmpty) explicit else df.columns.filterNot(_ == labelCol).toSeq
+      }
+      // RFormula handles string features (one-hot) like BQML's implicit
+      // TRANSFORM of categorical columns.
+      val formula = new RFormula()
+        .setFormula(s"$labelCol ~ ${featureCols.mkString(" + ")}")
+        .setFeaturesCol("features")
+        .setLabelCol(labelCol)
+      val pipe = new Pipeline().setStages(Array(formula, estimator(modelType, labelCol)))
+      val model = pipe.fit(df)
+      model.write.overwrite().save(modelUri)
+      ctx.log(s"Trained $modelType on $table -> $modelUri")
+    }
+  }
+
+  /** VertexAIBatchPredictorToBQ / ML.PREDICT: transform + positive-class
+    * probability (`UNNEST(predicted_label_probs) WHERE label=1` analog,
+    * model_bqml.sql:29,50,313-316). */
+  final class Predictor(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val table = Workers.str(params, "bq_table_id")
+      val modelUri = Workers.str(params, "model_uri")
+      val dest = Workers.str(params, "destination_table")
+      require(table.nonEmpty && modelUri.nonEmpty && dest.nonEmpty,
+        "'bq_table_id', 'model_uri' and 'destination_table' are required")
+      val model = PipelineModel.load(modelUri)
+      val out0 = model.transform(Workers.resolveTable(spark, table))
+      val out =
+        if (out0.columns.contains("probability"))
+          out0.withColumn("probability_of_positive",
+            vector_to_array(col("probability")).getItem(1))
+        else out0
+      val cleaned = out.drop("features", "rawPrediction", "probability")
+      Workers.writeTable(cleaned, dest, overwrite = true)
+    }
+  }
+
+  /** ML.EVALUATE analog: metrics table for a trained model on a dataset. */
+  final class Evaluator(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val table = Workers.str(params, "bq_table_id")
+      val modelUri = Workers.str(params, "model_uri")
+      val dest = Workers.str(params, "destination_table")
+      val labelCol = Workers.str(params, "label_col", "label")
+      val classifier = Workers.bool(params, "classifier", default = true)
+      val model = PipelineModel.load(modelUri)
+      val predictions = model.transform(Workers.resolveTable(spark, table))
+      import spark.implicits._
+      val metrics: DataFrame =
+        if (classifier) {
+          val auc = new BinaryClassificationEvaluator()
+            .setLabelCol(labelCol).setMetricName("areaUnderROC").evaluate(predictions)
+          val pr = new BinaryClassificationEvaluator()
+            .setLabelCol(labelCol).setMetricName("areaUnderPR").evaluate(predictions)
+          Seq(("roc_auc", auc), ("pr_auc", pr)).toDF("metric", "value")
+        } else {
+          val rmse = new RegressionEvaluator()
+            .setLabelCol(labelCol).setMetricName("rmse").evaluate(predictions)
+          val r2 = new RegressionEvaluator()
+            .setLabelCol(labelCol).setMetricName("r2").evaluate(predictions)
+          Seq(("rmse", rmse), ("r2", r2)).toDF("metric", "value")
+        }
+      Workers.writeTable(metrics, dest, overwrite = true)
+    }
+  }
+
+  def register(r: Dag.Registry, spark: SparkSession): Unit = {
+    r.register("VertexAITabularTrainer")(p => new Trainer(spark, p))
+    r.register("MlTrainer")(p => new Trainer(spark, p))
+    r.register("VertexAIBatchPredictorToBQ")(p => new Predictor(spark, p))
+    r.register("MlPredictor")(p => new Predictor(spark, p))
+    r.register("MlEvaluator")(p => new Evaluator(spark, p))
+    r.register("BQToVertexAIDataset")(p => new Workers.QueryLauncher(spark, p)) // snapshot-table semantics
+  }
+}

@@ -1,0 +1,221 @@
+package graft.workers
+
+import graft.core.{Dag, Spec, Templates}
+import graft.core.Dag.{Worker, WorkerContext}
+import graft.core.Spec.WorkerValue
+import graft.plans.BqDialect
+import graft.sources.BqSchema
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * The worker library (SURVEY §2.1): each reference worker re-expressed on
+ * Spark primitives. Tables are addressed by catalog name when registered,
+ * otherwise by path (parquet); "GCS" URIs are plain Hadoop-FS paths.
+ */
+object Workers {
+
+  // ---- param helpers ----
+  def str(p: Map[String, WorkerValue], k: String, default: String = ""): String =
+    p.get(k).collect {
+      case WorkerValue.S(v) => v
+      case WorkerValue.I(v) => v.toString
+      case WorkerValue.N(v) => v.toString
+    }.getOrElse(default)
+
+  def bool(p: Map[String, WorkerValue], k: String, default: Boolean = false): Boolean =
+    p.get(k).collect { case WorkerValue.B(v) => v; case WorkerValue.S(v) => v == "1" }.getOrElse(default)
+
+  def num(p: Map[String, WorkerValue], k: String, default: Long = 0L): Long =
+    p.get(k).collect {
+      case WorkerValue.I(v) => v
+      case WorkerValue.N(v) => v.toLong
+      case WorkerValue.S(v) if v.trim.nonEmpty => v.trim.toDouble.toLong
+    }.getOrElse(default)
+
+  def strList(p: Map[String, WorkerValue], k: String): Seq[String] =
+    p.get(k).collect {
+      case WorkerValue.SL(v) => v.filter(_.trim.nonEmpty)
+      case WorkerValue.S(v) => v.split("\n").toSeq.filter(_.trim.nonEmpty)
+    }.getOrElse(Nil)
+
+  /** Table resolution: catalog first, parquet path fallback. */
+  def resolveTable(spark: SparkSession, id: String): DataFrame =
+    if (spark.catalog.tableExists(id)) spark.table(id)
+    else spark.read.parquet(id)
+
+  /** Destination write: catalog table (saveAsTable) or path (parquet). */
+  def writeTable(df: DataFrame, dest: String, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
+    if (dest.contains("/")) df.write.mode(mode).parquet(dest)
+    else df.write.mode(mode).saveAsTable(dest)
+  }
+
+  /** Commenter (commenter.py:21-32): no-op / forced-failure toggle. */
+  final class Commenter(params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      ctx.log(str(params, "comment"))
+      if (bool(params, "fail_at_the_end")) throw new RuntimeException("forced failure")
+    }
+  }
+
+  /**
+   * BQScriptExecutor (bq_script_executor.py:23-79): runs a multi-statement
+   * standard-SQL script, one statement at a time, after the BQ-dialect
+   * rewrite; `dry_run` estimates instead of executing (the reference logs
+   * bytes-processed; we surface optimized-plan stats).
+   */
+  final class SqlScriptExecutor(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val script = str(params, "script", str(params, "query"))
+      require(script.trim.nonEmpty, "'script' parameter is required")
+      if (bool(params, "dry_run")) {
+        BqDialect.splitStatements(script).foreach { stmt =>
+          val df = spark.sql(BqDialect.rewrite(stmt))
+          val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          ctx.log(s"Dry run: estimated $bytes bytes processed")
+        }
+      } else {
+        BqDialect.runScript(spark, script)
+      }
+    }
+  }
+
+  /** BQQueryLauncher (bq_query_launcher.py:26-61): query → destination
+    * table with WRITE_TRUNCATE/WRITE_APPEND disposition. */
+  final class QueryLauncher(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val query = str(params, "query")
+      val dest = str(params, "bq_table_id")
+      require(query.trim.nonEmpty && dest.nonEmpty, "'query' and 'bq_table_id' are required")
+      val df = spark.sql(BqDialect.rewrite(query))
+      writeTable(df, dest, overwrite = bool(params, "overwrite", default = true))
+    }
+  }
+
+  /**
+   * StorageToBQImporter (storage_to_bq_importer.py:25-92): CSV/JSON files →
+   * table; wildcard URIs, autodetect or explicit BigQuery JSON schema,
+   * skip-rows, null marker, bad-record budget.
+   */
+  final class StorageImporter(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val uris = strList(params, "source_uris")
+      require(uris.nonEmpty, "'source_uris' is required")
+      val dest = str(params, "bq_table_id")
+      val isJson = bool(params, "import_json") || uris.forall(u => u.endsWith(".json") || u.endsWith(".json.gz"))
+      val errorsToAllow = num(params, "errors_to_allow", 0)
+      val schemaJson = str(params, "schema")
+      val autodetect = bool(params, "autodetect", schemaJson.isEmpty)
+
+      var reader = spark.read
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+      if (!autodetect && schemaJson.nonEmpty) {
+        val schema = BqSchema.toStructType(schemaJson)
+          .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+        reader = reader.schema(schema)
+      }
+      val df =
+        if (isJson) {
+          if (autodetect) reader.option("inferSchema", "true").json(uris: _*)
+          else reader.json(uris: _*)
+        } else {
+          val nullMarker = str(params, "null_marker")
+          var r = reader
+            .option("header", num(params, "rows_to_skip", 0) > 0)
+            .option("inferSchema", autodetect)
+            .option("enforceSchema", "false")
+            .option("multiLine", bool(params, "allow_quoted_newlines")) // quoted newlines
+          if (nullMarker.nonEmpty) r = r.option("nullValue", nullMarker)
+          r.csv(uris: _*)
+        }
+
+      val (clean, badCount) =
+        if (df.columns.contains("_corrupt_record")) {
+          val bad = df.filter(df("_corrupt_record").isNotNull).count()
+          (df.filter(df("_corrupt_record").isNull).drop("_corrupt_record"), bad)
+        } else (df, 0L)
+      if (badCount > errorsToAllow)
+        throw new RuntimeException(
+          s"Too many bad records: $badCount > allowed $errorsToAllow")
+      writeTable(clean, dest, overwrite = bool(params, "overwrite", default = true))
+    }
+  }
+
+  /** BQToStorageExporter (bq_to_storage_exporter.py:23-55): table → CSV or
+    * NEWLINE_DELIMITED_JSON files, optional GZIP, header toggle. */
+  final class StorageExporter(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val table = str(params, "bq_table_id")
+      val dest = str(params, "destination_uri")
+      require(table.nonEmpty && dest.nonEmpty, "'bq_table_id' and 'destination_uri' are required")
+      val df = resolveTable(spark, table)
+      val gzip = bool(params, "export_gzip")
+      val json = bool(params, "export_json")
+      var w = df.write.mode(SaveMode.Overwrite)
+      if (gzip) w = w.option("compression", "gzip")
+      if (json) w.json(dest)
+      else w.option("header", bool(params, "print_header", default = true)).csv(dest)
+    }
+  }
+
+  /** StorageCleaner (storage_cleaner.py:26-48): glob files, delete those
+    * older than `expiration_days`. */
+  final class StorageCleaner(spark: SparkSession, params: Map[String, WorkerValue],
+                             clock: () => Long = () => System.currentTimeMillis()) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val patterns = strList(params, "file_uris")
+      val expirationDays = num(params, "expiration_days", 30)
+      val cutoff = clock() - expirationDays * 24L * 3600 * 1000
+      val conf = spark.sparkContext.hadoopConfiguration
+      patterns.foreach { pat =>
+        val path = new Path(pat)
+        val fs = FileSystem.get(path.toUri, conf)
+        val matches = Option(fs.globStatus(path)).getOrElse(Array.empty)
+        matches.foreach { st =>
+          if (st.getModificationTime < cutoff) {
+            fs.delete(st.getPath, false)
+            ctx.log(s"Deleted ${st.getPath}")
+          }
+        }
+      }
+    }
+  }
+
+  /** Build the full registry over a session (finder.py:44-101 surface).
+    * Reference worker names are registered as aliases of the Spark-native
+    * implementations so exported pipelines run unmodified. */
+  def registry(spark: SparkSession): Dag.Registry = {
+    val r = new Dag.Registry
+    r.register("Commenter")(p => new Commenter(p))
+    r.register("BQScriptExecutor")(p => new SqlScriptExecutor(spark, p))
+    r.register("SqlScriptExecutor")(p => new SqlScriptExecutor(spark, p))
+    r.register("BQMLTrainer")(p => new SqlScriptExecutor(spark, p)) // alias (bq_ml_trainer.py:21-30)
+    r.register("BQQueryLauncher")(p => new QueryLauncher(spark, p))
+    r.register("QueryLauncher")(p => new QueryLauncher(spark, p))
+    r.register("StorageToBQImporter")(p => new StorageImporter(spark, p))
+    r.register("StorageImporter")(p => new StorageImporter(spark, p))
+    r.register("BQToStorageExporter")(p => new StorageExporter(spark, p))
+    r.register("StorageExporter")(p => new StorageExporter(spark, p))
+    r.register("StorageCleaner")(p => new StorageCleaner(spark, p))
+    Sinks.register(r, spark)
+    Ml.register(r, spark)
+    r
+  }
+
+  /** Table peek for the `bigquery()` inline function
+    * (inline.py:51-80 → `spark.table(t).limit(1)`). */
+  def sparkTablePeek(spark: SparkSession): Templates.TablePeek = { tableId =>
+    val df = resolveTable(spark, tableId)
+    val rows = df.limit(1).collect()
+    if (rows.isEmpty) throw new Templates.TemplateError(s"BigQuery table `$tableId` is empty")
+    val row = rows.head
+    df.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      n -> (row.get(i) match {
+        case s: scala.collection.Seq[_] => s.toSeq
+        case v => v
+      })
+    }.toMap
+  }
+}

@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class BqDialectSpec extends AnyFunSuite with SparkFixture {
+
+  test("statement splitting respects quotes and comments") {
+    val script =
+      """CREATE TABLE t AS SELECT 'a;b' AS s; -- trailing; comment
+        |SELECT 1;
+        |/* block; comment */ SELECT 2""".stripMargin
+    val stmts = BqDialect.splitStatements(script)
+    assert(stmts.length == 3)
+    assert(stmts(0).contains("'a;b'"))
+    assert(stmts(2).contains("SELECT 2"))
+  }
+
+  test("OFFSET indexing and REGEXP_CONTAINS rewrite") {
+    assert(BqDialect.rewrite("SELECT arr[OFFSET(1)] FROM t") == "SELECT arr[1] FROM t")
+    assert(BqDialect.rewrite("SELECT REGEXP_CONTAINS(x, 'p') FROM t") ==
+      "SELECT regexp_like(x, 'p') FROM t")
+  }
+
+  test("CAST ... FORMAT and FORMAT_DATE rewrites") {
+    assert(BqDialect.rewrite("SELECT CAST(d AS DATE FORMAT 'YYYYMMDD') FROM t") ==
+      "SELECT to_date(d, 'yyyyMMdd') FROM t")
+    assert(BqDialect.rewrite("SELECT FORMAT_DATE('%F', dcol) FROM t") ==
+      "SELECT date_format(dcol, 'yyyy-MM-dd') FROM t")
+    assert(BqDialect.rewrite("SELECT FORMAT_TIMESTAMP('%F %T%Ez', ts) FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ssXXX') FROM t")
+  }
+
+  test("rewritten SQL actually runs on Spark") {
+    import spark.implicits._
+    Seq(("20240315", Seq(10, 20, 30))).toDF("d", "arr").createOrReplaceTempView("dialect_t")
+    val df = spark.sql(BqDialect.rewrite(
+      "SELECT CAST(d AS DATE FORMAT 'YYYYMMDD') AS dt, arr[OFFSET(1)] AS second, " +
+        "REGEXP_CONTAINS(d, '^2024') AS y2024 FROM dialect_t"))
+    val row = df.collect().head
+    assert(row.getDate(0).toString == "2024-03-15")
+    assert(row.getInt(1) == 20)
+    assert(row.getBoolean(2))
+  }
+
+  test("DECLARE/SET scripting splices driver-side scalars (output.sql:2-7,19)") {
+    import spark.implicits._
+    Seq(("events_20240101", 1), ("events_20240102", 2), ("events_20240103", 3))
+      .toDF("table_id", "n").createOrReplaceTempView("tables_summary")
+    val out = BqDialect.runScript(spark,
+      """DECLARE latest STRING;
+        |SET latest = (SELECT MAX(table_id) FROM tables_summary);
+        |SELECT n FROM tables_summary WHERE table_id = latest""".stripMargin)
+    assert(out.get.collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("script runs multi-statement DDL + final select with FARM_FINGERPRINT") {
+    val out = BqDialect.runScript(spark,
+      """CREATE OR REPLACE TEMPORARY VIEW script_v AS SELECT 'abc' AS s;
+        |SELECT FARM_FINGERPRINT(s) AS fp FROM script_v""".stripMargin)
+    assert(out.get.collect().head.getLong(0) == graft.functions.FarmHash.fingerprint64("abc"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.workers
+
+import graft.SparkFixture
+import graft.core.Spec.WorkerValue
+import graft.core.Dag.WorkerContext
+import graft.sources.BqSchema
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class WorkersSpec extends AnyFunSuite with SparkFixture {
+
+  private val noCtx = new WorkerContext {
+    def params: Map[String, WorkerValue] = Map.empty
+    def generalSettings: Map[String, String] = Map.empty
+    def enqueue(wc: String, p: Map[String, WorkerValue], d: Int): Unit = ()
+  }
+
+  test("BqSchema: nested + repeated BigQuery schema maps to StructType (bq_utils.py:10-40)") {
+    val json =
+      """[{"name":"id","type":"INTEGER","mode":"REQUIRED"},
+        | {"name":"tags","type":"STRING","mode":"REPEATED"},
+        | {"name":"geo","type":"RECORD","fields":[
+        |   {"name":"country","type":"STRING"},
+        |   {"name":"lat","type":"FLOAT","mode":"NULLABLE"}]}]""".stripMargin
+    val st = BqSchema.toStructType(json)
+    assert(st("id").dataType == LongType && !st("id").nullable)
+    assert(st("tags").dataType.isInstanceOf[ArrayType])
+    val geo = st("geo").dataType.asInstanceOf[StructType]
+    assert(geo("country").dataType == StringType)
+    assert(geo("lat").dataType == DoubleType)
+    // round trip
+    val back = BqSchema.toStructType(BqSchema.fromStructType(st))
+    assert(back == st)
+  }
+
+  test("StorageImporter: CSV with null marker, bad-record budget enforced") {
+    val dir = Files.createTempDirectory("graft_imp")
+    Files.writeString(Paths.get(s"$dir/data_1.csv"),
+      "id,name,score\n1,alice,3.5\n2,NULLMARK,4.0\nbad_row_only_one_col\n3,carol,5.0\n")
+    val schema =
+      """[{"name":"id","type":"INTEGER"},{"name":"name","type":"STRING"},
+        | {"name":"score","type":"FLOAT"}]""".stripMargin
+    def runImport(allow: Long): Unit =
+      new Workers.StorageImporter(spark, Map(
+        "source_uris" -> WorkerValue.SL(Seq(s"$dir/data_*.csv")),
+        "bq_table_id" -> WorkerValue.S(s"$dir/out_table"),
+        "schema" -> WorkerValue.S(schema),
+        "rows_to_skip" -> WorkerValue.I(1),
+        "null_marker" -> WorkerValue.S("NULLMARK"),
+        "errors_to_allow" -> WorkerValue.I(allow))).execute(noCtx)
+    runImport(allow = 1)
+    val out = spark.read.parquet(s"$dir/out_table")
+    assert(out.count() == 3)
+    assert(out.filter("name IS NULL").count() == 1) // null marker applied
+    intercept[RuntimeException] { runImport(allow = 0) }
+  }
+
+  test("StorageExporter: gzip CSV with header") {
+    val dir = Files.createTempDirectory("graft_exp")
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("exp_src")
+    new Workers.StorageExporter(spark, Map(
+      "bq_table_id" -> WorkerValue.S("exp_src"),
+      "destination_uri" -> WorkerValue.S(s"$dir/out"),
+      "export_gzip" -> WorkerValue.B(true))).execute(noCtx)
+    val files = new java.io.File(s"$dir/out").listFiles().filter(_.getName.endsWith(".csv.gz"))
+    assert(files.nonEmpty)
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() == 2)
+  }
+
+  test("StorageCleaner deletes only expired files (storage_cleaner.py:26-48)") {
+    val dir = Files.createTempDirectory("graft_clean")
+    Files.writeString(Paths.get(s"$dir/old.txt"), "x")
+    Files.writeString(Paths.get(s"$dir/new.txt"), "y")
+    val now = System.currentTimeMillis()
+    Paths.get(s"$dir/old.txt").toFile.setLastModified(now - 40L * 24 * 3600 * 1000)
+    new Workers.StorageCleaner(spark, Map(
+      "file_uris" -> WorkerValue.SL(Seq(s"$dir/*.txt")),
+      "expiration_days" -> WorkerValue.I(30)), clock = () => now).execute(noCtx)
+    assert(!Files.exists(Paths.get(s"$dir/old.txt")))
+    assert(Files.exists(Paths.get(s"$dir/new.txt")))
+  }
+
+  test("pyTemplateSubstitute: $var, ${var}, $$ escape, KeyError on missing") {
+    val vals = Map("a" -> "1", "b_c" -> "2")
+    assert(Sinks.pyTemplateSubstitute("x=$a y=${b_c} z=$$lit", vals) == "x=1 y=2 z=$lit")
+    intercept[NoSuchElementException] {
+      Sinks.pyTemplateSubstitute("$missing", vals)
+    }
+  }
+
+  test("MeasurementProtocolGA4 posts one templated payload per row; debug hits validation URL") {
+    import spark.implicits._
+    Sinks.RecordingTransport.clear()
+    Seq(("c1", 1.5), ("c2", 2.5)).toDF("client_id", "value")
+      .createOrReplaceTempView("mp_rows")
+    new Sinks.MeasurementProtocolGA4(spark, Map(
+      "bq_table_id" -> WorkerValue.S("mp_rows"),
+      "measurement_id" -> WorkerValue.S("G-12345"),
+      "api_secret" -> WorkerValue.S("s3cret"),
+      "template" -> WorkerValue.S("""{"client_id":"$client_id","value":$value}"""),
+      "debug" -> WorkerValue.B(true))).execute(noCtx)
+    val reqs = Sinks.RecordingTransport.requests.toArray.map(_.asInstanceOf[(String, String)])
+    assert(reqs.length == 2)
+    assert(reqs.forall(_._1.contains("/debug/mp/collect")))
+    assert(reqs.forall(_._1.contains("measurement_id=G-12345")))
+    assert(reqs.exists(_._2 == """{"client_id":"c1","value":1.5}"""))
+  }
+
+  test("AdsOfflineClickConversion batches 2000 conversions per request") {
+    import spark.implicits._
+    Sinks.RecordingTransport.clear()
+    (1 to 2100).map(i => (s"gclid$i", i.toDouble)).toDF("gclid", "conversionValue")
+      .coalesce(1).createOrReplaceTempView("ads_rows")
+    new Sinks.AdsOfflineClickConversion(spark, Map(
+      "bq_table_id" -> WorkerValue.S("ads_rows"),
+      "customer_id" -> WorkerValue.S("123-456"),
+      "template" -> WorkerValue.S("""{"gclid":"$gclid","value":$conversionValue}""")))
+      .execute(noCtx)
+    val reqs = Sinks.RecordingTransport.requests.toArray.map(_.asInstanceOf[(String, String)])
+    assert(reqs.length == 2, "2100 rows in one partition => 2000 + 100")
+    val sizes = reqs.map(r => "\"gclid\"".r.findAllIn(r._2).size).sorted
+    assert(sizes.toSeq == Seq(100, 2000))
+  }
+
+  test("detectPatchUpdate matches the reference's deep-compare (common/utils.py:6-36)") {
+    import Sinks.detectPatchUpdate
+    assert(!detectPatchUpdate("""{"a":1,"b":[1,2]}""", """{"a":1,"b":[1,2],"extra":9}"""))
+    assert(detectPatchUpdate("""{"a":2}""", """{"a":1}"""))
+    assert(detectPatchUpdate("""{"new":1}""", """{"a":1}"""))
+    assert(detectPatchUpdate("""{"b":[1,2,3]}""", """{"b":[1,2]}"""))
+    assert(detectPatchUpdate("""{"a":"1"}""", """{"a":1}"""), "type change is an update")
+    assert(!detectPatchUpdate("""{"a":{"x":1}}""", """{"a":{"x":1,"y":2}}"""))
+  }
+
+  test("AudiencesUpdater plans insert/update/skip from the diff") {
+    import spark.implicits._
+    val ops = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    Seq(("aud1", 10), ("aud2", 20), ("aud3", 30)).toDF("name", "value")
+      .createOrReplaceTempView("aud_rows")
+    new Sinks.AudiencesUpdater(spark, Map(
+      "bq_table_id" -> WorkerValue.S("aud_rows"),
+      "template" -> WorkerValue.S("""{"name":"$name","value":$value}""")),
+      fetchRemote = () => Seq(
+        "aud1" -> """{"name":"aud1","value":10}""",   // unchanged -> skip
+        "aud2" -> """{"name":"aud2","value":99}"""),  // changed   -> update
+      apply = (op, name, _) => ops += (op -> name)).execute(noCtx)
+    assert(ops.toSet == Set("update" -> "aud2", "insert" -> "aud3"))
+  }
+}
