@@ -111,7 +111,6 @@ object Sinks {
       spark: SparkSession,
       params: Map[String, WorkerValue],
       transport: HttpTransport = RecordingTransport) extends Worker {
-    private val BatchSize = 2000 // bq_to_ads_offline_click_conversion.py:38
 
     def execute(ctx: WorkerContext): Unit = {
       val table = Workers.str(params, "bq_table_id")
@@ -119,9 +118,12 @@ object Sinks {
       val customerId = Workers.str(params, "customer_id")
       val url = s"https://googleads.googleapis.com/customers/$customerId:uploadClickConversions"
       val t = transport
+      // batch size 2000 (bq_to_ads_offline_click_conversion.py:38); local val so
+      // the task closure doesn't capture non-serializable `this`
+      val batchSize = AdsOfflineClickConversion.BatchSize
       Workers.resolveTable(spark, table).foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
-          rows.grouped(BatchSize).foreach { batch =>
+          rows.grouped(batchSize).foreach { batch =>
             val conversions = batch.map(r => pyTemplateSubstitute(template, rowValues(r)))
             val payload =
               s"""{"conversions":[${conversions.mkString(",")}],"partialFailure":true}"""
@@ -131,6 +133,10 @@ object Sinks {
           }
       }
     }
+  }
+
+  object AdsOfflineClickConversion {
+    val BatchSize = 2000 // bq_to_ads_offline_click_conversion.py:38
   }
 
   /**

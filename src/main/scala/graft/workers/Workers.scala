@@ -131,15 +131,23 @@ object Workers {
           r.csv(uris: _*)
         }
 
-      val (clean, badCount) =
-        if (df.columns.contains("_corrupt_record")) {
-          val bad = df.filter(df("_corrupt_record").isNotNull).count()
-          (df.filter(df("_corrupt_record").isNull).drop("_corrupt_record"), bad)
-        } else (df, 0L)
-      if (badCount > errorsToAllow)
-        throw new RuntimeException(
-          s"Too many bad records: $badCount > allowed $errorsToAllow")
-      writeTable(clean, dest, overwrite = bool(params, "overwrite", default = true))
+      // Spark refuses `_corrupt_record` queries directly over the raw file
+      // scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching the parsed frame
+      // both satisfies that and turns two full file scans (count + write)
+      // into one — at scale the input is read once.
+      if (df.columns.contains("_corrupt_record")) {
+        df.cache()
+        try {
+          val badCount = df.filter(df("_corrupt_record").isNotNull).count()
+          if (badCount > errorsToAllow)
+            throw new RuntimeException(
+              s"Too many bad records: $badCount > allowed $errorsToAllow")
+          val clean = df.filter(df("_corrupt_record").isNull).drop("_corrupt_record")
+          writeTable(clean, dest, overwrite = bool(params, "overwrite", default = true))
+        } finally df.unpersist()
+      } else {
+        writeTable(df, dest, overwrite = bool(params, "overwrite", default = true))
+      }
     }
   }
 
