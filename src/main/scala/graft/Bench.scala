@@ -26,7 +26,13 @@ object Bench {
     // charged for JIT + classloading.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional local-iteration filter: SPARK_GRAFT_ONLY=q1_agg,dedup_...
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      // benchmark hygiene: don't charge query N for query N-1's garbage
+      System.gc()
       val t0 = System.nanoTime()
       val secs =
         try {

@@ -23,6 +23,10 @@ object GraftFunctions {
         FunctionIdentifier("farm_fingerprint"),
         new ExpressionInfo(classOf[FarmFingerprint].getName, "farm_fingerprint"),
         (children: Seq[Expression]) => FarmFingerprint(children.head))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("sorted_intersect_size"),
+        new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+        (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
     }
   }
 
@@ -32,4 +36,8 @@ object GraftFunctions {
 
   /** BigQuery-compatible FARM_FINGERPRINT as a Column op (requires register). */
   def farm_fingerprint(c: Column): Column = call_function("farm_fingerprint", c)
+
+  /** |A ∩ B| of two sorted distinct string arrays (requires register). */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    call_function("sorted_intersect_size", a, b)
 }

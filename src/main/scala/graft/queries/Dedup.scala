@@ -26,46 +26,113 @@ object Dedup {
 
   private val JaccardThreshold = 0.8
 
+  /** JaccardThreshold expressed as an exact rational (4/5), so the length
+    * and positional filters below run in pure integer arithmetic — no
+    * double rounding can ever prune a pair that truly meets the bound. */
+  private val JacNum = 4L
+  private val JacDen = 5L
+
   /**
-   * Exact word-set Jaccard over same-lang pairs (lang = blocking key),
-   * accelerated with prefix filtering (PPJoin-style): if J(A,B) ≥ t, the
-   * two sets must share a token within the first |X| − ⌈t·|X|⌉ + 1 tokens
-   * of a canonical global-rarity ordering — so the inverted-index join runs
-   * only on those prefix tokens (the rarest ones), not on every token.
-   * The exact verification (array_intersect on the full distinct word sets)
-   * keeps the output identical to the naive all-pairs oracle.
+   * Exact word-set Jaccard over same-lang pairs (lang = blocking key).
+   *
+   * Scale design, two layers that each kill a different degenerate shape:
+   *
+   * 1. **Identical-set collapse.** Docs are grouped by their canonical
+   *    (lang, sorted distinct word set); all pairwise work runs over
+   *    *unique sets*, then expands back to doc pairs at the end.
+   *    Boilerplate-heavy corpora (small vocab, many exact repeats — the
+   *    shape that made the doc-level prefix join quadratic) collapse to a
+   *    small set universe before any join happens.
+   * 2. **PPJoin-style prefix filter over unique sets**, with the two
+   *    classic pruning conjuncts the plain prefix index lacks:
+   *    - length filter: J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|), as integer
+   *      arithmetic (JacNum/JacDen);
+   *    - positional filter: a match on prefix position p can reach overlap
+   *      at most min(|A|−pa, |B|−pb), which must be ≥ ⌈t/(1+t)·(|A|+|B|)⌉.
+   *    Tokens are ordered by ascending global document frequency so the
+   *    prefix holds the *rarest* tokens (smallest inverted lists).
+   *
+   * The exact verification (array_intersect on full word sets) keeps the
+   * output identical to the naive all-pairs oracle. The doc-frequency join
+   * is a plain shuffle join — at 100 TB the vocabulary is unbounded and
+   * must never be broadcast.
    */
   def dedupJaccardWords(s: SparkSession, dir: String): DataFrame = {
-    val dw = docWords(s, dir) // doc_id, lang, words (distinct)
-    val ex = dw.select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
+    GraftFunctions.register(s)
+    val dw = docWords(s, dir)
+      .withColumn("words", sort_array(col("words"))) // canonical set form
 
-    // canonical token order: ascending global document frequency, ties by word
+    // unique (lang, word-set) groups; members sorted so intra-group pair
+    // generation below emits da < db without an extra comparison
+    val sets = dw
+      .groupBy(col("lang"), col("words"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("sid", md5(concat_ws("\u0001", col("lang"), concat_ws(" ", col("words")))))
+      .withColumn("nw", size(col("words")).cast("long"))
+
+    val ex = sets.select(col("sid"), col("lang"), col("nw"), explode(col("words")).as("w"))
+    // global token rarity over unique sets; plain shuffle join (never broadcast)
     val dfreq = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val prefixes = ex
-      .join(broadcast(dfreq), "w") // vocab is small; at scale this becomes a plain shuffle join
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ordered"),
-        count(lit(1)).as("nw"))
-      .withColumn("plen", (col("nw") - ceil(col("nw") * JaccardThreshold) + 1).cast("int"))
-      .select(col("doc_id"), col("lang"),
-        explode(slice(transform(col("ordered"), t => t.getField("w")), lit(1), col("plen")))
-          .as("ptoken"))
+      .join(dfreq, "w")
+      .groupBy(col("sid"), col("lang"), col("nw"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ordered"))
+      .withColumn("plen", // ceil(nw·t) as floor((nw·n + d − 1) / d), exact
+        (col("nw") - floor((col("nw") * JacNum + JacDen - 1) / JacDen) + 1).cast("int"))
+      .select(col("sid"), col("lang"), col("nw"),
+        posexplode(slice(transform(col("ordered"), t => t.getField("w")), lit(1), col("plen")))
+          .as(Seq("pos", "ptoken")))
 
-    val a = prefixes.select(col("doc_id").as("da"), col("lang").as("la"), col("ptoken"))
-    val b = prefixes.select(col("doc_id").as("db"), col("lang").as("lb"), col("ptoken").as("pb"))
+    val a = prefixes.select(col("sid").as("sa"), col("lang").as("la"),
+      col("nw").as("na"), col("pos").as("pa"), col("ptoken"))
+    val b = prefixes.select(col("sid").as("sb"), col("lang").as("lb"),
+      col("nw").as("nb"), col("pos").as("pb"), col("ptoken").as("ptb"))
+    // required overlap O = ceil(t/(1+t)·(na+nb)) in exact integers:
+    // t = n/d ⇒ O = ceil(n·(na+nb) / (n+d))
+    val reqOverlap = floor(((col("na") + col("nb")) * JacNum + (JacNum + JacDen) - 1) /
+      (JacNum + JacDen))
     val cand = a.join(b,
-        col("ptoken") === col("pb") && col("la") === col("lb") && col("da") < col("db"))
-      .select(col("da"), col("db"))
+        col("ptoken") === col("ptb") && col("la") === col("lb") && col("sa") < col("sb") &&
+          greatest(col("na"), col("nb")) * JacNum <= least(col("na"), col("nb")) * JacDen &&
+          least(col("na") - col("pa"), col("nb") - col("pb")) >= reqOverlap)
+      .select(col("sa"), col("sb"))
       .distinct()
 
-    val sets = dw.select(col("doc_id"), col("words"))
-    cand
-      .join(sets.select(col("doc_id").as("da"), col("words").as("wa")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("words").as("wb")), "db")
-      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+    // exact verify on candidate set pairs: sorted-merge intersection count
+    // (custom codegen Expression — no per-row hash set / array allocation);
+    // the members arrays join in only AFTER the Jaccard filter, so the
+    // verify stage carries minimal row width
+    val wside = sets.select(col("sid"), col("words"), col("nw"))
+    val mside = sets.select(col("sid"), col("members"))
+    val setPairs = cand
+      .join(wside.select(col("sid").as("sa"), col("words").as("wa"), col("nw").as("na")), "sa")
+      .join(wside.select(col("sid").as("sb"), col("words").as("wb"), col("nw").as("nb")), "sb")
+      .withColumn("inter", GraftFunctions.sorted_intersect_size(col("wa"), col("wb")))
       .withColumn("jac", col("inter").cast("double") /
-        (size(col("wa")) + size(col("wb")) - col("inter")).cast("double"))
+        (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jac") >= JaccardThreshold)
+      .select(col("sa"), col("sb"), col("inter"), col("jac"))
+      .join(mside.select(col("sid").as("sa"), col("members").as("ma")), "sa")
+      .join(mside.select(col("sid").as("sb"), col("members").as("mb")), "sb")
+
+    // expand qualifying set pairs to all member doc pairs (distinct sets
+    // never share a doc, so no duplicates can arise)
+    val cross = setPairs
+      .select(explode(col("ma")).as("x"), col("mb"), col("inter"), col("jac"))
+      .select(col("x"), explode(col("mb")).as("y"), col("inter"), col("jac"))
+      .select(least(col("x"), col("y")).as("da"), greatest(col("x"), col("y")).as("db"),
+        col("inter"), col("jac"))
+
+    // intra-group pairs: identical sets, J = 1 (≥ t by construction)
+    val intra = sets
+      .filter(size(col("members")) > 1)
+      .select(col("nw"), explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"), col("nw").as("inter"),
+        (col("nw").cast("double") / col("nw").cast("double")).as("jac"))
+
+    cross.unionByName(intra)
       .select(col("da"), col("db"), col("inter"), col("jac"))
       .orderBy(col("da"), col("db"))
   }
@@ -153,7 +220,7 @@ object Dedup {
         when(size(col("words")) < 3, array(concat_ws(" ", col("words"))))
           .otherwise(transform(sequence(lit(1), size(col("words")) - 2),
             i => concat_ws(" ", col("words")(i - 1), col("words")(i), col("words")(i + 1)))))
-      .withColumn("shingles", array_distinct(col("shingles")))
+      .withColumn("shingles", sort_array(array_distinct(col("shingles"))))
       .withColumn("sh_hashes",
         transform(col("shingles"), sh => {
           val h = GraftFunctions.farm_fingerprint(sh)
@@ -190,17 +257,21 @@ object Dedup {
       col("doc_id").as("db"), col("mh").as("mhb"))
     val agree = size(filter(zip_with(col("mha"), col("mhb"),
       (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+    // agree-prefilter FIRST (per-row, no shuffle), then narrow to (da,db),
+    // then dedup — the shuffle dedups only surviving narrow pairs instead
+    // of the full wide candidate set
     val cand = left.join(right,
         col("band") === col("band_r") && col("key") === col("key_r") && col("da") < col("db"))
-      .dropDuplicates("da", "db")
       .filter(agree >= lit((MinhashEstThreshold * MinhashPerms).toInt))
       .select(col("da"), col("db"))
+      .dropDuplicates("da", "db")
 
     val shingleSets = base.select(col("doc_id"), col("shingles"))
     cand
       .join(shingleSets.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
       .join(shingleSets.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("inter",
+        GraftFunctions.sorted_intersect_size(col("sha"), col("shb")).cast("double"))
       .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= 0.5)
