@@ -90,7 +90,9 @@ object Templates {
       if (c == '%' && i + 1 < fmt.length) {
         fmt.charAt(i + 1) match {
           case 'Y' => val (v, k) = readInt(s, j, 4); year = v; j = k
-          case 'y' => val (v, k) = readInt(s, j, 2); year = 2000 + v; j = k
+          // POSIX pivot (Python strptime): 00-68 → 20xx, 69-99 → 19xx
+          case 'y' => val (v, k) = readInt(s, j, 2)
+            year = if (v >= 69) 1900 + v else 2000 + v; j = k
           case 'm' => val (v, k) = readInt(s, j, 2); month = v; j = k
           case 'd' => val (v, k) = readInt(s, j, 2); day = v; j = k
           case 'H' => val (v, k) = readInt(s, j, 2); hour = v; j = k

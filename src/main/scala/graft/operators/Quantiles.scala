@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed exact global ranking / NTILE.
+ *
+ * `ntile(n) OVER (ORDER BY ...)` with no PARTITION BY (the reference's
+ * conversion-value segmentation, `model_bqml.sql:49`) makes Spark move the
+ * whole relation to ONE partition (`WindowExec: No Partition Defined`) — a
+ * scale-killer when the input is a fact table. This computes the identical
+ * result fully distributed:
+ *
+ *  1. `repartitionByRange` on the total order (range partitioner — a
+ *     sampling pass, no global sort materialization);
+ *  2. per-partition `row_number` (windows partitioned by partition id —
+ *     embarrassingly parallel);
+ *  3. per-partition row counts → cumulative offsets (a #partitions-row
+ *     relation — metadata-sized — windowed on a single partition and
+ *     broadcast back);
+ *  4. global rank = offset + local row number; NTILE from the rank by the
+ *     standard SQL formula (first `N mod n` buckets take one extra row).
+ *
+ * The order must be TOTAL (include a tiebreaker column) for ranks to be
+ * well-defined and reproducible.
+ */
+object Quantiles {
+
+  /** Adds `rankCol` (1-based global rank) and `totalCol` (total row count)
+    * under the given total order, fully distributed. */
+  def withGlobalRank(df: DataFrame, order: Seq[Column],
+      rankCol: String, totalCol: String): DataFrame = {
+    val parts = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(df.rdd.getNumPartitions)
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lrn",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
+    // #partitions rows: cumulative offset + grand total. Computed with a
+    // metadata-sized triangular cross-join (#parts² tiny rows) instead of
+    // an unpartitioned window, so no single-partition WindowExec appears
+    // anywhere in the plan.
+    val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = cnts.select(col("__pid"))
+      .crossJoin(cnts.select(col("__pid").as("__p2"), col("__cnt")))
+      .groupBy(col("__pid"))
+      .agg(sum(when(col("__p2") < col("__pid"), col("__cnt")).otherwise(0L)).as("__off"),
+        sum(col("__cnt")).as("__tot"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lrn"))
+      .withColumn(totalCol, col("__tot"))
+      .drop("__pid", "__lrn", "__off", "__tot")
+  }
+
+  /** Standard SQL NTILE bucket from a 1-based rank and total count:
+    * the first `N mod n` buckets hold `ceil(N/n)` rows, the rest
+    * `floor(N/n)`. Exact integer arithmetic (magnitudes < 2^53). */
+  def ntileFromRank(rank: Column, total: Column, n: Int): Column = {
+    val q = floor(total / n)        // floor(N/n)
+    val rem = total - q * n         // N mod n
+    val bigRows = (q + 1) * rem     // rows living in the first `rem` buckets
+    when(rank <= bigRows, floor((rank - 1) / (q + 1)) + 1)
+      .otherwise(rem + floor((rank - bigRows - 1) / q) + 1)
+      .cast("long")
+  }
+
+  /** `ntile(n) OVER (ORDER BY order*)` as a distributed computation. */
+  def withNtile(df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame =
+    withGlobalRank(df, order, "__rank", "__total")
+      .withColumn(out, ntileFromRank(col("__rank"), col("__total"), n))
+      .drop("__rank", "__total")
+}

@@ -42,14 +42,15 @@ object Events {
   }
 
   /** Global NTILE segmentation over an aggregated relation
-    * (model_bqml.sql:49): per-user value totals → 10 segments → stats. */
+    * (model_bqml.sql:49): per-user value totals → 10 segments → stats.
+    * The unpartitioned NTILE runs via [[graft.operators.Quantiles]] —
+    * distributed two-pass exact ranks, never a single-partition window. */
   def q11Ntile(s: SparkSession, dir: String): DataFrame = {
     val perUser = ev(s, dir)
       .groupBy(col("user_id"))
       .agg(dsum(col("value")).as("user_total"))
-    val w = Window.orderBy(col("user_total"), col("user_id"))
-    perUser
-      .withColumn("segment", ntile(10).over(w).cast("long"))
+    graft.operators.Quantiles
+      .withNtile(perUser, 10, Seq(col("user_total"), col("user_id")), "segment")
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_users"),
         min(col("user_total")).as("lo"),
@@ -63,7 +64,10 @@ object Events {
     val agg = ev(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
-    val w = Window.orderBy(col("event_type"))
+    // window input is the aggregated relation (#event_types rows —
+    // metadata-sized at any scale), so one partition IS the right plan;
+    // the constant partition key just states that explicitly
+    val w = Window.partitionBy(lit(0)).orderBy(col("event_type"))
     agg.select(col("event_type"), col("n"), col("total"),
         lag(col("total"), 1).over(w).as("prev_total"),
         lead(col("total"), 1).over(w).as("next_total"))

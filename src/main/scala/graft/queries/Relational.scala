@@ -93,10 +93,12 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** NOT IN / NOT EXISTS anti-join (output.sql:82-83). */
+  /** NOT IN / NOT EXISTS anti-join (output.sql:82-83). The subquery is
+    * filtered to high-value orders so the anti side is non-empty at every
+    * scale factor — a 0-row result would make the oracle check vacuous. */
   def q7AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = load(s, dir, "customer")
-    val o = load(s, dir, "orders")
+    val o = load(s, dir, "orders").filter(col("o_totalprice") > 300000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -123,9 +125,11 @@ object Relational {
     * wants; never a shuffle at any scale. */
   def q9RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val o = load(s, dir, "orders")
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    val seg = o
-      .select(col("o_totalprice"), ntile(10).over(w).as("seg"))
+    // decile boundaries via distributed exact NTILE (Quantiles) — the
+    // fact table never flows through a single-partition window
+    val seg = graft.operators.Quantiles
+      .withNtile(o.select(col("o_totalprice"), col("o_orderkey")), 10,
+        Seq(col("o_totalprice"), col("o_orderkey")), "seg")
       .groupBy(col("seg"))
       .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
     o.join(broadcast(seg), col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
@@ -284,7 +288,8 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q7_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
     "q8_left_join_agg" ->
       """SELECT c_custkey,

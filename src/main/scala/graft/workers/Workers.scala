@@ -108,15 +108,15 @@ object Workers {
       val schemaJson = str(params, "schema")
       val autodetect = bool(params, "autodetect", schemaJson.isEmpty)
 
-      var reader = spark.read
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-      if (!autodetect && schemaJson.nonEmpty) {
-        val schema = BqSchema.toStructType(schemaJson)
-          .add("_corrupt_record", org.apache.spark.sql.types.StringType)
-        reader = reader.schema(schema)
-      }
-      val df =
+      def read(mode: String, corruptCol: Boolean): org.apache.spark.sql.DataFrame = {
+        var reader = spark.read.option("mode", mode)
+        if (corruptCol) reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+        if (!autodetect && schemaJson.nonEmpty) {
+          var schema = BqSchema.toStructType(schemaJson)
+          if (corruptCol)
+            schema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+          reader = reader.schema(schema)
+        }
         if (isJson) {
           if (autodetect) reader.option("inferSchema", "true").json(uris: _*)
           else reader.json(uris: _*)
@@ -130,21 +130,25 @@ object Workers {
           if (nullMarker.nonEmpty) r = r.option("nullValue", nullMarker)
           r.csv(uris: _*)
         }
+      }
 
-      // Spark refuses `_corrupt_record` queries directly over the raw file
-      // scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching the parsed frame
-      // both satisfies that and turns two full file scans (count + write)
-      // into one — at scale the input is read once.
+      val df = read("PERMISSIVE", corruptCol = true)
       if (df.columns.contains("_corrupt_record")) {
-        df.cache()
-        try {
-          val badCount = df.filter(df("_corrupt_record").isNotNull).count()
-          if (badCount > errorsToAllow)
-            throw new RuntimeException(
-              s"Too many bad records: $badCount > allowed $errorsToAllow")
-          val clean = df.filter(df("_corrupt_record").isNull).drop("_corrupt_record")
-          writeTable(clean, dest, overwrite = bool(params, "overwrite", default = true))
-        } finally df.unpersist()
+        // Bad-record budget without caching the parsed input (at 100 TB a
+        // cache would exhaust executor storage): bad = total − parseable,
+        // where parseable comes from a second DROPMALFORMED scan. The
+        // `.rdd.count()` materializes every column so column pruning can't
+        // skip the parse that malformed-row detection depends on; it also
+        // sidesteps Spark's corrupt-record-only query restriction
+        // (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+        val total = df.count()
+        val parseable = read("DROPMALFORMED", corruptCol = false).rdd.count()
+        val badCount = total - parseable
+        if (badCount > errorsToAllow)
+          throw new RuntimeException(
+            s"Too many bad records: $badCount > allowed $errorsToAllow")
+        val clean = df.filter(df("_corrupt_record").isNull).drop("_corrupt_record")
+        writeTable(clean, dest, overwrite = bool(params, "overwrite", default = true))
       } else {
         writeTable(df, dest, overwrite = bool(params, "overwrite", default = true))
       }

@@ -35,6 +35,13 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.render("{{ today('%F %T') }}", Map.empty, s) == "2024-03-15 10:30:45")
   }
 
+  test("strptime %y uses the POSIX pivot: 69-99 -> 19xx, 00-68 -> 20xx") {
+    assert(Templates.strptime("99", "%y").getYear == 1999)
+    assert(Templates.strptime("69", "%y").getYear == 1969)
+    assert(Templates.strptime("68", "%y").getYear == 2068)
+    assert(Templates.strptime("00", "%y").getYear == 2000)
+  }
+
   test("bigquery() peeks first row, memoizes, joins lists with newline (inline.py:51-80)") {
     var calls = 0
     val peek: Templates.TablePeek = { t =>

@@ -43,6 +43,22 @@ class BqDialectSpec extends AnyFunSuite with SparkFixture {
     assert(row.getBoolean(2))
   }
 
+  test("SELECT * EXCEPT and GROUP BY ordinal pass through to Spark 4 unchanged") {
+    import spark.implicits._
+    Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0))
+      .toDF("k", "v", "x").createOrReplaceTempView("dialect_pt")
+    // SELECT * EXCEPT(...) (model_bqml.sql:111,263-265) — no rewrite needed
+    val except = "SELECT * EXCEPT(x) FROM dialect_pt WHERE v = 1"
+    assert(BqDialect.rewrite(except) == except)
+    val r1 = spark.sql(BqDialect.rewrite(except)).collect().head
+    assert(r1.schema.fieldNames.toSeq == Seq("k", "v"))
+    // GROUP BY 1 ordinal (model_bqml.sql:165-174) — no rewrite needed
+    val ordinal = "SELECT k, SUM(v) AS sv FROM dialect_pt GROUP BY 1 ORDER BY 1"
+    assert(BqDialect.rewrite(ordinal) == ordinal)
+    val r2 = spark.sql(BqDialect.rewrite(ordinal)).collect()
+    assert(r2.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 3L)))
+  }
+
   test("DECLARE/SET scripting splices driver-side scalars (output.sql:2-7,19)") {
     import spark.implicits._
     Seq(("events_20240101", 1), ("events_20240102", 2), ("events_20240103", 3))
