@@ -17,7 +17,9 @@ object SparkEntry {
       graft.queries.Text.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.Multimodal.queries
+      graft.queries.Multimodal.queries ++
+      graft.queries.Ga4.queries ++
+      graft.queries.Wildcard.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -28,5 +30,7 @@ object SparkEntry {
       graft.queries.Text.oracle ++
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
-      graft.queries.Multimodal.oracle
+      graft.queries.Multimodal.oracle ++
+      graft.queries.Ga4.oracle ++
+      graft.queries.Wildcard.oracle
 }

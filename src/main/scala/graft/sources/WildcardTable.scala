@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Wildcard / date-sharded table support (SURVEY §2.2 scan rows).
+ *
+ * BigQuery's `events_*` sharded tables + `_TABLE_SUFFIX BETWEEN ...`
+ * (`model_bqml.sql:91-94`) map Spark-natively to a date-PARTITIONED parquet
+ * layout with a `_table_suffix` partition column: Catalyst's
+ * `PruneFileSourcePartitions` turns any `_table_suffix` predicate into
+ * partition pruning — only matching date directories are listed/read,
+ * which is exactly BigQuery's wildcard-scan cost model.
+ *
+ * The `__TABLES_SUMMARY__` latest-shard lookup (`output.sql:2-7` —
+ * `MAX(SPLIT(table_id,'events_')[OFFSET(1)])`) becomes a partition-metadata
+ * listing: enumerate partition directory names from the file system (the
+ * same metadata a catalog's SHOW PARTITIONS reads — no data scan) and take
+ * the max.
+ *
+ * The partitioned layout is materialized once per source dir from the
+ * driver's flat `events` table (idempotent: keyed by a _SUCCESS marker).
+ */
+object WildcardTable {
+
+  private def suffixExpr = date_format(timestamp_micros(expr("ts DIV 1000")), "yyyyMMdd")
+
+  /** Materialize (once) and return the partitioned layout's path. */
+  def eventsPath(s: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_wildcard/$safe"
+    val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(out, "_SUCCESS"))) {
+      graft.queries.Tables.events(s, dir)
+        .withColumn("_table_suffix", suffixExpr)
+        .write.mode("overwrite").partitionBy("_table_suffix").parquet(out)
+    }
+    out
+  }
+
+  /** The `events_*` relation: all shards, `_table_suffix` as a STRING
+    * partition column (BQ suffix semantics — no int inference). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    s.read.parquet(eventsPath(s, dir))
+  }
+
+  /** `__TABLES_SUMMARY__` analog: partition-directory names from file-system
+    * metadata only (no data files opened). */
+  def listSuffixes(s: SparkSession, dir: String): Seq[String] = {
+    val root = new Path(eventsPath(s, dir))
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_table_suffix="))
+      .map(_.stripPrefix("_table_suffix="))
+      .sorted
+  }
+}
