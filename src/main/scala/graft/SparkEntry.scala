@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.Ga4.queries ++
-      graft.queries.Wildcard.queries
+      graft.queries.Wildcard.queries ++
+      graft.queries.Ml.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Similarity.oracle ++
       graft.queries.Multimodal.oracle ++
       graft.queries.Ga4.oracle ++
-      graft.queries.Wildcard.oracle
+      graft.queries.Wildcard.oracle ++
+      graft.queries.Ml.oracle
 }

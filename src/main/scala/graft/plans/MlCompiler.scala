@@ -1,0 +1,271 @@
+package graft.plans
+
+import graft.functions.GraftFunctions
+import graft.operators.Quantiles
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * ML-model dataset compiler — the Spark-native re-expression of the
+ * reference's Jinja SQL template compiler
+ * (`backend/controller/ml_model/compiler.py:246-266` rendering
+ * `templates/model_bqml.sql:52-287`). Instead of emitting SQL text, the
+ * same `MlModel` configuration drives a typed DataFrame builder — no
+ * string round-trip, and Catalyst sees the whole plan.
+ *
+ * Implemented composition (the google_analytics source path):
+ *   events (suffix window + platform filter + optional hash split,
+ *           `model_bqml.sql:73-108`)
+ *   → first_engagement (ROW_NUMBER dedup + daypart buckets, `:110-139`)
+ *   → analytics_variables (label left-join / trigger inner-join, `:141-200`)
+ *   → aggregate_behavior (per-comparison feature counters, `:214-259`)
+ *   → unified_dataset (three-way equi-join, `:260-271`)
+ *   → final step select (training EXCEPT / predicting / class rebalance,
+ *     `:288-311`)
+ * plus the conversion-value calibration query (`model_bqml.sql:31-49`):
+ * NTILE segmentation (distributed via [[graft.operators.Quantiles]]) +
+ * agg + LAG/LEAD boundary smoothing.
+ *
+ * Scale notes: every join is an equi-join on `unique_id` (hash
+ * partitioned); the only windows are per-user ROW_NUMBER and the
+ * segments-sized LAG/LEAD; feature counters are higher-order `exists`
+ * probes — no explode of `event_params` in the aggregation path.
+ */
+object MlCompiler {
+
+  /** Comparison methods for event-parameter features
+    * (`compiler.py` VariableComparison). */
+  sealed trait Cmp
+  case object Equal extends Cmp
+  case object NotEqual extends Cmp
+  case object Greater extends Cmp
+  case object GreaterOrEqual extends Cmp
+  case object Less extends Cmp
+  case object LessOrEqual extends Cmp
+  case class Regex(pattern: String) extends Cmp
+
+  /** A GA feature counted per user. Plain (no key): event-count
+    * `SUM(IF(name=...))`; with key+cmp: the correlated-UNNEST counter. */
+  case class GaFeature(
+      name: String,
+      key: String = null,
+      cmp: Cmp = null,
+      value: String = null,
+      valueIsString: Boolean = false,
+      description: String = null) {
+    def outName: String = if (key == null) s"cnt_$name" else s"cnt_$description"
+  }
+
+  /** Label event (VariableRole.LABEL with a GA source). */
+  case class GaLabel(name: String, key: String, valueIsString: Boolean = false)
+
+  /** Model + dataset configuration (the MlModel ADT slice the dataset
+    * compiler needs; `models.py:371-666`). */
+  case class MlModel(
+      isClassification: Boolean,
+      uniqueId: String, // "user_pseudo_id" (CLIENT_ID) or "user_id" (USER_ID)
+      features: Seq[GaFeature],
+      label: GaLabel,
+      suffixLo: String, // _TABLE_SUFFIX window, anchored explicitly
+      suffixHi: String,
+      classImbalance: Int = 4,
+      conversionRateSegments: Int = 10,
+      averageConversionValue: Double = 1.0,
+      hashSplit: Boolean = true, // 90/10 FARM_FINGERPRINT split on
+      // GA4 exports hardcode "user_engagement" (model_bqml.sql:136);
+      // configurable so non-GA4 event vocabularies can nominate one
+      engagementEvent: String = "user_engagement")
+
+  sealed trait Step
+  case object Training extends Step
+  case object ConversionValues extends Step
+  case object Predicting extends Step
+
+  private def p90(idCol: Column): Column =
+    pmod(abs(GraftFunctions.farm_fingerprint(idCol)), lit(100L))
+
+  /** The `events` CTE (`model_bqml.sql:73-108`). */
+  def eventsCte(ga4: DataFrame, cfg: MlModel, step: Step): DataFrame = {
+    var e = ga4
+      .filter(col("event_date").between(cfg.suffixLo, cfg.suffixHi))
+      .filter(lower(col("platform")) === "web")
+    if (cfg.hashSplit && cfg.isClassification) step match {
+      case Training => e = e.filter(p90(col(cfg.uniqueId)) < 90)
+      case ConversionValues => e = e.filter(p90(col(cfg.uniqueId)) >= 90)
+      case Predicting => ()
+    }
+    e.select(
+      col("event_timestamp").as("timestamp"),
+      to_date(col("event_date"), "yyyyMMdd").as("date"),
+      col("event_name").as("name"),
+      col("event_params").as("params"),
+      col("user_id"),
+      col("user_pseudo_id"),
+      col(cfg.uniqueId).as("unique_id"),
+      col("geo.country").as("country"),
+      col("geo.region").as("region"),
+      col("device.language").as("language"),
+      col("device.category").as("device_type"),
+      col("device.operating_system").as("device_os"),
+      col("device.web_info.browser").as("device_browser"),
+      col("traffic_source.source").as("traffic_source"),
+      col("traffic_source.medium").as("traffic_medium"),
+      hour(timestamp_micros(col("user_first_touch_timestamp"))).as("first_touch_hour"))
+  }
+
+  /** Daypart bucketing (`model_bqml.sql:125-133`). */
+  private def daypart(h: Column): Column =
+    when(h >= 1 && h < 6, "night_1_6")
+      .when(h >= 6 && h < 11, "morning_6_11")
+      .when(h >= 11 && h < 14, "lunch_11_14")
+      .when(h >= 14 && h < 17, "afternoon_14_17")
+      .when(h >= 17 && h < 19, "dinner_17_19")
+      .when(h >= 19 && h < 22, "evening_19_23")
+      .when(h >= 22 || h === 0, "latenight_23_1")
+
+  /** `first_engagement` (`model_bqml.sql:110-139`): first engagement
+    * event per user carries the demographic snapshot. */
+  def firstEngagement(events: DataFrame, cfg: MlModel): DataFrame = {
+    val w = Window.partitionBy(col("unique_id")).orderBy(col("timestamp"))
+    events
+      .filter(col("name") === cfg.engagementEvent)
+      .select(col("user_id"), col("user_pseudo_id"), col("unique_id"),
+        col("country"), col("region"), col("language"),
+        col("traffic_source"), col("traffic_medium"),
+        col("device_type"), col("device_os"), col("device_browser"),
+        daypart(col("first_touch_hour")).as("daypart"), col("timestamp"))
+      .withColumn("row_num", row_number().over(w))
+      .filter(col("row_num") === 1)
+      .drop("row_num", "timestamp")
+  }
+
+  private def probedNum(v: Column): Column =
+    coalesce(v.getField("int_value").cast("double"),
+      v.getField("float_value"), v.getField("double_value"), lit(0.0))
+
+  /** `analytics_variables` (`model_bqml.sql:141-200`), classification +
+    * GA label, no separate trigger event: label via left-join on the label
+    * event's qualifying params; trigger_date = first label date. */
+  def analyticsVariables(events: DataFrame, fe: DataFrame, cfg: MlModel): DataFrame = {
+    val qualifies =
+      if (cfg.label.valueIsString)
+        exists(col("params"), p => p.getField("key") === cfg.label.key &&
+          !coalesce(p.getField("value").getField("string_value"),
+            p.getField("value").getField("int_value").cast("string")).isin("", "0"))
+      else
+        exists(col("params"), p => p.getField("key") === cfg.label.key &&
+          probedNum(p.getField("value")) > 0)
+    val l = events
+      .filter(col("name") === cfg.label.name && qualifies)
+      .groupBy(col("unique_id"))
+      .agg(min(col("date")).as("date"))
+      .withColumn("label", lit(1L))
+    fe.select(col("unique_id"))
+      .join(l, Seq("unique_id"), "left_outer")
+      .select(col("date").as("trigger_date"),
+        coalesce(col("label"), lit(0L)).as("label"),
+        col("unique_id"))
+  }
+
+  /** One feature-counter column for `aggregate_behavior`
+    * (`model_bqml.sql:219-250`). */
+  private def featureFlag(f: GaFeature): Column = {
+    if (f.key == null) return when(col("name") === f.name, 1L).otherwise(0L)
+    def vmatch(v: Column): Column = {
+      val str = coalesce(v.getField("string_value"),
+        v.getField("int_value").cast("string"))
+      val num = coalesce(v.getField("int_value").cast("double"),
+        v.getField("float_value"), v.getField("double_value"))
+      val wide = coalesce(v.getField("string_value").cast("double"),
+        v.getField("int_value").cast("double"),
+        v.getField("float_value"), v.getField("double_value"))
+      f.cmp match {
+        case Regex(p) => v.getField("string_value").rlike(p)
+        case Equal if f.valueIsString => str === f.value
+        case Equal => num === f.value.toDouble
+        case NotEqual if f.valueIsString => str =!= f.value
+        case NotEqual => num =!= f.value.toDouble
+        case Greater => wide > f.value.toDouble
+        case GreaterOrEqual => wide >= f.value.toDouble
+        case Less => wide < f.value.toDouble
+        case LessOrEqual => wide <= f.value.toDouble
+      }
+    }
+    when(col("name") === f.name &&
+      exists(col("params"), p => p.getField("key") === f.key && vmatch(p.getField("value"))),
+      1L).otherwise(0L)
+  }
+
+  /** `aggregate_behavior` (`model_bqml.sql:214-259`): behavior counters up
+    * to each converter's trigger date, over all events for non-converters. */
+  def aggregateBehavior(events: DataFrame, uv: DataFrame, cfg: MlModel): DataFrame = {
+    val joined = events.join(uv, Seq("unique_id"))
+      .filter((col("label") > 0 && col("date") <= col("trigger_date")) || col("label") === 0)
+    val counters = cfg.features.map(f => sum(featureFlag(f)).as(f.outName))
+    val engagement = sum(element_at(
+      filter(col("params"), p => p.getField("key") === "engagement_time_msec"), 1)
+      .getField("value").getField("int_value")).as("engagement_time")
+    joined.groupBy(col("unique_id")).agg(counters.head, (counters.tail :+ engagement): _*)
+  }
+
+  /** `unified_dataset` + the step-specific final select
+    * (`model_bqml.sql:260-311`). */
+  def dataset(s: SparkSession, ga4: DataFrame, cfg: MlModel, step: Step): DataFrame = {
+    GraftFunctions.register(s)
+    val ev = eventsCte(ga4, cfg, step)
+    val fe = firstEngagement(ev, cfg)
+    val uv = analyticsVariables(ev, fe, cfg)
+    val ab = aggregateBehavior(ev, uv, cfg)
+    val feCols =
+      if (step == Training) fe.drop("user_id", "user_pseudo_id") else fe
+    val unified = feCols
+      .join(ab, Seq("unique_id"))
+      .join(uv, Seq("unique_id"))
+      .drop("trigger_date")
+    step match {
+      case Training if cfg.classImbalance > 1 =>
+        val base = unified.drop("unique_id")
+        val pos = unified.filter(col("label") > 0).drop("unique_id")
+        val neg = unified.filter(col("label") === 0 &&
+            p90(col("unique_id")) <= (100.0 / cfg.classImbalance))
+          .drop("unique_id")
+        pos.unionByName(neg)
+      case Training => unified.drop("unique_id")
+      case _ => unified
+    }
+  }
+
+  /**
+   * Conversion-value calibration (`model_bqml.sql:31-49`): NTILE the
+   * holdout's predicted probabilities into `conversion_rate_segments`,
+   * then per segment: conversion-rate × average value, and smoothed
+   * probability range boundaries via LAG/LEAD of the neighbours' extrema.
+   *
+   * `probability` must be a column of the input (the reference feeds
+   * ML.PREDICT output; callers plug in the model's scores).
+   */
+  def conversionValues(s: SparkSession, preds: DataFrame, cfg: MlModel): DataFrame = {
+    val n = cfg.conversionRateSegments
+    val seg = Quantiles.withNtile(preds, n,
+      Seq(col("probability"), col("unique_id")), "normalized_probability")
+    // LAG/LEAD runs over the aggregated #segments-row relation —
+    // metadata-sized, single partition is the correct plan (stated
+    // explicitly so no unpartitioned-window warning fires)
+    val w = Window.partitionBy(lit(0)).orderBy(col("normalized_probability"))
+    seg
+      .groupBy(col("normalized_probability"))
+      .agg((sum(col("label")).cast("double") / count(lit(1)) * cfg.averageConversionValue)
+          .as("value"),
+        min(col("probability")).as("minp"),
+        max(col("probability")).as("maxp"))
+      .select(col("normalized_probability"), col("value"),
+        when(col("normalized_probability") === 1, 0.0)
+          .otherwise((lag(col("maxp"), 1).over(w) + col("minp")) / 2.0)
+          .as("probability_range_start"),
+        when(col("normalized_probability") === n, 1.0)
+          .otherwise((lead(col("minp"), 1).over(w) + col("maxp")) / 2.0)
+          .as("probability_range_end"))
+      .orderBy(col("normalized_probability"))
+  }
+}

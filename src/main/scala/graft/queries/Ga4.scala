@@ -42,11 +42,18 @@ object Ga4 {
     val e = events(s, dir)
     val m4 = pmod(col("event_id"), lit(4))
     val v = col("value")
+    // deterministic first-touch instant: 2024-01-01T00:00Z + user_id hours
+    val firstTouchUs = (lit(1704067200L) + pmod(col("user_id"), lit(720)) * 3600L) * 1000000L
     e.select(
       col("event_id"),
       expr("ts DIV 1000").as("event_timestamp"),
+      date_format(timestamp_micros(expr("ts DIV 1000")), "yyyyMMdd").as("event_date"),
       col("event_type").as("event_name"),
       col("user_id").cast("string").as("user_pseudo_id"),
+      // GA4 signed-in user_id is sparse: present for every 4th user only
+      when(pmod(col("user_id"), lit(4)) === 0, concat(lit("u"), col("user_id").cast("string")))
+        .otherwise(lit(null).cast("string")).as("user_id"),
+      firstTouchUs.as("user_first_touch_timestamp"),
       when(pmod(col("event_id"), lit(10)) < 7, lit("WEB")).otherwise(lit("APP")).as("platform"),
       array(
         // 'k': always the int slot (from the props JSON)
@@ -77,22 +84,34 @@ object Ga4 {
           (pmod(col("user_id"), lit(5)) + 1).cast("int")).as("country"),
         concat(lit("r"), pmod(col("user_id"), lit(7)).cast("string")).as("region")).as("geo"),
       struct(
+        element_at(array(lit("en"), lit("de"), lit("fr")),
+          (pmod(col("user_id"), lit(3)) + 1).cast("int")).as("language"),
         when(pmod(col("event_id"), lit(2)) === 0, lit("mobile")).otherwise(lit("desktop"))
           .as("category"),
+        element_at(array(lit("android"), lit("ios"), lit("linux"), lit("windows")),
+          (pmod(col("user_id"), lit(4)) + 1).cast("int")).as("operating_system"),
         struct(element_at(array(lit("chrome"), lit("safari"), lit("firefox")),
           (pmod(col("event_id"), lit(3)) + 1).cast("int")).as("browser")).as("web_info"))
-        .as("device"))
+        .as("device"),
+      struct(
+        element_at(array(lit("google"), lit("direct"), lit("newsletter")),
+          (pmod(col("user_id"), lit(3)) + 1).cast("int")).as("source"),
+        element_at(array(lit("organic"), lit("none"), lit("email")),
+          (pmod(col("user_id"), lit(3)) + 1).cast("int")).as("medium")).as("traffic_source"))
   }
 
   /** Shared DuckDB-side derivation of the GA4 relation (kept textually in
-    * one place so all three oracles agree). */
-  private val duckGa4 =
+    * one place so every oracle, including the ML compiler's, agrees). */
+  private[queries] val duckGa4 =
     """ga4 AS (
       |  SELECT
       |    event_id,
       |    epoch_us(ts) AS event_timestamp,
+      |    strftime(ts, '%Y%m%d') AS event_date,
       |    event_type AS event_name,
       |    CAST(user_id AS VARCHAR) AS user_pseudo_id,
+      |    CASE WHEN user_id % 4 = 0 THEN 'u' || CAST(user_id AS VARCHAR) END AS user_id,
+      |    (1704067200 + (user_id % 720) * 3600) * 1000000 AS user_first_touch_timestamp,
       |    CASE WHEN event_id % 10 < 7 THEN 'WEB' ELSE 'APP' END AS platform,
       |    [
       |      {'key': 'k', 'value': {
@@ -118,8 +137,12 @@ object Ga4 {
       |    ] AS event_params,
       |    {'country': ['US','DE','FR','JP','BR'][CAST(user_id % 5 AS INT) + 1],
       |     'region': 'r' || CAST(user_id % 7 AS VARCHAR)} AS geo,
-      |    {'category': CASE WHEN event_id % 2 = 0 THEN 'mobile' ELSE 'desktop' END,
-      |     'web_info': {'browser': ['chrome','safari','firefox'][CAST(event_id % 3 AS INT) + 1]}} AS device
+      |    {'language': ['en','de','fr'][CAST(user_id % 3 AS INT) + 1],
+      |     'category': CASE WHEN event_id % 2 = 0 THEN 'mobile' ELSE 'desktop' END,
+      |     'operating_system': ['android','ios','linux','windows'][CAST(user_id % 4 AS INT) + 1],
+      |     'web_info': {'browser': ['chrome','safari','firefox'][CAST(event_id % 3 AS INT) + 1]}} AS device,
+      |    {'source': ['google','direct','newsletter'][CAST(user_id % 3 AS INT) + 1],
+      |     'medium': ['organic','none','email'][CAST(user_id % 3 AS INT) + 1]} AS traffic_source
       |  FROM events)""".stripMargin
 
   /** First param with the given key (null-safe: missing key → null struct). */

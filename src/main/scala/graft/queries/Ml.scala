@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.plans.MlCompiler
+import graft.plans.MlCompiler._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * ML-model template-compiler queries (SURVEY §2.5; VERDICT r02 missing #1):
+ * the TRAINING / PREDICTING dataset composition and conversion-value
+ * calibration of `model_bqml.sql`, driven by an [[MlCompiler.MlModel]]
+ * config over the GA4-shaped relation of [[Ga4.ga4Events]].
+ *
+ * Oracle strategy: the oracle-checked configs disable the
+ * FARM_FINGERPRINT split (DuckDB cannot compute farmhash — the hash
+ * itself is golden-tested in FarmHashSpec and its split shape in
+ * q_hash_split), so the full composition is hash-compared end-to-end.
+ * `ml_training_rebalanced` exercises the split + class-rebalance path as
+ * a rows-only entry with a recall spec in MlDatasetSpec.
+ */
+object Ml {
+
+  /** Shared demo config: classification on CLIENT_ID with three feature
+    * styles (plain count, string-equal param, numeric-greater param). */
+  private def cfg(hashSplit: Boolean, imbalance: Int) = MlModel(
+    isClassification = true,
+    uniqueId = "user_pseudo_id",
+    features = Seq(
+      GaFeature("error"),
+      GaFeature("view", key = "medium", cmp = Equal, value = "cpc",
+        valueIsString = true, description = "view_cpc"),
+      GaFeature("click", key = "k", cmp = Greater, value = "50",
+        description = "click_k_gt50")),
+    label = GaLabel("purchase", "k"),
+    suffixLo = "20240105", suffixHi = "20240125",
+    classImbalance = imbalance,
+    conversionRateSegments = 10,
+    averageConversionValue = 25.0,
+    hashSplit = hashSplit,
+    engagementEvent = "view") // the fixture vocabulary's engagement analog
+
+  def mlTrainingDataset(s: SparkSession, dir: String): DataFrame =
+    MlCompiler.dataset(s, Ga4.ga4Events(s, dir), cfg(hashSplit = false, imbalance = 1), Training)
+
+  def mlPredictDataset(s: SparkSession, dir: String): DataFrame =
+    MlCompiler.dataset(s, Ga4.ga4Events(s, dir), cfg(hashSplit = false, imbalance = 1), Predicting)
+
+  /** Split + rebalance path (rows-only: farmhash has no DuckDB oracle). */
+  def mlTrainingRebalanced(s: SparkSession, dir: String): DataFrame =
+    MlCompiler.dataset(s, Ga4.ga4Events(s, dir), cfg(hashSplit = true, imbalance = 4), Training)
+
+  /** Conversion-value calibration composed end-to-end. The probability
+    * column stands in for ML.PREDICT output with a deterministic score
+    * (both engines compute it identically), so the NTILE + LAG/LEAD
+    * calibration itself is oracle-checked. */
+  def mlConversionValues(s: SparkSession, dir: String): DataFrame = {
+    val c = cfg(hashSplit = false, imbalance = 1)
+    val ds = MlCompiler.dataset(s, Ga4.ga4Events(s, dir), c, Predicting)
+    val preds = ds.select(col("unique_id"), col("label"),
+      ((col("unique_id").cast("long") * 2654435761L % 1000003L) / lit(1000003.0))
+        .as("probability"))
+    MlCompiler.conversionValues(s, preds, c)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_training_dataset" -> (mlTrainingDataset _),
+    "ml_predict_dataset" -> (mlPredictDataset _),
+    "ml_training_rebalanced" -> (mlTrainingRebalanced _),
+    "ml_conversion_values" -> (mlConversionValues _))
+
+  /** The events→first_engagement→analytics_variables→aggregate_behavior
+    * composition in DuckDB dialect (mirrors model_bqml.sql over the shared
+    * derived ga4 relation). */
+  private val duckCore =
+    s"""${Ga4.duckGa4},
+       |evs AS (
+       |  SELECT
+       |    event_timestamp AS timestamp,
+       |    CAST(strptime(event_date, '%Y%m%d') AS DATE) AS date,
+       |    event_name AS name,
+       |    event_params AS params,
+       |    user_id,
+       |    user_pseudo_id,
+       |    user_pseudo_id AS unique_id,
+       |    geo.country AS country,
+       |    geo.region AS region,
+       |    device.language AS language,
+       |    device.category AS device_type,
+       |    device.operating_system AS device_os,
+       |    device.web_info.browser AS device_browser,
+       |    traffic_source.source AS traffic_source,
+       |    traffic_source.medium AS traffic_medium,
+       |    CAST(EXTRACT(HOUR FROM make_timestamp(user_first_touch_timestamp)) AS INT) AS first_touch_hour
+       |  FROM ga4
+       |  WHERE event_date BETWEEN '20240105' AND '20240125'
+       |  AND lower(platform) = 'web'),
+       |fe AS (
+       |  SELECT * EXCLUDE (row_num) FROM (
+       |    SELECT user_id, user_pseudo_id, unique_id, country, region, language,
+       |      traffic_source, traffic_medium, device_type, device_os, device_browser,
+       |      CASE
+       |        WHEN first_touch_hour >= 1 AND first_touch_hour < 6 THEN 'night_1_6'
+       |        WHEN first_touch_hour >= 6 AND first_touch_hour < 11 THEN 'morning_6_11'
+       |        WHEN first_touch_hour >= 11 AND first_touch_hour < 14 THEN 'lunch_11_14'
+       |        WHEN first_touch_hour >= 14 AND first_touch_hour < 17 THEN 'afternoon_14_17'
+       |        WHEN first_touch_hour >= 17 AND first_touch_hour < 19 THEN 'dinner_17_19'
+       |        WHEN first_touch_hour >= 19 AND first_touch_hour < 22 THEN 'evening_19_23'
+       |        WHEN first_touch_hour >= 22 OR first_touch_hour = 0 THEN 'latenight_23_1'
+       |      END AS daypart,
+       |      ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY timestamp ASC) AS row_num
+       |    FROM evs WHERE name = 'view')
+       |  WHERE row_num = 1),
+       |lab AS (
+       |  SELECT unique_id, CAST(1 AS BIGINT) AS label, MIN(date) AS date
+       |  FROM evs
+       |  WHERE name = 'purchase'
+       |  AND EXISTS (SELECT 1 FROM unnest(params) AS t(p) WHERE p.key = 'k'
+       |    AND COALESCE(CAST(p.value.int_value AS DOUBLE), p.value.float_value,
+       |                 p.value.double_value, 0) > 0)
+       |  GROUP BY 1),
+       |uv AS (
+       |  SELECT lab.date AS trigger_date, CAST(COALESCE(lab.label, 0) AS BIGINT) AS label,
+       |    fe.unique_id
+       |  FROM fe LEFT JOIN lab USING (unique_id)),
+       |ab AS (
+       |  SELECT e.unique_id,
+       |    CAST(SUM(CASE WHEN e.name = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_error,
+       |    CAST(SUM(CASE WHEN e.name = 'view' AND EXISTS (
+       |      SELECT 1 FROM unnest(e.params) AS t(p) WHERE p.key = 'medium'
+       |      AND COALESCE(p.value.string_value, CAST(p.value.int_value AS VARCHAR)) = 'cpc')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_view_cpc,
+       |    CAST(SUM(CASE WHEN e.name = 'click' AND EXISTS (
+       |      SELECT 1 FROM unnest(e.params) AS t(p) WHERE p.key = 'k'
+       |      AND COALESCE(TRY_CAST(p.value.string_value AS DOUBLE),
+       |                   CAST(p.value.int_value AS DOUBLE),
+       |                   p.value.float_value, p.value.double_value) > 50)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_click_k_gt50,
+       |    CAST(SUM((SELECT p.value.int_value FROM unnest(e.params) AS t(p)
+       |      WHERE p.key = 'engagement_time_msec')) AS BIGINT) AS engagement_time
+       |  FROM evs e JOIN uv ON e.unique_id = uv.unique_id
+       |  WHERE (uv.label > 0 AND e.date <= uv.trigger_date) OR uv.label = 0
+       |  GROUP BY 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ml_training_dataset" ->
+      s"""WITH $duckCore
+         |SELECT fe.country, fe.region, fe.language, fe.traffic_source,
+         |  fe.traffic_medium, fe.device_type, fe.device_os, fe.device_browser,
+         |  fe.daypart, ab.cnt_error, ab.cnt_view_cpc, ab.cnt_click_k_gt50,
+         |  ab.engagement_time, uv.label
+         |FROM fe
+         |JOIN ab ON fe.unique_id = ab.unique_id
+         |JOIN uv ON fe.unique_id = uv.unique_id""".stripMargin,
+    "ml_predict_dataset" ->
+      s"""WITH $duckCore
+         |SELECT fe.user_id, fe.user_pseudo_id, fe.unique_id, fe.country,
+         |  fe.region, fe.language, fe.traffic_source, fe.traffic_medium,
+         |  fe.device_type, fe.device_os, fe.device_browser, fe.daypart,
+         |  ab.cnt_error, ab.cnt_view_cpc, ab.cnt_click_k_gt50,
+         |  ab.engagement_time, uv.label
+         |FROM fe
+         |JOIN ab ON fe.unique_id = ab.unique_id
+         |JOIN uv ON fe.unique_id = uv.unique_id""".stripMargin,
+    "ml_conversion_values" ->
+      s"""WITH $duckCore,
+         |preds AS (
+         |  SELECT fe.unique_id, uv.label,
+         |    (CAST(fe.unique_id AS BIGINT) * 2654435761 % 1000003) / 1000003.0 AS probability
+         |  FROM fe
+         |  JOIN ab ON fe.unique_id = ab.unique_id
+         |  JOIN uv ON fe.unique_id = uv.unique_id),
+         |seg AS (
+         |  SELECT label, probability,
+         |    CAST(NTILE(10) OVER (ORDER BY probability ASC, unique_id ASC) AS BIGINT)
+         |      AS normalized_probability
+         |  FROM preds)
+         |SELECT normalized_probability,
+         |  CAST(SUM(label) AS DOUBLE) / COUNT(1) * 25.0 AS value,
+         |  CASE WHEN normalized_probability = 1 THEN 0.0
+         |    ELSE (LAG(MAX(probability)) OVER (ORDER BY normalized_probability ASC)
+         |          + MIN(probability)) / 2.0 END AS probability_range_start,
+         |  CASE WHEN normalized_probability = 10 THEN 1.0
+         |    ELSE (LEAD(MIN(probability)) OVER (ORDER BY normalized_probability ASC)
+         |          + MAX(probability)) / 2.0 END AS probability_range_end
+         |FROM seg
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin)
+}

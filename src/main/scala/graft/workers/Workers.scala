@@ -40,9 +40,11 @@ object Workers {
     }.getOrElse(Nil)
 
   /** Table resolution: catalog first, parquet path fallback. */
+  /** Source read: path (parquet) or catalog table — same dispatch rule as
+    * [[writeTable]] (a path id would not parse as a table identifier). */
   def resolveTable(spark: SparkSession, id: String): DataFrame =
-    if (spark.catalog.tableExists(id)) spark.table(id)
-    else spark.read.parquet(id)
+    if (id.contains("/")) spark.read.parquet(id)
+    else spark.table(id)
 
   /** Destination write: catalog table (saveAsTable) or path (parquet). */
   def writeTable(df: DataFrame, dest: String, overwrite: Boolean): Unit = {

@@ -1,0 +1,116 @@
+package graft.workers
+
+import graft.SparkFixture
+import graft.core.Spec.WorkerValue
+import graft.core.Dag.WorkerContext
+import graft.functions.GraftFunctions
+import graft.plans.MlCompiler
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Train → predict → evaluate round-trips for the BQML-on-MLlib workers
+  * (Ml.scala was previously untested), plus the MlCompiler split/rebalance
+  * semantics that have no DuckDB oracle (farmhash-dependent). */
+class MlSpec extends AnyFunSuite with SparkFixture {
+
+  private val noCtx = new WorkerContext {
+    def params: Map[String, WorkerValue] = Map.empty
+    def generalSettings: Map[String, String] = Map.empty
+    def enqueue(wc: String, p: Map[String, WorkerValue], d: Int): Unit = ()
+  }
+
+  /** Deterministic learnable dataset: label correlates with x1 and the
+    * categorical c; 400 rows. */
+  private def labelled() = {
+    import spark.implicits._
+    (0 until 400).map { i =>
+      val x1 = (i % 20).toDouble
+      val x2 = ((i * 7) % 13).toDouble
+      val c = if (i % 3 == 0) "a" else "b"
+      val label = if (x1 + (if (c == "a") 5 else 0) > 12) 1.0 else 0.0
+      (x1, x2, c, label)
+    }.toDF("x1", "x2", "c", "label")
+  }
+
+  test("LOGISTIC_REG: train -> predict adds positive-class probability -> evaluate AUC") {
+    val dir = Files.createTempDirectory("graft_ml")
+    labelled().write.parquet(s"$dir/train")
+    val modelUri = s"$dir/model"
+    new Ml.Trainer(spark, Map(
+      "training_table" -> WorkerValue.S(s"$dir/train"),
+      "model_type" -> WorkerValue.S("LOGISTIC_REG"),
+      "model_uri" -> WorkerValue.S(modelUri))).execute(noCtx)
+    new Ml.Predictor(spark, Map(
+      "bq_table_id" -> WorkerValue.S(s"$dir/train"),
+      "model_uri" -> WorkerValue.S(modelUri),
+      "destination_table" -> WorkerValue.S(s"$dir/preds"))).execute(noCtx)
+    val preds = spark.read.parquet(s"$dir/preds")
+    assert(preds.columns.contains("probability_of_positive"))
+    val probs = preds.select("probability_of_positive").as[Double](
+      org.apache.spark.sql.Encoders.scalaDouble).collect()
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
+    new Ml.Evaluator(spark, Map(
+      "bq_table_id" -> WorkerValue.S(s"$dir/train"),
+      "model_uri" -> WorkerValue.S(modelUri),
+      "destination_table" -> WorkerValue.S(s"$dir/metrics"),
+      "classifier" -> WorkerValue.B(true))).execute(noCtx)
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(metrics.contains("roc_auc") && metrics.contains("pr_auc"))
+    assert(metrics("roc_auc") > 0.9, s"separable data should be learnable: $metrics")
+  }
+
+  test("BOOSTED_TREE_REGRESSOR: train -> predict -> evaluate r2/rmse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mlr")
+    val df = (0 until 300).map { i =>
+      val x = (i % 50).toDouble
+      (x, (i % 7).toDouble, 3.0 * x + 2.0)
+    }.toDF("x1", "x2", "label")
+    df.write.parquet(s"$dir/train")
+    new Ml.Trainer(spark, Map(
+      "training_table" -> WorkerValue.S(s"$dir/train"),
+      "model_type" -> WorkerValue.S("BOOSTED_TREE_REGRESSOR"),
+      "model_uri" -> WorkerValue.S(s"$dir/model"))).execute(noCtx)
+    new Ml.Evaluator(spark, Map(
+      "bq_table_id" -> WorkerValue.S(s"$dir/train"),
+      "model_uri" -> WorkerValue.S(s"$dir/model"),
+      "destination_table" -> WorkerValue.S(s"$dir/metrics"),
+      "classifier" -> WorkerValue.B(false))).execute(noCtx)
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(metrics("r2") > 0.95, s"linear target should fit: $metrics")
+    assert(metrics("rmse") < 10.0)
+  }
+
+  test("MlCompiler: hash split partitions users 90/10 disjointly; rebalance keeps all positives") {
+    GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ga4 = graft.queries.Ga4.ga4Events(spark, dir)
+    def cfg(split: Boolean, imb: Int) = MlCompiler.MlModel(
+      isClassification = true, uniqueId = "user_pseudo_id",
+      features = Seq(MlCompiler.GaFeature("error")),
+      label = MlCompiler.GaLabel("purchase", "k"),
+      suffixLo = "20240101", suffixHi = "20240130",
+      classImbalance = imb, hashSplit = split, engagementEvent = "view")
+
+    // training (hash < 90) and conversion-values (hash >= 90) user sets are disjoint
+    val trainUsers = MlCompiler.eventsCte(ga4, cfg(split = true, imb = 1), MlCompiler.Training)
+      .select("unique_id").distinct().collect().map(_.getString(0)).toSet
+    val cvUsers = MlCompiler.eventsCte(ga4, cfg(split = true, imb = 1), MlCompiler.ConversionValues)
+      .select("unique_id").distinct().collect().map(_.getString(0)).toSet
+    assert(trainUsers.nonEmpty && cvUsers.nonEmpty)
+    assert(trainUsers.intersect(cvUsers).isEmpty)
+
+    // class rebalance: every positive row survives; negatives are hash-thinned
+    val full = MlCompiler.dataset(spark, ga4, cfg(split = false, imb = 1), MlCompiler.Training)
+    val rebal = MlCompiler.dataset(spark, ga4, cfg(split = false, imb = 4), MlCompiler.Training)
+    val posFull = full.filter(col("label") > 0).count()
+    val posRebal = rebal.filter(col("label") > 0).count()
+    val negFull = full.filter(col("label") === 0).count()
+    val negRebal = rebal.filter(col("label") === 0).count()
+    assert(posRebal == posFull, "rebalance must keep all positives")
+    assert(negRebal <= negFull, "rebalance must not add negatives")
+  }
+}
