@@ -54,7 +54,7 @@ object Sinks {
     })
   }
 
-  private def rowValues(row: org.apache.spark.sql.Row): Map[String, String] =
+  private[workers] def rowValues(row: org.apache.spark.sql.Row): Map[String, String] =
     row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
       n -> (row.get(i) match {
         case null => ""
@@ -199,6 +199,7 @@ object Sinks {
     r.register("BQToAdsOfflineClickConversion")(p => new AdsOfflineClickConversion(spark, p))
     r.register("AdsOfflineClickConversion")(p => new AdsOfflineClickConversion(spark, p))
     r.register("GAAudiencesUpdater")(p => new AudiencesUpdater(spark, p))
-    r.register("GA4AudiencesUpdater")(p => new AudiencesUpdater(spark, p))
+    // GA4AudiencesUpdater lives in Ga.register — it needs an AdminClient
+    // and carries the GA4-specific field handling + throttle.
   }
 }
