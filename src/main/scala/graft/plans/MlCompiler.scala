@@ -236,6 +236,16 @@ object MlCompiler {
     }
   }
 
+  /** First-party variable discovery (`bigquery.py:150-162`): usable
+    * feature columns are the scalar fields — RECORD (struct) and JSON
+    * (variant) columns are dropped, mirroring the reference's schema
+    * introspection. Returns (name, typeName). */
+  def firstPartyVariables(df: DataFrame): Seq[(String, String)] =
+    df.schema.fields.toSeq
+      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+        f.dataType.typeName == "variant")
+      .map(f => f.name -> f.dataType.typeName)
+
   /**
    * Conversion-value calibration (`model_bqml.sql:31-49`): NTILE the
    * holdout's predicted probabilities into `conversion_rate_segments`,

@@ -62,11 +62,39 @@ object Ml {
     MlCompiler.conversionValues(s, preds, c)
   }
 
+  /**
+   * Variable-discovery query (`bigquery.py:74-117`): top-100 event names
+   * by volume, their parameter keys (minus the exclusion list) and the
+   * distinct typed slots each key populates — deterministic STRING_AGG
+   * via sorted collect_set (SURVEY §2.3 STRING_AGG caveat).
+   */
+  def mlVariableDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val evs = Ga4.ga4Events(s, dir)
+      .filter(col("event_date").between("20240105", "20240125"))
+      .select(col("event_name").as("name"), col("event_params").as("params"))
+    val top = evs.groupBy(col("name")).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc).limit(100)
+    val v = col("p.value")
+    val vt = when(v.getField("string_value").isNotNull, "string")
+      .when(v.getField("int_value").isNotNull, "int")
+      .when(v.getField("double_value").isNotNull, "double")
+      .when(v.getField("float_value").isNotNull, "float")
+    evs.select(col("name"), explode(col("params")).as("p"))
+      .join(top, "name")
+      .filter(!col("p.key").isin("debug_mode", "engagement_time_msec") &&
+        (v.getField("string_value").isNotNull || v.getField("int_value").isNotNull ||
+          v.getField("double_value").isNotNull || v.getField("float_value").isNotNull))
+      .groupBy(col("name"), col("count"), col("p.key").as("parameter_key"))
+      .agg(concat_ws(",", sort_array(collect_set(vt))).as("parameter_value_type"))
+      .orderBy(col("name").asc, col("parameter_key").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_training_dataset" -> (mlTrainingDataset _),
     "ml_predict_dataset" -> (mlPredictDataset _),
     "ml_training_rebalanced" -> (mlTrainingRebalanced _),
-    "ml_conversion_values" -> (mlConversionValues _))
+    "ml_conversion_values" -> (mlConversionValues _),
+    "ml_variable_discovery" -> (mlVariableDiscovery _))
 
   /** The events→first_engagement→analytics_variables→aggregate_behavior
     * composition in DuckDB dialect (mirrors model_bqml.sql over the shared
@@ -142,6 +170,31 @@ object Ml {
        |  GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ml_variable_discovery" ->
+      s"""WITH ${Ga4.duckGa4},
+         |evs AS (
+         |  SELECT event_name AS name, event_params AS params FROM ga4
+         |  WHERE event_date BETWEEN '20240105' AND '20240125'),
+         |top_events AS (
+         |  SELECT name, COUNT(*) AS count FROM evs GROUP BY 1
+         |  ORDER BY count DESC LIMIT 100),
+         |pr AS (
+         |  SELECT e.name AS name, p.key AS parameter_key,
+         |    CASE
+         |      WHEN p.value.string_value IS NOT NULL THEN 'string'
+         |      WHEN p.value.int_value IS NOT NULL THEN 'int'
+         |      WHEN p.value.double_value IS NOT NULL THEN 'double'
+         |      WHEN p.value.float_value IS NOT NULL THEN 'float'
+         |    END AS vt
+         |  FROM evs e, unnest(e.params) AS u(p)
+         |  WHERE p.key NOT IN ('debug_mode', 'engagement_time_msec')
+         |  AND (p.value.string_value IS NOT NULL OR p.value.int_value IS NOT NULL
+         |    OR p.value.double_value IS NOT NULL OR p.value.float_value IS NOT NULL))
+         |SELECT pr.name, t.count, pr.parameter_key,
+         |  array_to_string(list_sort(list(DISTINCT vt)), ',') AS parameter_value_type
+         |FROM pr JOIN top_events t ON pr.name = t.name
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1 ASC, 3 ASC""".stripMargin,
     "ml_training_dataset" ->
       s"""WITH $duckCore
          |SELECT fe.country, fe.region, fe.language, fe.traffic_source,

@@ -84,6 +84,15 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(metrics("rmse") < 10.0)
   }
 
+  test("MlCompiler: first-party variable discovery drops struct columns (bigquery.py:150-162)") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.5)).toDF("id", "name", "score")
+      .withColumn("geo", struct(lit("US").as("country")))
+    val vars = MlCompiler.firstPartyVariables(df)
+    assert(vars.map(_._1) == Seq("id", "name", "score"))
+    assert(vars.toMap.apply("score") == "double")
+  }
+
   test("MlCompiler: hash split partitions users 90/10 disjointly; rebalance keeps all positives") {
     GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
