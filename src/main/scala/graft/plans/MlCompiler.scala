@@ -60,6 +60,10 @@ object MlCompiler {
   /** Label event (VariableRole.LABEL with a GA source). */
   case class GaLabel(name: String, key: String, valueIsString: Boolean = false)
 
+  /** Trigger event (VariableRole.TRIGGER_EVENT): anchors trigger_date and,
+    * for regression, supplies first_value (`model_bqml.sql:178-196`). */
+  case class GaTrigger(name: String, key: String)
+
   /** Model + dataset configuration (the MlModel ADT slice the dataset
     * compiler needs; `models.py:371-666`). */
   case class MlModel(
@@ -69,6 +73,7 @@ object MlCompiler {
       label: GaLabel,
       suffixLo: String, // _TABLE_SUFFIX window, anchored explicitly
       suffixHi: String,
+      triggerEvent: Option[GaTrigger] = None,
       classImbalance: Int = 4,
       conversionRateSegments: Int = 10,
       averageConversionValue: Double = 1.0,
@@ -144,9 +149,14 @@ object MlCompiler {
     coalesce(v.getField("int_value").cast("double"),
       v.getField("float_value"), v.getField("double_value"), lit(0.0))
 
-  /** `analytics_variables` (`model_bqml.sql:141-200`), classification +
-    * GA label, no separate trigger event: label via left-join on the label
-    * event's qualifying params; trigger_date = first label date. */
+  /**
+   * `analytics_variables` (`model_bqml.sql:141-200`): label via left-join
+   * on the label event's qualifying params (classification: 1; regression:
+   * SUM of the param's numeric value), composed with the branch-dependent
+   * trigger_date/first_value source — the trigger event's first occurrence
+   * (inner join, `model_bqml.sql:178-196`) when configured, else the first
+   * label date.
+   */
   def analyticsVariables(events: DataFrame, fe: DataFrame, cfg: MlModel): DataFrame = {
     val qualifies =
       if (cfg.label.valueIsString)
@@ -156,16 +166,46 @@ object MlCompiler {
       else
         exists(col("params"), p => p.getField("key") === cfg.label.key &&
           probedNum(p.getField("value")) > 0)
+    val labelParam = element_at(
+      filter(col("params"), p => p.getField("key") === cfg.label.key), 1).getField("value")
+    // classification: presence flag; regression: summed numeric label value
     val l = events
       .filter(col("name") === cfg.label.name && qualifies)
       .groupBy(col("unique_id"))
-      .agg(min(col("date")).as("date"))
-      .withColumn("label", lit(1L))
-    fe.select(col("unique_id"))
-      .join(l, Seq("unique_id"), "left_outer")
-      .select(col("date").as("trigger_date"),
-        coalesce(col("label"), lit(0L)).as("label"),
-        col("unique_id"))
+      .agg(min(col("date")).as("date"),
+        (if (cfg.isClassification) min(lit(1L)) else sum(probedNum(labelParam))).as("label"))
+    val zero = if (cfg.isClassification) lit(0L) else lit(0.0)
+
+    val base = fe.select(col("unique_id"))
+      .join(l.withColumnRenamed("date", "l_date"), Seq("unique_id"), "left_outer")
+
+    cfg.triggerEvent match {
+      case Some(trig) =>
+        // first trigger occurrence per user; regression also needs its value
+        val trigParam = element_at(
+          filter(col("params"), p => p.getField("key") === trig.key), 1).getField("value")
+        val tw = Window.partitionBy(col("unique_id")).orderBy(col("timestamp"))
+        var t0 = events.filter(col("name") === trig.name &&
+          exists(col("params"), p => p.getField("key") === trig.key))
+        if (!cfg.isClassification) t0 = t0.filter(probedNum(trigParam) > 0)
+        val t = t0
+          .select(col("unique_id"), col("date").as("t_date"),
+            probedNum(trigParam).as("t_value"), col("timestamp"))
+          .withColumn("row_num", row_number().over(tw))
+          .filter(col("row_num") === 1)
+          .select(col("unique_id"), col("t_date"), col("t_value"))
+        val joined = base.join(t, Seq("unique_id")) // inner: trigger required
+        if (cfg.isClassification)
+          joined.select(col("t_date").as("trigger_date"),
+            coalesce(col("label"), zero).as("label"), col("unique_id"))
+        else
+          joined.select(coalesce(col("t_value"), lit(0.0)).as("first_value"),
+            col("t_date").as("trigger_date"),
+            coalesce(col("label"), zero).as("label"), col("unique_id"))
+      case None =>
+        base.select(col("l_date").as("trigger_date"),
+          coalesce(col("label"), zero).as("label"), col("unique_id"))
+    }
   }
 
   /** One feature-counter column for `aggregate_behavior`
@@ -209,13 +249,26 @@ object MlCompiler {
     joined.groupBy(col("unique_id")).agg(counters.head, (counters.tail :+ engagement): _*)
   }
 
-  /** `unified_dataset` + the step-specific final select
-    * (`model_bqml.sql:260-311`). */
-  def dataset(s: SparkSession, ga4: DataFrame, cfg: MlModel, step: Step): DataFrame = {
+  /**
+   * `unified_dataset` + the step-specific final select
+   * (`model_bqml.sql:260-311`). `firstParty`, when present, is an
+   * fpv-shaped relation (see [[firstPartyCte]]) joined in as the
+   * combined-source `user_variables` branch (`model_bqml.sql:201-207`);
+   * GA events are then pre-filtered to its ids (`model_bqml.sql:104-108`).
+   */
+  def dataset(s: SparkSession, ga4: DataFrame, cfg: MlModel, step: Step,
+      firstParty: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(s)
-    val ev = eventsCte(ga4, cfg, step)
+    var ev = eventsCte(ga4, cfg, step)
+    firstParty.foreach { fpv =>
+      ev = ev.join(fpv.select(col("unique_id")), Seq("unique_id"), "left_semi")
+    }
     val fe = firstEngagement(ev, cfg)
-    val uv = analyticsVariables(ev, fe, cfg)
+    val av = analyticsVariables(ev, fe, cfg)
+    val uv = firstParty match {
+      case Some(fpv) => fpv.join(av, Seq("unique_id")) // fpv.* ++ av.* EXCEPT(unique_id)
+      case None => av
+    }
     val ab = aggregateBehavior(ev, uv, cfg)
     val feCols =
       if (step == Training) fe.drop("user_id", "user_pseudo_id") else fe
@@ -223,17 +276,77 @@ object MlCompiler {
       .join(ab, Seq("unique_id"))
       .join(uv, Seq("unique_id"))
       .drop("trigger_date")
+    finalSelect(unified, cfg, step)
+  }
+
+  /** The step/type-dependent final projection + class rebalance
+    * (`model_bqml.sql:288-311`): regression emits `(label - first_value)`
+    * as the learned target; rebalance keeps all positives and a
+    * `1/class_imbalance` hash-sample of negatives. */
+  private def finalSelect(unified: DataFrame, cfg: MlModel, step: Step): DataFrame = {
+    val subtractsFirstValue = !cfg.isClassification &&
+      unified.columns.contains("first_value")
+    def project(df: DataFrame): DataFrame = step match {
+      case Training =>
+        val d = df.drop("unique_id")
+        if (subtractsFirstValue)
+          d.withColumn("__lbl", col("label") - col("first_value"))
+            .drop("label").withColumnRenamed("__lbl", "label")
+        else d
+      case Predicting if subtractsFirstValue =>
+        df.withColumn("total_value", col("label"))
+          .withColumn("__lbl", col("label") - col("first_value"))
+          .drop("label").withColumnRenamed("__lbl", "label")
+      case _ => df
+    }
     step match {
       case Training if cfg.classImbalance > 1 =>
-        val base = unified.drop("unique_id")
-        val pos = unified.filter(col("label") > 0).drop("unique_id")
-        val neg = unified.filter(col("label") === 0 &&
-            p90(col("unique_id")) <= (100.0 / cfg.classImbalance))
-          .drop("unique_id")
+        val pos = project(unified.filter(col("label") > 0))
+        val neg = project(unified.filter(col("label") === 0 &&
+          p90(col("unique_id")) <= (100.0 / cfg.classImbalance)))
         pos.unionByName(neg)
-      case Training => unified.drop("unique_id")
-      case _ => unified
+      case _ => project(unified)
     }
+  }
+
+  /** first_party_variables (`model_bqml.sql:53-70`): role-driven renames
+    * over the customer's own table. */
+  case class FpRoles(uniqueId: String, features: Seq[String],
+      label: Option[String] = None, firstValue: Option[String] = None,
+      triggerDate: Option[String] = None)
+
+  def firstPartyCte(fp: DataFrame, roles: FpRoles): DataFrame = {
+    var cols = roles.features.map(col)
+    roles.label.foreach(l => cols :+= col(l).as("label"))
+    roles.firstValue.foreach(v => cols :+= col(v).as("first_value"))
+    roles.triggerDate.foreach(t => cols :+= col(t).as("trigger_date"))
+    cols :+= col(roles.uniqueId).as("unique_id")
+    fp.select(cols: _*)
+  }
+
+  /**
+   * First-party-only unified dataset (`model_bqml.sql:272-287`): the fpv
+   * relation filtered to the trigger_date window — DATETIME semantics with
+   * the end bound shifted back one second — plus the hash split, then the
+   * step projection (no GA composition).
+   */
+  def firstPartyDataset(s: SparkSession, fpv: DataFrame, cfg: MlModel,
+      step: Step): DataFrame = {
+    GraftFunctions.register(s)
+    // NOTE the deliberate off-by-one vs the GA suffix window: the
+    // first-party DATETIME window ends one second BEFORE the end day's
+    // midnight (DATETIME_SUB(..., INTERVAL 1 SECOND), model_bqml.sql:277;
+    // ml_model/shared.py:36-66), whereas _TABLE_SUFFIX BETWEEN includes
+    // the end day.
+    val lo = to_timestamp(lit(cfg.suffixLo), "yyyyMMdd")
+    val hi = to_timestamp(lit(cfg.suffixHi), "yyyyMMdd") - expr("INTERVAL 1 SECOND")
+    var d = fpv.filter(col("trigger_date").between(lo, hi))
+    if (cfg.hashSplit && cfg.isClassification) step match {
+      case Training => d = d.filter(p90(col("unique_id")) < 90)
+      case ConversionValues => d = d.filter(p90(col("unique_id")) >= 90)
+      case Predicting => ()
+    }
+    finalSelect(d.drop("trigger_date"), cfg, step)
   }
 
   /** First-party variable discovery (`bigquery.py:150-162`): usable

@@ -93,6 +93,17 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(vars.toMap.apply("score") == "double")
   }
 
+  test("MlCompiler: combined first-party + GA dataset restricts to fpv ids and carries fp features") {
+    val dir = "/root/testdata/sf0.001"
+    val gaOnly = graft.queries.Ml.mlTrainingDataset(spark, dir)
+    val combined = graft.queries.Ml.mlCombinedDataset(spark, dir)
+    // fp features joined in alongside GA behavior counters
+    assert(combined.columns.contains("n_events") && combined.columns.contains("total_value"))
+    assert(combined.columns.contains("cnt_error") && combined.columns.contains("label"))
+    // semi-join on the fpv subset can only shrink the GA-only user set
+    assert(combined.count() <= gaOnly.count() && combined.count() > 0)
+  }
+
   test("MlCompiler: hash split partitions users 90/10 disjointly; rebalance keeps all positives") {
     GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
