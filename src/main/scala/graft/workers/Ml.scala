@@ -112,12 +112,47 @@ object Ml {
     }
   }
 
+  /**
+   * BQToVertexAIDataset as snapshot-table semantics
+   * (`bq_to_vertexai_dataset.py:35-59` + `vertexai_worker.py:131-143`):
+   * each run writes a new timestamped snapshot of the source table under
+   * `<snapshot_base>/<display_name>/`; with `clean_up` (default true, like
+   * the reference) all but the newest EXISTING snapshot are deleted first,
+   * so two snapshots remain after the run (newest old + new).
+   */
+  final class DatasetSnapshot(spark: SparkSession, params: Map[String, WorkerValue],
+      now: () => Long = () => System.currentTimeMillis()) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val table = Workers.str(params, "bq_table_id")
+      val base = Workers.str(params, "snapshot_base")
+      require(table.nonEmpty && base.nonEmpty, "'bq_table_id' and 'snapshot_base' are required")
+      val displayName = Workers.str(params, "vertexai_dataset_name",
+        table.replaceAll("[^A-Za-z0-9_.]", "_"))
+      val cleanUp = Workers.bool(params, "clean_up", default = true)
+      val root = new org.apache.hadoop.fs.Path(s"$base/$displayName")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (cleanUp && fs.exists(root)) {
+        // list snapshots ordered by create time (timestamped dir names),
+        // delete all but the newest (vertexai_worker.py:138-143)
+        val snaps = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .sortBy(_.getName)
+        snaps.dropRight(1).foreach { p =>
+          fs.delete(p, true)
+          ctx.log(s"Deleted dataset: $p")
+        }
+      }
+      val dest = new org.apache.hadoop.fs.Path(root, f"${now()}%020d")
+      Workers.resolveTable(spark, table).write.parquet(dest.toString)
+      ctx.log(s"Dataset created: $dest")
+    }
+  }
+
   def register(r: Dag.Registry, spark: SparkSession): Unit = {
     r.register("VertexAITabularTrainer")(p => new Trainer(spark, p))
     r.register("MlTrainer")(p => new Trainer(spark, p))
     r.register("VertexAIBatchPredictorToBQ")(p => new Predictor(spark, p))
     r.register("MlPredictor")(p => new Predictor(spark, p))
     r.register("MlEvaluator")(p => new Evaluator(spark, p))
-    r.register("BQToVertexAIDataset")(p => new Workers.QueryLauncher(spark, p)) // snapshot-table semantics
+    r.register("BQToVertexAIDataset")(p => new DatasetSnapshot(spark, p))
   }
 }

@@ -54,7 +54,7 @@ object Sinks {
     })
   }
 
-  private[workers] def rowValues(row: org.apache.spark.sql.Row): Map[String, String] =
+  private[graft] def rowValues(row: org.apache.spark.sql.Row): Map[String, String] =
     row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
       n -> (row.get(i) match {
         case null => ""

@@ -84,6 +84,24 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(metrics("rmse") < 10.0)
   }
 
+  test("DatasetSnapshot: clean_up keeps newest existing snapshot + the new one (vertexai_worker.py:131-143)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap")
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$dir/src")
+    var tick = 1000L
+    def snap(): Unit = new Ml.DatasetSnapshot(spark, Map(
+      "bq_table_id" -> WorkerValue.S(s"$dir/src"),
+      "snapshot_base" -> WorkerValue.S(s"$dir/snaps"),
+      "vertexai_dataset_name" -> WorkerValue.S("ds")), () => { tick += 1; tick })
+      .execute(noCtx)
+    snap(); snap(); snap()
+    val root = new java.io.File(s"$dir/snaps/ds")
+    val after3 = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    // run3 cleaned up all but run2's snapshot, then wrote its own
+    assert(after3.length == 2)
+    assert(after3.last > after3.head)
+  }
+
   test("MlCompiler: first-party variable discovery drops struct columns (bigquery.py:150-162)") {
     import spark.implicits._
     val df = Seq((1L, "a", 2.5)).toDF("id", "name", "score")
