@@ -104,6 +104,10 @@ object BqDialect {
       Regex.quoteReplacement(s"to_date(${m.group(1)}, '${translateCastFormat(m.group(2))}')"))
     // FORMAT_DATE('%F', x) → date_format(x, 'yyyy-MM-dd'): swap args + fmt
     s = rewriteFormatDate(s)
+    // sharded-table scans → partitioned views (registerWildcardTables);
+    // _TABLE_SUFFIX needs no rewrite — Spark resolves the partition
+    // column case-insensitively
+    s = rewriteWildcard(s)
     s
   }
 
@@ -132,6 +136,32 @@ object BqDialect {
           s"date_format($expr, '$fmt')" + s.substring(i)
         rewriteFormatDate(rewritten) // handle multiple occurrences
     }
+  }
+
+  /**
+   * Wildcard-table SQL support (`model_bqml.sql:91-94`; `output.sql:2-7`):
+   * registers the date-partitioned events layout so BQ-ism SQL text can
+   * scan `events_*` (with `_TABLE_SUFFIX` pruning pushed to partition
+   * filters) and query `__TABLES_SUMMARY__` for shard metadata. The
+   * summary view is built from partition-directory names — file-system
+   * metadata only, no data scan.
+   */
+  def registerWildcardTables(spark: SparkSession, dir: String): Unit = {
+    graft.sources.WildcardTable.events(spark, dir).createOrReplaceTempView("events_star")
+    import spark.implicits._
+    graft.sources.WildcardTable.listSuffixes(spark, dir)
+      .map(s => s"events_$s").toDF("table_id")
+      .createOrReplaceTempView("tables_summary")
+  }
+
+  private val WildcardTableRe: Regex = raw"(?i)`?[A-Za-z0-9_.]*events_\*`?".r
+  private val TablesSummaryRe: Regex = raw"(?i)`?[A-Za-z0-9_.]*__TABLES_SUMMARY__`?".r
+
+  /** `events_*` / `__TABLES_SUMMARY__` → the registered views;
+    * `_TABLE_SUFFIX` is a real partition column of events_star. */
+  private def rewriteWildcard(s: String): String = {
+    val s1 = WildcardTableRe.replaceAllIn(s, "events_star")
+    TablesSummaryRe.replaceAllIn(s1, "tables_summary")
   }
 
   private val DeclareRe: Regex =

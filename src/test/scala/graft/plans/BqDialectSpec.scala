@@ -59,6 +59,27 @@ class BqDialectSpec extends AnyFunSuite with SparkFixture {
     assert(r2.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 3L)))
   }
 
+  test("events_* + __TABLES_SUMMARY__ scripting runs the output.sql:2-19 shape with partition pruning") {
+    BqDialect.registerWildcardTables(spark, "/root/testdata/sf0.001")
+    val script =
+      """DECLARE latest_suffix STRING DEFAULT (
+        |  SELECT MAX(SPLIT(table_id, 'events_')[OFFSET(1)])
+        |  FROM `proj.ds.__TABLES_SUMMARY__`
+        |  WHERE REGEXP_CONTAINS(table_id, '^events_20')
+        |);
+        |SELECT event_type, COUNT(1) AS n
+        |FROM `proj.ds.events_*`
+        |WHERE _TABLE_SUFFIX = latest_suffix
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    val df = BqDialect.runScript(spark, script).get
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(1)).sum > 0)
+    // the spliced literal must reach the scan as a partition filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("20240130"),
+      s"latest-suffix partition filter missing:\n$plan")
+  }
+
   test("DECLARE/SET scripting splices driver-side scalars (output.sql:2-7,19)") {
     import spark.implicits._
     Seq(("events_20240101", 1), ("events_20240102", 2), ("events_20240103", 3))

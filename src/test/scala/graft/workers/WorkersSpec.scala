@@ -56,6 +56,23 @@ class WorkersSpec extends AnyFunSuite with SparkFixture {
     intercept[RuntimeException] { runImport(allow = 0) }
   }
 
+  test("QueryLauncher: query -> destination with truncate/append dispositions (bq_query_launcher.py:26-61)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ql")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("ql_src")
+    def launch(overwrite: Boolean): Unit =
+      new Workers.QueryLauncher(spark, Map(
+        "query" -> WorkerValue.S("SELECT id, v FROM ql_src WHERE id <= 2"),
+        "bq_table_id" -> WorkerValue.S(s"$dir/out"),
+        "overwrite" -> WorkerValue.B(overwrite))).execute(noCtx)
+    launch(overwrite = true)
+    assert(spark.read.parquet(s"$dir/out").count() == 2) // WRITE_TRUNCATE
+    launch(overwrite = false)
+    assert(spark.read.parquet(s"$dir/out").count() == 4) // WRITE_APPEND
+    launch(overwrite = true)
+    assert(spark.read.parquet(s"$dir/out").count() == 2) // truncate again
+  }
+
   test("StorageExporter: gzip CSV with header") {
     val dir = Files.createTempDirectory("graft_exp")
     import spark.implicits._
