@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -29,15 +28,26 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** Adds `rankCol` (1-based global rank) and `totalCol` (total row count)
-    * under the given total order, fully distributed. */
+    * under the given total order, fully distributed.
+    *
+    * After `repartitionByRange` + `sortWithinPartitions`,
+    * `monotonically_increasing_id()` already encodes
+    * `(partitionId << 33) + localOrdinal` — so local ranks cost ZERO
+    * additional shuffles (a `Window.partitionBy(pid)` here would hash the
+    * full relation a second time). The explicit partition count keeps AQE
+    * from re-coalescing the range shuffle, so partition ids are stable
+    * between the data branch and the counts branch (which shares the
+    * exchange via reuse). */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
       rankCol: String, totalCol: String): DataFrame = {
     val parts = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(df.rdd.getNumPartitions)
     val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__lrn",
-      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
+      .withColumn("__lrn", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("__mid")
     // #partitions rows: cumulative offset + grand total. Computed with a
     // metadata-sized triangular cross-join (#parts² tiny rows) instead of
     // an unpartitioned window, so no single-partition WindowExec appears
@@ -48,7 +58,7 @@ object Quantiles {
       .groupBy(col("__pid"))
       .agg(sum(when(col("__p2") < col("__pid"), col("__cnt")).otherwise(0L)).as("__off"),
         sum(col("__cnt")).as("__tot"))
-    local.join(broadcast(offsets), "__pid")
+    ranged.join(broadcast(offsets), "__pid")
       .withColumn(rankCol, col("__off") + col("__lrn"))
       .withColumn(totalCol, col("__tot"))
       .drop("__pid", "__lrn", "__off", "__tot")
