@@ -66,14 +66,18 @@ object Dag {
     def maxAttempts: Int = 1
   }
 
-  /** Case-insensitive worker registry (finder.py:104-119). */
+  /** Case-insensitive worker registry (finder.py:104-119); `names` keeps
+    * the registered spelling, like the reference's /api/workers listing. */
   final class Registry {
     private val builders = new ConcurrentHashMap[String, Map[String, Spec.WorkerValue] => Worker]()
-    def register(name: String)(b: Map[String, Spec.WorkerValue] => Worker): Unit =
+    private val display = new ConcurrentHashMap[String, String]()
+    def register(name: String)(b: Map[String, Spec.WorkerValue] => Worker): Unit = {
       builders.put(name.toLowerCase, b)
+      display.put(name.toLowerCase, name)
+    }
     def lookup(name: String): Option[Map[String, Spec.WorkerValue] => Worker] =
       Option(builders.get(name.toLowerCase))
-    def names: Seq[String] = builders.keys.asScala.toSeq.sorted
+    def names: Seq[String] = display.values.asScala.toSeq.sorted
   }
 
   final class PipelineRun(
