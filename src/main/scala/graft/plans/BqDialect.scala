@@ -164,6 +164,37 @@ object BqDialect {
     TablesSummaryRe.replaceAllIn(s1, "tables_summary")
   }
 
+  private val TempFunctionRe: Regex =
+    (raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+" +
+      raw"([A-Za-z_]\w*)\s*\(([^)]*)\)\s*(?:RETURNS\s+([A-Za-z0-9<>,() ]+?))?\s*AS\s*\((.*)\)\s*$$").r
+
+  /** BQ type spellings → Spark SQL types (bq_utils.py families). */
+  private[plans] def translateType(t: String): String = t.trim.toUpperCase match {
+    case "INT64" | "INTEGER" => "BIGINT"
+    case "FLOAT64" | "FLOAT" => "DOUBLE"
+    case "BOOL" => "BOOLEAN"
+    case "BYTES" => "BINARY"
+    case "NUMERIC" => "DECIMAL(38,9)"
+    case other => other
+  }
+
+  /**
+   * BQ `CREATE TEMP FUNCTION f(x INT64) AS (expr)` → Spark 4's SQL UDF
+   * `CREATE OR REPLACE TEMPORARY FUNCTION f(x BIGINT) RETURNS ... RETURN
+   * expr` (bq_script_executor.py:26-36 documents user scripts may define
+   * functions). Argument and return types go through [[translateType]].
+   */
+  private[plans] def rewriteTempFunction(stmt: String): Option[String] =
+    TempFunctionRe.findFirstMatchIn(stmt).map { m =>
+      val name = m.group(1)
+      val args = m.group(2).split(",").filter(_.trim.nonEmpty).map { a =>
+        val parts = a.trim.split(raw"\s+", 2)
+        if (parts.length == 2) s"${parts(0)} ${translateType(parts(1))}" else parts(0)
+      }.mkString(", ")
+      val returns = Option(m.group(3)).map(t => s" RETURNS ${translateType(t)}").getOrElse("")
+      s"CREATE OR REPLACE TEMPORARY FUNCTION $name($args)$returns RETURN ${rewrite(m.group(4))}"
+    }
+
   private val DeclareRe: Regex =
     raw"(?is)^DECLARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+[A-Za-z0-9<>,() ]+?(?:\s+DEFAULT\s+(.+))?$$".r
   private val SetRe: Regex =
@@ -206,6 +237,8 @@ object BqDialect {
           require(vars.contains(name), s"SET of undeclared variable $name")
           val df = spark.sql(rewrite(substituteVars(s"SELECT $expr", vars.toMap)))
           vars += name -> literal(df.first().get(0))
+        case other if rewriteTempFunction(other).isDefined =>
+          spark.sql(rewriteTempFunction(other).get).collect()
         case other =>
           val df = spark.sql(rewrite(substituteVars(other, vars.toMap)))
           if (other.trim.toUpperCase.startsWith("SELECT") ||

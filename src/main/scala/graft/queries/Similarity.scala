@@ -68,9 +68,44 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** Near-dup threshold for the synthetic label-cluster embeddings; real
+    * dedup corpora would sit near 0.95 — the plan is threshold-agnostic. */
+  private val CosineDupThreshold = 0.35
+
+  /**
+   * Embedding-cosine near-dup pairs (builder brief §dedup): sign-LSH
+   * bucket equi-join generates candidates (never all-pairs), exact cosine
+   * verifies. The oracle computes the identical bucket definition, so the
+   * whole candidate-generation + verify pipeline is hash-checked.
+   * Scale: candidates shuffle on bucket id only; anchors broadcast.
+   */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("aid"), col("v").as("av"))
+    val buckets = e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(anchors))
+      .withColumn("bit",
+        when(dot(col("v"), col("av")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(aid AS INT))")).otherwise(lit(0L)))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).as("bucket"))
+      .join(e, "vec_id")
+    val a = buckets.select(col("bucket"), col("vec_id").as("va"), col("v").as("xa"))
+    val b = buckets.select(col("bucket").as("bucket_b"), col("vec_id").as("vb"),
+      col("v").as("xb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("va") < col("vb"))
+      .withColumn("sim", cosine(col("xa"), col("xb")))
+      .filter(col("sim") >= CosineDupThreshold)
+      .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("va"), col("vb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
-    "sim_lsh_buckets" -> (simLshBuckets _))
+    "sim_lsh_buckets" -> (simLshBuckets _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
 
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
@@ -100,5 +135,30 @@ object Similarity {
         |  SELECT vec_id,
         |    CAST(SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << CAST(aid AS INT) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM dots GROUP BY vec_id)
-        |SELECT bucket, COUNT(1) AS n FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |SELECT bucket, COUNT(1) AS n FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+        |dots AS (
+        |  SELECT v.vec_id, a.aid, SUM(av[i]::DOUBLE * embedding[i]::DOUBLE) AS dt
+        |  FROM v, a, generate_series(1, 64) t(i)
+        |  GROUP BY v.vec_id, a.aid),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN dt > 0 THEN CAST(1 AS BIGINT) << CAST(aid AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |be AS (SELECT b.vec_id, b.bucket, e.embedding FROM buckets b JOIN e USING (vec_id)),
+        |pairs AS (
+        |  SELECT x.vec_id AS va, y.vec_id AS vb,
+        |    SUM(x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE) AS d,
+        |    SUM(x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE) AS dx,
+        |    SUM(y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE) AS dy
+        |  FROM be x JOIN be y ON x.bucket = y.bucket AND x.vec_id < y.vec_id,
+        |  generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2)
+        |SELECT va, vb, round(d / (sqrt(dx) * sqrt(dy)), 6) AS sim
+        |FROM pairs
+        |WHERE d / (sqrt(dx) * sqrt(dy)) >= 0.35
+        |ORDER BY va, vb""".stripMargin)
 }

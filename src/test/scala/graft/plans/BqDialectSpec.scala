@@ -80,6 +80,16 @@ class BqDialectSpec extends AnyFunSuite with SparkFixture {
       s"latest-suffix partition filter missing:\n$plan")
   }
 
+  test("CREATE TEMP FUNCTION (BQ AS-expr form) runs as a Spark 4 SQL UDF") {
+    val script =
+      """CREATE TEMP FUNCTION double_it(x INT64) RETURNS INT64 AS (x * 2);
+        |CREATE TEMP FUNCTION shout(s STRING) AS (UPPER(s));
+        |SELECT double_it(21) AS n, shout('hi') AS s""".stripMargin
+    val row = BqDialect.runScript(spark, script).get.collect().head
+    assert(row.getLong(0) == 42L)
+    assert(row.getString(1) == "HI")
+  }
+
   test("DECLARE/SET scripting splices driver-side scalars (output.sql:2-7,19)") {
     import spark.implicits._
     Seq(("events_20240101", 1), ("events_20240102", 2), ("events_20240103", 3))
