@@ -36,9 +36,21 @@ object Multimodal {
       .orderBy(col("lang"), col("width"))
   }
 
+  /** Batched resize to a 64x64 target raster. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    BinaryBatch.resize(s, media(s, dir), "doc_id", "payload")
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling: one media row fans out to ≤3 frame rows. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    BinaryBatch.frameSample(s, media(s, dir), "doc_id", "payload")
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
-    "mm_feature_agg" -> (mmFeatureAgg _))
+    "mm_feature_agg" -> (mmFeatureAgg _),
+    "mm_resize" -> (mmResize _),
+    "mm_frame_sample" -> (mmFrameSample _))
 
   // The stub decoder is a pure byte function — DuckDB recomputes it:
   // width  = 16*(1+(first byte & 3)), height = 16*(1+(last byte & 3)),
@@ -61,5 +73,23 @@ object Multimodal {
         |SELECT lang, width, COUNT(1) AS n,
         |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes
         |FROM f JOIN documents USING (doc_id)
-        |GROUP BY lang, width ORDER BY lang, width""".stripMargin)
+        |GROUP BY lang, width ORDER BY lang, width""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) AS in_w,
+        |  CAST(16 * (1 + (ascii(substring(text, length(text), 1)) & 3)) AS BIGINT) AS in_h,
+        |  CAST(64 AS BIGINT) AS out_w, CAST(64 AS BIGINT) AS out_h,
+        |  CAST(least(length(text), 512) AS BIGINT) AS out_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + length(text) % 7 AS nf
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * (len // nf) AS BIGINT) AS frame_pos,
+        |  CAST(ascii(substring(text, i * (len // nf) + 1, 1)) AS BIGINT) AS sample_byte
+        |FROM m, generate_series(0, 2) t(i)
+        |WHERE i < least(3, nf)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -34,4 +34,28 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("resize caps the byte budget at the target raster; empty/null payloads survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ("x" * 1000).getBytes("UTF-8")),  // larger than 64*64/8 = 512
+      (2L, "tiny".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val out = BinaryBatch.resize(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(5) == 512L) // truncated to target budget
+    assert(out(2L).getLong(5) == 4L)   // smaller stays
+    assert(out(3L).getLong(5) == 0L && out(3L).isNullAt(1))
+  }
+
+  test("frame sampling fans one row out to min(3, stub frame count) rows") {
+    import spark.implicits._
+    // len 13 -> nf = 1 + 13%7 = 7 -> 3 sampled frames at stride 13/7 = 1
+    val df = Seq((7L, "abcdefghijklm".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = BinaryBatch.frameSample(spark, df, "doc_id", "payload")
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L)) // positions
+    assert(rows.map(_.getLong(3)).toSeq == Seq('a'.toLong, 'b'.toLong, 'c'.toLong))
+  }
 }
