@@ -80,11 +80,41 @@ object Text {
       .filter(col("n_copies") > 1)
       .orderBy(col("bow_fp"))
 
+  /** 32-bit gram hash shared with the DuckDB oracle (md5 prefix). */
+  private def gramHash32(g: Column): Column =
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+
+  private val WinnowK = 8 // character k-gram length
+  private val WinnowW = 4 // winnowing window (grams per window)
+
+  /**
+   * Winnowing fingerprints (MOSS-style rolling-hash selection): hash every
+   * K-char gram, keep the minimum hash of each W-gram window, distinct the
+   * selections. Robust local fingerprints for plagiarism/near-dup detection
+   * — entirely higher-order array expressions, no explode, no UDF.
+   */
+  def textWinnowFp(s: SparkSession, dir: String): DataFrame = {
+    val gh = transform(sequence(lit(1), length(col("text")) - (WinnowK - 1)),
+      i => gramHash32(col("text").substr(i, lit(WinnowK))))
+    docs(s, dir)
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .withColumn("gh", gh)
+      .withColumn("fps", array_distinct(
+        transform(sequence(lit(1), size(col("gh")) - (WinnowW - 1)),
+          j => array_min(slice(col("gh"), j, lit(WinnowW))))))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_winnow_fp" -> (textWinnowFp _),
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
@@ -122,6 +152,20 @@ object Text {
       """SELECT doc_id, md5(text) AS content_fp,
         |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS bow_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_winnow_fp" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 7),
+        |      i -> CAST(CAST('0x' || substring(md5(substring(text, i, 8)), 1, 8) AS UBIGINT) AS BIGINT)) AS gh
+        |  FROM documents WHERE length(text) >= 11),
+        |sel AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, len(gh) - 3),
+        |      j -> list_min(gh[j:j+3]))) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM sel ORDER BY doc_id""".stripMargin,
     "dedup_bow_fp" ->
       """WITH fp AS (
         |  SELECT doc_id,
