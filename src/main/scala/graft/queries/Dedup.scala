@@ -211,7 +211,27 @@ object Dedup {
    * No oracle (DuckDB has no farmhash); semantics covered by DedupSpec and
    * cross-checked against dedup_jaccard_words in spirit.
    */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPipeline(s, dir,
+      sh => {
+        val h = GraftFunctions.farm_fingerprint(sh)
+        // xor-fold to 32 bits (overflow-safe under ANSI for the affine step)
+        h.bitwiseXOR(shiftrightunsigned(h, 32)).bitwiseAND(lit(0xffffffffL))
+      },
+      cols => xxhash64(cols: _*))
+
+  /** The LSH pipeline with a cross-engine (md5-derived) shingle hash and
+    * band key, so the ENTIRE band-bucket pipeline — shingling, minhash,
+    * banding, bucket cap, agreement prefilter, exact verify — is
+    * hash-checked against a DuckDB oracle. `dedup_minhash_lsh` keeps the
+    * production farmhash (golden-tested; no DuckDB analog). */
+  def dedupMinhashLshMd5(s: SparkSession, dir: String): DataFrame =
+    minhashLshPipeline(s, dir,
+      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"),
+      cols => md5(concat_ws(",", cols.map(_.cast("string")): _*)))
+
+  private def minhashLshPipeline(s: SparkSession, dir: String,
+      hash32: Column => Column, bandKey: Seq[Column] => Column): DataFrame = {
     GraftFunctions.register(s)
     val base = load(s, dir, "documents")
       .select(col("doc_id"),
@@ -221,12 +241,7 @@ object Dedup {
           .otherwise(transform(sequence(lit(1), size(col("words")) - 2),
             i => concat_ws(" ", col("words")(i - 1), col("words")(i), col("words")(i + 1)))))
       .withColumn("shingles", sort_array(array_distinct(col("shingles"))))
-      .withColumn("sh_hashes",
-        transform(col("shingles"), sh => {
-          val h = GraftFunctions.farm_fingerprint(sh)
-          // xor-fold to 32 bits (overflow-safe under ANSI for the affine step)
-          h.bitwiseXOR(shiftrightunsigned(h, 32)).bitwiseAND(lit(0xffffffffL))
-        }))
+      .withColumn("sh_hashes", transform(col("shingles"), hash32))
 
     // 32 min-hashes packed into one array column (codegen-friendly minima)
     val mhArr = array((0 until MinhashPerms).map { j =>
@@ -237,7 +252,7 @@ object Dedup {
     // band keys: hash of the 4 minhashes in each band
     val bandCols = (0 until LshBands).map { b =>
       val slice = (0 until 4).map(r => col("mh")(b * 4 + r))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("key"))
+      struct(lit(b).as("band"), bandKey(slice).as("key"))
     }
     // Candidate generation stays NARROW: (band, key, doc_id, mh[32]) flows
     // through the self-join — shingle arrays re-attach by doc_id only for
@@ -282,7 +297,63 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_words" -> (dedupJaccardWords _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_minhash_lsh" -> (dedupMinhashLsh _))
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_lsh_md5" -> (dedupMinhashLshMd5 _))
+
+  /** DuckDB mirror of the md5-keyed LSH pipeline (constants generated by
+    * the same permA/permB loop as the Spark side). */
+  private def minhashLshMd5Oracle: String = {
+    val perms = (0 until MinhashPerms)
+      .map(j => s"list_min(list_transform(h32, h -> h * ${permA(j)} + ${permB(j)}))")
+      .mkString(",\n      ")
+    val bandKeys = (0 until LshBands).map { b =>
+      val parts = (1 to 4).map(r => s"CAST(mh[${b * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, mh, $b AS band, md5($parts) AS key FROM mh"
+    }.mkString("\n    UNION ALL\n    ")
+    val agreeMin = (MinhashEstThreshold * MinhashPerms).toInt
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+       |    ELSE list_transform(generate_series(1, len(words) - 2),
+       |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END)) AS shingles
+       |  FROM base),
+       |hs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(shingles,
+       |      s -> CAST(CAST('0x' || substring(md5(s), 1, 8) AS UBIGINT) AS BIGINT)) AS h32
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, [
+       |      $perms
+       |    ] AS mh
+       |  FROM hs),
+       |banded AS (
+       |    $bandKeys),
+       |pruned AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM banded)
+       |  WHERE bsz <= $MaxBucketSize),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM pruned x JOIN pruned y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashPerms),
+       |    i -> x.mh[i] = y.mh[i])) >= $agreeMin),
+       |verified AS (
+       |  SELECT da, db,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
+       |    CAST(len(a.shingles) + len(b.shingles) AS DOUBLE) AS szsum
+       |  FROM cand
+       |  JOIN sh a ON cand.da = a.doc_id
+       |  JOIN sh b ON cand.db = b.doc_id)
+       |SELECT da, db, round(inter / (szsum - inter), 6) AS jac
+       |FROM verified
+       |WHERE inter / (szsum - inter) >= 0.5
+       |ORDER BY da, db""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_jaccard_words" ->
@@ -303,5 +374,6 @@ object Dedup {
         |JOIN cnt cb ON db = cb.doc_id
         |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8
         |ORDER BY da, db""".stripMargin,
-    "dedup_simhash" -> simhashOracle)
+    "dedup_simhash" -> simhashOracle,
+    "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle)
 }
