@@ -90,10 +90,15 @@ object MlCompiler {
   private def p90(idCol: Column): Column =
     pmod(abs(GraftFunctions.farm_fingerprint(idCol)), lit(100L))
 
-  /** The `events` CTE (`model_bqml.sql:73-108`). */
+  /** The `events` CTE (`model_bqml.sql:73-108`). When the input carries
+    * the `_table_suffix` partition column (ga4EventsPartitioned), the date
+    * window filters on it — Catalyst prunes the shard directories instead
+    * of scanning every day. */
   def eventsCte(ga4: DataFrame, cfg: MlModel, step: Step): DataFrame = {
+    val windowCol =
+      if (ga4.columns.contains("_table_suffix")) col("_table_suffix") else col("event_date")
     var e = ga4
-      .filter(col("event_date").between(cfg.suffixLo, cfg.suffixHi))
+      .filter(windowCol.between(cfg.suffixLo, cfg.suffixHi))
       .filter(lower(col("platform")) === "web")
     if (cfg.hashSplit && cfg.isClassification) step match {
       case Training => e = e.filter(p90(col(cfg.uniqueId)) < 90)

@@ -38,13 +38,26 @@ object Ga4 {
 
   /** GA4-shaped events: nested params + geo/device structs, derived
     * 1:1 from the flat events table. */
-  def ga4Events(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
+  def ga4Events(s: SparkSession, dir: String): DataFrame =
+    ga4From(events(s, dir))
+
+  /** Same relation over the date-partitioned wildcard layout: carries the
+    * `_table_suffix` partition column, so date-window filters downstream
+    * (the ML compiler's `events` CTE) prune partitions at the scan instead
+    * of reading all shards — the `events_*` cost model at 100 TB. */
+  def ga4EventsPartitioned(s: SparkSession, dir: String): DataFrame =
+    ga4From(graft.sources.WildcardTable.events(s, dir))
+
+  private def ga4From(e: DataFrame): DataFrame = {
     val m4 = pmod(col("event_id"), lit(4))
     val v = col("value")
     // deterministic first-touch instant: 2024-01-01T00:00Z + user_id hours
     val firstTouchUs = (lit(1704067200L) + pmod(col("user_id"), lit(720)) * 3600L) * 1000000L
-    e.select(
+    // keep the partition column when the source is the wildcard layout, so
+    // downstream date filters remain partition-prunable
+    val partitionCols =
+      if (e.columns.contains("_table_suffix")) Seq(col("_table_suffix")) else Nil
+    e.select(partitionCols ++ Seq(
       col("event_id"),
       expr("ts DIV 1000").as("event_timestamp"),
       date_format(timestamp_micros(expr("ts DIV 1000")), "yyyyMMdd").as("event_date"),
@@ -97,7 +110,7 @@ object Ga4 {
         element_at(array(lit("google"), lit("direct"), lit("newsletter")),
           (pmod(col("user_id"), lit(3)) + 1).cast("int")).as("source"),
         element_at(array(lit("organic"), lit("none"), lit("email")),
-          (pmod(col("user_id"), lit(3)) + 1).cast("int")).as("medium")).as("traffic_source"))
+          (pmod(col("user_id"), lit(3)) + 1).cast("int")).as("medium")).as("traffic_source")): _*)
   }
 
   /** Shared DuckDB-side derivation of the GA4 relation (kept textually in

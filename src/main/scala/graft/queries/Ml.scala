@@ -41,14 +41,14 @@ object Ml {
     engagementEvent = "view") // the fixture vocabulary's engagement analog
 
   def mlTrainingDataset(s: SparkSession, dir: String): DataFrame =
-    MlCompiler.dataset(s, Ga4.ga4Events(s, dir), cfg(hashSplit = false, imbalance = 1), Training)
+    MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), cfg(hashSplit = false, imbalance = 1), Training)
 
   def mlPredictDataset(s: SparkSession, dir: String): DataFrame =
-    MlCompiler.dataset(s, Ga4.ga4Events(s, dir), cfg(hashSplit = false, imbalance = 1), Predicting)
+    MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), cfg(hashSplit = false, imbalance = 1), Predicting)
 
   /** Split + rebalance path (rows-only: farmhash has no DuckDB oracle). */
   def mlTrainingRebalanced(s: SparkSession, dir: String): DataFrame =
-    MlCompiler.dataset(s, Ga4.ga4Events(s, dir), cfg(hashSplit = true, imbalance = 4), Training)
+    MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), cfg(hashSplit = true, imbalance = 4), Training)
 
   /** GA-source REGRESSION: label = summed param value, trigger event
     * supplies first_value + trigger_date via inner join, final target is
@@ -57,7 +57,7 @@ object Ml {
     val c = cfg(hashSplit = false, imbalance = 1).copy(
       isClassification = false,
       triggerEvent = Some(GaTrigger("signup", "k")))
-    MlCompiler.dataset(s, Ga4.ga4Events(s, dir), c, Training)
+    MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), c, Training)
   }
 
   /** First-party-style relation derived deterministically from the flat
@@ -99,7 +99,7 @@ object Ml {
     val fpv = MlCompiler.firstPartyCte(
         fpTable(s, dir).filter(col("n_events") >= 5), fpRoles)
       .drop("label", "trigger_date") // GA source provides label/trigger here
-    MlCompiler.dataset(s, Ga4.ga4Events(s, dir), c, Training, firstParty = Some(fpv))
+    MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), c, Training, firstParty = Some(fpv))
   }
 
   /** Conversion-value calibration composed end-to-end. The probability
@@ -108,7 +108,7 @@ object Ml {
     * calibration itself is oracle-checked. */
   def mlConversionValues(s: SparkSession, dir: String): DataFrame = {
     val c = cfg(hashSplit = false, imbalance = 1)
-    val ds = MlCompiler.dataset(s, Ga4.ga4Events(s, dir), c, Predicting)
+    val ds = MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), c, Predicting)
     val preds = ds.select(col("unique_id"), col("label"),
       ((col("unique_id").cast("long") * 2654435761L % 1000003L) / lit(1000003.0))
         .as("probability"))
@@ -122,8 +122,8 @@ object Ml {
    * via sorted collect_set (SURVEY §2.3 STRING_AGG caveat).
    */
   def mlVariableDiscovery(s: SparkSession, dir: String): DataFrame = {
-    val evs = Ga4.ga4Events(s, dir)
-      .filter(col("event_date").between("20240105", "20240125"))
+    val evs = Ga4.ga4EventsPartitioned(s, dir)
+      .filter(col("_table_suffix").between("20240105", "20240125")) // pruned scan
       .select(col("event_name").as("name"), col("event_params").as("params"))
     val top = evs.groupBy(col("name")).agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc).limit(100)

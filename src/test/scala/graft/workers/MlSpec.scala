@@ -111,6 +111,15 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(vars.toMap.apply("score") == "double")
   }
 
+  test("ML dataset scans prune event-date partitions (suffix window reaches the scan)") {
+    val df = graft.queries.Ml.mlTrainingDataset(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_table_suffix"),
+      "suffix window must be a partition filter on the wildcard layout")
+    assert(plan.contains("20240105"), s"window bound missing from partition filters")
+  }
+
   test("MlCompiler: combined first-party + GA dataset restricts to fpv ids and carries fp features") {
     val dir = "/root/testdata/sf0.001"
     val gaOnly = graft.queries.Ml.mlTrainingDataset(spark, dir)
