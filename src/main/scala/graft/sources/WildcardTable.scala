@@ -27,11 +27,18 @@ object WildcardTable {
 
   private def suffixExpr = date_format(timestamp_micros(expr("ts DIV 1000")), "yyyyMMdd")
 
-  /** Materialize (once) and return the partitioned layout's path. */
+  /** Materialize (once) and return the partitioned layout's path. The
+    * path is keyed by the SOURCE file's (length, mtime) fingerprint so a
+    * regenerated source can never be served from a stale layout. */
   def eventsPath(s: SparkSession, dir: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new Path(s"$dir/events.parquet")
+    val srcFs = src.getFileSystem(conf)
+    val st = srcFs.getFileStatus(src)
+    val fp = java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_wildcard/$safe"
-    val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_wildcard/${safe}_$fp"
+    val fs = new Path(out).getFileSystem(conf)
     if (!fs.exists(new Path(out, "_SUCCESS"))) {
       graft.queries.Tables.events(s, dir)
         .withColumn("_table_suffix", suffixExpr)
