@@ -37,7 +37,11 @@ object Quantiles {
     * full relation a second time). The explicit partition count keeps AQE
     * from re-coalescing the range shuffle, so partition ids are stable
     * between the data branch and the counts branch (which shares the
-    * exchange via reuse). */
+    * exchange via reuse).
+    *
+    * Capacity: the id encoding caps at 2^33 rows PER PARTITION (Spark's
+    * documented layout) — size `spark.sql.shuffle.partitions` so no range
+    * partition exceeds ~8.5e9 rows. */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
       rankCol: String, totalCol: String): DataFrame = {
     val parts = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
