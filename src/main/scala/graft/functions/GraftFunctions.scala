@@ -14,11 +14,8 @@ import org.apache.spark.sql.functions.call_function
  */
 object GraftFunctions {
 
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-
   def register(spark: SparkSession): Unit = {
-    val key = spark.sessionState.toString
-    if (registered.putIfAbsent(key, true) == null || !isRegistered(spark)) {
+    if (!isRegistered(spark)) {
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("farm_fingerprint"),
         new ExpressionInfo(classOf[FarmFingerprint].getName, "farm_fingerprint"),

@@ -17,7 +17,7 @@ import Tables._
  * itself is golden-tested in FarmHashSpec and its split shape in
  * q_hash_split), so the full composition is hash-compared end-to-end.
  * `ml_training_rebalanced` exercises the split + class-rebalance path as
- * a rows-only entry with a recall spec in MlDatasetSpec.
+ * a rows-only entry with split/rebalance invariants asserted in MlSpec.
  */
 object Ml {
 
