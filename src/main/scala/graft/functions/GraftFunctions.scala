@@ -24,6 +24,11 @@ object GraftFunctions {
         FunctionIdentifier("sorted_intersect_size"),
         new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
         (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("winnow_fp"),
+        new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+        (children: Seq[Expression]) => WinnowFp(children(0),
+          children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int]))
     }
   }
 
@@ -37,4 +42,10 @@ object GraftFunctions {
   /** |A ∩ B| of two sorted distinct string arrays (requires register). */
   def sorted_intersect_size(a: Column, b: Column): Column =
     call_function("sorted_intersect_size", a, b)
+
+  /** Distinct winnowing fingerprints of a string (requires register). */
+  def winnow_fp(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("winnow_fp", text, lit(k), lit(w))
+  }
 }

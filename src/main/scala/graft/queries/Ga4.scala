@@ -237,7 +237,7 @@ object Ga4 {
          |  FROM ga4 WHERE lower(platform) = 'web')
          |SELECT event_name, COUNT(1) AS n,
          |  CAST(SUM(CAST(m AS DECIMAL(12,2))) AS DOUBLE) AS sum_m,
-         |  SUM(k) AS sum_k
+         |  CAST(SUM(k) AS BIGINT) AS sum_k
          |FROM probed GROUP BY event_name ORDER BY event_name""".stripMargin,
     "ga4_param_counters" ->
       s"""WITH $duckGa4,
@@ -250,8 +250,9 @@ object Ga4 {
          |    CASE WHEN EXISTS (SELECT 1 FROM unnest(event_params) AS t(p)
          |      WHERE p.key = 'engagement_time_msec' AND p.value.int_value > 500) THEN 1 ELSE 0 END AS c_eng
          |  FROM ga4)
-         |SELECT user_pseudo_id, SUM(c_k) AS k_gt50, SUM(c_cpc) AS cpc_events,
-         |  SUM(c_eng) AS engaged_events, COUNT(1) AS n_events
+         |SELECT user_pseudo_id, CAST(SUM(c_k) AS BIGINT) AS k_gt50,
+         |  CAST(SUM(c_cpc) AS BIGINT) AS cpc_events,
+         |  CAST(SUM(c_eng) AS BIGINT) AS engaged_events, COUNT(1) AS n_events
          |FROM flags GROUP BY user_pseudo_id ORDER BY user_pseudo_id""".stripMargin,
     "ga4_nested_proj" ->
       s"""WITH $duckGa4

@@ -40,4 +40,18 @@ object Tables {
 
   /** Exact-decimal avg exposed as a double (sum/count in double at the end). */
   def davg(c: Column): Column = F.sum(dec(c)).cast("double") / F.count(F.lit(1))
+
+  /**
+   * Always-zero window partition key that Catalyst can NOT constant-fold.
+   *
+   * Windows over metadata-sized relations (segment aggregates, event-type
+   * rollups) are correctly single-partition, but `partitionBy(lit(0))` is
+   * folded away by the optimizer, leaving an empty partition spec and the
+   * scary `WindowExec: No Partition Defined` warning. Deriving 0 from a
+   * data column keeps the spec non-empty (and the plan honest about being
+   * a deliberate single-group window). Null-safe: coalesce keeps the key 0
+   * even when the column is null.
+   */
+  def zeroPart(c: Column): Column =
+    F.pmod(F.coalesce(F.length(c.cast("string")), F.lit(0)), F.lit(1))
 }

@@ -80,28 +80,27 @@ object Text {
       .filter(col("n_copies") > 1)
       .orderBy(col("bow_fp"))
 
-  /** 32-bit gram hash shared with the DuckDB oracle (md5 prefix). */
-  private def gramHash32(g: Column): Column =
-    conv(substring(md5(g), 1, 8), 16, 10).cast("long")
-
   private val WinnowK = 8 // character k-gram length
   private val WinnowW = 4 // winnowing window (grams per window)
-
   /**
    * Winnowing fingerprints (MOSS-style rolling-hash selection): hash every
-   * K-char gram, keep the minimum hash of each W-gram window, distinct the
-   * selections. Robust local fingerprints for plagiarism/near-dup detection
-   * — entirely higher-order array expressions, no explode, no UDF.
+   * K-char gram with a polynomial hash (h(i) = Σ_j code[i+j]·31^(K-1-j)
+   * mod 2^32 — pure integer arithmetic the DuckDB oracle computes
+   * verbatim in SQL), keep the minimum hash of each W-gram window,
+   * distinct the selections. Robust local fingerprints for
+   * plagiarism/near-dup detection.
+   *
+   * The selection runs in [[graft.functions.WinnowFp]], a codegen'd
+   * Catalyst expression — higher-order array functions would interpret a
+   * lambda per character, which made this the most expensive scan over the
+   * documents table (and an earlier md5-per-gram variant slower still).
    */
   def textWinnowFp(s: SparkSession, dir: String): DataFrame = {
-    val gh = transform(sequence(lit(1), length(col("text")) - (WinnowK - 1)),
-      i => gramHash32(col("text").substr(i, lit(WinnowK))))
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir)
       .filter(length(col("text")) >= WinnowK + WinnowW - 1)
-      .withColumn("gh", gh)
-      .withColumn("fps", array_distinct(
-        transform(sequence(lit(1), size(col("gh")) - (WinnowW - 1)),
-          j => array_min(slice(col("gh"), j, lit(WinnowW))))))
+      .withColumn("fps",
+        graft.functions.GraftFunctions.winnow_fp(col("text"), WinnowK, WinnowW))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("min_fp"),
@@ -156,7 +155,14 @@ object Text {
       """WITH g AS (
         |  SELECT doc_id,
         |    list_transform(generate_series(1, length(text) - 7),
-        |      i -> CAST(CAST('0x' || substring(md5(substring(text, i, 8)), 1, 8) AS UBIGINT) AS BIGINT)) AS gh
+        |      i -> (CAST(ord(text[i]) AS BIGINT) * 27512614111
+        |          + CAST(ord(text[i+1]) AS BIGINT) * 887503681
+        |          + CAST(ord(text[i+2]) AS BIGINT) * 28629151
+        |          + CAST(ord(text[i+3]) AS BIGINT) * 923521
+        |          + CAST(ord(text[i+4]) AS BIGINT) * 29791
+        |          + CAST(ord(text[i+5]) AS BIGINT) * 961
+        |          + CAST(ord(text[i+6]) AS BIGINT) * 31
+        |          + CAST(ord(text[i+7]) AS BIGINT)) % 4294967296) AS gh
         |  FROM documents WHERE length(text) >= 11),
         |sel AS (
         |  SELECT doc_id, list_distinct(

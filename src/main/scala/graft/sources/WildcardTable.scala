@@ -36,7 +36,9 @@ object WildcardTable {
     val srcFs = src.getFileSystem(conf)
     val st = srcFs.getFileStatus(src)
     val fp = java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // never start the layout dir with '_': Spark's file index treats
+    // leading-underscore paths as metadata and filters them from listings
+    val safe = "d" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_wildcard/${safe}_$fp"
     val fs = new Path(out).getFileSystem(conf)
     if (!fs.exists(new Path(out, "_SUCCESS"))) {
