@@ -25,6 +25,16 @@ object GraftFunctions {
         new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
         (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
       spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("affine_minhash"),
+        new ExpressionInfo(classOf[AffineMinHash].getName, "affine_minhash"),
+        (children: Seq[Expression]) => AffineMinHash(children(0),
+          children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+          children(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("dot_f64"),
+        new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+        (children: Seq[Expression]) => DotF64(children(0), children(1)))
+      spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("winnow_fp"),
         new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
         (children: Seq[Expression]) => WinnowFp(children(0),
@@ -42,6 +52,15 @@ object GraftFunctions {
   /** |A ∩ B| of two sorted distinct string arrays (requires register). */
   def sorted_intersect_size(a: Column, b: Column): Column =
     call_function("sorted_intersect_size", a, b)
+
+  /** Full MinHash signature: min of each affine permutation (requires register). */
+  def affine_minhash(hashes: Column, a: Seq[Long], b: Seq[Long]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function("affine_minhash", hashes, typedLit(a.toArray), typedLit(b.toArray))
+  }
+
+  /** Index-ordered dot product of two double arrays (requires register). */
+  def dot_f64(a: Column, b: Column): Column = call_function("dot_f64", a, b)
 
   /** Distinct winnowing fingerprints of a string (requires register). */
   def winnow_fp(text: Column, k: Int, w: Int): Column = {

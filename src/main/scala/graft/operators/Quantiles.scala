@@ -36,8 +36,17 @@ object Quantiles {
     * additional shuffles (a `Window.partitionBy(pid)` here would hash the
     * full relation a second time). The explicit partition count keeps AQE
     * from re-coalescing the range shuffle, so partition ids are stable
-    * between the data branch and the counts branch (which shares the
-    * exchange via reuse).
+    * between the two passes.
+    *
+    * Two-pass contract: the range-partitioned relation is PERSISTED
+    * (memory-with-disk-spill) before the counting pass — Catalyst's
+    * exchange reuse cannot unify the passes (column pruning makes their
+    * subtrees differ), so without the persist the entire upstream plan
+    * executes once per pass. The per-partition counts (#partitions rows —
+    * metadata-sized) are collected and folded into a LITERAL offset map,
+    * the same statistics-to-driver round-trip AQE itself performs at every
+    * stage boundary; the rank is then a pure map lookup with no further
+    * shuffle or broadcast.
     *
     * Capacity: the id encoding caps at 2^33 rows PER PARTITION (Spark's
     * documented layout) — size `spark.sql.shuffle.partitions` so no range
@@ -52,20 +61,16 @@ object Quantiles {
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
       .withColumn("__lrn", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
       .drop("__mid")
-    // #partitions rows: cumulative offset + grand total. Computed with a
-    // metadata-sized triangular cross-join (#parts² tiny rows) instead of
-    // an unpartitioned window, so no single-partition WindowExec appears
-    // anywhere in the plan.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    val offsets = cnts.select(col("__pid"))
-      .crossJoin(cnts.select(col("__pid").as("__p2"), col("__cnt")))
-      .groupBy(col("__pid"))
-      .agg(sum(when(col("__p2") < col("__pid"), col("__cnt")).otherwise(0L)).as("__off"),
-        sum(col("__cnt")).as("__tot"))
-    ranged.join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, col("__off") + col("__lrn"))
-      .withColumn(totalCol, col("__tot"))
-      .drop("__pid", "__lrn", "__off", "__tot")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val total = cnts.map(_._2).sum
+    ranged
+      .withColumn(rankCol,
+        element_at(typedLit(offsets), col("__pid")) + col("__lrn"))
+      .withColumn(totalCol, lit(total))
+      .drop("__pid", "__lrn")
   }
 
   /** Standard SQL NTILE bucket from a 1-based rank and total count:

@@ -64,6 +64,15 @@ object MlCompiler {
     * for regression, supplies first_value (`model_bqml.sql:178-196`). */
   case class GaTrigger(name: String, key: String)
 
+  /** Split-hash family for the deterministic 90/10 split. The reference
+    * hardcodes FARM_FINGERPRINT (`model_bqml.sql:95-101`); the md5 family
+    * exists so the ENTIRE split + rebalance composition can be
+    * hash-checked against a DuckDB oracle (DuckDB has no farmhash — the
+    * farm path itself is golden-tested in FarmHashSpec). */
+  sealed trait SplitHash
+  case object FarmSplit extends SplitHash
+  case object Md5Split extends SplitHash
+
   /** Model + dataset configuration (the MlModel ADT slice the dataset
     * compiler needs; `models.py:371-666`). */
   case class MlModel(
@@ -80,15 +89,21 @@ object MlCompiler {
       hashSplit: Boolean = true, // 90/10 FARM_FINGERPRINT split on
       // GA4 exports hardcode "user_engagement" (model_bqml.sql:136);
       // configurable so non-GA4 event vocabularies can nominate one
-      engagementEvent: String = "user_engagement")
+      engagementEvent: String = "user_engagement",
+      splitHash: SplitHash = FarmSplit)
 
   sealed trait Step
   case object Training extends Step
   case object ConversionValues extends Step
   case object Predicting extends Step
 
-  private def p90(idCol: Column): Column =
-    pmod(abs(GraftFunctions.farm_fingerprint(idCol)), lit(100L))
+  private def p90(idCol: Column, cfg: MlModel): Column = {
+    val h = cfg.splitHash match {
+      case FarmSplit => GraftFunctions.farm_fingerprint(idCol)
+      case Md5Split => conv(substring(md5(idCol), 1, 8), 16, 10).cast("long")
+    }
+    pmod(abs(h), lit(100L))
+  }
 
   /** The `events` CTE (`model_bqml.sql:73-108`). When the input carries
     * the `_table_suffix` partition column (ga4EventsPartitioned), the date
@@ -101,8 +116,8 @@ object MlCompiler {
       .filter(windowCol.between(cfg.suffixLo, cfg.suffixHi))
       .filter(lower(col("platform")) === "web")
     if (cfg.hashSplit && cfg.isClassification) step match {
-      case Training => e = e.filter(p90(col(cfg.uniqueId)) < 90)
-      case ConversionValues => e = e.filter(p90(col(cfg.uniqueId)) >= 90)
+      case Training => e = e.filter(p90(col(cfg.uniqueId), cfg) < 90)
+      case ConversionValues => e = e.filter(p90(col(cfg.uniqueId), cfg) >= 90)
       case Predicting => ()
     }
     e.select(
@@ -308,7 +323,7 @@ object MlCompiler {
       case Training if cfg.classImbalance > 1 =>
         val pos = project(unified.filter(col("label") > 0))
         val neg = project(unified.filter(col("label") === 0 &&
-          p90(col("unique_id")) <= (100.0 / cfg.classImbalance)))
+          p90(col("unique_id"), cfg) <= (100.0 / cfg.classImbalance)))
         pos.unionByName(neg)
       case _ => project(unified)
     }
@@ -347,8 +362,8 @@ object MlCompiler {
     val hi = to_timestamp(lit(cfg.suffixHi), "yyyyMMdd") - expr("INTERVAL 1 SECOND")
     var d = fpv.filter(col("trigger_date").between(lo, hi))
     if (cfg.hashSplit && cfg.isClassification) step match {
-      case Training => d = d.filter(p90(col("unique_id")) < 90)
-      case ConversionValues => d = d.filter(p90(col("unique_id")) >= 90)
+      case Training => d = d.filter(p90(col("unique_id"), cfg) < 90)
+      case ConversionValues => d = d.filter(p90(col("unique_id"), cfg) >= 90)
       case Predicting => ()
     }
     finalSelect(d.drop("trigger_date"), cfg, step)

@@ -304,10 +304,11 @@ object Dedup {
       .withColumn("shingles", sort_array(array_distinct(col("shingles"))))
       .withColumn("sh_hashes", transform(col("shingles"), hash32))
 
-    // 32 min-hashes packed into one array column (codegen-friendly minima)
-    val mhArr = array((0 until MinhashPerms).map { j =>
-      array_min(transform(col("sh_hashes"), h => h * permA(j) + permB(j)))
-    }: _*)
+    // all 32 min-hashes in ONE codegen'd pass over the shingle hashes —
+    // the per-permutation transform+array_min spelling interpreted a
+    // lambda per (shingle × permutation) and dominated the pipeline
+    val mhArr = GraftFunctions.affine_minhash(col("sh_hashes"),
+      (0 until MinhashPerms).map(permA), (0 until MinhashPerms).map(permB))
     val withMh = base.select(col("doc_id"), mhArr.as("mh"))
 
     // band keys: hash of the 4 minhashes in each band

@@ -50,6 +50,14 @@ object Ml {
   def mlTrainingRebalanced(s: SparkSession, dir: String): DataFrame =
     MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), cfg(hashSplit = true, imbalance = 4), Training)
 
+  /** The same split + rebalance composition keyed on the md5 hash family,
+    * so the 90/10 split AND the class-rebalance union are hash-checked
+    * end-to-end against DuckDB (the production farm path above stays
+    * rows-only + golden-tested — same strategy as dedup_minhash_lsh_md5). */
+  def mlTrainingRebalancedMd5(s: SparkSession, dir: String): DataFrame =
+    MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir),
+      cfg(hashSplit = true, imbalance = 4).copy(splitHash = MlCompiler.Md5Split), Training)
+
   /** GA-source REGRESSION: label = summed param value, trigger event
     * supplies first_value + trigger_date via inner join, final target is
     * (label − first_value) with first_value kept as a feature. */
@@ -146,6 +154,7 @@ object Ml {
     "ml_training_dataset" -> (mlTrainingDataset _),
     "ml_predict_dataset" -> (mlPredictDataset _),
     "ml_training_rebalanced" -> (mlTrainingRebalanced _),
+    "ml_training_rebalanced_md5" -> (mlTrainingRebalancedMd5 _),
     "ml_conversion_values" -> (mlConversionValues _),
     "ml_variable_discovery" -> (mlVariableDiscovery _),
     "ml_training_regression" -> (mlTrainingRegression _),
@@ -265,7 +274,54 @@ object Ml {
       |    CAST(COALESCE(lab.label, 0) AS DOUBLE) AS label, fe.unique_id
       |  FROM fe LEFT JOIN lab USING (unique_id) JOIN trg USING (unique_id)),""".stripMargin
 
+  private val md5Mod100 =
+    "CAST(CAST('0x' || substring(md5(user_pseudo_id), 1, 8) AS UBIGINT) AS BIGINT) % 100"
+
+  private val trainingCols =
+    """fe.country, fe.region, fe.language, fe.traffic_source,
+      |  fe.traffic_medium, fe.device_type, fe.device_os, fe.device_browser,
+      |  fe.daypart, ab.cnt_error, ab.cnt_view_cpc, ab.cnt_click_k_gt50,
+      |  ab.engagement_time, uv.label""".stripMargin
+
+  private val combinedFp =
+    """
+      |fp AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS unique_id, COUNT(1) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1 HAVING COUNT(1) >= 5),""".stripMargin
+
+  private val combinedUv =
+    """uv AS (
+      |  SELECT CAST(fp.n_events AS BIGINT) AS n_events, fp.total_value,
+      |    lab.date AS trigger_date, CAST(COALESCE(lab.label, 0) AS BIGINT) AS label,
+      |    fe.unique_id
+      |  FROM fe LEFT JOIN lab USING (unique_id) JOIN fp USING (unique_id)),""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ml_training_rebalanced_md5" ->
+      s"""WITH ${duckCoreWith("", s"\n  AND $md5Mod100 < 90", defaultUv)}
+         |SELECT $trainingCols
+         |FROM fe
+         |JOIN ab ON fe.unique_id = ab.unique_id
+         |JOIN uv ON fe.unique_id = uv.unique_id
+         |WHERE uv.label > 0
+         |UNION ALL
+         |SELECT $trainingCols
+         |FROM fe
+         |JOIN ab ON fe.unique_id = ab.unique_id
+         |JOIN uv ON fe.unique_id = uv.unique_id
+         |WHERE uv.label = 0
+         |AND CAST(CAST('0x' || substring(md5(fe.unique_id), 1, 8) AS UBIGINT) AS BIGINT) % 100 <= 25""".stripMargin,
+    "ml_combined_dataset" ->
+      s"""WITH ${duckCoreWith(combinedFp,
+              "\n  AND user_pseudo_id IN (SELECT unique_id FROM fp)", combinedUv)}
+         |SELECT fe.country, fe.region, fe.language, fe.traffic_source,
+         |  fe.traffic_medium, fe.device_type, fe.device_os, fe.device_browser,
+         |  fe.daypart, ab.cnt_error, ab.cnt_view_cpc, ab.cnt_click_k_gt50,
+         |  ab.engagement_time, uv.n_events, uv.total_value, uv.label
+         |FROM fe
+         |JOIN ab ON fe.unique_id = ab.unique_id
+         |JOIN uv ON fe.unique_id = uv.unique_id""".stripMargin,
     "ml_training_regression" ->
       s"""WITH ${duckCoreWith("", "", regressionUv, regressionLab)}
          |SELECT fe.country, fe.region, fe.language, fe.traffic_source,

@@ -24,15 +24,20 @@ object Similarity {
 
   private def dArr(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Index-ordered dot product of two equal-length double arrays. */
+  /** Index-ordered dot product — codegen'd expression
+    * ([[graft.functions.DotF64]]); the higher-order
+    * `aggregate(zip_with(...))` spelling interpreted two lambdas per
+    * element, the dominant cost of these operators. Fold order (array
+    * index) is unchanged, so results are bit-identical. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_f64(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force cosine top-5: queries = vec_id < 10, candidates = rest. */
   def simBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10)
@@ -52,6 +57,7 @@ object Similarity {
     * 8-bit bucket per vector; the bucket histogram is the oracle-checked
     * output. At scale the ANN search becomes an equi-join on this bucket. */
   def simLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
     val anchors = e.filter(col("vec_id") < 8)
@@ -80,6 +86,7 @@ object Similarity {
    * Scale: candidates shuffle on bucket id only; anchors broadcast.
    */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
     val anchors = e.filter(col("vec_id") < 8)
