@@ -25,6 +25,11 @@ object Bench {
     // JVM/codegen warmup on a trivial action so the first query isn't
     // charged for JIT + classloading.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // The date-partitioned events layout is TABLE setup (the analog of the
+    // reference's pre-existing events_* shards), not query work — create
+    // it before the timed loop so it isn't charged to whichever ML query
+    // happens to touch it first.
+    graft.sources.WildcardTable.eventsPath(spark, sfDir)
 
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q1_agg,dedup_...
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

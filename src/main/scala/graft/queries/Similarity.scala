@@ -53,22 +53,37 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Sign-LSH bucketing: 8 anchor vectors (vec_id 0..7, broadcast) give an
-    * 8-bit bucket per vector; the bucket histogram is the oracle-checked
-    * output. At scale the ANN search becomes an equi-join on this bucket. */
+  /** The 8 anchor vectors (vec_id 0..7) as driver-side constants: LSH
+    * hyperplanes are MODEL PARAMETERS, metadata-sized by construction, so
+    * collecting them and folding the bucket computation into a pure
+    * per-row expression removes a crossJoin + aggregation + join-back
+    * chain per reference — which executed TWICE in the self-join
+    * operators (Spark re-executes un-materialized subtrees per branch). */
+  private def anchorVecs(s: SparkSession, dir: String): Seq[Array[Double]] =
+    load(s, dir, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+
+  /** 8-bit sign-LSH bucket of `v` against the anchor constants — a single
+    * codegen'd expression, no join. */
+  private def bucketExpr(v: Column, anchors: Seq[Array[Double]]): Column =
+    anchors.zipWithIndex.map { case (a, j) =>
+      when(dot(v, typedLit(a)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign-LSH bucketing: 8 anchor vectors (vec_id 0..7, driver constants)
+    * give an 8-bit bucket per vector; the bucket histogram is the
+    * oracle-checked output. At scale the ANN search becomes an equi-join
+    * on this bucket. */
   def simLshBuckets(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = load(s, dir, "embeddings")
-      .select(col("vec_id"), dArr(col("embedding")).as("v"))
-    val anchors = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("aid"), col("v").as("av"))
-    e.filter(col("vec_id") >= 8)
-      .crossJoin(broadcast(anchors))
-      .withColumn("bit",
-        when(dot(col("v"), col("av")) > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(aid AS INT))")).otherwise(lit(0L)))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).as("bucket"))
+    val anchors = anchorVecs(s, dir)
+    load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8)
+      .select(col("vec_id"), bucketExpr(dArr(col("embedding")), anchors).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
@@ -87,18 +102,14 @@ object Similarity {
    */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = load(s, dir, "embeddings")
-      .select(col("vec_id"), dArr(col("embedding")).as("v"))
-    val anchors = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("aid"), col("v").as("av"))
-    val buckets = e.filter(col("vec_id") >= 8)
-      .crossJoin(broadcast(anchors))
-      .withColumn("bit",
-        when(dot(col("v"), col("av")) > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(aid AS INT))")).otherwise(lit(0L)))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).as("bucket"))
-      .join(e, "vec_id")
+    val anchors = anchorVecs(s, dir)
+    // bucket is a per-row expression over the scan — the embedding rides
+    // along, so neither a bucket aggregation nor a join-back exists and
+    // each self-join branch is a bare (pruned) scan + project
+    val buckets = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"),
+        bucketExpr(dArr(col("embedding")), anchors).as("bucket"))
     val a = buckets.select(col("bucket"), col("vec_id").as("va"), col("v").as("xa"))
     val b = buckets.select(col("bucket").as("bucket_b"), col("vec_id").as("vb"),
       col("v").as("xb"))
