@@ -35,6 +35,11 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
         (children: Seq[Expression]) => DotF64(children(0), children(1)))
       spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("shingle_set"),
+        new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+        (children: Seq[Expression]) => ShingleSet(children(0),
+          children(1).eval().asInstanceOf[Int]))
+      spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("winnow_fp"),
         new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
         (children: Seq[Expression]) => WinnowFp(children(0),
@@ -61,6 +66,12 @@ object GraftFunctions {
 
   /** Index-ordered dot product of two double arrays (requires register). */
   def dot_f64(a: Column, b: Column): Column = call_function("dot_f64", a, b)
+
+  /** Sorted distinct n-word shingles of a string (requires register). */
+  def shingle_set(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("shingle_set", text, lit(n))
+  }
 
   /** Distinct winnowing fingerprints of a string (requires register). */
   def winnow_fp(text: Column, k: Int, w: Int): Column = {

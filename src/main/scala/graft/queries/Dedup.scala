@@ -19,10 +19,25 @@ import Tables._
  */
 object Dedup {
 
+  /** The documents scan followed by CPU-heavy (interpreted higher-order)
+    * tokenization: spread the raw text across the cluster FIRST — a small
+    * corpus arrives as one file = one task, and every un-materialized
+    * subtree re-executes the construction, so without the repartition the
+    * whole operator serializes on a single core per pass. At scale the
+    * scan has thousands of splits and the one extra narrow shuffle of raw
+    * text is noise. */
+  private def spreadDocs(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    load(s, dir, "documents").repartition(parts, col("doc_id"))
+  }
+
+  /** (doc_id, lang, words): sorted distinct word set per doc, via the
+    * codegen [[GraftFunctions.shingle_set]] kernel (n = 1). Callers must
+    * have called `GraftFunctions.register`. */
   private def docWords(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    spreadDocs(s, dir)
       .select(col("doc_id"), col("lang"),
-        array_distinct(filter(split(col("text"), " "), w => w =!= "")).as("words"))
+        GraftFunctions.shingle_set(col("text"), 1).as("words"))
 
   private val JaccardThreshold = 0.8
 
@@ -69,17 +84,46 @@ object Dedup {
    */
   def dedupJaccardWords(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val dw = docWords(s, dir)
-      .withColumn("words", sort_array(col("words"))) // canonical set form
+    jaccardPairs(docWords(s, dir))
+  }
+
+  /**
+   * Exact 3-word-gram (shingle) Jaccard — the "n-gram Jaccard" member of
+   * the dedup family: same adaptive pair machinery as
+   * [[dedupJaccardWords]], but over each document's distinct shingle set
+   * (word order matters, so reordered boilerplate stops matching). Shingle
+   * vocabularies are combinatorially large, so this exercises the PPJoin
+   * path with highly selective prefixes (per-shingle document frequency is
+   * low even when per-word frequency is degenerate).
+   */
+  def dedupJaccardNgrams(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = spreadDocs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        GraftFunctions.shingle_set(col("text"), 3).as("words"))
+    // a shingle vocabulary is combinatorially larger than the word
+    // vocabulary — it can never fit the 64-bit dense domain, so don't pay
+    // the probe pass
+    jaccardPairs(base, probeDense = false)
+  }
+
+  /** Shared exact-Jaccard pair pipeline over a (doc_id, lang, words)
+    * relation: identical-set collapse, adaptive dense/PPJoin pair
+    * generation, member expansion, intra-group pairs, global order. */
+  private def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true): DataFrame = {
+    val dw = docSets // words arrive canonical (sorted distinct) from shingle_set
 
     // Adaptive gate: probe whether the vocabulary fits the dense domain.
     // Collects at most 65 tokens — metadata-sized at any corpus scale.
-    val probe = dw.select(explode(col("words")).as("w")).distinct()
-      .limit(DenseVocabBits + 1).collect().map(_.getString(0))
+    val probe =
+      if (probeDense)
+        dw.select(explode(col("words")).as("w")).distinct()
+          .limit(DenseVocabBits + 1).collect().map(_.getString(0))
+      else Array.empty[String]
 
     // groups carries (lang, members, nw [, mask|words...]) per unique set
     val (setPairs, groups) =
-      if (probe.length <= DenseVocabBits) densePairs(dw, probe)
+      if (probeDense && probe.length <= DenseVocabBits) densePairs(dw, probe)
       else ppjoinPairs(dw)
 
     // expand qualifying set pairs to all member doc pairs (distinct sets
@@ -121,10 +165,16 @@ object Dedup {
     val bitValue = typedLit(vocab.sorted.zipWithIndex.map { case (t, i) => t -> (1L << i) }.toMap)
     val maskExpr = aggregate(transform(col("words"), w => element_at(bitValue, w)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+    // persisted: the collapsed universe feeds the cardinality probe, both
+    // join sides, and the intra-group expansion — without it the whole
+    // scan+groupBy chain re-executes per consumer (the universe is orders
+    // of magnitude smaller than the corpus, so this is metadata-sized
+    // relative to the input; MEMORY_AND_DISK spills rather than OOMs)
     val g = dw
       .groupBy(col("lang"), maskExpr.as("mask"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("nw", bit_count(col("mask")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (g.count() > DenseSetsCap) return ppjoinPairs(dw)
 
     val parts = dw.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
@@ -145,12 +195,17 @@ object Dedup {
   /** General-vocabulary path: PPJoin prefix index + sorted-merge verify. */
   private def ppjoinPairs(dw: DataFrame): (DataFrame, DataFrame) = {
     // unique (lang, word-set) groups; members sorted so intra-group pair
-    // generation emits da < db without an extra comparison
+    // generation emits da < db without an extra comparison.
+    // persisted: four consumers (token explode, prefix build, both verify
+    // sides, member expansion) would otherwise each re-run the full
+    // scan+shingle+groupBy chain — column pruning differentiates the
+    // subtrees, so Catalyst's exchange reuse cannot deduplicate them
     val sets = dw
       .groupBy(col("lang"), col("words"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("sid", md5(concat_ws("\u0001", col("lang"), concat_ws(" ", col("words")))))
       .withColumn("nw", size(col("words")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("sid"), col("lang"), col("nw"), explode(col("words")).as("w"))
     // global token rarity over unique sets; plain shuffle join (never broadcast)
     val dfreq = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -208,6 +263,7 @@ object Dedup {
   /** SimHash document signatures: per-bit majority vote over word hashes.
     * One explode + one agg — linear, map-side combinable. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val ex = docWords(s, dir)
       .select(col("doc_id"), explode(col("words")).as("w"))
       .withColumn("h", wordHash32(col("w")))
@@ -294,14 +350,9 @@ object Dedup {
   private def minhashLshPipeline(s: SparkSession, dir: String,
       hash32: Column => Column, bandKey: Seq[Column] => Column): DataFrame = {
     GraftFunctions.register(s)
-    val base = load(s, dir, "documents")
+    val base = spreadDocs(s, dir)
       .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("words"))
-      .withColumn("shingles",
-        when(size(col("words")) < 3, array(concat_ws(" ", col("words"))))
-          .otherwise(transform(sequence(lit(1), size(col("words")) - 2),
-            i => concat_ws(" ", col("words")(i - 1), col("words")(i), col("words")(i + 1)))))
-      .withColumn("shingles", sort_array(array_distinct(col("shingles"))))
+        GraftFunctions.shingle_set(col("text"), 3).as("shingles"))
       .withColumn("sh_hashes", transform(col("shingles"), hash32))
 
     // all 32 min-hashes in ONE codegen'd pass over the shingle hashes —
@@ -358,6 +409,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_words" -> (dedupJaccardWords _),
+    "dedup_jaccard_ngrams" -> (dedupJaccardNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_lsh_md5" -> (dedupMinhashLshMd5 _))
@@ -418,6 +470,29 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_jaccard_ngrams" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS words
+        |  FROM documents),
+        |dw AS (
+        |  SELECT doc_id, lang, list_distinct(
+        |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |    ELSE list_transform(generate_series(1, len(words) - 2),
+        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END) AS words
+        |  FROM w0),
+        |cnt AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nw FROM dw),
+        |ex AS (SELECT doc_id, lang, unnest(words) AS w FROM dw),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS inter
+        |  FROM ex a JOIN ex b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, inter,
+        |  inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE AS jac
+        |FROM pairs
+        |JOIN cnt ca ON da = ca.doc_id
+        |JOIN cnt cb ON db = cb.doc_id
+        |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8
+        |ORDER BY da, db""".stripMargin,
     "dedup_jaccard_words" ->
       """WITH dw AS (
         |  SELECT doc_id, lang,

@@ -77,6 +77,48 @@ class KernelExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.isNullAt(0))
   }
 
+  test("shingle_set equals the filter/split/transform/concat_ws spelling") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(13)
+    val vocab = Array("the", "cat", "sat", "on", "a", "mat", "zz", "été")
+    val rows = (1 to 300).map { i =>
+      // random word runs with random space runs (1-3 spaces) between them
+      val n = rng.nextInt(8)
+      val sep = () => " " * (1 + rng.nextInt(3))
+      (i.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.length)))
+        .mkString(sep(), sep(), sep()))
+    } :+ ((0L, ""))
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val ref3 = sort_array(array_distinct(
+      when(size(col("words")) < 3, array(concat_ws(" ", col("words"))))
+        .otherwise(transform(sequence(lit(1), size(col("words")) - 2),
+          i => concat_ws(" ", col("words")(i - 1), col("words")(i), col("words")(i + 1))))))
+    val ref1 = sort_array(array_distinct(col("words")))
+    val df = rows.toDF("id", "text")
+      .withColumn("words", words)
+      .withColumn("ref3", ref3)
+      .withColumn("mine3", GraftFunctions.shingle_set(col("text"), 3))
+      .withColumn("ref1", ref1)
+      .withColumn("mine1", GraftFunctions.shingle_set(col("text"), 1))
+    assert(df.filter(col("mine3") =!= col("ref3") || col("mine1") =!= col("ref1"))
+      .count() == 0)
+  }
+
+  test("shingle_set: null propagates; empty text -> [''] for n>1, [] for n=1") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT shingle_set(CAST(NULL AS STRING), 3) AS nul,
+        |       shingle_set('   ', 3) AS blank3,
+        |       shingle_set('   ', 1) AS blank1,
+        |       shingle_set('a b', 3) AS short3
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0))
+    assert(r.getSeq[String](1) == Seq(""))
+    assert(r.getSeq[String](2) == Seq.empty)
+    assert(r.getSeq[String](3) == Seq("a b"))
+  }
+
   test("dot_f64 equals the aggregate(zip_with) spelling bit-for-bit") {
     import spark.implicits._
     GraftFunctions.register(spark)
