@@ -89,6 +89,52 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  private val IvfNprobe = 2
+
+  /**
+   * IVF (inverted-file) ANN top-5: the coarse quantizer is the 8 centroid
+   * vectors (vec_id 0..7, injected driver-side constants — FAISS-style
+   * externally-trained centroids); every candidate vector is assigned to
+   * its nearest centroid (argmax cosine), forming inverted lists keyed by
+   * centroid id; each query probes its [[IvfNprobe]] nearest lists and
+   * exact-ranks only those candidates.
+   *
+   * Scale design vs [[simBruteforceTopk]]'s O(|C|·|Q|) scan: assignment is
+   * a per-row codegen expression over the scan (no join — centroids are
+   * model parameters, metadata-sized); the probe is an equi-join on
+   * centroid id, so the work shrinks to |C|·nprobe/K and shuffles on the
+   * list key — at 100 TB the candidate side would be bucketed by `cid` so
+   * repeated queries join without re-shuffling the corpus.
+   */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = anchorVecs(s, dir)
+    // (dot, -j) structs: max picks the highest dot, ties the SMALLEST j —
+    // matching the oracle's ORDER BY d DESC, cid ASC
+    def simsArr(v: Column): Column = array(cents.zipWithIndex.map { case (c, j) =>
+      struct(dot(v, typedLit(c)).as("d"), lit(-j).as("nj"))
+    }: _*)
+
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val cands = e.filter(col("vec_id") >= 18)
+      .select(col("vec_id"), col("v"),
+        (-array_max(simsArr(col("v"))).getField("nj")).as("cid"))
+    val probes = e.filter(col("vec_id").between(8, 17))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(slice(reverse(array_sort(simsArr(col("v")))), 1, IvfNprobe)).as("p"))
+      .select(col("qid"), col("qv"), (-col("p.nj")).as("cid"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    probes.join(cands, "cid")
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Near-dup threshold for the synthetic label-cluster embeddings; real
     * dedup corpora would sit near 0.95 — the plan is threshold-agnostic. */
   private val CosineDupThreshold = 0.35
@@ -123,6 +169,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
+    "sim_ivf_topk" -> (simIvfTopk _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +201,49 @@ object Similarity {
         |    CAST(SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << CAST(aid AS INT) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM dots GROUP BY vec_id)
         |SELECT bucket, COUNT(1) AS n FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "sim_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id BETWEEN 8 AND 17),
+        |c AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 18),
+        |cdots AS (
+        |  SELECT c.vec_id, cent.cid0, SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS d
+        |  FROM c, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cid0 AS cid FROM (
+        |    SELECT vec_id, cid0,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid0) AS rn
+        |    FROM cdots)
+        |  WHERE rn = 1),
+        |qdots AS (
+        |  SELECT qid, cent.cid0, SUM(cv[i]::DOUBLE * qv[i]::DOUBLE) AS d
+        |  FROM q, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT qid, cid0 AS cid FROM (
+        |    SELECT qid, cid0,
+        |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid0) AS rn
+        |    FROM qdots)
+        |  WHERE rn <= 2),
+        |pairs AS (
+        |  SELECT p.qid, a.vec_id AS neighbor,
+        |    SUM(q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE) AS d,
+        |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS qq,
+        |    SUM(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE) AS cc
+        |  FROM probes p
+        |  JOIN assign a USING (cid)
+        |  JOIN q ON p.qid = q.qid
+        |  JOIN c ON a.vec_id = c.vec_id,
+        |  generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, neighbor, d / (sqrt(qq) * sqrt(cc)) AS sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
+        |  FROM pairs)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, round(sim, 6) AS sim
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),
