@@ -160,4 +160,67 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(posRebal == posFull, "rebalance must keep all positives")
     assert(negRebal <= negFull, "rebalance must not add negatives")
   }
+
+  test("MlCompiler: every comparison operator matches an explode-based re-computation") {
+    // The oracle-checked configs only exercise Equal/Greater; this pins the
+    // remaining VariableComparison semantics (compiler.py comparisons:
+    // regex, not-equal, less[-or-equal], greater-or-equal) by recomputing
+    // each counter with an independent explode+conditional-agg spelling
+    // (exists-probe and explode agree because param keys are unique per
+    // event).
+    GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ga4 = graft.queries.Ga4.ga4Events(spark, dir)
+    import MlCompiler._
+    val feats = Seq(
+      GaFeature("view", key = "medium", cmp = Regex("^(cpc|organic)$"),
+        description = "med_re"),
+      GaFeature("click", key = "m", cmp = Less, value = "30", description = "m_lt30"),
+      GaFeature("view", key = "m", cmp = GreaterOrEqual, value = "10",
+        description = "m_ge10"),
+      GaFeature("click", key = "medium", cmp = NotEqual, value = "cpc",
+        valueIsString = true, description = "med_ne"),
+      GaFeature("error", key = "k", cmp = LessOrEqual, value = "40",
+        description = "k_le40"))
+    val c = MlModel(
+      isClassification = true, uniqueId = "user_pseudo_id",
+      features = feats, label = GaLabel("purchase", "k"),
+      suffixLo = "20240101", suffixHi = "20240130",
+      classImbalance = 1, hashSplit = false, engagementEvent = "view")
+    val ev = eventsCte(ga4, c, Training)
+    val uv = analyticsVariables(ev, firstEngagement(ev, c), c)
+    val got = aggregateBehavior(ev, uv, c)
+      .select(col("unique_id"), col("cnt_med_re"), col("cnt_m_lt30"),
+        col("cnt_m_ge10"), col("cnt_med_ne"), col("cnt_k_le40"))
+
+    // independent spelling: explode params, conditional aggregation
+    val p = col("p")
+    val str = coalesce(p.getField("value").getField("string_value"),
+      p.getField("value").getField("int_value").cast("string"))
+    // try_cast (not cast): codegen hoists this subexpression over ALL
+    // exploded params incl. non-numeric strings; the library's exists-probe
+    // only evaluates it on key-matched elements (where values are numeric,
+    // so try_cast == cast and the equivalence is unaffected)
+    val wide = coalesce(expr("try_cast(p.value.string_value AS double)"),
+      p.getField("value").getField("int_value").cast("double"),
+      p.getField("value").getField("float_value"),
+      p.getField("value").getField("double_value"))
+    def cnt(name: String, key: String, pred: org.apache.spark.sql.Column) =
+      sum(when(col("name") === name && p.getField("key") === key && pred, 1L)
+        .otherwise(0L))
+    val exp = ev.join(uv, Seq("unique_id"))
+      .filter((col("label") > 0 && col("date") <= col("trigger_date")) || col("label") === 0)
+      .select(col("unique_id"), col("name"), explode(col("params")).as("p"))
+      .groupBy(col("unique_id"))
+      .agg(
+        cnt("view", "medium", p.getField("value").getField("string_value")
+          .rlike("^(cpc|organic)$")).as("cnt_med_re"),
+        cnt("click", "m", wide < 30.0).as("cnt_m_lt30"),
+        cnt("view", "m", wide >= 10.0).as("cnt_m_ge10"),
+        cnt("click", "medium", str =!= "cpc").as("cnt_med_ne"),
+        cnt("error", "k", wide <= 40.0).as("cnt_k_le40"))
+    assert(got.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty,
+      "exists-probe counters diverge from the explode spelling")
+  }
 }
