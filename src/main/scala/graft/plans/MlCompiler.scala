@@ -283,6 +283,19 @@ object MlCompiler {
     firstParty.foreach { fpv =>
       ev = ev.join(fpv.select(col("unique_id")), Seq("unique_id"), "left_semi")
     }
+    // Hash-partition the window slice ONCE on the key every downstream
+    // groupBy / window / join uses, and persist it: first_engagement,
+    // analytics_variables (label + trigger), and aggregate_behavior each
+    // consume `ev` — without this, the scan+filter subtree re-executes per
+    // consumer and each one re-shuffles on unique_id. The persisted slice
+    // is the suffix-window events selection — the same relation the
+    // reference materializes as its `events` CTE inside one BigQuery
+    // query; MEMORY_AND_DISK spills instead of OOMing at scale. The
+    // explicit repartition also survives AQE (a coalesced tiny exchange
+    // would serialize the window/agg work on one core).
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    ev = ev.repartition(parts, col("unique_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fe = firstEngagement(ev, cfg)
     val av = analyticsVariables(ev, fe, cfg)
     val uv = firstParty match {
