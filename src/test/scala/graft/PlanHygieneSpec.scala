@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression net over EVERY driver-contract query: the two
+ * scale-killers past rounds fought — unpartitioned windows ("WindowExec:
+ * No Partition Defined" moves the whole relation to one task) and
+ * accidental cartesian joins — must never reappear. Checks the OPTIMIZED
+ * logical plan, so a `Window.partitionBy(lit(0))` that constant-folds
+ * away is caught even though the source reads as partitioned.
+ *
+ * Deliberate exceptions are narrow:
+ *  - `sim_bruteforce_topk`'s query⨯candidate crossJoin is the documented
+ *    O(|C|·|Q|) contract with a BROADCAST small side (and `sim_ivf_topk`
+ *    exists as the non-cross scale path);
+ *  - windows whose partition key is `Tables.zeroPart` (pmod over a
+ *    data-derived length) run on metadata-sized post-aggregation inputs —
+ *    they survive constant folding, so partitionSpec stays non-empty and
+ *    they pass the check by construction.
+ */
+class PlanHygieneSpec extends AnyFunSuite with SparkFixture {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val crossJoinAllowed = Set("sim_bruteforce_topk")
+
+  private def collectPlan(p: LogicalPlan): Seq[LogicalPlan] =
+    (p +: p.children.flatMap(collectPlan)) ++ p.subqueries.flatMap(collectPlan)
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name: no unpartitioned window, no cartesian join (optimized plan)") {
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan
+      val nodes = collectPlan(plan)
+
+      val badWindows = nodes.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(badWindows.isEmpty,
+        s"$name has ${badWindows.size} unpartitioned Window node(s) — " +
+          "single-partition execution at scale")
+
+      if (!crossJoinAllowed(name)) {
+        val crosses = nodes.collect {
+          case j: Join if j.joinType == Cross || j.condition.isEmpty => j
+        }
+        assert(crosses.isEmpty,
+          s"$name has ${crosses.size} cartesian/condition-less join(s)")
+      }
+    }
+  }
+}
