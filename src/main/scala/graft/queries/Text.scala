@@ -61,24 +61,39 @@ object Text {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** Sorted-distinct word set via the codegen kernel — identical output to
+    * `sort_array(array_distinct(words(c)))`, whose interpreted per-token
+    * lambdas dominated the fingerprint scans. */
+  private def wordSet(s: SparkSession, c: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.shingle_set(c, 1)
+  }
+
   /** Document fingerprinting: md5 content hash + bag-of-words hash (the
     * normalization-invariant near-dup key). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
         md5(col("text")).as("content_fp"),
-        md5(concat_ws(" ", sort_array(array_distinct(words(col("text")))))).as("bow_fp"))
+        md5(concat_ws(" ", wordSet(s, col("text")))).as("bow_fp"))
       .orderBy(col("doc_id"))
 
-  /** Bag-of-words fingerprint dedup: one keeper per identical word set. */
-  def dedupBowFp(s: SparkSession, dir: String): DataFrame =
+  /** Bag-of-words fingerprint dedup: one keeper per identical word set.
+    * The scan is spread before the CPU-heavy tokenize+hash projection — a
+    * small corpus arrives as one file split, which would serialize the
+    * kernel on one core (at scale the scan has thousands of splits and the
+    * narrow repartition of raw text is noise). */
+  def dedupBowFp(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     docs(s, dir)
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", sort_array(array_distinct(words(col("text")))))).as("bow_fp"))
+        md5(concat_ws(" ", wordSet(s, col("text")))).as("bow_fp"))
       .groupBy(col("bow_fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .orderBy(col("bow_fp"))
+  }
 
   private val WinnowK = 8 // character k-gram length
   private val WinnowW = 4 // winnowing window (grams per window)
