@@ -53,7 +53,11 @@ object Bench {
 
     val results = timed
       .map { case (name, fn) =>
-      // benchmark hygiene: don't charge query N for query N-1's garbage
+      // benchmark hygiene: each query is measured standalone — drop
+      // previous queries' persisted intermediates (they'd otherwise
+      // accumulate in executor storage across the run and evict/thrash
+      // late queries) and don't charge query N for query N-1's garbage
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val secs =
