@@ -14,36 +14,39 @@ import org.apache.spark.sql.functions.call_function
  */
 object GraftFunctions {
 
+  /** The full custom-expression surface as (identifier, info, builder)
+    * triples — one list shared by session-level [[register]] and the
+    * cluster-wide [[graft.GraftExtensions]] injection path, so the two can
+    * never drift. */
+  val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("farm_fingerprint"),
+      new ExpressionInfo(classOf[FarmFingerprint].getName, "farm_fingerprint"),
+      (children: Seq[Expression]) => FarmFingerprint(children.head)),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))),
+    (FunctionIdentifier("affine_minhash"),
+      new ExpressionInfo(classOf[AffineMinHash].getName, "affine_minhash"),
+      (children: Seq[Expression]) => AffineMinHash(children(0),
+        children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+        children(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())),
+    (FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      (children: Seq[Expression]) => DotF64(children(0), children(1))),
+    (FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (children: Seq[Expression]) => ShingleSet(children(0),
+        children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (children: Seq[Expression]) => WinnowFp(children(0),
+        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+
   def register(spark: SparkSession): Unit = {
     if (!isRegistered(spark)) {
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("farm_fingerprint"),
-        new ExpressionInfo(classOf[FarmFingerprint].getName, "farm_fingerprint"),
-        (children: Seq[Expression]) => FarmFingerprint(children.head))
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("sorted_intersect_size"),
-        new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-        (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("affine_minhash"),
-        new ExpressionInfo(classOf[AffineMinHash].getName, "affine_minhash"),
-        (children: Seq[Expression]) => AffineMinHash(children(0),
-          children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
-          children(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("dot_f64"),
-        new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
-        (children: Seq[Expression]) => DotF64(children(0), children(1)))
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("shingle_set"),
-        new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
-        (children: Seq[Expression]) => ShingleSet(children(0),
-          children(1).eval().asInstanceOf[Int]))
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("winnow_fp"),
-        new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
-        (children: Seq[Expression]) => WinnowFp(children(0),
-          children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int]))
+      builders.foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
     }
   }
 

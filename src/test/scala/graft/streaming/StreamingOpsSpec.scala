@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import StreamingOps._
+
+/**
+ * Event-time streaming semantics, proven against the batch twins: feed
+ * rows through MemoryStream micro-batches, advance the watermark with a
+ * late sentinel event, and the emitted (append-mode) results must equal
+ * the batch computation over the same rows.
+ */
+class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("hourlyCounts: watermark closes hour windows; counts match batch groupBy") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = hourlyCounts(in.toDF()).writeStream
+      .format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      // two events in hour 0, one in hour 1, arriving across two batches
+      in.addData(StreamEvent(1, ts(5), "view", 1.0), StreamEvent(2, ts(40), "click", 2.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(1, ts(70), "view", 4.0))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (max event time − 2 h) hasn't passed
+      // the end of hour 0
+      assert(s.table("hourly").count() == 0)
+      // sentinel 4 hours later pushes the watermark past hours 0 and 1
+      in.addData(StreamEvent(9, ts(250), "view", 0.0))
+      q.processAllAvailable()
+      val rows = s.table("hourly").orderBy("hour_start")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((ts(0), 2L, 3.0), (ts(60), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap split + watermark timeout match the batch session logic") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at minute 0 and 10 (one session), then minute 50
+      // (>30 min gap → closes the first session on arrival)
+      in.addData(StreamEvent(1, ts(0), "view", 1.0), StreamEvent(1, ts(10), "view", 2.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(1, ts(50), "view", 4.0))
+      q.processAllAvailable()
+      val afterGap = s.table("sessions").as[Session].collect()
+      assert(afterGap.toSeq == Seq(Session(1, ts(0), ts(10), 2, 3.0)))
+
+      // user 2's far-future event advances the watermark beyond user 1's
+      // open session end + gap → event-time timeout emits it
+      in.addData(StreamEvent(2, ts(600), "view", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(2, ts(610), "view", 0.0)) // second batch so the new watermark takes effect
+      q.processAllAvailable()
+      val all = s.table("sessions").as[Session].collect().sortBy(x => (x.user_id, x.session_start.getTime))
+      assert(all.contains(Session(1, ts(50), ts(50), 1, 4.0)),
+        s"open session should have timed out; got ${all.toSeq}")
+    } finally q.stop()
+  }
+
+  test("dedupByFingerprint: repeats within the watermark horizon are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = dedupByFingerprint(docs).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      // doc 2 is a word-permuted duplicate of doc 1 (same word set); doc 3 unique
+      in.addData((1L, ts(0), "the quick brown fox"), (2L, ts(1), "brown fox the quick"),
+        (3L, ts(2), "something else entirely"))
+      q.processAllAvailable()
+      val ids = s.table("deduped").select("doc_id").as[Long].collect().sorted
+      assert(ids.length == 2 && ids.contains(3L))
+      assert(ids.min == 1L || ids.min == 2L) // exactly one of the dup pair survives
+    } finally q.stop()
+  }
+}
