@@ -25,9 +25,24 @@ object Scratch {
       r
     }
 
-    val df = time("construct") { graft.queries.Dedup.dedupJaccardNgrams(spark, sfDir) }
-    time("noop") { df.write.format("noop").mode("overwrite").save() }
-    time("noop 2nd") { df.write.format("noop").mode("overwrite").save() }
+    graft.sources.WildcardTable.eventsPath(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val ga4 = time("ga4 build") { graft.queries.Ga4.ga4EventsPartitioned(spark, sfDir) }
+    val cfgM = graft.plans.MlCompiler.MlModel(
+      isClassification = true, uniqueId = "user_pseudo_id",
+      features = Seq(graft.plans.MlCompiler.GaFeature("error")),
+      label = graft.plans.MlCompiler.GaLabel("purchase", "k"),
+      suffixLo = "20240105", suffixHi = "20240125",
+      classImbalance = 1, hashSplit = false, engagementEvent = "view")
+    val ds = time("dataset construct") {
+      graft.plans.MlCompiler.dataset(spark, ga4, cfgM, graft.plans.MlCompiler.Predicting) }
+    time("dataset noop") { ds.write.format("noop").mode("overwrite").save() }
+    val preds = ds.select(col("unique_id"), col("label"),
+      ((col("unique_id").cast("long") * 2654435761L % 1000003L) / lit(1000003.0))
+        .as("probability"))
+    val cv = time("conversionValues construct") {
+      graft.plans.MlCompiler.conversionValues(spark, preds, cfgM) }
+    time("cv noop") { cv.write.format("noop").mode("overwrite").save() }
     spark.stop()
   }
 }

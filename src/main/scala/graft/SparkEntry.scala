@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.Arrays.queries ++
       graft.queries.Text.queries ++
       graft.queries.Dedup.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.Ga4.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
       graft.queries.Arrays.oracle ++
       graft.queries.Text.oracle ++
       graft.queries.Dedup.oracle ++
+      graft.queries.Curation.oracle ++
       graft.queries.Similarity.oracle ++
       graft.queries.Multimodal.oracle ++
       graft.queries.Ga4.oracle ++

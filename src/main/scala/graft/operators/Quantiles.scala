@@ -55,7 +55,13 @@ object Quantiles {
       rankCol: String, totalCol: String): DataFrame = {
     val parts = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(df.rdd.getNumPartitions)
-    val ranged = df.repartitionByRange(parts, order: _*)
+    // `repartitionByRange` runs a range-boundary SAMPLING job before the
+    // shuffle — without this persist the entire upstream plan (here often
+    // an expensive multi-join composition) executes twice, once for the
+    // sampler and once for the real pass. The input cache lives only until
+    // the ranged relation is materialized below.
+    val cachedIn = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = cachedIn.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
@@ -64,6 +70,7 @@ object Quantiles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    cachedIn.unpersist(false) // ranged is materialized; the input cache is done
     val offsets = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toMap
     val total = cnts.map(_._2).sum
     ranged

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+import Tables._
+
+/**
+ * Corpus-curation operators (builder brief §dedup/§text): the pieces that
+ * turn pairwise near-dup detection into an actual training-data pipeline —
+ * canonical-document selection via connected components over the dup-pair
+ * graph, deterministic stratified sampling for mix control, and the
+ * composed filter→dedup→sample→account job a data-curation run executes
+ * end-to-end.
+ *
+ * Scale design:
+ *  - Components run as iterative min-label propagation over hash-partitioned
+ *    (doc_id) joins — the standard DataFrame formulation of large-graph CC
+ *    (each round is one shuffle join + map-side-combinable min agg; the
+ *    driver sees only a per-round convergence scalar, never row data). Dup
+ *    graphs are near-cliques, so rounds ≈ 2-3; for adversarially long chains
+ *    the alternation of large-star/small-star (Kiveris et al., "Connected
+ *    Components in MapReduce") bounds rounds at O(log n) — noted for the
+ *    1000-executor path, not needed for dup clusters.
+ *  - Stratified sampling is a pure scan-local predicate (md5-mod on the id,
+ *    rate by stratum) — zero shuffle, reproducible across engines and runs.
+ */
+object Curation {
+
+  /** Convergence backstop: dup-cluster graphs converge in 2-3 rounds;
+    * anything near this cap signals a pathological chain (switch to
+    * star-contraction before raising it). */
+  private val MaxIters = 25
+
+  /**
+   * Connected components by iterative min-label propagation.
+   *
+   * @param allDocs one row per node: (doc_id)
+   * @param pairs   undirected edges as (da, db)
+   * @return (doc_id, comp) where comp = min doc_id reachable (incl. self)
+   */
+  def connectedComponents(allDocs: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = allDocs.sparkSession
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    // both directions once, co-partitioned on the probe key of the
+    // per-round join; persisted — every round re-reads it
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .repartition(parts, col("dst"))
+      .persist(MEMORY_AND_DISK)
+    var labels = allDocs.select(col("doc_id"), col("doc_id").as("comp"))
+      .repartition(parts, col("doc_id"))
+      .persist(MEMORY_AND_DISK)
+    // labels only ever decrease, so Σcomp strictly decreases until the
+    // fixpoint — a single map-side-combinable agg per round is the whole
+    // convergence protocol (exact DECIMAL so no precision-induced early stop)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < MaxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src")).agg(min(col("dcomp")).as("nbr_comp"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .repartition(parts, col("doc_id"))
+        .persist(MEMORY_AND_DISK)
+      val sumNow = labelSum(next)
+      labels.unpersist(false)
+      labels = next
+      done = sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /**
+   * Canonical-document selection over the near-dup graph: connected
+   * components of the exact same-lang Jaccard pairs (J ≥ 0.8), each doc
+   * labelled with its cluster id (the cluster's min doc_id), cluster size,
+   * and whether it is the cluster's canonical representative — the doc a
+   * curation run keeps.
+   */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir), ordered = false)
+      .select(col("da"), col("db"))
+    val comp = connectedComponents(docs, pairs)
+    val sz = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sz, "comp")
+      .select(col("doc_id"), col("comp").as("comp_id"), col("cluster_size"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic md5-mod-100 bucket of an id — the cross-engine
+    * reproducible sampling hash (same family as the ML split). */
+  private def md5Mod100(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** Per-language keep rates (percent) for the training-mix sample:
+    * over-sample English, mid-weight the European languages, down-sample
+    * the rest. */
+  private def sampleRate(lang: Column): Column =
+    when(lang === "en", 70).when(lang.isin("de", "fr"), 40).otherwise(20)
+
+  /**
+   * Stratified sampling for training-mix control: keep a deterministic
+   * per-language fraction of the corpus (md5-mod bucket < stratum rate).
+   * Pure scan-local predicate — no shuffle, no state; the same rows are
+   * kept on every engine and every run.
+   */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .filter(md5Mod100(col("doc_id")) < sampleRate(col("lang")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /**
+   * The composed curation job: quality filter (≥ 6 words — drop 'low') →
+   * exact near-dup removal (keep the min-doc_id owner of each bag-of-words
+   * fingerprint) → stratified sample → per-language accounting of what
+   * survived. One linear pipeline — scan, one groupBy on the fingerprint,
+   * one final agg — the shape a 100 TB curation pass must have.
+   */
+  def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    val toks = load(s, dir, "documents")
+      .repartition(parts, col("doc_id")) // spread the CPU-heavy tokenize (see Text.dedupBowFp)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws"),
+        md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1))).as("bow_fp"))
+    val keeper = toks.groupBy(col("bow_fp")).agg(min(col("doc_id")).as("keeper"))
+    toks.join(keeper, "bow_fp")
+      .filter(col("doc_id") === col("keeper") &&
+        col("n_ws") >= 6 &&
+        md5Mod100(col("doc_id")) < sampleRate(col("lang")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents _),
+    "sample_stratified" -> (sampleStratified _),
+    "pipeline_curation" -> (pipelineCuration _))
+
+  /** md5-mod-100 in DuckDB dialect. */
+  private def duckMd5Mod100(c: String): String =
+    s"CAST(CAST('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100"
+
+  private val duckRate =
+    "CASE lang WHEN 'en' THEN 70 WHEN 'de' THEN 40 WHEN 'fr' THEN 40 ELSE 20 END"
+
+  /** Transitive closure of the Jaccard pair graph → per-doc min label
+    * (DuckDB recursive CTE; the Spark side computes the same fixpoint by
+    * distributed propagation). */
+  private val duckComp =
+    s"""pairsq AS (${Dedup.jaccardWordsPairsSql}),
+       |edges AS (SELECT da AS s, db AS d FROM pairsq UNION ALL SELECT db, da FROM pairsq),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |minr AS (SELECT s AS doc_id, MIN(d) AS mind FROM reach GROUP BY s),
+       |comp AS (
+       |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mind, d.doc_id)) AS comp_id
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN minr m USING (doc_id))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_components" ->
+      s"""WITH RECURSIVE $duckComp,
+         |sz AS (SELECT comp_id, COUNT(1) AS cluster_size FROM comp GROUP BY comp_id)
+         |SELECT c.doc_id, c.comp_id, sz.cluster_size,
+         |  c.doc_id = c.comp_id AS is_canonical
+         |FROM comp c JOIN sz USING (comp_id)
+         |ORDER BY c.doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${duckMd5Mod100("doc_id")} < $duckRate
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_curation" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_ws,
+         |    md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS bow_fp
+         |  FROM documents),
+         |keep AS (
+         |  SELECT *, MIN(doc_id) OVER (PARTITION BY bow_fp) AS keeper FROM toks)
+         |SELECT lang, COUNT(1) AS n_docs,
+         |  CAST(SUM(n_ws) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM keep
+         |WHERE doc_id = keeper AND n_ws >= 6
+         |AND ${duckMd5Mod100("doc_id")} < $duckRate
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+}

@@ -34,7 +34,7 @@ object Dedup {
   /** (doc_id, lang, words): sorted distinct word set per doc, via the
     * codegen [[GraftFunctions.shingle_set]] kernel (n = 1). Callers must
     * have called `GraftFunctions.register`. */
-  private def docWords(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docWords(s: SparkSession, dir: String): DataFrame =
     spreadDocs(s, dir)
       .select(col("doc_id"), col("lang"),
         GraftFunctions.shingle_set(col("text"), 1).as("words"))
@@ -110,7 +110,8 @@ object Dedup {
   /** Shared exact-Jaccard pair pipeline over a (doc_id, lang, words)
     * relation: identical-set collapse, adaptive dense/PPJoin pair
     * generation, member expansion, intra-group pairs, global order. */
-  private def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true): DataFrame = {
+  private[queries] def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true,
+      ordered: Boolean = true): DataFrame = {
     val dw = docSets // words arrive canonical (sorted distinct) from shingle_set
 
     // Adaptive gate: probe whether the vocabulary fits the dense domain.
@@ -143,9 +144,9 @@ object Dedup {
       .select(col("p.da").as("da"), col("p.db").as("db"), col("nw").as("inter"),
         (col("nw").cast("double") / col("nw").cast("double")).as("jac"))
 
-    cross.unionByName(intra)
+    val pairs = cross.unionByName(intra)
       .select(col("da"), col("db"), col("inter"), col("jac"))
-      .orderBy(col("da"), col("db"))
+    if (ordered) pairs.orderBy(col("da"), col("db")) else pairs
   }
 
   /** Dense path: the ≤64-token vocabulary becomes a literal token→bit-value
@@ -469,6 +470,27 @@ object Dedup {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** The exact same-lang word-set Jaccard pair query WITHOUT the final
+    * ordering, shared with [[Curation]]'s connected-components oracle
+    * (which embeds it as a CTE). */
+  private[queries] val jaccardWordsPairsSql: String =
+    """WITH dw AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS words
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nw FROM dw),
+      |ex AS (SELECT doc_id, lang, unnest(words) AS w FROM dw),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS inter
+      |  FROM ex a JOIN ex b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, inter,
+      |  inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE AS jac
+      |FROM pairs
+      |JOIN cnt ca ON da = ca.doc_id
+      |JOIN cnt cb ON db = cb.doc_id
+      |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_jaccard_ngrams" ->
       """WITH w0 AS (
@@ -493,24 +515,7 @@ object Dedup {
         |JOIN cnt cb ON db = cb.doc_id
         |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8
         |ORDER BY da, db""".stripMargin,
-    "dedup_jaccard_words" ->
-      """WITH dw AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS words
-        |  FROM documents),
-        |cnt AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nw FROM dw),
-        |ex AS (SELECT doc_id, lang, unnest(words) AS w FROM dw),
-        |pairs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS inter
-        |  FROM ex a JOIN ex b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT da, db, inter,
-        |  inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE AS jac
-        |FROM pairs
-        |JOIN cnt ca ON da = ca.doc_id
-        |JOIN cnt cb ON db = cb.doc_id
-        |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8
-        |ORDER BY da, db""".stripMargin,
+    "dedup_jaccard_words" -> (jaccardWordsPairsSql + "\nORDER BY da, db"),
     "dedup_simhash" -> simhashOracle,
     "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle)
 }

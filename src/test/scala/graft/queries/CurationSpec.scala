@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Direct semantics tests for the curation operators: the components
+ * fixpoint on adversarial graph shapes (the DuckDB oracle only sees the
+ * dup graphs the corpus happens to contain), and the determinism of the
+ * stratified sample.
+ */
+class CurationSpec extends AnyFunSuite with SparkFixture {
+
+  private def components(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val docs = spark.createDataFrame(nodes.map(Tuple1(_))).toDF("doc_id")
+    val pairs = if (edges.isEmpty)
+      spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("da", "db")
+    else spark.createDataFrame(edges).toDF("da", "db")
+    Curation.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents: chain needs multi-hop propagation") {
+    // 5-4-3-2-1 chain: min label must travel 4 hops
+    val got = components(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents: separate clusters and singletons stay apart") {
+    val got = components(Seq(1L, 2L, 3L, 10L, 11L, 99L),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("connectedComponents: empty edge set is the identity labelling") {
+    val got = components(Seq(7L, 8L), Seq.empty)
+    assert(got == Map(7L -> 7L, 8L -> 8L))
+  }
+
+  test("dedupComponents output is consistent with the pair query") {
+    val sfDir = "/root/testdata/sf0.001"
+    val comp = Curation.dedupComponents(spark, sfDir)
+    // every pair partner must share a component with its mate
+    val pairs = Dedup.dedupJaccardWords(spark, sfDir).select("da", "db")
+    val labels = comp.select(col("doc_id"), col("comp_id"))
+    val mism = pairs
+      .join(labels.withColumnRenamed("doc_id", "da").withColumnRenamed("comp_id", "ca"), "da")
+      .join(labels.withColumnRenamed("doc_id", "db").withColumnRenamed("comp_id", "cb"), "db")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(mism == 0)
+    // canonical docs are exactly the per-component minima
+    val bad = comp.groupBy(col("comp_id"))
+      .agg(min(col("doc_id")).as("mn"))
+      .filter(col("comp_id") =!= col("mn")).count()
+    assert(bad == 0)
+  }
+
+  test("sampleStratified is deterministic and respects stratum rates loosely") {
+    val sfDir = "/root/testdata/sf0.001"
+    val a = Curation.sampleStratified(spark, sfDir).collect().toSeq
+    val b = Curation.sampleStratified(spark, sfDir).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
