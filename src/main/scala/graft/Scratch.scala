@@ -25,24 +25,13 @@ object Scratch {
       r
     }
 
-    graft.sources.WildcardTable.eventsPath(spark, sfDir)
     import org.apache.spark.sql.functions._
-    val ga4 = time("ga4 build") { graft.queries.Ga4.ga4EventsPartitioned(spark, sfDir) }
-    val cfgM = graft.plans.MlCompiler.MlModel(
-      isClassification = true, uniqueId = "user_pseudo_id",
-      features = Seq(graft.plans.MlCompiler.GaFeature("error")),
-      label = graft.plans.MlCompiler.GaLabel("purchase", "k"),
-      suffixLo = "20240105", suffixHi = "20240125",
-      classImbalance = 1, hashSplit = false, engagementEvent = "view")
-    val ds = time("dataset construct") {
-      graft.plans.MlCompiler.dataset(spark, ga4, cfgM, graft.plans.MlCompiler.Predicting) }
-    time("dataset noop") { ds.write.format("noop").mode("overwrite").save() }
-    val preds = ds.select(col("unique_id"), col("label"),
-      ((col("unique_id").cast("long") * 2654435761L % 1000003L) / lit(1000003.0))
-        .as("probability"))
-    val cv = time("conversionValues construct") {
-      graft.plans.MlCompiler.conversionValues(spark, preds, cfgM) }
-    time("cv noop") { cv.write.format("noop").mode("overwrite").save() }
+    val pairs = time("pairs construct") {
+      graft.queries.Dedup.dedupJaccardWords(spark, sfDir) }
+    println(s"[scratch] n_pairs = ${time("pairs count") { pairs.count() }}")
+    val comp = time("components construct+iterate") {
+      graft.queries.Curation.dedupComponents(spark, sfDir) }
+    time("components noop") { comp.write.format("noop").mode("overwrite").save() }
     spark.stop()
   }
 }

@@ -50,9 +50,21 @@ object Curation {
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .repartition(parts, col("dst"))
       .persist(MEMORY_AND_DISK)
+    // Each round's plan would otherwise NEST the previous round's plan —
+    // by round k Catalyst re-analyzes a depth-k tree and the fixed
+    // per-round cost grows without bound (the classic iterative-DataFrame
+    // lineage blow-up). The eager localCheckpoint materializes the round
+    // and TRUNCATES lineage, so every round is constant work. (On a
+    // multi-executor cluster prefer reliable `checkpoint()` for
+    // fault-tolerant rounds; the algorithm is unchanged.)
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
     var labels = allDocs.select(col("doc_id"), col("doc_id").as("comp"))
       .repartition(parts, col("doc_id"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint()
     // labels only ever decrease, so Σcomp strictly decreases until the
     // fixpoint — a single map-side-combinable agg per round is the whole
     // convergence protocol (exact DECIMAL so no precision-induced early stop)
@@ -71,9 +83,9 @@ object Curation {
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .repartition(parts, col("doc_id"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint() // eager: materializes the round, truncates lineage
       val sumNow = labelSum(next)
-      labels.unpersist(false)
+      freeCheckpoint(labels)
       labels = next
       done = sumNow.compareTo(prevSum) == 0
       prevSum = sumNow
