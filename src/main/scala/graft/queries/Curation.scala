@@ -34,14 +34,61 @@ object Curation {
     * star-contraction before raising it). */
   private val MaxIters = 25
 
+  /** Edge sets at or below this size are solved by union-find on the
+    * driver — the edge relation is already COLLAPSED (unique-set graph),
+    * so at this size it is metadata, the same statistics-to-driver
+    * round-trip as the dense-vocabulary probe. Above it, the distributed
+    * propagation runs; node count never matters (untouched nodes are
+    * identity-labelled without ever leaving the executors). */
+  private val EdgeCollectCap = 1 << 20
+
   /**
-   * Connected components by iterative min-label propagation.
+   * Connected components by iterative min-label propagation, with a
+   * driver-side union-find fast path for metadata-sized edge sets.
    *
    * @param allDocs one row per node: (doc_id)
    * @param pairs   undirected edges as (da, db)
+   * @param edgeCollectCap driver fast-path threshold (tests pin it to 0
+   *                       to force the distributed path)
    * @return (doc_id, comp) where comp = min doc_id reachable (incl. self)
    */
-  def connectedComponents(allDocs: DataFrame, pairs: DataFrame): DataFrame = {
+  def connectedComponents(allDocs: DataFrame, pairs: DataFrame,
+      edgeCollectCap: Long = EdgeCollectCap): DataFrame = {
+    val smallEdges =
+      if (edgeCollectCap > 0)
+        Some(pairs.select(col("da"), col("db")).limit(edgeCollectCap.toInt + 1)
+          .collect()).filter(_.length <= edgeCollectCap)
+      else None
+    smallEdges match {
+      case Some(rows) =>
+        // driver union-find over the collapsed edge list; only nodes that
+        // appear in an edge get a non-identity label, so the (possibly
+        // huge) node relation is just left-joined against the tiny result
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        rows.foreach { e =>
+          val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        val labels = parent.keys.map(k => k -> find(k)).toSeq
+        val s = allDocs.sparkSession
+        import s.implicits._
+        val lookup = labels.toDF("doc_id", "cc")
+        allDocs.select(col("doc_id"))
+          .join(broadcast(lookup), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("comp"))
+      case None => iterativeComponents(allDocs, pairs)
+    }
+  }
+
+  /** The distributed propagation path (any edge-set size). */
+  private[queries] def iterativeComponents(allDocs: DataFrame, pairs: DataFrame): DataFrame = {
     val s = allDocs.sparkSession
     val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     // both directions once, co-partitioned on the probe key of the
@@ -104,12 +151,22 @@ object Curation {
    */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val docs = load(s, dir, "documents").select(col("doc_id"))
-    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir), ordered = false)
-      .select(col("da"), col("db"))
-    val comp = connectedComponents(docs, pairs)
-    val sz = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    comp.join(sz, "comp")
+    // Collapse → solve → expand: identical word sets collapse to one node
+    // (represented by their min doc_id — so the component minimum over
+    // representatives IS the component minimum over docs), components run
+    // on the unique-set graph (orders of magnitude smaller than the
+    // expanded doc-pair graph: a 30-doc boilerplate cluster is 435 doc
+    // pairs but ONE node), and membership expands only at the end.
+    val (setPairs, groups) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
+    val reps = groups.select(array_min(col("members")).as("doc_id"))
+    val edges = setPairs.select(array_min(col("ma")).as("da"), array_min(col("mb")).as("db"))
+    val comp = connectedComponents(reps, edges)
+    val docComp = groups
+      .select(array_min(col("members")).as("rep"), explode(col("members")).as("doc_id"))
+      .join(comp.withColumnRenamed("doc_id", "rep"), "rep")
+      .select(col("doc_id"), col("comp"))
+    val sz = docComp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    docComp.join(sz, "comp")
       .select(col("doc_id"), col("comp").as("comp_id"), col("cluster_size"),
         (col("doc_id") === col("comp")).as("is_canonical"))
       .orderBy(col("doc_id"))

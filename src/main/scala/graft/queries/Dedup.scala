@@ -110,10 +110,15 @@ object Dedup {
   /** Shared exact-Jaccard pair pipeline over a (doc_id, lang, words)
     * relation: identical-set collapse, adaptive dense/PPJoin pair
     * generation, member expansion, intra-group pairs, global order. */
-  private[queries] def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true,
-      ordered: Boolean = true): DataFrame = {
-    val dw = docSets // words arrive canonical (sorted distinct) from shingle_set
-
+  /** The collapsed pair machinery exposed at the UNIQUE-SET level:
+    * qualifying set pairs (with member arrays) + the set universe.
+    * [[Curation.dedupComponents]] runs connected components on THIS graph
+    * (set-representative nodes) and only expands membership at the end —
+    * at scale the set graph is orders of magnitude smaller than the
+    * expanded doc-pair graph. */
+  private[queries] def jaccardSetGraph(docSets: DataFrame,
+      probeDense: Boolean = true): (DataFrame, DataFrame) = {
+    val dw = docSets
     // Adaptive gate: probe whether the vocabulary fits the dense domain.
     // Collects at most 65 tokens — metadata-sized at any corpus scale.
     val probe =
@@ -121,11 +126,14 @@ object Dedup {
         dw.select(explode(col("words")).as("w")).distinct()
           .limit(DenseVocabBits + 1).collect().map(_.getString(0))
       else Array.empty[String]
+    if (probeDense && probe.length <= DenseVocabBits) densePairs(dw, probe)
+    else ppjoinPairs(dw)
+  }
 
+  private[queries] def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true,
+      ordered: Boolean = true): DataFrame = {
     // groups carries (lang, members, nw [, mask|words...]) per unique set
-    val (setPairs, groups) =
-      if (probeDense && probe.length <= DenseVocabBits) densePairs(dw, probe)
-      else ppjoinPairs(dw)
+    val (setPairs, groups) = jaccardSetGraph(docSets, probeDense)
 
     // expand qualifying set pairs to all member doc pairs (distinct sets
     // never share a doc, so no duplicates can arise)

@@ -12,12 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class CurationSpec extends AnyFunSuite with SparkFixture {
 
-  private def components(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def components(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      edgeCollectCap: Long = 0L): Map[Long, Long] = {
+    // cap 0 forces the distributed propagation path; tests cover the
+    // driver union-find fast path separately
     val docs = spark.createDataFrame(nodes.map(Tuple1(_))).toDF("doc_id")
     val pairs = if (edges.isEmpty)
       spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("da", "db")
     else spark.createDataFrame(edges).toDF("da", "db")
-    Curation.connectedComponents(docs, pairs)
+    Curation.connectedComponents(docs, pairs, edgeCollectCap)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -37,6 +40,17 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
   test("connectedComponents: empty edge set is the identity labelling") {
     val got = components(Seq(7L, 8L), Seq.empty)
     assert(got == Map(7L -> 7L, 8L -> 8L))
+  }
+
+  test("driver union-find fast path agrees with the distributed path") {
+    val nodes = (1L to 40L)
+    val edges = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), // chain
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (30L, 20L)) // out-of-order pair
+    val dist = components(nodes, edges, edgeCollectCap = 0L)
+    val fast = components(nodes, edges, edgeCollectCap = 1000L)
+    assert(fast == dist)
+    assert(fast(5L) == 1L && fast(12L) == 10L && fast(30L) == 20L && fast(39L) == 39L)
   }
 
   test("dedupComponents output is consistent with the pair query") {
