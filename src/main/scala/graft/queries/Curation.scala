@@ -222,10 +222,35 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /**
+   * Quality-based canonical selection: within each near-dup cluster keep
+   * the doc a curation run actually wants — the longest one (word count,
+   * doc_id as the deterministic tie-break) — rather than the min-id
+   * representative. One partitioned window over the components output;
+   * singletons are their own best doc.
+   */
+  def curationBestOfCluster(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = dedupComponents(s, dir).select(col("doc_id"), col("comp_id"))
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws"))
+    val w = Window.partitionBy(col("comp_id"))
+      .orderBy(col("n_ws").desc, col("doc_id").asc)
+    comp.join(toks, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("comp_id"))))
+      .filter(col("rn") === 1)
+      .select(col("comp_id"), col("doc_id").as("best_doc"),
+        col("n_ws").as("best_n_words"), col("n_members"))
+      .orderBy(col("comp_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
     "sample_stratified" -> (sampleStratified _),
-    "pipeline_curation" -> (pipelineCuration _))
+    "pipeline_curation" -> (pipelineCuration _),
+    "curation_best_of_cluster" -> (curationBestOfCluster _))
 
   /** md5-mod-100 in DuckDB dialect. */
   private def duckMd5Mod100(c: String): String =
@@ -261,6 +286,19 @@ object Curation {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${duckMd5Mod100("doc_id")} < $duckRate
          |ORDER BY doc_id""".stripMargin,
+    "curation_best_of_cluster" ->
+      s"""WITH RECURSIVE $duckComp,
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_ws
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.comp_id, t.doc_id, t.n_ws,
+         |    ROW_NUMBER() OVER (PARTITION BY c.comp_id ORDER BY t.n_ws DESC, t.doc_id ASC) AS rn,
+         |    COUNT(1) OVER (PARTITION BY c.comp_id) AS n_members
+         |  FROM comp c JOIN toks t USING (doc_id))
+         |SELECT comp_id, doc_id AS best_doc, n_ws AS best_n_words, n_members
+         |FROM ranked WHERE rn = 1 ORDER BY comp_id""".stripMargin,
     "pipeline_curation" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, n_chars,
