@@ -2,21 +2,30 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Temporary stage-timing harness (not part of the library). */
+/**
+ * Dev profiling harness (not part of the library contract): time the
+ * construction and execution of any contract queries standalone.
+ *
+ *   sbt 'runMain graft.Scratch /root/testdata/sf0.1 dedup_components q1_agg'
+ *
+ * Prints construct / first-run / warm-run seconds per query — the same
+ * noop-sink materialization the bench uses, plus a second run to separate
+ * plan/codegen cost from steady-state execution.
+ */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("q1_agg")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.eventLog.enabled", "true")
-      .config("spark.eventLog.dir", "/tmp/sparklog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count() // JVM warmup
+    graft.sources.WildcardTable.eventsPath(spark, sfDir)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -25,13 +34,16 @@ object Scratch {
       r
     }
 
-    import org.apache.spark.sql.functions._
-    val pairs = time("pairs construct") {
-      graft.queries.Dedup.dedupJaccardWords(spark, sfDir) }
-    println(s"[scratch] n_pairs = ${time("pairs count") { pairs.count() }}")
-    val comp = time("components construct+iterate") {
-      graft.queries.Curation.dedupComponents(spark, sfDir) }
-    time("components noop") { comp.write.format("noop").mode("overwrite").save() }
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          spark.catalog.clearCache()
+          val df = time(s"$name construct") { fn(spark, sfDir) }
+          time(s"$name run 1") { df.write.format("noop").mode("overwrite").save() }
+          time(s"$name run 2 (warm)") { df.write.format("noop").mode("overwrite").save() }
+        case None => System.err.println(s"[scratch] unknown query: $name")
+      }
+    }
     spark.stop()
   }
 }
