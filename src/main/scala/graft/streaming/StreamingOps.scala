@@ -109,6 +109,34 @@ object StreamingOps {
   }
 
   /**
+   * Streaming click→conversion attribution — a watermarked stream-stream
+   * interval join, the marketing-attribution shape of the reference's
+   * domain (GA4 events to offline conversions) expressed Spark-natively:
+   * each conversion matches same-user clicks that happened in the
+   * `windowMinutes` before it. Both watermarks plus the time-range
+   * condition bound the join state on BOTH sides — clicks expire once the
+   * conversion watermark passes click_ts + window, so an unbounded stream
+   * holds only the attribution window's worth of state per side.
+   */
+  def attributionJoin(clicks: DataFrame, conversions: DataFrame,
+      windowMinutes: Int = 30, lateness: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_type").as("click_type"))
+    val v = conversions
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("conv_user"), col("ts").as("conv_ts"),
+        col("value").as("conv_value"))
+    c.join(v,
+      col("click_user") === col("conv_user") &&
+        col("conv_ts") >= col("click_ts") &&
+        col("conv_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_user").as("user_id"), col("click_ts"), col("click_type"),
+        col("conv_ts"), col("conv_value"))
+  }
+
+  /**
    * Streaming exact dedup (dedup_bow_fp unbounded): first occurrence of
    * each content fingerprint passes, repeats within the watermark horizon
    * are dropped. `dropDuplicatesWithinWatermark` keeps fingerprint state

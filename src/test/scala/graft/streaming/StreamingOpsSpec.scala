@@ -73,6 +73,36 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("attributionJoin: conversions match same-user clicks inside the window only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val convs = MemoryStream[StreamEvent]
+    val joined = attributionJoin(clicks.toDF(), convs.toDF())
+    val q = joined.writeStream
+      .format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      // user 1 clicks at minute 0 and 45; conversion at minute 20 should
+      // attribute ONLY to the minute-0 click (45 is after the conversion);
+      // user 2's conversion has no click at all
+      clicks.addData(StreamEvent(1, ts(0), "click", 0.0), StreamEvent(1, ts(45), "click", 0.0))
+      convs.addData(StreamEvent(1, ts(20), "purchase", 9.5), StreamEvent(2, ts(21), "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = s.table("attrib")
+        .select("user_id", "click_ts", "conv_value").as[(Long, Timestamp, Double)]
+        .collect().toSeq.sorted
+      assert(rows == Seq((1L, ts(0), 9.5)))
+      // a conversion 25 min after the second click attributes to it (within 30)
+      convs.addData(StreamEvent(1, ts(70), "purchase", 3.0))
+      q.processAllAvailable()
+      val rows2 = s.table("attrib")
+        .select("user_id", "click_ts", "conv_value").as[(Long, Timestamp, Double)]
+        .collect().toSeq.sorted
+      assert(rows2 == Seq((1L, ts(0), 9.5), (1L, ts(45), 3.0)))
+    } finally q.stop()
+  }
+
   test("dedupByFingerprint: repeats within the watermark horizon are dropped") {
     val s = spark
     import s.implicits._
