@@ -54,12 +54,18 @@ object Curation {
    */
   def connectedComponents(allDocs: DataFrame, pairs: DataFrame,
       edgeCollectCap: Long = EdgeCollectCap): DataFrame = {
+    // persisted across the size probe: when the probe overflows the cap,
+    // the distributed path re-reads the (often expensive) pair relation
+    // instead of re-executing it — and the iterative path re-reads edges
+    // every round anyway
+    val cachedPairs =
+      if (edgeCollectCap > 0) pairs.persist(MEMORY_AND_DISK) else pairs
     val smallEdges =
       if (edgeCollectCap > 0)
-        Some(pairs.select(col("da"), col("db")).limit(edgeCollectCap.toInt + 1)
+        Some(cachedPairs.select(col("da"), col("db")).limit(edgeCollectCap.toInt + 1)
           .collect()).filter(_.length <= edgeCollectCap)
       else None
-    smallEdges match {
+    try smallEdges match {
       case Some(rows) =>
         // driver union-find over the collapsed edge list; only nodes that
         // appear in an edge get a non-identity label, so the (possibly
@@ -83,8 +89,8 @@ object Curation {
         allDocs.select(col("doc_id"))
           .join(broadcast(lookup), Seq("doc_id"), "left_outer")
           .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("comp"))
-      case None => iterativeComponents(allDocs, pairs)
-    }
+      case None => iterativeComponents(allDocs, cachedPairs)
+    } finally if (edgeCollectCap > 0) cachedPairs.unpersist(false)
   }
 
   /** The distributed propagation path (any edge-set size). */
@@ -115,8 +121,11 @@ object Curation {
     // labels only ever decrease, so Σcomp strictly decreases until the
     // fixpoint — a single map-side-combinable agg per round is the whole
     // convergence protocol (exact DECIMAL so no precision-induced early stop)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is NULL — an empty node set is already converged
+      val d = df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var done = false
@@ -139,6 +148,12 @@ object Curation {
       iter += 1
     }
     edges.unpersist(false)
+    if (!done)
+      throw new IllegalStateException(
+        s"connected components did not converge in $MaxIters rounds — " +
+          "component diameter exceeds the propagation budget; use " +
+          "star-contraction (large-star/small-star) for this graph instead " +
+          "of returning silently split clusters")
     labels
   }
 
@@ -196,11 +211,14 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
-   * The composed curation job: quality filter (≥ 6 words — drop 'low') →
-   * exact near-dup removal (keep the min-doc_id owner of each bag-of-words
-   * fingerprint) → stratified sample → per-language accounting of what
-   * survived. One linear pipeline — scan, one groupBy on the fingerprint,
-   * one final agg — the shape a 100 TB curation pass must have.
+   * The composed curation job: exact near-dup removal FIRST (keep the
+   * min-doc_id owner of each bag-of-words fingerprint — computed over the
+   * full corpus so the canonical choice is stable no matter how the
+   * downstream filters change), then the quality filter (≥ 6 words — drop
+   * 'low') and the stratified sample, then per-language accounting of
+   * what survived. One linear pipeline — scan, one groupBy on the
+   * fingerprint, one final agg — the shape a 100 TB curation pass must
+   * have. The DuckDB oracle encodes the same dedup-then-filter order.
    */
   def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)

@@ -130,8 +130,7 @@ object Dedup {
     else ppjoinPairs(dw)
   }
 
-  private[queries] def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true,
-      ordered: Boolean = true): DataFrame = {
+  private[queries] def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true): DataFrame = {
     // groups carries (lang, members, nw [, mask|words...]) per unique set
     val (setPairs, groups) = jaccardSetGraph(docSets, probeDense)
 
@@ -152,9 +151,9 @@ object Dedup {
       .select(col("p.da").as("da"), col("p.db").as("db"), col("nw").as("inter"),
         (col("nw").cast("double") / col("nw").cast("double")).as("jac"))
 
-    val pairs = cross.unionByName(intra)
+    cross.unionByName(intra)
       .select(col("da"), col("db"), col("inter"), col("jac"))
-    if (ordered) pairs.orderBy(col("da"), col("db")) else pairs
+      .orderBy(col("da"), col("db"))
   }
 
   /** Dense path: the ≤64-token vocabulary becomes a literal token→bit-value

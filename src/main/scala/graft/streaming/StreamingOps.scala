@@ -34,8 +34,13 @@ object StreamingOps {
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
 
-  /** Open-session state carried between triggers (micros since epoch). */
+  /** One open session (micros since epoch). */
   case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)
+
+  /** Per-user state: ALL open sessions, kept start-ordered. More than one
+    * stays open when an in-watermark late event begins an earlier burst —
+    * a single-slot state would glue it onto the newer session or lose it. */
+  case class SessionBuf(open: Seq[SessionState])
 
   /**
    * Streaming hourly histogram — event-time tumbling windows with a
@@ -53,58 +58,59 @@ object StreamingOps {
 
   /**
    * Streaming 30-minute-gap sessionization (q21_sessionize unbounded):
-   * `flatMapGroupsWithState` with event-time timeout. A session closes —
-   * and is emitted downstream — when a same-user event arrives more than
-   * 30 minutes later, or when the watermark passes the session end + gap
-   * (the no-more-events case). State per user is one open session; the
-   * watermark (required for event-time timeout) bounds both state and
-   * lateness.
+   * `flatMapGroupsWithState` with event-time timeout.
+   *
+   * Sessions are interval-merged: each event joins (possibly bridging)
+   * every open session within the gap of its timestamp, so out-of-order
+   * and in-watermark late events land in the right session — including
+   * late events that OPEN an earlier session. A session is emitted only
+   * once the watermark passes its end + gap, at which point any event
+   * that could still extend it would be beyond the watermark and dropped
+   * by Spark anyway — so the emitted sessions are exactly the batch
+   * computation's sessions over the non-late events. State per user is
+   * bounded by lateness ÷ gap open sessions.
    */
   def sessionize(events: Dataset[StreamEvent], lateness: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+        (userId: Long, rows: Iterator[StreamEvent], state: GroupState[SessionBuf]) =>
           def toSession(st: SessionState): Session =
             Session(userId, new Timestamp(st.startUs / 1000), new Timestamp(st.endUs / 1000),
               st.n, st.total)
-          if (state.hasTimedOut) {
-            // watermark passed session end + gap: no later event can extend it
-            val closed = state.getOption.map(toSession).toSeq
-            state.remove()
-            closed.iterator
-          } else {
-            // fold this trigger's events (sorted: arrival order within a
-            // batch is not event-time order) into the open session, closing
-            // whenever a >gap jump appears
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
-              open match {
-                case Some(st) if us - st.endUs > GapUs =>
-                  closed += toSession(st)
-                  open = Some(SessionState(us, us, 1, e.value))
-                case Some(st) =>
-                  open = Some(SessionState(st.startUs, math.max(st.endUs, us),
-                    st.n + 1, st.total + e.value))
-                case None =>
-                  open = Some(SessionState(us, us, 1, e.value))
-              }
-            }
-            open.foreach { st =>
-              state.update(st)
-              // fire when the watermark proves no event can extend this
-              // session (end + gap); +1ms because the timeout must be
-              // strictly later than the current watermark
-              state.setTimeoutTimestamp(st.endUs / 1000 + GapUs / 1000 + 1)
-            }
-            closed.result().iterator
+          val gapMs = GapUs / 1000
+          var open = state.getOption.map(_.open.toList).getOrElse(Nil)
+          // interval-merge this trigger's events (sorted: arrival order
+          // within a batch is not event-time order); an event bridging two
+          // open sessions fuses them
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val us = e.ts.getTime * 1000
+            val (mergeable, rest) = open.partition(s =>
+              us >= s.startUs - GapUs && us <= s.endUs + GapUs)
+            val merged =
+              if (mergeable.isEmpty) SessionState(us, us, 1, e.value)
+              else SessionState(
+                math.min(mergeable.map(_.startUs).min, us),
+                math.max(mergeable.map(_.endUs).max, us),
+                mergeable.map(_.n).sum + 1,
+                mergeable.map(_.total).sum + e.value)
+            open = (merged :: rest).sortBy(_.startUs)
           }
+          // emit every session the watermark has sealed (end + gap behind
+          // the watermark → nothing admissible can extend it)
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, stillOpen) = open.partition(s => s.endUs / 1000 + gapMs <= wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(stillOpen))
+            // fire at the earliest seal point; strictly above the current
+            // watermark by the partition above
+            state.setTimeoutTimestamp(stillOpen.map(_.endUs / 1000 + gapMs).min + 1)
+          }
+          closed.sortBy(_.startUs).map(toSession).iterator
       }
   }
 
@@ -144,10 +150,14 @@ object StreamingOps {
    * a continuously ingesting 100 TB corpus (exact-once per horizon; the
    * batch operators handle full-corpus dedup).
    */
-  def dedupByFingerprint(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+  def dedupByFingerprint(docs: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
+      // same codegen kernel as the batch twin (the composed higher-order
+      // spelling interprets a lambda per word — per micro-batch, forever)
       .withColumn("fp", md5(concat_ws(" ",
-        sort_array(array_distinct(filter(split(col("text"), " "), w => w =!= ""))))))
+        graft.functions.GraftFunctions.shingle_set(col("text"), 1))))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
+  }
 }

@@ -44,7 +44,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
-  test("sessionize: gap split + watermark timeout match the batch session logic") {
+  test("sessionize: gap split + watermark sealing match the batch session logic") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -53,23 +53,56 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
       .format("memory").queryName("sessions").outputMode("append").start()
     try {
       // user 1: events at minute 0 and 10 (one session), then minute 50
-      // (>30 min gap → closes the first session on arrival)
+      // (>30 min gap → a second session); sessions emit only once the
+      // watermark passes end + gap, never on arrival
       in.addData(StreamEvent(1, ts(0), "view", 1.0), StreamEvent(1, ts(10), "view", 2.0))
       q.processAllAvailable()
       in.addData(StreamEvent(1, ts(50), "view", 4.0))
       q.processAllAvailable()
-      val afterGap = s.table("sessions").as[Session].collect()
-      assert(afterGap.toSeq == Seq(Session(1, ts(0), ts(10), 2, 3.0)))
 
-      // user 2's far-future event advances the watermark beyond user 1's
-      // open session end + gap → event-time timeout emits it
+      // user 2's far-future events advance the watermark beyond both of
+      // user 1's session seals → both emit via event-time timeout
       in.addData(StreamEvent(2, ts(600), "view", 0.0))
       q.processAllAvailable()
-      in.addData(StreamEvent(2, ts(610), "view", 0.0)) // second batch so the new watermark takes effect
+      in.addData(StreamEvent(2, ts(610), "view", 0.0)) // extra batch so the new watermark takes effect
       q.processAllAvailable()
-      val all = s.table("sessions").as[Session].collect().sortBy(x => (x.user_id, x.session_start.getTime))
-      assert(all.contains(Session(1, ts(50), ts(50), 1, 4.0)),
-        s"open session should have timed out; got ${all.toSeq}")
+      val all = s.table("sessions").as[Session].collect()
+        .sortBy(x => (x.user_id, x.session_start.getTime))
+      assert(all.toSeq == Seq(
+        Session(1, ts(0), ts(10), 2, 3.0),
+        Session(1, ts(50), ts(50), 1, 4.0)),
+        s"got ${all.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionize: an in-watermark late event lands in (and can open) the right session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[StreamEvent]
+    // 2h lateness: late events arrive well out of order but stay admissible
+    val q = sessionize(in.toDS(), lateness = "2 hours").writeStream
+      .format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      in.addData(StreamEvent(1, ts(100), "view", 1.0))
+      q.processAllAvailable()
+      // 5 min EARLIER than the open session start → extends it backwards
+      in.addData(StreamEvent(1, ts(95), "view", 2.0))
+      q.processAllAvailable()
+      // 85 min earlier → separate session BEFORE the open one
+      in.addData(StreamEvent(1, ts(10), "view", 4.0))
+      q.processAllAvailable()
+      // push the watermark far ahead to seal everything
+      in.addData(StreamEvent(2, ts(600), "view", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(2, ts(610), "view", 0.0))
+      q.processAllAvailable()
+      val got = s.table("late_sessions").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(got.toSeq == Seq(
+        Session(1, ts(10), ts(10), 1, 4.0),
+        Session(1, ts(95), ts(100), 2, 3.0)),
+        s"got ${got.toSeq}")
     } finally q.stop()
   }
 
