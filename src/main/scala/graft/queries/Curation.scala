@@ -264,11 +264,37 @@ object Curation {
       .orderBy(col("comp_id"))
   }
 
+  /**
+   * Cross-source contamination check: for every ordered source pair,
+   * how many of the first source's documents share a bag-of-words
+   * fingerprint with the second — the test-set-leakage scan a training
+   * pipeline runs before mixing corpora. One fingerprint projection, one
+   * self-equi-join on the fingerprint (hash shuffle on the md5 key — no
+   * pairwise comparison), one count.
+   */
+  def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    val fp = load(s, dir, "documents")
+      .repartition(parts, col("doc_id")) // spread the tokenize kernel
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1))).as("bow_fp"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("source").as("source_a"), col("bow_fp"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("bow_fp"))
+    a.join(b, Seq("bow_fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("doc_a")).as("contaminated_docs"),
+        countDistinct(col("bow_fp")).as("shared_fingerprints"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
     "sample_stratified" -> (sampleStratified _),
     "pipeline_curation" -> (pipelineCuration _),
-    "curation_best_of_cluster" -> (curationBestOfCluster _))
+    "curation_best_of_cluster" -> (curationBestOfCluster _),
+    "contamination_check" -> (contaminationCheck _))
 
   /** md5-mod-100 in DuckDB dialect. */
   private def duckMd5Mod100(c: String): String =
@@ -300,6 +326,16 @@ object Curation {
          |  c.doc_id = c.comp_id AS is_canonical
          |FROM comp c JOIN sz USING (comp_id)
          |ORDER BY c.doc_id""".stripMargin,
+    "contamination_check" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS bow_fp
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(DISTINCT a.doc_id) AS contaminated_docs,
+        |  COUNT(DISTINCT a.bow_fp) AS shared_fingerprints
+        |FROM fp a JOIN fp b ON a.bow_fp = b.bow_fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${duckMd5Mod100("doc_id")} < $duckRate
