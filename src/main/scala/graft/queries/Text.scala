@@ -123,7 +123,48 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * PII/URL scrubbing (curation safety filter): redact email addresses
+   * and URLs, report per-doc hit counts plus the scrubbed length. Pure
+   * regexp column expressions (patterns chosen to mean the same thing in
+   * Java regex and RE2, so the oracle matches byte-for-byte).
+   */
+  def textScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.]+"
+    val url = "https?://[^ ]+"
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(text, '$url', 0)")).cast("long").as("n_urls"),
+        length(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          url, "<URL>")).cast("long").as("scrubbed_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Repetition detection (Gopher-style quality signal): the fraction of a
+   * document's 3-word shingles that are duplicates — boilerplate and
+   * looping generations score high. distinct count comes from the
+   * [[graft.functions.ShingleSet]] kernel; total is arithmetic on the
+   * word count.
+   */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val nw = size(words(col("text"))).cast("long")
+    val total = greatest(nw - 2, lit(1L)) // n-2 shingles; short docs → 1
+    val distinctSh = size(graft.functions.GraftFunctions.shingle_set(col("text"), 3)).cast("long")
+    docs(s, dir)
+      .filter(nw >= 3)
+      .select(col("doc_id"),
+        total.as("n_shingles"),
+        distinctSh.as("n_distinct"),
+        ((total - distinctSh).cast("double") / total.cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub" -> (textScrub _),
+    "text_repetition" -> (textRepetition _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -132,6 +173,27 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(length(regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g')) AS BIGINT) AS scrubbed_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS nw,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, GREATEST(nw - 2, 1) AS n_shingles,
+        |    CAST(len(list_distinct(list_transform(generate_series(1, CAST(nw AS INT) - 2),
+        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]))) AS BIGINT) AS n_distinct
+        |  FROM t WHERE nw >= 3)
+        |SELECT doc_id, n_shingles, n_distinct,
+        |  (n_shingles - n_distinct)::DOUBLE / n_shingles::DOUBLE AS dup_frac
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
