@@ -111,6 +111,25 @@ object BqDialect {
     s
   }
 
+  /** Index just past the paren that closes depth 1 at `from` — skipping
+    * quoted literals, so a ')' inside a string never closes the scan. */
+  private def matchingParenEnd(s: String, from: Int): Int = {
+    var depth = 1
+    var i = from
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case q @ ('\'' | '"') =>
+          i += 1
+          while (i < s.length && s.charAt(i) != q) i += 1
+          i += 1
+        case _ => i += 1
+      }
+    }
+    i
+  }
+
   private def rewriteFormatDate(s: String): String = {
     // FORMAT_DATE('<fmt>', <expr>) → date_format(<expr>, '<translated>')
     // args are swapped, so a plain regex replace is not enough: find the
@@ -121,16 +140,7 @@ object BqDialect {
       case Some(mm) =>
         val fmt = translateStrftime(mm.group(1))
         val argStart = mm.end
-        var depth = 1
-        var i = argStart
-        while (i < s.length && depth > 0) {
-          s.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _ =>
-          }
-          i += 1
-        }
+        val i = matchingParenEnd(s, argStart)
         val expr = s.substring(argStart, i - 1).trim
         val rewritten = s.substring(0, mm.start) +
           s"date_format($expr, '$fmt')" + s.substring(i)
@@ -164,41 +174,104 @@ object BqDialect {
     TablesSummaryRe.replaceAllIn(s1, "tables_summary")
   }
 
-  private val TempFunctionRe: Regex =
-    (raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+" +
-      raw"([A-Za-z_]\w*)\s*\(([^)]*)\)\s*(?:RETURNS\s+([A-Za-z0-9<>,() ]+?))?\s*AS\s*\((.*)\)\s*$$").r
+  private val TempFunHeadRe: Regex =
+    raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+([A-Za-z_]\w*)\s*\(".r
+  private val TempFunTailRe: Regex =
+    raw"(?is)^\s*(?:RETURNS\s+(.+?))?\s*AS\s*\((.*)\)\s*$$".r
 
-  /** BQ type spellings → Spark SQL types (bq_utils.py families). */
-  private[plans] def translateType(t: String): String = t.trim.toUpperCase match {
-    case "INT64" | "INTEGER" => "BIGINT"
-    case "FLOAT64" | "FLOAT" => "DOUBLE"
-    case "BOOL" => "BOOLEAN"
-    case "BYTES" => "BINARY"
-    case "NUMERIC" => "DECIMAL(38,9)"
-    case other => other
+  /** BQ type spellings → Spark SQL types (bq_utils.py families), including
+    * parameterized (`NUMERIC(10,2)`) and composite (`STRUCT<a INT64>`)
+    * spellings. */
+  private[plans] def translateType(t: String): String = {
+    val trimmed = t.trim
+    trimmed.toUpperCase match {
+      case "INT64" | "INTEGER" => "BIGINT"
+      case "FLOAT64" | "FLOAT" => "DOUBLE"
+      case "BOOL" => "BOOLEAN"
+      case "BYTES" => "BINARY"
+      case "NUMERIC" => "DECIMAL(38,9)"
+      case p if p.startsWith("NUMERIC(") => "DECIMAL" + trimmed.drop("NUMERIC".length)
+      case c if c.contains("<") =>
+        // composite (ARRAY/STRUCT): translate the scalar spellings inside,
+        // on the ORIGINAL text — struct field names are case-significant
+        trimmed.replaceAll(raw"(?i)\bINT64\b", "BIGINT")
+          .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")
+          .replaceAll(raw"(?i)\bBOOL\b", "BOOLEAN")
+          .replaceAll(raw"(?i)\bBYTES\b", "BINARY")
+      case other => other
+    }
+  }
+
+  /** Split on commas at angle/paren depth 0 (argument lists whose types
+    * are parameterized or composite must not split mid-type). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var paren = 0
+    var angle = 0
+    s.foreach {
+      case ',' if paren == 0 && angle == 0 => out += cur.toString; cur.clear()
+      case c =>
+        c match {
+          case '(' => paren += 1
+          case ')' => paren -= 1
+          case '<' => angle += 1
+          case '>' => angle -= 1
+          case _ =>
+        }
+        cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
   }
 
   /**
    * BQ `CREATE TEMP FUNCTION f(x INT64) AS (expr)` → Spark 4's SQL UDF
    * `CREATE OR REPLACE TEMPORARY FUNCTION f(x BIGINT) RETURNS ... RETURN
    * expr` (bq_script_executor.py:26-36 documents user scripts may define
-   * functions). Argument and return types go through [[translateType]].
+   * functions). The argument list is delimited by a depth-aware scan (a
+   * `NUMERIC(10,2)` or `STRUCT<a, b>` parameter breaks any single-regex
+   * spelling); types go through [[translateType]].
    */
   private[plans] def rewriteTempFunction(stmt: String): Option[String] =
-    TempFunctionRe.findFirstMatchIn(stmt).map { m =>
+    TempFunHeadRe.findFirstMatchIn(stmt).flatMap { m =>
       val name = m.group(1)
-      val args = m.group(2).split(",").filter(_.trim.nonEmpty).map { a =>
-        val parts = a.trim.split(raw"\s+", 2)
-        if (parts.length == 2) s"${parts(0)} ${translateType(parts(1))}" else parts(0)
-      }.mkString(", ")
-      val returns = Option(m.group(3)).map(t => s" RETURNS ${translateType(t)}").getOrElse("")
-      s"CREATE OR REPLACE TEMPORARY FUNCTION $name($args)$returns RETURN ${rewrite(m.group(4))}"
+      val end = matchingParenEnd(stmt, m.end)
+      val argsRaw = stmt.substring(m.end, math.max(m.end, end - 1))
+      TempFunTailRe.findFirstMatchIn(stmt.substring(math.min(end, stmt.length))).map { t =>
+        val args = splitTopLevel(argsRaw).filter(_.trim.nonEmpty).map { a =>
+          val parts = a.trim.split(raw"\s+", 2)
+          if (parts.length == 2) s"${parts(0)} ${translateType(parts(1))}" else parts(0)
+        }.mkString(", ")
+        val returns = Option(t.group(1)).map(r => s" RETURNS ${translateType(r)}").getOrElse("")
+        s"CREATE OR REPLACE TEMPORARY FUNCTION $name($args)$returns RETURN ${rewrite(t.group(2))}"
+      }
     }
 
+  // the type is optional (BQ allows `DECLARE x DEFAULT expr`) and guarded
+  // by a lookahead so it can never absorb the DEFAULT clause as type text
   private val DeclareRe: Regex =
-    raw"(?is)^DECLARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+[A-Za-z0-9<>,() ]+?(?:\s+DEFAULT\s+(.+))?$$".r
+    raw"(?is)^DECLARE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+(?!DEFAULT\b)[A-Za-z0-9<>,() ]+?)?(?:\s+DEFAULT\s+(.+))?$$".r
   private val SetRe: Regex =
     raw"(?is)^SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$$".r
+
+  /** Leading `--` / `/* */` comments stripped (classification only —
+    * executed statements keep their comments; Spark parses them fine). */
+  private[plans] def stripLeadingComments(s: String): String = {
+    var t = s
+    var changed = true
+    while (changed) {
+      val trimmed = t.dropWhile(_.isWhitespace)
+      if (trimmed.startsWith("--")) {
+        val nl = trimmed.indexOf('\n')
+        t = if (nl < 0) "" else trimmed.substring(nl + 1)
+      } else if (trimmed.startsWith("/*")) {
+        val end = trimmed.indexOf("*/")
+        t = if (end < 0) "" else trimmed.substring(end + 2)
+      } else { changed = false; t = trimmed }
+    }
+    t
+  }
 
   private def literal(v: Any): String = v match {
     case null => "NULL"
@@ -208,10 +281,49 @@ object BqDialect {
     case other => other.toString
   }
 
-  private def substituteVars(stmt: String, vars: Map[String, String]): String =
-    vars.foldLeft(stmt) { case (acc, (name, lit)) =>
-      acc.replaceAll(raw"(?i)(?<![A-Za-z0-9_.`])" + Regex.quote(name) + raw"(?![A-Za-z0-9_`])", Regex.quoteReplacement(lit))
+  /** Variable splice OUTSIDE quoted literals and comments only — a
+    * variable named inside a string literal (`LIKE '%status%'`) is data,
+    * not a reference. */
+  private[plans] def substituteVars(stmt: String, vars: Map[String, String]): String = {
+    if (vars.isEmpty) return stmt
+    def subst(seg: String): String =
+      vars.foldLeft(seg) { case (acc, (name, lit)) =>
+        acc.replaceAll(raw"(?i)(?<![A-Za-z0-9_.`])" + Regex.quote(name) + raw"(?![A-Za-z0-9_`])",
+          Regex.quoteReplacement(lit))
+      }
+    val out = new StringBuilder
+    val plain = new StringBuilder
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      val next = if (i + 1 < stmt.length) stmt.charAt(i + 1) else ' '
+      c match {
+        case '\'' | '"' | '`' =>
+          out.append(subst(plain.toString)); plain.clear()
+          out.append(c); i += 1
+          var closed = false
+          while (i < stmt.length && !closed) {
+            val cc = stmt.charAt(i)
+            out.append(cc)
+            if (cc == '\\' && i + 1 < stmt.length) { out.append(stmt.charAt(i + 1)); i += 2 }
+            else { if (cc == c) closed = true; i += 1 }
+          }
+        case '-' if next == '-' =>
+          out.append(subst(plain.toString)); plain.clear()
+          val nl = stmt.indexOf('\n', i)
+          val end = if (nl < 0) stmt.length else nl + 1
+          out.append(stmt.substring(i, end)); i = end
+        case '/' if next == '*' =>
+          out.append(subst(plain.toString)); plain.clear()
+          val close = stmt.indexOf("*/", i + 2)
+          val end = if (close < 0) stmt.length else close + 2
+          out.append(stmt.substring(i, end)); i = end
+        case _ => plain.append(c); i += 1
+      }
     }
+    out.append(subst(plain.toString))
+    out.toString
+  }
 
   /**
    * Run a multi-statement script with DECLARE/SET scripting
@@ -224,7 +336,11 @@ object BqDialect {
     val vars = mutable.LinkedHashMap.empty[String, String]
     var last: Option[DataFrame] = None
     splitStatements(script).foreach { stmt =>
-      stmt match {
+      // classify on the comment-stripped body — a leading `-- header`
+      // must not demote DECLARE/SET/SELECT to raw DDL (comment-only
+      // chunks are skipped entirely)
+      stripLeadingComments(stmt) match {
+        case "" => ()
         case DeclareRe(name, default) =>
           val value = Option(default) match {
             case Some(expr) =>
@@ -237,12 +353,12 @@ object BqDialect {
           require(vars.contains(name), s"SET of undeclared variable $name")
           val df = spark.sql(rewrite(substituteVars(s"SELECT $expr", vars.toMap)))
           vars += name -> literal(df.first().get(0))
-        case other if rewriteTempFunction(other).isDefined =>
-          spark.sql(rewriteTempFunction(other).get).collect()
-        case other =>
-          val df = spark.sql(rewrite(substituteVars(other, vars.toMap)))
-          if (other.trim.toUpperCase.startsWith("SELECT") ||
-              other.trim.toUpperCase.startsWith("WITH")) last = Some(df)
+        case body if rewriteTempFunction(body).isDefined =>
+          spark.sql(rewriteTempFunction(body).get).collect()
+        case body =>
+          val df = spark.sql(rewrite(substituteVars(body, vars.toMap)))
+          val head = body.toUpperCase
+          if (head.startsWith("SELECT") || head.startsWith("WITH")) last = Some(df)
           else df.collect() // force DDL/DML side effects
       }
     }

@@ -292,7 +292,10 @@ object MlCompiler {
     // reference materializes as its `events` CTE inside one BigQuery
     // query; MEMORY_AND_DISK spills instead of OOMing at scale. The
     // explicit repartition also survives AQE (a coalesced tiny exchange
-    // would serialize the window/agg work on one core).
+    // would serialize the window/agg work on one core). The cache lives
+    // as long as the returned plan may be re-executed — callers looping
+    // over many models should spark.catalog.clearCache() between models
+    // (Verify/Bench do).
     val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     ev = ev.repartition(parts, col("unique_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -383,14 +386,22 @@ object MlCompiler {
   }
 
   /** First-party variable discovery (`bigquery.py:150-162`): usable
-    * feature columns are the scalar fields — RECORD (struct) and JSON
-    * (variant) columns are dropped, mirroring the reference's schema
-    * introspection. Returns (name, typeName). */
-  def firstPartyVariables(df: DataFrame): Seq[(String, String)] =
+    * feature columns are the fields whose BQ `field_type` is neither
+    * RECORD nor JSON. RECORD covers both struct AND array-of-struct
+    * (a REPEATED RECORD keeps field_type RECORD); a repeated scalar
+    * keeps its scalar field_type and passes, as in the reference.
+    * Returns (name, typeName). */
+  def firstPartyVariables(df: DataFrame): Seq[(String, String)] = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    def isRecordOrJson(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: StructType => true
+      case ArrayType(e, _) => isRecordOrJson(e)
+      case other => other.typeName == "variant"
+    }
     df.schema.fields.toSeq
-      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
-        f.dataType.typeName == "variant")
+      .filterNot(f => isRecordOrJson(f.dataType))
       .map(f => f.name -> f.dataType.typeName)
+  }
 
   /**
    * Conversion-value calibration (`model_bqml.sql:31-49`): NTILE the

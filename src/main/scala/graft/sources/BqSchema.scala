@@ -36,7 +36,11 @@ object BqSchema {
     val mode = (v \ "mode") match { case JString(m) => m.toUpperCase; case _ => "NULLABLE" }
     val children = (v \ "fields") match { case JArray(fs) => fs; case _ => Nil }
     val base = sparkType(tpe, children)
-    val dt = if (mode == "REPEATED") ArrayType(base, containsNull = mode != "REQUIRED") else base
+    // REPEATED stays permissive (containsNull/nullable = true): BQ's own
+    // contract is stricter (REPEATED is never NULL) but an importer schema
+    // must tolerate nulls in parsed CSV/JSON input — strictness here would
+    // turn bad rows into task failures instead of the bad-record budget
+    val dt = if (mode == "REPEATED") ArrayType(base, containsNull = true) else base
     StructField(name, dt, nullable = mode != "REQUIRED")
   }
 

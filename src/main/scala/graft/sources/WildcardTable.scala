@@ -50,10 +50,19 @@ object WildcardTable {
   }
 
   /** The `events_*` relation: all shards, `_table_suffix` as a STRING
-    * partition column (BQ suffix semantics — no int inference). */
+    * partition column (BQ suffix semantics — no int inference). The
+    * inference conf is restored right after the (eager) schema/partition
+    * resolution so other partitioned reads in the session keep their
+    * default typing. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    s.read.parquet(eventsPath(s, dir))
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try s.read.parquet(eventsPath(s, dir))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** `__TABLES_SUMMARY__` analog: partition-directory names from file-system

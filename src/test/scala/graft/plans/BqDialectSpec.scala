@@ -43,6 +43,53 @@ class BqDialectSpec extends AnyFunSuite with SparkFixture {
     assert(row.getBoolean(2))
   }
 
+  test("scripting: leading comments don't demote DECLARE/SELECT; comment-only chunks skipped") {
+    import spark.implicits._
+    Seq(("O", 10), ("F", 20)).toDF("status", "v").createOrReplaceTempView("dialect_sc")
+    val script =
+      """-- header comment
+        |DECLARE want STRING DEFAULT 'O';
+        |/* which rows */
+        |SELECT v FROM dialect_sc WHERE status = want;
+        |-- trailing comment only""".stripMargin
+    val out = BqDialect.runScript(spark, script)
+    assert(out.isDefined, "comment-prefixed SELECT must be returned as the result")
+    assert(out.get.collect().map(_.getInt(0)).toSeq == Seq(10))
+  }
+
+  test("scripting: DECLARE without a type binds the evaluated default") {
+    val out = BqDialect.runScript(spark,
+      """DECLARE n DEFAULT (SELECT 2 + 3);
+        |SELECT n AS got""".stripMargin)
+    assert(out.get.collect().head.getInt(0) == 5)
+  }
+
+  test("scripting: variables are not substituted inside string literals") {
+    import spark.implicits._
+    Seq("has status word", "other").toDF("c").createOrReplaceTempView("dialect_lit")
+    val out = BqDialect.runScript(spark,
+      """DECLARE status STRING DEFAULT 'O';
+        |SELECT c FROM dialect_lit WHERE c LIKE '%status%'""".stripMargin)
+    assert(out.get.collect().map(_.getString(0)).toSeq == Seq("has status word"))
+  }
+
+  test("temp function with parameterized and composite types") {
+    val r = BqDialect.rewriteTempFunction(
+      "CREATE TEMP FUNCTION f(x NUMERIC(10,2), y STRUCT<a INT64, b STRING>) " +
+        "RETURNS FLOAT64 AS (x + y.a)")
+    assert(r.isDefined, "parameterized args must parse")
+    assert(r.get.contains("x DECIMAL(10,2)"))
+    assert(r.get.contains("y STRUCT<A BIGINT, B STRING>") ||
+      r.get.contains("y STRUCT<a BIGINT, b STRING>"), r.get)
+    assert(r.get.contains("RETURNS DOUBLE"))
+  }
+
+  test("FORMAT_DATE expression containing a quoted paren survives the rewrite") {
+    val s = "SELECT FORMAT_DATE('%F', COALESCE(d, CAST('(' AS DATE))) FROM t"
+    assert(BqDialect.rewrite(s) ==
+      "SELECT date_format(COALESCE(d, CAST('(' AS DATE)), 'yyyy-MM-dd') FROM t")
+  }
+
   test("SELECT * EXCEPT and GROUP BY ordinal pass through to Spark 4 unchanged") {
     import spark.implicits._
     Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0))
