@@ -320,12 +320,14 @@ object Dag {
   final class Scheduler {
     def startDue(pipelines: Seq[PipelineRun], now: java.time.LocalDateTime): Seq[String] =
       pipelines.flatMap { p =>
-        if (p.spec.runOnSchedule &&
-            p.spec.schedules.exists(s => Cron.matches(s.cron, now)) &&
-            PipelineStatus.inactive.contains(p.status)) {
-          p.start()
-          Some(p.spec.name)
-        } else None
+        // one pipeline's unsupported cron (the reference accepts anything
+        // croniter accepts at SAVE time) must not abort the whole tick —
+        // guard per-pipeline so every valid schedule still fires
+        val due = p.spec.runOnSchedule &&
+          p.spec.schedules.exists(s =>
+            scala.util.Try(Cron.matches(s.cron, now)).getOrElse(false)) &&
+          PipelineStatus.inactive.contains(p.status)
+        if (due) { p.start(); Some(p.spec.name) } else None
       }
   }
 

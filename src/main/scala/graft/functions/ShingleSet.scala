@@ -102,7 +102,10 @@ object ShingleSet {
     }
 
     val set = new java.util.TreeSet[UTF8String]()
-    if (n == 1) {
+    if (n == 1 || nWords == 0) {
+      // blank text is [] for EVERY n — without the nWords==0 guard the
+      // short-doc branch below emits [""] and all blank docs become
+      // mutual exact duplicates under n-gram dedup
       var j = 0
       while (j < nWords) { set.add(joined(j, 1)); j += 1 }
     } else if (nWords < n) {

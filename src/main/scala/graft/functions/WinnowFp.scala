@@ -26,6 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class WinnowFp(child: Expression, k: Int, w: Int) extends UnaryExpression {
 
+  require(k >= 1, s"winnow_fp gram length k must be >= 1, got $k")
+  require(w >= 1, s"winnow_fp window size w must be >= 1, got $w")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

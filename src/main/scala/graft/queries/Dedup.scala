@@ -438,7 +438,8 @@ object Dedup {
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id, list_sort(list_distinct(
-       |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+       |    CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
        |    ELSE list_transform(generate_series(1, len(words) - 2),
        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END)) AS shingles
        |  FROM base),
@@ -505,7 +506,8 @@ object Dedup {
         |  FROM documents),
         |dw AS (
         |  SELECT doc_id, lang, list_distinct(
-        |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |    CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
         |    ELSE list_transform(generate_series(1, len(words) - 2),
         |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END) AS words
         |  FROM w0),

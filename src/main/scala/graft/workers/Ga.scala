@@ -92,13 +92,22 @@ object Ga {
       try {
         val buf = new Array[Byte](UploadChunkBytes)
         var sent = 0L
-        var n = in.read(buf)
-        while (n > 0) {
-          client.uploadChunk(account, property, dataset, buf.take(n))
-          sent += n
-          // progress rounded to 4 digits (ga_utils.py:188-191)
-          progress(math.rint(sent / total * 10000) / 10000)
-          n = in.read(buf)
+        // read-FULLY per chunk: a single in.read returns partial data at
+        // block boundaries on remote filesystems, and resumable-upload
+        // protocols require full-size non-final chunks
+        var eof = false
+        while (!eof) {
+          var filled = 0
+          while (!eof && filled < buf.length) {
+            val n = in.read(buf, filled, buf.length - filled)
+            if (n < 0) eof = true else filled += n
+          }
+          if (filled > 0) {
+            client.uploadChunk(account, property, dataset, buf.take(filled))
+            sent += filled
+            // progress rounded to 4 digits (ga_utils.py:188-191)
+            progress(math.rint(sent / total * 10000) / 10000)
+          }
         }
         progress(1.0)
       } finally in.close()
@@ -214,8 +223,8 @@ object Ga {
               val lhs = patch \ f
               val rhs = cleaned \ f
               val drift = (lhs, rhs) match {
-                case (JNothing, JNothing) => false
-                case (JNothing, _) | (_, JNothing) => true
+                case (JNothing, _) => false // template omits the field: no intent, no drift
+                case (_, JNothing) => true // template sets a field GA4 doesn't have
                 case (l, r) => Sinks.detectPatchUpdate(l, r)
               }
               if (drift) warn(

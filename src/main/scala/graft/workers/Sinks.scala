@@ -58,9 +58,7 @@ object Sinks {
     row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
       n -> (row.get(i) match {
         case null => ""
-        case d: Double if d == d.floor && !d.isInfinite => // 12.0 -> "12.0" like python str(float)
-          d.toString
-        case v => v.toString
+        case v => v.toString // Double 12.0 renders "12.0", matching python str(float)
       })
     }.toMap
 

@@ -73,9 +73,18 @@ object Workers {
       require(script.trim.nonEmpty, "'script' parameter is required")
       if (bool(params, "dry_run")) {
         BqDialect.splitStatements(script).foreach { stmt =>
-          val df = spark.sql(BqDialect.rewrite(stmt))
-          val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-          ctx.log(s"Dry run: estimated $bytes bytes processed")
+          // spark.sql() EXECUTES command plans (DDL/DML) eagerly — a dry
+          // run must only parse + analyze. Commands are validated by the
+          // parse alone; pure queries (lazy under sql()) additionally
+          // surface optimizer size stats.
+          val rewritten = BqDialect.rewrite(stmt)
+          val plan = spark.sessionState.sqlParser.parsePlan(rewritten)
+          if (plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
+            ctx.log("Dry run: statement parsed (command — not executed)")
+          else {
+            val bytes = spark.sql(rewritten).queryExecution.optimizedPlan.stats.sizeInBytes
+            ctx.log(s"Dry run: estimated $bytes bytes processed")
+          }
         }
       } else {
         BqDialect.runScript(spark, script)
@@ -110,31 +119,71 @@ object Workers {
       val schemaJson = str(params, "schema")
       val autodetect = bool(params, "autodetect", schemaJson.isEmpty)
 
-      def read(mode: String, corruptCol: Boolean): org.apache.spark.sql.DataFrame = {
+      val rowsToSkip = num(params, "rows_to_skip", 0)
+
+      /** CSV lines with the first `rowsToSkip` of EACH file dropped (BQ
+        * skip_leading_rows is per-file). Only used when rowsToSkip > 1 —
+        * Spark's header option skips exactly one line. Split 0 of a text
+        * read is the file head, so the drop is split-local; per-file
+        * parallelism is preserved for the rest of the file. */
+      def skippedLines(): org.apache.spark.sql.Dataset[String] = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val files = uris.flatMap { u =>
+          val p = new Path(u)
+          val fs = FileSystem.get(p.toUri, conf)
+          Option(fs.globStatus(p)).getOrElse(Array.empty).map(_.getPath.toString)
+        }
+        import spark.implicits._
+        val skip = rowsToSkip.toInt
+        val rdds: Seq[org.apache.spark.rdd.RDD[String]] = files.map { f =>
+          // minPartitions=1: a record belongs to the split containing its
+          // start byte, so the leading lines live in split 0 — unless a
+          // tiny file is force-split below one block, which minPartitions=1
+          // prevents (large files still split by block size)
+          spark.sparkContext.textFile(f, 1)
+            .mapPartitionsWithIndex((i, it) => if (i == 0) it.drop(skip) else it)
+        }
+        spark.createDataset(
+          rdds.reduceOption(_ union _).getOrElse(spark.sparkContext.emptyRDD[String]))
+      }
+
+      def read(mode: String, corruptCol: Boolean,
+          schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+          : org.apache.spark.sql.DataFrame = {
         var reader = spark.read.option("mode", mode)
         if (corruptCol) reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
-        if (!autodetect && schemaJson.nonEmpty) {
-          var schema = BqSchema.toStructType(schemaJson)
-          if (corruptCol)
-            schema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+        val explicit = schemaOverride.orElse(
+          if (!autodetect && schemaJson.nonEmpty) Some(BqSchema.toStructType(schemaJson)) else None)
+        explicit.foreach { s0 =>
+          val schema =
+            if (corruptCol) s0.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+            else s0
           reader = reader.schema(schema)
         }
         if (isJson) {
-          if (autodetect) reader.option("inferSchema", "true").json(uris: _*)
+          if (explicit.isEmpty) reader.option("inferSchema", "true").json(uris: _*)
           else reader.json(uris: _*)
         } else {
           val nullMarker = str(params, "null_marker")
           var r = reader
-            .option("header", num(params, "rows_to_skip", 0) > 0)
-            .option("inferSchema", autodetect)
+            .option("inferSchema", explicit.isEmpty)
             .option("enforceSchema", "false")
             .option("multiLine", bool(params, "allow_quoted_newlines")) // quoted newlines
           if (nullMarker.nonEmpty) r = r.option("nullValue", nullMarker)
-          r.csv(uris: _*)
+          if (rowsToSkip > 1) r.csv(skippedLines())
+          else r.option("header", rowsToSkip > 0).csv(uris: _*)
         }
       }
 
-      val df = read("PERMISSIVE", corruptCol = true)
+      val df = {
+        val first = read("PERMISSIVE", corruptCol = true)
+        if (!isJson && autodetect && !first.columns.contains("_corrupt_record")) {
+          // CSV schema inference cannot carry a corrupt-record column, so
+          // the bad-record budget would be silently unenforceable: pin the
+          // inferred schema and re-read with the corrupt column attached
+          read("PERMISSIVE", corruptCol = true, Some(first.schema))
+        } else first
+      }
       if (df.columns.contains("_corrupt_record")) {
         // Bad-record budget without caching the parsed input (at 100 TB a
         // cache would exhaust executor storage): bad = total − parseable,
@@ -189,7 +238,10 @@ object Workers {
         val matches = Option(fs.globStatus(path)).getOrElse(Array.empty)
         matches.foreach { st =>
           if (st.getModificationTime < cutoff) {
-            fs.delete(st.getPath, false)
+            // recursive: this engine's "exported files" are Spark output
+            // DIRECTORIES — a non-recursive delete throws (or no-ops) on
+            // them and expired exports would never be reclaimed
+            fs.delete(st.getPath, true)
             ctx.log(s"Deleted ${st.getPath}")
           }
         }

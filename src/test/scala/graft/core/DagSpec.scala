@@ -213,8 +213,15 @@ class DagSpec extends AnyFunSuite {
         PipelineSpec("uns", Seq(job("c", "C")),
           schedules = Seq(ScheduleSpec("30 6 * * *")), runOnSchedule = false),
         newRegistry(executed), exec)
+      // one pipeline with cron syntax our restricted grammar rejects (the
+      // reference accepts anything croniter accepts at save time) must not
+      // abort the tick for the others
+      val badCron = new PipelineRun(
+        PipelineSpec("bad", Seq(job("d", "D")),
+          schedules = Seq(ScheduleSpec("*/5 * * * *")), runOnSchedule = true),
+        newRegistry(executed), exec)
       val now = java.time.LocalDateTime.of(2024, 3, 11, 6, 30, 0)
-      val started = new Scheduler().startDue(Seq(due, notDue, unscheduled), now)
+      val started = new Scheduler().startDue(Seq(badCron, due, notDue, unscheduled), now)
       assert(started == Seq("due"))
       due.awaitCompletion(10000)
       assert(executed.asScala.toSeq == Seq("A"))

@@ -91,7 +91,8 @@ class KernelExpressionsSpec extends AnyFunSuite with SparkFixture {
     } :+ ((0L, ""))
     val words = filter(split(col("text"), " "), w => w =!= "")
     val ref3 = sort_array(array_distinct(
-      when(size(col("words")) < 3, array(concat_ws(" ", col("words"))))
+      when(size(col("words")) === 0, array().cast("array<string>"))
+        .when(size(col("words")) < 3, array(concat_ws(" ", col("words"))))
         .otherwise(transform(sequence(lit(1), size(col("words")) - 2),
           i => concat_ws(" ", col("words")(i - 1), col("words")(i), col("words")(i + 1))))))
     val ref1 = sort_array(array_distinct(col("words")))
@@ -105,7 +106,7 @@ class KernelExpressionsSpec extends AnyFunSuite with SparkFixture {
       .count() == 0)
   }
 
-  test("shingle_set: null propagates; empty text -> [''] for n>1, [] for n=1") {
+  test("shingle_set: null propagates; empty text -> [] for every n") {
     GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT shingle_set(CAST(NULL AS STRING), 3) AS nul,
@@ -114,7 +115,9 @@ class KernelExpressionsSpec extends AnyFunSuite with SparkFixture {
         |       shingle_set('a b', 3) AS short3
         |""".stripMargin).collect().head
     assert(r.isNullAt(0))
-    assert(r.getSeq[String](1) == Seq(""))
+    // blank docs must NOT share a [''] fingerprint and become mutual
+    // "exact duplicates" under n-gram dedup
+    assert(r.getSeq[String](1) == Seq.empty)
     assert(r.getSeq[String](2) == Seq.empty)
     assert(r.getSeq[String](3) == Seq("a b"))
   }

@@ -56,6 +56,47 @@ class WorkersSpec extends AnyFunSuite with SparkFixture {
     intercept[RuntimeException] { runImport(allow = 0) }
   }
 
+  test("SqlScriptExecutor: dry_run does NOT execute DDL/DML") {
+    val tbl = "dryrun_should_not_exist"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    new Workers.SqlScriptExecutor(spark, Map(
+      "script" -> WorkerValue.S(s"CREATE TABLE $tbl AS SELECT 1 AS x; SELECT 2"),
+      "dry_run" -> WorkerValue.B(true))).execute(noCtx)
+    assert(!spark.catalog.tableExists(tbl),
+      "dry run executed the CREATE TABLE — it must only parse/analyze")
+  }
+
+  test("StorageImporter: autodetect CSV still enforces the bad-record budget") {
+    val dir = Files.createTempDirectory("graft_imp_auto")
+    // last line has an unterminated quote — malformed under any schema
+    Files.writeString(Paths.get(s"$dir/auto_1.csv"),
+      "a,b\nc,d\n\"unclosed,row\n")
+    def runImport(allow: Long): Unit =
+      new Workers.StorageImporter(spark, Map(
+        "source_uris" -> WorkerValue.SL(Seq(s"$dir/auto_*.csv")),
+        "bq_table_id" -> WorkerValue.S(s"$dir/out_auto"),
+        "errors_to_allow" -> WorkerValue.I(allow))).execute(noCtx)
+    intercept[RuntimeException] { runImport(allow = 0) }
+    runImport(allow = 1)
+    assert(spark.read.parquet(s"$dir/out_auto").count() == 2)
+  }
+
+  test("StorageImporter: rows_to_skip > 1 drops that many leading lines per file") {
+    val dir = Files.createTempDirectory("graft_imp_skip")
+    Files.writeString(Paths.get(s"$dir/skip_1.csv"),
+      "# preamble 1\n# preamble 2\nid,name\n1,alice\n2,bob\n")
+    val schema = """[{"name":"id","type":"INTEGER"},{"name":"name","type":"STRING"}]"""
+    new Workers.StorageImporter(spark, Map(
+      "source_uris" -> WorkerValue.SL(Seq(s"$dir/skip_*.csv")),
+      "bq_table_id" -> WorkerValue.S(s"$dir/out_skip"),
+      "schema" -> WorkerValue.S(schema),
+      "rows_to_skip" -> WorkerValue.I(3),
+      "errors_to_allow" -> WorkerValue.I(0))).execute(noCtx)
+    val out = spark.read.parquet(s"$dir/out_skip")
+    assert(out.count() == 2)
+    assert(out.select("name").collect().map(_.getString(0)).sorted.toSeq == Seq("alice", "bob"))
+  }
+
   test("QueryLauncher: query -> destination with truncate/append dispositions (bq_query_launcher.py:26-61)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ql")
