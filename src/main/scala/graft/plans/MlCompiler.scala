@@ -121,6 +121,7 @@ object MlCompiler {
       case Predicting => ()
     }
     e.select(
+      col("event_id"), // ROW_NUMBER tiebreaker: timestamps can collide
       col("event_timestamp").as("timestamp"),
       to_date(col("event_date"), "yyyyMMdd").as("date"),
       col("event_name").as("name"),
@@ -152,17 +153,21 @@ object MlCompiler {
   /** `first_engagement` (`model_bqml.sql:110-139`): first engagement
     * event per user carries the demographic snapshot. */
   def firstEngagement(events: DataFrame, cfg: MlModel): DataFrame = {
-    val w = Window.partitionBy(col("unique_id")).orderBy(col("timestamp"))
+    // event_id tiebreak: the selected row carries event-dependent columns
+    // (device, browser), so a timestamp tie must resolve identically on
+    // every engine and every run
+    val w = Window.partitionBy(col("unique_id")).orderBy(col("timestamp"), col("event_id"))
     events
       .filter(col("name") === cfg.engagementEvent)
       .select(col("user_id"), col("user_pseudo_id"), col("unique_id"),
         col("country"), col("region"), col("language"),
         col("traffic_source"), col("traffic_medium"),
         col("device_type"), col("device_os"), col("device_browser"),
-        daypart(col("first_touch_hour")).as("daypart"), col("timestamp"))
+        daypart(col("first_touch_hour")).as("daypart"),
+        col("timestamp"), col("event_id"))
       .withColumn("row_num", row_number().over(w))
       .filter(col("row_num") === 1)
-      .drop("row_num", "timestamp")
+      .drop("row_num", "timestamp", "event_id")
   }
 
   private def probedNum(v: Column): Column =
@@ -204,13 +209,13 @@ object MlCompiler {
         // first trigger occurrence per user; regression also needs its value
         val trigParam = element_at(
           filter(col("params"), p => p.getField("key") === trig.key), 1).getField("value")
-        val tw = Window.partitionBy(col("unique_id")).orderBy(col("timestamp"))
+        val tw = Window.partitionBy(col("unique_id")).orderBy(col("timestamp"), col("event_id"))
         var t0 = events.filter(col("name") === trig.name &&
           exists(col("params"), p => p.getField("key") === trig.key))
         if (!cfg.isClassification) t0 = t0.filter(probedNum(trigParam) > 0)
         val t = t0
           .select(col("unique_id"), col("date").as("t_date"),
-            probedNum(trigParam).as("t_value"), col("timestamp"))
+            probedNum(trigParam).as("t_value"), col("timestamp"), col("event_id"))
           .withColumn("row_num", row_number().over(tw))
           .filter(col("row_num") === 1)
           .select(col("unique_id"), col("t_date"), col("t_value"))

@@ -130,9 +130,13 @@ object Ml {
    * via sorted collect_set (SURVEY §2.3 STRING_AGG caveat).
    */
   def mlVariableDiscovery(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the top-100 aggregation AND the explode/probe join both
+    // consume this slice — without the persist the pruned scan and the
+    // event_params struct construction execute twice in one action
     val evs = Ga4.ga4EventsPartitioned(s, dir)
       .filter(col("_table_suffix").between("20240105", "20240125")) // pruned scan
       .select(col("event_name").as("name"), col("event_params").as("params"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = evs.groupBy(col("name")).agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc).limit(100)
     val v = col("p.value")
@@ -171,6 +175,7 @@ object Ml {
     s"""${Ga4.duckGa4},$extraCtes
        |evs AS (
        |  SELECT
+       |    event_id,
        |    event_timestamp AS timestamp,
        |    CAST(strptime(event_date, '%Y%m%d') AS DATE) AS date,
        |    event_name AS name,
@@ -203,7 +208,7 @@ object Ml {
        |        WHEN first_touch_hour >= 19 AND first_touch_hour < 22 THEN 'evening_19_23'
        |        WHEN first_touch_hour >= 22 OR first_touch_hour = 0 THEN 'latenight_23_1'
        |      END AS daypart,
-       |      ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY timestamp ASC) AS row_num
+       |      ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY timestamp ASC, event_id ASC) AS row_num
        |    FROM evs WHERE name = 'view')
        |  WHERE row_num = 1),
        |$labSql
@@ -263,7 +268,7 @@ object Ml {
       |    SELECT e.unique_id AS unique_id, e.date AS t_date,
       |      COALESCE(CAST(p.value.int_value AS DOUBLE), p.value.float_value,
       |               p.value.double_value, 0) AS t_value,
-      |      ROW_NUMBER() OVER (PARTITION BY e.unique_id ORDER BY e.timestamp ASC) AS row_num
+      |      ROW_NUMBER() OVER (PARTITION BY e.unique_id ORDER BY e.timestamp ASC, e.event_id ASC) AS row_num
       |    FROM evs e, unnest(e.params) AS t(p)
       |    WHERE e.name = 'signup' AND p.key = 'k'
       |    AND COALESCE(CAST(p.value.int_value AS DOUBLE), p.value.float_value,

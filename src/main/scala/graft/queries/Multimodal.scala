@@ -55,20 +55,26 @@ object Multimodal {
   // The stub decoder is a pure byte function — DuckDB recomputes it:
   // width  = 16*(1+(first byte & 3)), height = 16*(1+(last byte & 3)),
   // n_frames = 1 + len%7 (documents text is ASCII, so ascii()/length()
-  // operate on the same bytes the Spark side sees).
+  // operate on the same bytes the Spark side sees). Empty payloads mirror
+  // the stub's contract exactly: decode → (0, NULL, NULL, NULL), resize →
+  // (NULL, NULL, 64, 64, 0), frame sample → no rows.
   val oracle: Map[String, String] = Map(
     "mm_decode" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS byte_len,
-        |  CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) AS width,
-        |  CAST(16 * (1 + (ascii(substring(text, length(text), 1)) & 3)) AS BIGINT) AS height,
-        |  CAST(1 + length(text) % 7 AS BIGINT) AS n_frames
+        |  CASE WHEN length(text) = 0 THEN NULL
+        |    ELSE CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) END AS width,
+        |  CASE WHEN length(text) = 0 THEN NULL
+        |    ELSE CAST(16 * (1 + (ascii(substring(text, length(text), 1)) & 3)) AS BIGINT) END AS height,
+        |  CASE WHEN length(text) = 0 THEN NULL
+        |    ELSE CAST(1 + length(text) % 7 AS BIGINT) END AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_feature_agg" ->
       """WITH f AS (
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS byte_len,
-        |    CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) AS width
+        |    CASE WHEN length(text) = 0 THEN NULL
+        |      ELSE CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) END AS width
         |  FROM documents)
         |SELECT lang, width, COUNT(1) AS n,
         |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes
@@ -76,8 +82,10 @@ object Multimodal {
         |GROUP BY lang, width ORDER BY lang, width""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id,
-        |  CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) AS in_w,
-        |  CAST(16 * (1 + (ascii(substring(text, length(text), 1)) & 3)) AS BIGINT) AS in_h,
+        |  CASE WHEN length(text) = 0 THEN NULL
+        |    ELSE CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) END AS in_w,
+        |  CASE WHEN length(text) = 0 THEN NULL
+        |    ELSE CAST(16 * (1 + (ascii(substring(text, length(text), 1)) & 3)) AS BIGINT) END AS in_h,
         |  CAST(64 AS BIGINT) AS out_w, CAST(64 AS BIGINT) AS out_h,
         |  CAST(least(length(text), 512) AS BIGINT) AS out_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -85,7 +93,7 @@ object Multimodal {
       """WITH m AS (
         |  SELECT doc_id, text, length(text) AS len,
         |    1 + length(text) % 7 AS nf
-        |  FROM documents)
+        |  FROM documents WHERE length(text) > 0)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(i * (len // nf) AS BIGINT) AS frame_pos,
         |  CAST(ascii(substring(text, i * (len // nf) + 1, 1)) AS BIGINT) AS sample_byte

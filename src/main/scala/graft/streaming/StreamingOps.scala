@@ -51,7 +51,12 @@ object StreamingOps {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // exact DECIMAL sum like the batch twin's dsum: double addition is
+      // order-dependent, and micro-batch boundaries would otherwise make
+      // the emitted totals differ run to run
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("n"), col("total_value"))
 
   private val GapUs = 30L * 60 * 1000 * 1000
@@ -78,16 +83,24 @@ object StreamingOps {
       .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[StreamEvent], state: GroupState[SessionBuf]) =>
+          // FULL microsecond precision: Timestamp.getTime is millis only —
+          // the batch twin compares gaps in micros, so sub-ms must not be
+          // truncated or boundary gap decisions diverge
+          def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          def toTs(us: Long): Timestamp = {
+            val t = new Timestamp(us / 1000000 * 1000)
+            t.setNanos((us % 1000000).toInt * 1000)
+            t
+          }
           def toSession(st: SessionState): Session =
-            Session(userId, new Timestamp(st.startUs / 1000), new Timestamp(st.endUs / 1000),
-              st.n, st.total)
+            Session(userId, toTs(st.startUs), toTs(st.endUs), st.n, st.total)
           val gapMs = GapUs / 1000
           var open = state.getOption.map(_.open.toList).getOrElse(Nil)
           // interval-merge this trigger's events (sorted: arrival order
           // within a batch is not event-time order); an event bridging two
           // open sessions fuses them
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val us = e.ts.getTime * 1000
+          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val us = micros(e.ts)
             val (mergeable, rest) = open.partition(s =>
               us >= s.startUs - GapUs && us <= s.endUs + GapUs)
             val merged =

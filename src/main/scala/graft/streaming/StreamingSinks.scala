@@ -12,11 +12,14 @@ import org.apache.spark.sql.types.StructType
  * (`bq_to_measurement_protocol_ga4.py:35-168`) — batch in disguise. The
  * Spark-native upgrade: `readStream` over the staging directory with
  * `Trigger.AvailableNow` (process everything that exists, then stop) and
- * checkpointed progress, which gives the same "drain the table" semantics
- * plus exactly-once restartability the reference lacks. New files dropped
- * into the staging dir are picked up by the next run — the incremental
- * upload pattern a 100 TB pipeline needs (no re-scan of already-sent
- * rows).
+ * checkpointed progress. Files are processed exactly once across runs;
+ * the HTTP delivery itself is AT-LEAST-ONCE (the checkpoint commits per
+ * micro-batch, so a mid-batch failure re-sends that batch's already-POSTed
+ * rows on retry — the same contract as the reference's page-restart
+ * behavior; Measurement Protocol dedups on event identity upstream). New
+ * files dropped into the staging dir are picked up by the next run — the
+ * incremental upload pattern a 100 TB pipeline needs (no re-scan of
+ * already-sent rows).
  */
 object StreamingSinks {
 
