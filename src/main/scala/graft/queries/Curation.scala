@@ -176,10 +176,15 @@ object Curation {
     val reps = groups.select(array_min(col("members")).as("doc_id"))
     val edges = setPairs.select(array_min(col("ma")).as("da"), array_min(col("mb")).as("db"))
     val comp = connectedComponents(reps, edges)
-    val docComp = groups
+    val grouped = groups
       .select(array_min(col("members")).as("rep"), explode(col("members")).as("doc_id"))
       .join(comp.withColumnRenamed("doc_id", "rep"), "rep")
       .select(col("doc_id"), col("comp"))
+    // identity completion: docs outside the pair universe (empty word
+    // sets) are their own singleton components
+    val docComp = load(s, dir, "documents").select(col("doc_id"))
+      .join(grouped, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
     val sz = docComp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     docComp.join(sz, "comp")
       .select(col("doc_id"), col("comp").as("comp_id"), col("cluster_size"),
@@ -227,7 +232,8 @@ object Curation {
       .repartition(parts, col("doc_id")) // spread the CPU-heavy tokenize (see Text.dedupBowFp)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws"),
-        md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1))).as("bow_fp"))
+        when(size(GraftFunctions.shingle_set(col("text"), 1)) > 0,
+          md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1)))).as("bow_fp"))
     val keeper = toks.groupBy(col("bow_fp")).agg(min(col("doc_id")).as("keeper"))
     toks.join(keeper, "bow_fp")
       .filter(col("doc_id") === col("keeper") &&
@@ -278,7 +284,8 @@ object Curation {
     val fp = load(s, dir, "documents")
       .repartition(parts, col("doc_id")) // spread the tokenize kernel
       .select(col("doc_id"), col("source"),
-        md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1))).as("bow_fp"))
+        when(size(GraftFunctions.shingle_set(col("text"), 1)) > 0,
+          md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1)))).as("bow_fp"))
     val a = fp.select(col("doc_id").as("doc_a"), col("source").as("source_a"), col("bow_fp"))
     val b = fp.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("bow_fp"))
     a.join(b, Seq("bow_fp"))

@@ -118,7 +118,11 @@ object Dedup {
     * expanded doc-pair graph. */
   private[queries] def jaccardSetGraph(docSets: DataFrame,
       probeDense: Boolean = true): (DataFrame, DataFrame) = {
-    val dw = docSets
+    // empty word sets are OUT of the pair universe: Jaccard over two empty
+    // sets is 0/0, and the oracle's inverted-index join can never pair
+    // them — treating them as mutual duplicates was both a divide-by-zero
+    // (ANSI) and a semantic divergence
+    val dw = docSets.filter(size(col("words")) > 0)
     // Adaptive gate: probe whether the vocabulary fits the dense domain.
     // Collects at most 65 tokens — metadata-sized at any corpus scale.
     val probe =

@@ -35,8 +35,9 @@ object Text {
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
     val nw = size(w).cast("double")
-    val distinctRatio = size(array_distinct(w)).cast("double") / nw
-    val stopRatio = size(filter(w, x => x.isin("the", "a"))).cast("double") / nw
+    // ratios are NULL for empty docs (DuckDB x/0 → NULL; Spark ANSI throws)
+    val distinctRatio = when(size(w) > 0, size(array_distinct(w)).cast("double") / nw)
+    val stopRatio = when(size(w) > 0, size(filter(w, x => x.isin("the", "a"))).cast("double") / nw)
     docs(s, dir)
       .select(col("doc_id"),
         size(w).cast("long").as("n_words"),
@@ -52,7 +53,8 @@ object Text {
     * the labelled lang column. */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
-    val enRatio = size(filter(w, x => x.isin("the", "a"))).cast("double") / size(w).cast("double")
+    val enRatio = when(size(w) > 0,
+      size(filter(w, x => x.isin("the", "a"))).cast("double") / size(w).cast("double"))
     docs(s, dir)
       .select(col("lang"),
         when(enRatio >= 0.1, "en_like").otherwise("other").as("predicted"))
@@ -69,13 +71,21 @@ object Text {
     graft.functions.GraftFunctions.shingle_set(c, 1)
   }
 
+  /** NULL for an empty word set — matches DuckDB, where
+    * `array_to_string([], ' ')` is NULL (empty docs carry no bag-of-words
+    * identity; exact-dup grouping treats them as one NULL group). */
+  private def bowFp(s: SparkSession, c: Column): Column = {
+    val ws = wordSet(s, c)
+    when(size(ws) > 0, md5(concat_ws(" ", ws)))
+  }
+
   /** Document fingerprinting: md5 content hash + bag-of-words hash (the
     * normalization-invariant near-dup key). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
         md5(col("text")).as("content_fp"),
-        md5(concat_ws(" ", wordSet(s, col("text")))).as("bow_fp"))
+        bowFp(s, col("text")).as("bow_fp"))
       .orderBy(col("doc_id"))
 
   /** Bag-of-words fingerprint dedup: one keeper per identical word set.
@@ -87,8 +97,7 @@ object Text {
     val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     docs(s, dir)
       .repartition(parts, col("doc_id"))
-      .select(col("doc_id"),
-        md5(concat_ws(" ", wordSet(s, col("text")))).as("bow_fp"))
+      .select(col("doc_id"), bowFp(s, col("text")).as("bow_fp"))
       .groupBy(col("bow_fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Adversarial documents corpus for robustness checks (dev tool only).
+
+The driver regenerates /root/testdata each round, so operators must hold
+on data shapes the current fixtures don't contain: empty/whitespace-only
+docs, single words, exact dups across sources, word permutations,
+unicode, degenerate repetition. Usage:
+
+  python3 tools/edge_corpus.py [outdir=/tmp/edge_sf]
+  sbt 'runMain graft.Verify /tmp/edge_sf /tmp/edge_out'   # with SPARK_GRAFT_ONLY=text/dedup/curation keys
+  python3 tools/oracle_check.py /tmp/edge_sf /tmp/edge_out
+"""
+import sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DOCS = [
+    (0, '', 'en', 'web'),                  # empty
+    (1, '   ', 'en', 'web'),               # whitespace only
+    (2, 'word', 'en', 'web'),              # single word
+    (3, 'word', 'en', 'books'),            # exact dup of 2, other source
+    (4, 'two words', 'en', 'web'),         # below shingle n
+    (5, 'the quick brown fox jumps over the lazy dog', 'en', 'web'),
+    (6, 'the quick brown fox jumps over the lazy dog', 'en', 'books'),  # exact dup
+    (7, 'quick the brown fox jumps over lazy the dog', 'en', 'web'),    # permuted word set
+    (8, 'café naïve über straße 中文 日本語', 'zh', 'web'),
+    (9, 'a a a a a a a a a a a a a a', 'en', 'web'),                    # degenerate repetition
+    (10, 'x ' * 500, 'de', 'web'),                                      # long repetitive
+    (11, 'the quick brown fox jumps over the lazy dog extra', 'en', 'cc'),  # near dup of 5
+    (12, 'one', 'fr', 'web'),
+    (13, 'deux trois', 'fr', 'cc'),
+]
+
+
+def main(outdir):
+    os.makedirs(outdir, exist_ok=True)
+    tbl = pa.table({
+        'doc_id': pa.array([d[0] for d in DOCS], pa.int64()),
+        'text': pa.array([d[1] for d in DOCS], pa.string()),
+        'lang': pa.array([d[2] for d in DOCS], pa.string()),
+        'source': pa.array([d[3] for d in DOCS], pa.string()),
+        'n_chars': pa.array([len(d[1]) for d in DOCS], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(outdir, 'documents.parquet'))
+    print(f'wrote {tbl.num_rows} docs to {outdir}/documents.parquet')
+
+
+if __name__ == '__main__':
+    main(sys.argv[1] if len(sys.argv) > 1 else '/tmp/edge_sf')
