@@ -32,8 +32,14 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dot_f64(a, b)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** NULL when either vector has zero norm (a failed-encoder all-zeros
+    * embedding must not crash the scan under ANSI division — and NULL
+    * similarity never passes a threshold filter, matching DuckDB's x/0
+    * semantics). */
+  private def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Brute-force cosine top-5: queries = vec_id < 10, candidates = rest. */
   def simBruteforceTopk(s: SparkSession, dir: String): DataFrame = {

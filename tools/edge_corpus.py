@@ -32,6 +32,34 @@ DOCS = [
 ]
 
 
+DIM = 64
+
+
+def edge_embeddings():
+    """Zero vector (failed encoder), exact dup pair, near-dup pair,
+    orthogonal singletons — query ids (< 10) and candidate ids."""
+    import math
+    def unit(axis):
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        return v
+    def mix(a, b, t):
+        va, vb = unit(a), unit(b)
+        v = [(1 - t) * x + t * y for x, y in zip(va, vb)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+    return [
+        (0, unit(0), 0),            # query
+        (1, [0.0] * DIM, 0),        # query, ZERO VECTOR
+        (2, unit(1), 1),            # query
+        (10, unit(0), 0),           # exact dup of 0
+        (11, mix(0, 1, 0.05), 0),   # near dup of 0
+        (12, unit(2), 2),           # orthogonal
+        (13, [0.0] * DIM, 1),       # candidate zero vector
+        (14, mix(1, 2, 0.5), 2),
+    ]
+
+
 def main(outdir):
     os.makedirs(outdir, exist_ok=True)
     tbl = pa.table({
@@ -43,6 +71,14 @@ def main(outdir):
     })
     pq.write_table(tbl, os.path.join(outdir, 'documents.parquet'))
     print(f'wrote {tbl.num_rows} docs to {outdir}/documents.parquet')
+    embs = edge_embeddings()
+    etbl = pa.table({
+        'vec_id': pa.array([e[0] for e in embs], pa.int64()),
+        'embedding': pa.array([e[1] for e in embs], pa.list_(pa.float32())),
+        'label': pa.array([e[2] for e in embs], pa.int32()),
+    })
+    pq.write_table(etbl, os.path.join(outdir, 'embeddings.parquet'))
+    print(f'wrote {etbl.num_rows} embeddings to {outdir}/embeddings.parquet')
 
 
 if __name__ == '__main__':
