@@ -296,7 +296,7 @@ object BqDialect {
     var i = 0
     while (i < stmt.length) {
       val c = stmt.charAt(i)
-      val next = if (i + 1 < stmt.length) stmt.charAt(i + 1) else ' '
+      val next = if (i + 1 < stmt.length) stmt.charAt(i + 1) else '\u0000'
       c match {
         case '\'' | '"' | '`' =>
           out.append(subst(plain.toString)); plain.clear()
@@ -353,13 +353,15 @@ object BqDialect {
           require(vars.contains(name), s"SET of undeclared variable $name")
           val df = spark.sql(rewrite(substituteVars(s"SELECT $expr", vars.toMap)))
           vars += name -> literal(df.first().get(0))
-        case body if rewriteTempFunction(body).isDefined =>
-          spark.sql(rewriteTempFunction(body).get).collect()
         case body =>
-          val df = spark.sql(rewrite(substituteVars(body, vars.toMap)))
-          val head = body.toUpperCase
-          if (head.startsWith("SELECT") || head.startsWith("WITH")) last = Some(df)
-          else df.collect() // force DDL/DML side effects
+          rewriteTempFunction(body) match {
+            case Some(fnSql) => spark.sql(fnSql).collect()
+            case None =>
+              val df = spark.sql(rewrite(substituteVars(body, vars.toMap)))
+              val head = body.toUpperCase
+              if (head.startsWith("SELECT") || head.startsWith("WITH")) last = Some(df)
+              else df.collect() // force DDL/DML side effects
+          }
       }
     }
     last

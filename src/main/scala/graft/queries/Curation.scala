@@ -274,9 +274,14 @@ object Curation {
    * Cross-source contamination check: for every ordered source pair,
    * how many of the first source's documents share a bag-of-words
    * fingerprint with the second — the test-set-leakage scan a training
-   * pipeline runs before mixing corpora. One fingerprint projection, one
-   * self-equi-join on the fingerprint (hash shuffle on the md5 key — no
-   * pairwise comparison), one count.
+   * pipeline runs before mixing corpora. The self-join runs on relations
+   * COLLAPSED to one row per (fingerprint, source) carrying a doc count:
+   * a hot fingerprint (license header, boilerplate page) present m times
+   * in source A and n times in source B contributes ONE join row instead
+   * of m·n, so the plan stays linear in distinct fingerprints. Each doc
+   * has exactly one fingerprint, so `contaminated_docs` =
+   * Σ n_docs(source_a) over shared fingerprints and `shared_fingerprints`
+   * = the join-row count — identical results to the per-doc join.
    */
   def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -286,13 +291,19 @@ object Curation {
       .select(col("doc_id"), col("source"),
         when(size(GraftFunctions.shingle_set(col("text"), 1)) > 0,
           md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1)))).as("bow_fp"))
-    val a = fp.select(col("doc_id").as("doc_a"), col("source").as("source_a"), col("bow_fp"))
-    val b = fp.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("bow_fp"))
+      // NULL fingerprints (empty word set) can never equi-join; drop
+      // them before the collapse so they don't shuffle.
+      .filter(col("bow_fp").isNotNull)
+      // ≤ |sources| rows per fingerprint from here on.
+      .groupBy(col("bow_fp"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val a = fp.select(col("bow_fp"), col("source").as("source_a"), col("n_docs").as("n_docs_a"))
+    val b = fp.select(col("bow_fp"), col("source").as("source_b"))
     a.join(b, Seq("bow_fp"))
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
-      .agg(countDistinct(col("doc_a")).as("contaminated_docs"),
-        countDistinct(col("bow_fp")).as("shared_fingerprints"))
+      .agg(sum(col("n_docs_a")).as("contaminated_docs"),
+        count(lit(1)).as("shared_fingerprints"))
       .orderBy(col("source_a"), col("source_b"))
   }
 

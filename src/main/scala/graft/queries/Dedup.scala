@@ -187,7 +187,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("nw", bit_count(col("mask")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (g.count() > DenseSetsCap) return ppjoinPairs(dw)
+    if (g.count() > DenseSetsCap) { g.unpersist(); return ppjoinPairs(dw) }
 
     val parts = dw.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(32)

@@ -39,9 +39,25 @@ object WildcardTable {
     // never start the layout dir with '_': Spark's file index treats
     // leading-underscore paths as metadata and filters them from listings
     val safe = "d" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_wildcard/${safe}_$fp"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_wildcard"
+    val out = s"$root/${safe}_$fp"
     val fs = new Path(out).getFileSystem(conf)
     if (!fs.exists(new Path(out, "_SUCCESS"))) {
+      // A regenerated source gets a new fingerprint; superseded layouts
+      // for the SAME source would otherwise accumulate a full events-table
+      // copy per driver regeneration (and confuse recursive listings with
+      // stale dirs). Drop them before materializing the new one.
+      val rootPath = new Path(root)
+      if (fs.exists(rootPath)) {
+        fs.listStatus(rootPath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName != s"${safe}_$fp" &&
+            st.getPath.getName.startsWith(safe + "_") &&
+            // hex-only remainder: don't eat another dir whose sanitized
+            // name happens to extend this one (".../sf0.01_x" vs ".../sf0.01")
+            st.getPath.getName.stripPrefix(safe + "_").matches("[0-9a-f]+"))
+          .foreach(st => fs.delete(st.getPath, true))
+      }
       graft.queries.Tables.events(s, dir)
         .withColumn("_table_suffix", suffixExpr)
         .write.mode("overwrite").partitionBy("_table_suffix").parquet(out)

@@ -29,6 +29,19 @@ DOCS = [
     (11, 'the quick brown fox jumps over the lazy dog extra', 'en', 'cc'),  # near dup of 5
     (12, 'one', 'fr', 'web'),
     (13, 'deux trois', 'fr', 'cc'),
+    # hot cross-source fingerprint: the same boilerplate (license header)
+    # repeated m times in web and n times in books/cc — the per-doc
+    # contamination self-join would materialize m*n rows here; the
+    # collapsed (fp, source, n_docs) join must give identical counts
+    (14, 'permission is hereby granted free of charge', 'en', 'web'),
+    (15, 'permission is hereby granted free of charge', 'en', 'web'),
+    (16, 'permission is hereby granted free of charge', 'en', 'web'),
+    (17, 'permission is hereby granted free of charge', 'en', 'books'),
+    (18, 'permission is hereby granted free of charge', 'en', 'books'),
+    (19, 'permission is hereby granted free of charge', 'en', 'cc'),
+    # permuted copy of the boilerplate: same bag-of-words fingerprint,
+    # different text — still contamination by the bow definition
+    (20, 'granted hereby permission is free charge of', 'en', 'cc'),
 ]
 
 
