@@ -53,6 +53,37 @@ object Ga4 {
     val v = col("value")
     // deterministic first-touch instant: 2024-01-01T00:00Z + user_id hours
     val firstTouchUs = (lit(1704067200L) + pmod(col("user_id"), lit(720)) * 3600L) * 1000000L
+    // sparse ad-click id (output.sql:105-117): only some click events carry
+    // one, and a few carry the EMPTY string to exercise the reference's
+    // COALESCE(string_value, "") != "" guard
+    val gclidEntry = array(struct(lit("gclid").as("key"),
+      slots(
+        when(pmod(col("event_id"), lit(9)) === 0, lit(""))
+          .otherwise(concat(lit("gcl_"), col("event_id").cast("string"))),
+        nullL, nullD, nullD).as("value")))
+    val baseParams = array(
+      // 'k': always the int slot (from the props JSON)
+      struct(lit("k").as("key"),
+        slots(nullS, get_json_object(col("props"), "$.k").cast("long"), nullL.cast("double"), nullD)
+          .as("value")),
+      // 'm': exactly one of the four typed slots, by event_id mod 4 —
+      // exercises the COALESCE probing order across all slots
+      struct(lit("m").as("key"),
+        slots(
+          when(m4 === 3, round(v, 2).cast("string")).otherwise(nullS),
+          when(m4 === 0, round(v, 0).cast("long")).otherwise(nullL),
+          when(m4 === 1, v).otherwise(nullD),
+          when(m4 === 2, v * 2).otherwise(nullD)).as("value")),
+      // 'engagement_time_msec': int slot (bigquery.py:70-73 exclusion list)
+      struct(lit("engagement_time_msec").as("key"),
+        slots(nullS, pmod(col("event_id"), lit(1000)), nullD, nullD).as("value")),
+      // 'medium': string slot
+      struct(lit("medium").as("key"),
+        slots(
+          when(pmod(col("user_id"), lit(3)) === 0, lit("organic"))
+            .when(pmod(col("user_id"), lit(3)) === 1, lit("cpc"))
+            .otherwise(lit("referral")),
+          nullL, nullD, nullD).as("value")))
     // keep the partition column when the source is the wildcard layout, so
     // downstream date filters remain partition-prunable
     val partitionCols =
@@ -68,30 +99,8 @@ object Ga4 {
         .otherwise(lit(null).cast("string")).as("user_id"),
       firstTouchUs.as("user_first_touch_timestamp"),
       when(pmod(col("event_id"), lit(10)) < 7, lit("WEB")).otherwise(lit("APP")).as("platform"),
-      array(
-        // 'k': always the int slot (from the props JSON)
-        struct(lit("k").as("key"),
-          slots(nullS, get_json_object(col("props"), "$.k").cast("long"), nullL.cast("double"), nullD)
-            .as("value")),
-        // 'm': exactly one of the four typed slots, by event_id mod 4 —
-        // exercises the COALESCE probing order across all slots
-        struct(lit("m").as("key"),
-          slots(
-            when(m4 === 3, round(v, 2).cast("string")).otherwise(nullS),
-            when(m4 === 0, round(v, 0).cast("long")).otherwise(nullL),
-            when(m4 === 1, v).otherwise(nullD),
-            when(m4 === 2, v * 2).otherwise(nullD)).as("value")),
-        // 'engagement_time_msec': int slot (bigquery.py:70-73 exclusion list)
-        struct(lit("engagement_time_msec").as("key"),
-          slots(nullS, pmod(col("event_id"), lit(1000)), nullD, nullD).as("value")),
-        // 'medium': string slot
-        struct(lit("medium").as("key"),
-          slots(
-            when(pmod(col("user_id"), lit(3)) === 0, lit("organic"))
-              .when(pmod(col("user_id"), lit(3)) === 1, lit("cpc"))
-              .otherwise(lit("referral")),
-            nullL, nullD, nullD).as("value"))
-      ).as("event_params"),
+      when(col("event_type") === "click" && pmod(col("event_id"), lit(3)) === 0,
+        concat(baseParams, gclidEntry)).otherwise(baseParams).as("event_params"),
       struct(
         element_at(array(lit("US"), lit("DE"), lit("FR"), lit("JP"), lit("BR")),
           (pmod(col("user_id"), lit(5)) + 1).cast("int")).as("country"),
@@ -147,7 +156,13 @@ object Ga4 {
       |        'int_value': CAST(NULL AS BIGINT),
       |        'float_value': CAST(NULL AS DOUBLE),
       |        'double_value': CAST(NULL AS DOUBLE)}}
-      |    ] AS event_params,
+      |    ] || CASE WHEN event_type = 'click' AND event_id % 3 = 0 THEN [
+      |      {'key': 'gclid', 'value': {
+      |        'string_value': CASE WHEN event_id % 9 = 0 THEN '' ELSE 'gcl_' || CAST(event_id AS VARCHAR) END,
+      |        'int_value': CAST(NULL AS BIGINT),
+      |        'float_value': CAST(NULL AS DOUBLE),
+      |        'double_value': CAST(NULL AS DOUBLE)}}
+      |    ] ELSE [] END AS event_params,
       |    {'country': ['US','DE','FR','JP','BR'][CAST(user_id % 5 AS INT) + 1],
       |     'region': 'r' || CAST(user_id % 7 AS VARCHAR)} AS geo,
       |    {'language': ['en','de','fr'][CAST(user_id % 3 AS INT) + 1],

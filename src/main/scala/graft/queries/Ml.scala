@@ -123,6 +123,111 @@ object Ml {
     MlCompiler.conversionValues(s, preds, c)
   }
 
+  /** Deterministic ML.PREDICT stand-in over the predicting dataset (the
+    * same score derivation as ml_conversion_values, so the calibration
+    * and the output composition are checked against one oracle), with the
+    * id columns the OUTPUTING step projects. Persisted: it feeds both the
+    * NTILE calibration (whose range shuffle double-executes its input)
+    * and the band join. */
+  private def deterministicPreds(s: SparkSession, dir: String, c: MlModel): DataFrame =
+    MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), c, Predicting)
+      .select(col("unique_id"), col("user_pseudo_id"), col("user_id"), col("label"),
+        ((col("unique_id").cast("long") * 2654435761L % 1000003L) / lit(1000003.0))
+          .as("probability"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** `prepared_predictions` (`output.sql:37-54`): scores band-joined onto
+    * the conversion-value segments. The segment relation is ≤
+    * `conversionRateSegments` rows — always broadcast, so the band join
+    * is a codegen'd broadcast nested-loop over a 10-row build side, never
+    * a shuffle. */
+  private def preparedPredictions(s: SparkSession, preds: DataFrame, c: MlModel): DataFrame = {
+    val cv = MlCompiler.conversionValues(s, preds, c)
+    preds.join(broadcast(cv),
+        col("probability").between(col("probability_range_start"), col("probability_range_end")),
+        "left")
+      .groupBy(col("unique_id"), col("user_pseudo_id"), col("user_id"))
+      .agg(round(max(col("value")), 4).as("value"),
+        max(col("normalized_probability")).as("normalized_score"),
+        (max(col("probability")) * 100).as("score"))
+  }
+
+  /**
+   * The predictive pipeline's OUTPUTING step composed end-to-end —
+   * classification + GA source + ads-offline destination
+   * (`output.sql:2-7,37-54,104-135`): DECLARE the latest shard suffix
+   * from partition metadata (the `__TABLES_SUMMARY__` analog — no data
+   * scan), band-join deterministic ML.PREDICT-shaped scores onto the
+   * conversion-value segments, take each user's freshest non-empty
+   * ad-click id from ONLY the latest shard (partition-pruned scan,
+   * ROW_NUMBER, `FORMAT_TIMESTAMP('%F %T%Ez', ...)`), and emit one row
+   * per scored user holding a click id. The fixture's 'click' events
+   * stand in for the reference's 'page_view' (the fixture vocabulary has
+   * no page_view; the gclid param shape is identical).
+   */
+  def mlOutputPredictions(s: SparkSession, dir: String): DataFrame = {
+    val c = cfg(hashSplit = false, imbalance = 1)
+    val latest = graft.sources.WildcardTable.listSuffixes(s, dir).max
+    val preds = deterministicPreds(s, dir, c)
+    val prepared = preparedPredictions(s, preds, c)
+    // the gclid value embeds the event id, so the DESC tiebreak is
+    // deterministic even for same-microsecond clicks (the reference has
+    // no tiebreak — nondeterminism its own tests tolerate, the hash
+    // compare cannot)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("unique_id"))
+      .orderBy(col("event_timestamp").desc, col("gclid").desc)
+    val gclids = Ga4.ga4EventsPartitioned(s, dir)
+      .filter(col("_table_suffix") === latest && lower(col("platform")) === "web" &&
+        col("event_name") === "click")
+      .select(col("user_pseudo_id").as("unique_id"), col("event_timestamp"),
+        explode(col("event_params")).as("p"))
+      .filter(col("p.key") === "gclid" &&
+        coalesce(col("p.value.string_value"), lit("")) =!= "")
+      .select(col("unique_id"), col("p.value.string_value").as("gclid"), col("event_timestamp"))
+      .withColumn("row_num", row_number().over(w))
+      .filter(col("row_num") === 1)
+      .select(col("unique_id"), col("gclid"),
+        concat(date_format(timestamp_micros(col("event_timestamp")), "yyyy-MM-dd HH:mm:ss"),
+          lit("+00:00")).as("datetime"))
+    prepared.join(gclids, "unique_id")
+      .select(col("unique_id"), col("user_pseudo_id"), col("user_id"), col("value"),
+        col("normalized_score"), col("score"), col("gclid"), col("datetime"))
+      .orderBy(col("unique_id"))
+  }
+
+  /**
+   * The OUTPUTING step's Measurement-Protocol branch
+   * (`output.sql:70-103`): scored users MINUS users who already carry a
+   * score event in the latest shard (`users_without_score` NOT-IN →
+   * left-anti), projected to the MP payload columns. The
+   * "already-scored" marker is the fixture's `view`-with-`medium=organic`
+   * combination (the reference matches `prop_score`/`Predicted_Value`
+   * events it previously uploaded; the fixture never contains those, and
+   * a vacuous anti-join would test nothing).
+   */
+  def mlOutputPredictionsMp(s: SparkSession, dir: String): DataFrame = {
+    val c = cfg(hashSplit = false, imbalance = 1)
+    val latest = graft.sources.WildcardTable.listSuffixes(s, dir).max
+    val preds = deterministicPreds(s, dir, c)
+    val prepared = preparedPredictions(s, preds, c)
+    val ev = Ga4.ga4EventsPartitioned(s, dir)
+      .filter(col("_table_suffix") === latest && lower(col("platform")) === "web")
+      .select(col("user_pseudo_id").as("unique_id"), col("event_name").as("name"),
+        col("event_params").as("params"))
+    val withScore = ev
+      .filter(col("name") === "view" && exists(col("params"), p =>
+        p.getField("key") === "medium" &&
+          p.getField("value").getField("string_value") === "organic"))
+      .select(col("unique_id")).distinct()
+    val withoutScore = ev.select(col("unique_id")).distinct()
+      .join(withScore, Seq("unique_id"), "left_anti")
+    prepared.join(withoutScore, "unique_id")
+      .select(col("value"), col("normalized_score"), col("score"),
+        col("unique_id").as("client_id"),
+        lit("prop_score").as("event_name"), lit("Predicted_Value").as("type"))
+      .orderBy(col("client_id"))
+  }
+
   /**
    * Variable-discovery query (`bigquery.py:74-117`): top-100 event names
    * by volume, their parameter keys (minus the exclusion list) and the
@@ -163,7 +268,9 @@ object Ml {
     "ml_variable_discovery" -> (mlVariableDiscovery _),
     "ml_training_regression" -> (mlTrainingRegression _),
     "ml_first_party_dataset" -> (mlFirstPartyDataset _),
-    "ml_combined_dataset" -> (mlCombinedDataset _))
+    "ml_combined_dataset" -> (mlCombinedDataset _),
+    "output_predictions" -> (mlOutputPredictions _),
+    "output_predictions_mp" -> (mlOutputPredictionsMp _))
 
   /** The events→first_engagement→analytics_variables→aggregate_behavior
     * composition in DuckDB dialect (mirrors model_bqml.sql over the shared
@@ -416,5 +523,80 @@ object Ml {
          |          + MAX(probability)) / 2.0 END AS probability_range_end
          |FROM seg
          |GROUP BY 1
-         |ORDER BY 1""".stripMargin)
+         |ORDER BY 1""".stripMargin,
+    "output_predictions" ->
+      s"""WITH $duckCore,
+         |$duckOutputPrepared,
+         |gc0 AS (
+         |  SELECT g.user_pseudo_id AS unique_id, p.value.string_value AS gclid,
+         |    g.event_timestamp,
+         |    ROW_NUMBER() OVER (PARTITION BY g.user_pseudo_id
+         |      ORDER BY g.event_timestamp DESC, p.value.string_value DESC) AS row_num
+         |  FROM ga4 g, unnest(g.event_params) AS t(p)
+         |  WHERE g.event_date = (SELECT sfx FROM latest) AND lower(g.platform) = 'web'
+         |  AND g.event_name = 'click' AND p.key = 'gclid'
+         |  AND COALESCE(p.value.string_value, '') != ''),
+         |gclids AS (
+         |  SELECT unique_id, gclid,
+         |    strftime(make_timestamp(event_timestamp), '%Y-%m-%d %H:%M:%S') || '+00:00' AS datetime
+         |  FROM gc0 WHERE row_num = 1)
+         |SELECT p.unique_id, p.user_pseudo_id, p.user_id, p.value, p.normalized_score,
+         |  p.score, g.gclid, g.datetime
+         |FROM prepared p JOIN gclids g USING (unique_id)
+         |ORDER BY p.unique_id""".stripMargin,
+    "output_predictions_mp" ->
+      s"""WITH $duckCore,
+         |$duckOutputPrepared,
+         |latest_ev AS (
+         |  SELECT user_pseudo_id AS unique_id, event_name AS name, event_params AS params
+         |  FROM ga4
+         |  WHERE event_date = (SELECT sfx FROM latest) AND lower(platform) = 'web'),
+         |ws AS (
+         |  SELECT DISTINCT unique_id FROM latest_ev
+         |  WHERE name = 'view' AND EXISTS (
+         |    SELECT 1 FROM unnest(params) AS t(p)
+         |    WHERE p.key = 'medium' AND p.value.string_value = 'organic')),
+         |wos AS (
+         |  SELECT DISTINCT unique_id FROM latest_ev
+         |  WHERE unique_id NOT IN (SELECT unique_id FROM ws))
+         |SELECT p.value, p.normalized_score, p.score, p.unique_id AS client_id,
+         |  'prop_score' AS event_name, 'Predicted_Value' AS type
+         |FROM prepared p JOIN wos USING (unique_id)
+         |ORDER BY client_id""".stripMargin)
+
+  /** Shared OUTPUTING-step oracle CTEs: the latest-shard declare, the
+    * deterministic score stand-in, the NTILE calibration (textually the
+    * ml_conversion_values oracle) and `prepared_predictions`'s band join
+    * (`output.sql:37-54`). */
+  private lazy val duckOutputPrepared: String =
+    """latest AS (SELECT MAX(strftime(ts, '%Y%m%d')) AS sfx FROM events),
+      |preds AS (
+      |  SELECT fe.unique_id, fe.user_pseudo_id, fe.user_id, uv.label,
+      |    (CAST(fe.unique_id AS BIGINT) * 2654435761 % 1000003) / 1000003.0 AS probability
+      |  FROM fe
+      |  JOIN ab ON fe.unique_id = ab.unique_id
+      |  JOIN uv ON fe.unique_id = uv.unique_id),
+      |seg AS (
+      |  SELECT unique_id, label, probability,
+      |    CAST(NTILE(10) OVER (ORDER BY probability ASC, unique_id ASC) AS BIGINT)
+      |      AS normalized_probability
+      |  FROM preds),
+      |cv AS (
+      |  SELECT normalized_probability,
+      |    CAST(SUM(label) AS DOUBLE) / COUNT(1) * 25.0 AS value,
+      |    CASE WHEN normalized_probability = 1 THEN 0.0
+      |      ELSE (LAG(MAX(probability)) OVER (ORDER BY normalized_probability ASC)
+      |            + MIN(probability)) / 2.0 END AS probability_range_start,
+      |    CASE WHEN normalized_probability = 10 THEN 1.0
+      |      ELSE (LEAD(MIN(probability)) OVER (ORDER BY normalized_probability ASC)
+      |            + MAX(probability)) / 2.0 END AS probability_range_end
+      |  FROM seg GROUP BY 1),
+      |prepared AS (
+      |  SELECT p.unique_id, p.user_pseudo_id, p.user_id,
+      |    ROUND(MAX(cv.value), 4) AS value,
+      |    MAX(cv.normalized_probability) AS normalized_score,
+      |    MAX(p.probability) * 100 AS score
+      |  FROM preds p
+      |  LEFT JOIN cv ON p.probability BETWEEN cv.probability_range_start AND cv.probability_range_end
+      |  GROUP BY 1, 2, 3)""".stripMargin
 }
