@@ -4,7 +4,7 @@ import graft.core.Dag
 import graft.core.Dag.{Worker, WorkerContext}
 import graft.core.Spec.WorkerValue
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, MultilayerPerceptronClassifier, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.feature.RFormula
 import org.apache.spark.ml.functions.vector_to_array
@@ -21,14 +21,87 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object Ml {
 
-  private def estimator(modelType: String, labelCol: String) = modelType.toUpperCase match {
-    case "LOGISTIC_REG" => new LogisticRegression().setLabelCol(labelCol)
-    case "BOOSTED_TREE_CLASSIFIER" => new GBTClassifier().setLabelCol(labelCol)
-    case "BOOSTED_TREE_REGRESSOR" => new GBTRegressor().setLabelCol(labelCol)
-    case "RANDOM_FOREST_CLASSIFIER" => new RandomForestClassifier().setLabelCol(labelCol)
-    case "RANDOM_FOREST_REGRESSOR" => new RandomForestRegressor().setLabelCol(labelCol)
-    case "LINEAR_REG" => new LinearRegression().setLabelCol(labelCol)
-    case other => throw new IllegalArgumentException(s"Unsupported MODEL_TYPE: $other")
+  /** `featureDim`/`numClasses` are by-name: only the DNN mapping needs
+    * them (MLP layers must be sized up front), so the probe actions run
+    * only for DNN_* types. DNN_REGRESSOR is rejected explicitly — MLlib
+    * has no perceptron regressor, and silently substituting a tree model
+    * would misreport what was trained (the reference's accepted list is
+    * `compiler.py:50-62`; every other entry maps 1:1). */
+  private[workers] def estimator(modelType: String, labelCol: String,
+      hyperParams: Map[String, String] = Map.empty,
+      featureDim: () => Int = () => 0,
+      numClasses: () => Int = () => 2) = {
+    val est = modelType.toUpperCase match {
+      case "LOGISTIC_REG" => new LogisticRegression().setLabelCol(labelCol)
+      case "BOOSTED_TREE_CLASSIFIER" => new GBTClassifier().setLabelCol(labelCol)
+      case "BOOSTED_TREE_REGRESSOR" => new GBTRegressor().setLabelCol(labelCol)
+      case "RANDOM_FOREST_CLASSIFIER" => new RandomForestClassifier().setLabelCol(labelCol)
+      case "RANDOM_FOREST_REGRESSOR" => new RandomForestRegressor().setLabelCol(labelCol)
+      case "LINEAR_REG" => new LinearRegression().setLabelCol(labelCol)
+      case "DNN_CLASSIFIER" =>
+        // feature-derived layer sizing: input = encoded feature width,
+        // hidden = HIDDEN_UNITS or one layer of width/2, output = #classes
+        val dim = featureDim()
+        val hidden = hyperParams.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("HIDDEN_UNITS") =>
+            v.split("[,\\[\\]\\s]+").filter(_.nonEmpty).map(_.toInt).toSeq
+        }.getOrElse(Seq(math.max(2, dim / 2)))
+        new MultilayerPerceptronClassifier().setLabelCol(labelCol)
+          .setLayers(((dim +: hidden) :+ numClasses()).toArray)
+      case "DNN_REGRESSOR" =>
+        throw new IllegalArgumentException(
+          "MODEL_TYPE DNN_REGRESSOR is not supported: MLlib has no perceptron " +
+            "regressor; use BOOSTED_TREE_REGRESSOR / RANDOM_FOREST_REGRESSOR / LINEAR_REG")
+      case other => throw new IllegalArgumentException(s"Unsupported MODEL_TYPE: $other")
+    }
+    applyHyperParams(est, hyperParams)
+  }
+
+  /**
+   * BQML `OPTIONS(...)` hyperparameters → MLlib params
+   * (`model_bqml.sql:3-14` injects them verbatim; names are the BQML
+   * option vocabulary, `models.py:608-618` stores free-form name/value).
+   * Options a given estimator doesn't carry are returned in the ignored
+   * list (BQML likewise ignores options inapplicable to the model type)
+   * rather than failing the pipeline; unknown NAMES still throw — a typo
+   * should not silently train with defaults.
+   */
+  private[workers] def applyHyperParams[E <: org.apache.spark.ml.param.Params](
+      est: E, hp: Map[String, String]): (E, Seq[String]) = {
+    def setIf(name: String, v: Any): Boolean =
+      est.hasParam(name) && { est.set(est.getParam(name), v); true }
+    val l1 = hp.collectFirst { case (k, v) if k.equalsIgnoreCase("L1_REG") => v.toDouble }
+    val l2 = hp.collectFirst { case (k, v) if k.equalsIgnoreCase("L2_REG") => v.toDouble }
+    val ignored = scala.collection.mutable.ArrayBuffer.empty[String]
+    // elastic-net translation: MLlib folds L1/L2 into a single strength
+    // (regParam) + mix (elasticNetParam); penalty = regParam * (mix*L1 +
+    // (1-mix)*L2) ≡ BQML's separate coefficients
+    if (l1.isDefined || l2.isDefined) {
+      val a = l1.getOrElse(0.0); val b = l2.getOrElse(0.0)
+      val ok = setIf("regParam", a + b) &&
+        (a + b == 0.0 || setIf("elasticNetParam", a / (a + b)))
+      if (!ok) ignored += "L1_REG/L2_REG"
+    }
+    hp.foreach { case (k0, v) =>
+      val k = k0.trim.toUpperCase
+      val ok = k match {
+        case "L1_REG" | "L2_REG" | "HIDDEN_UNITS" => true // handled above
+        case "MAX_ITERATIONS" => setIf("maxIter", v.toDouble.toInt)
+        case "LEARN_RATE" => setIf("stepSize", v.toDouble)
+        case "MIN_REL_PROGRESS" => setIf("tol", v.toDouble)
+        case "EARLY_STOP" => true // MLlib iterates to maxIter/tol; no toggle
+        case "MAX_TREE_DEPTH" => setIf("maxDepth", v.toDouble.toInt)
+        case "SUBSAMPLE" => setIf("subsamplingRate", v.toDouble)
+        case "MIN_SPLIT_LOSS" => setIf("minInfoGain", v.toDouble)
+        case "NUM_PARALLEL_TREE" => setIf("numTrees", v.toDouble.toInt)
+        case "BATCH_SIZE" => setIf("blockSize", v.toDouble.toInt)
+        case "BUDGET_HOURS" => true // Vertex budget: no MLlib analog, recorded by the caller
+        case other => throw new IllegalArgumentException(
+          s"Unknown hyperparameter: $other (BQML OPTIONS vocabulary expected)")
+      }
+      if (!ok) ignored += k
+    }
+    (est, ignored.toSeq)
   }
 
   private def isClassifier(modelType: String): Boolean =
@@ -48,13 +121,23 @@ object Ml {
         val explicit = Workers.strList(params, "feature_cols")
         if (explicit.nonEmpty) explicit else df.columns.filterNot(_ == labelCol).toSeq
       }
+      val hyperParams = Workers.strList(params, "hyper_parameters")
+        .map(_.split("=", 2)).collect { case Array(k, v) => k.trim -> v.trim }.toMap
       // RFormula handles string features (one-hot) like BQML's implicit
       // TRANSFORM of categorical columns.
       val formula = new RFormula()
         .setFormula(s"$labelCol ~ ${featureCols.mkString(" + ")}")
         .setFeaturesCol("features")
         .setLabelCol(labelCol)
-      val pipe = new Pipeline().setStages(Array(formula, estimator(modelType, labelCol)))
+      // by-name probes — executed only for DNN_* layer sizing
+      def featureDim(): Int = formula.fit(df).transform(df.limit(1))
+        .select("features").head.getAs[org.apache.spark.ml.linalg.Vector](0).size
+      def numClasses(): Int = df.select(labelCol).distinct().count().toInt
+      val (est, ignored) =
+        estimator(modelType, labelCol, hyperParams, featureDim _, numClasses _)
+      if (ignored.nonEmpty)
+        ctx.log(s"Hyperparameters without a $modelType analog ignored: ${ignored.mkString(", ")}")
+      val pipe = new Pipeline().setStages(Array(formula, est))
       val model = pipe.fit(df)
       model.write.overwrite().save(modelUri)
       ctx.log(s"Trained $modelType on $table -> $modelUri")

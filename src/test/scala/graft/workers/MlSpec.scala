@@ -223,4 +223,53 @@ class MlSpec extends AnyFunSuite with SparkFixture {
     assert(got.except(exp).isEmpty && exp.except(got).isEmpty,
       "exists-probe counters diverge from the explode spelling")
   }
+
+  test("DNN_CLASSIFIER: MLP with feature-derived layers trains and predicts (compiler.py:58-61)") {
+    val dir = Files.createTempDirectory("graft_dnn")
+    labelled().write.parquet(s"$dir/train")
+    new Ml.Trainer(spark, Map(
+      "training_table" -> WorkerValue.S(s"$dir/train"),
+      "model_type" -> WorkerValue.S("DNN_CLASSIFIER"),
+      "hyper_parameters" -> WorkerValue.S("HIDDEN_UNITS=8\nMAX_ITERATIONS=60"),
+      "model_uri" -> WorkerValue.S(s"$dir/model"))).execute(noCtx)
+    new Ml.Predictor(spark, Map(
+      "bq_table_id" -> WorkerValue.S(s"$dir/train"),
+      "model_uri" -> WorkerValue.S(s"$dir/model"),
+      "destination_table" -> WorkerValue.S(s"$dir/preds"))).execute(noCtx)
+    val preds = spark.read.parquet(s"$dir/preds")
+    assert(preds.columns.contains("probability_of_positive"))
+    val probs = preds.select("probability_of_positive")
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("DNN_REGRESSOR is rejected explicitly (no MLlib perceptron regressor)") {
+    val e = intercept[IllegalArgumentException] {
+      Ml.estimator("DNN_REGRESSOR", "label")
+    }
+    assert(e.getMessage.contains("DNN_REGRESSOR"))
+  }
+
+  test("hyperparameter passthrough: BQML OPTIONS names map to MLlib params (models.py:608-618)") {
+    import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
+    val (lr, lrIgnored) = Ml.estimator("LOGISTIC_REG", "label", Map(
+      "MAX_ITERATIONS" -> "7", "L1_REG" -> "0.1", "L2_REG" -> "0.3"))
+    val lrc = lr.asInstanceOf[LogisticRegression]
+    assert(lrc.getMaxIter == 7)
+    assert(math.abs(lrc.getRegParam - 0.4) < 1e-12)
+    assert(math.abs(lrc.getElasticNetParam - 0.25) < 1e-12)
+    assert(lrIgnored.isEmpty)
+
+    val (gbt, gbtIgnored) = Ml.estimator("BOOSTED_TREE_CLASSIFIER", "label", Map(
+      "LEARN_RATE" -> "0.2", "MAX_TREE_DEPTH" -> "3", "SUBSAMPLE" -> "0.8",
+      "L1_REG" -> "0.5"))
+    val g = gbt.asInstanceOf[GBTClassifier]
+    assert(g.getStepSize == 0.2 && g.getMaxDepth == 3 && g.getSubsamplingRate == 0.8)
+    // GBT carries no elastic-net penalty: recorded as ignored, not an error
+    assert(gbtIgnored.contains("L1_REG/L2_REG"))
+
+    intercept[IllegalArgumentException] {
+      Ml.estimator("LOGISTIC_REG", "label", Map("LEARNING_RATE_TYPO" -> "1"))
+    }
+  }
 }
