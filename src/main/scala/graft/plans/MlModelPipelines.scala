@@ -1,0 +1,442 @@
+package graft.plans
+
+import java.time.LocalDate
+import graft.core.Spec._
+import graft.plans.MlCompiler.{GaFeature, GaLabel, GaTrigger, MlModel}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * MlModel → pipeline compiler (`ml_model/compiler.py:246-266` +
+ * `templates/training_pipeline.json`, `templates/predictive_pipeline.json`):
+ * turns one model configuration into the two runnable [[PipelineSpec]]s the
+ * reference deploys —
+ *
+ *  - TRAINING: a dataset+train Setup job (plus, for classifiers, a
+ *    Conversion Value Calculations job chained on `success`) on the
+ *    quarterly cron `0 0 {safe_day} {quarterly_months} *`;
+ *  - PREDICTIVE: Setup → Output → Upload chained on `success`, daily
+ *    (`0 0 * * *`), where Output is a real BQ-dialect SQL script (the
+ *    `output.sql` composition) and Upload is the destination worker with
+ *    the reference's parameter set (MP batch 20, debug false /
+ *    Ads customer id + conversion action).
+ *
+ * Where the reference compiles ALL work into SQL text for a generic
+ * script-executor worker, the Spark-native engine compiles the
+ * dataset/train/predict steps into a typed model config (the JSON this
+ * object codecs) consumed by native DataFrame workers
+ * ([[graft.workers.MlModelJobs]]) — the Output step stays a genuine SQL
+ * script because that step IS relational. Pipeline shape (job names,
+ * chaining, crons, upload params) matches the reference's templates.
+ */
+object MlModelPipelines {
+
+  /** `compiler.py:65-67`. */
+  sealed abstract class Destination(val wire: String)
+  case object GoogleAnalyticsMpEvent extends Destination("GOOGLE_ANALYTICS_MP_EVENT")
+  case object GoogleAdsOfflineConversion extends Destination("GOOGLE_ADS_OFFLINE_CONVERSION")
+  object Destination {
+    def fromWire(s: String): Destination = s.toUpperCase match {
+      case "GOOGLE_ADS_OFFLINE_CONVERSION" => GoogleAdsOfflineConversion
+      case _ => GoogleAnalyticsMpEvent
+    }
+  }
+
+  /** `compiler.py:50-62`. */
+  val RegressionTypes: Set[String] =
+    Set("BOOSTED_TREE_REGRESSOR", "DNN_REGRESSOR", "RANDOM_FOREST_REGRESSOR", "LINEAR_REG")
+  val ClassificationTypes: Set[String] =
+    Set("BOOSTED_TREE_CLASSIFIER", "DNN_CLASSIFIER", "RANDOM_FOREST_CLASSIFIER", "LOGISTIC_REG")
+
+  /**
+   * The pipeline-facing MlModel (`models.py:371-666` slice + the compiler
+   * context `compiler.py:227-250`). `dataset` is the dataset-compiler
+   * slice; `sourceDir`/`workDir` are the Spark analogs of the BigQuery
+   * project/dataset data locations (where the GA4 export lives / where
+   * model + tables land).
+   */
+  case class MlModelSpec(
+      name: String,
+      modelType: String,
+      dataset: MlModel,
+      projectId: String,
+      bqDatasetId: String,
+      bqDatasetLocation: String,
+      destination: Destination,
+      ga4MeasurementId: String = "",
+      ga4ApiSecret: String = "",
+      adsCustomerId: String = "",
+      adsConversionActionId: String = "",
+      hyperParameters: Seq[(String, String)] = Nil,
+      // the event carrying the ad-click id for the ads-destination output
+      // (`output.sql:105-117` hardcodes page_view; the driver fixture's
+      // vocabulary uses click)
+      clickEvent: String = "page_view",
+      sourceDir: String = "",
+      workDir: String = "") {
+    require(RegressionTypes.contains(modelType.toUpperCase) ||
+      ClassificationTypes.contains(modelType.toUpperCase),
+      s"Unknown model type: $modelType (compiler.py:50-62)")
+    def isClassification: Boolean = ClassificationTypes.contains(modelType.toUpperCase)
+    /** Reference worker-facing table ids (`{project}.{dataset}.X` with the
+      * project dropped — the session catalog is the "project"). */
+    def table(n: String): String = s"$bqDatasetId.$n"
+  }
+
+  // ---- schedule helpers (compiler.py:367-379) ----
+
+  /** Current day if < 28 else 28 — never schedules Feb 29/30/31. */
+  def safeDay(today: LocalDate = LocalDate.now()): String = {
+    val d = today.getDayOfMonth
+    if (d < 28) d.toString else "28"
+  }
+
+  /** Months every 3 from the current month, mod-12 wrapped. */
+  def quarterlyMonths(today: LocalDate = LocalDate.now()): String =
+    (today.getMonthValue until today.getMonthValue + 11 by 3)
+      .map(m => if (m > 12) m % 12 else m).mkString(",")
+
+  def trainingCron(today: LocalDate = LocalDate.now()): String =
+    s"0 0 ${safeDay(today)} ${quarterlyMonths(today)} *"
+
+  val PredictiveCron = "0 0 * * *"
+
+  private def uuid(): String = java.util.UUID.randomUUID().toString
+
+  private def p(name: String, t: ParamType, value: String): ParamSpec =
+    ParamSpec(name, t, value)
+
+  /** The params every dataset/train/predict job gets: the full model
+    * config (the Spark analog of the reference's compiled SQL text) plus
+    * the location passthrough the reference attaches to every job. */
+  private def modelParams(cfg: MlModelSpec): Seq[ParamSpec] = Seq(
+    p("ml_model", ParamType.Text, toJson(cfg)),
+    p("bq_dataset_location", ParamType.PString, cfg.bqDatasetLocation))
+
+  /** `templates/training_pipeline.json`. */
+  def training(cfg: MlModelSpec, today: LocalDate = LocalDate.now()): PipelineSpec = {
+    val setupId = uuid()
+    val setup = JobSpec(setupId, s"${cfg.name} - Training Setup",
+      "MlTrainingSetup", modelParams(cfg))
+    val jobs =
+      if (cfg.isClassification)
+        Seq(setup, JobSpec(uuid(), s"${cfg.name} - Conversion Value Calculations",
+          "MlConversionValues", modelParams(cfg),
+          Seq(StartConditionSpec(setupId, Condition.Success))))
+      else Seq(setup)
+    PipelineSpec(s"${cfg.name} - Training", jobs,
+      schedules = Seq(ScheduleSpec(trainingCron(today))))
+  }
+
+  /** `templates/predictive_pipeline.json`. */
+  def predictive(cfg: MlModelSpec): PipelineSpec = {
+    val setupId = uuid()
+    val outputId = uuid()
+    val setup = JobSpec(setupId, s"${cfg.name} - Predictive Setup",
+      "MlPredictiveSetup", modelParams(cfg))
+    val output = JobSpec(outputId, s"${cfg.name} - Predictive Output",
+      "BQScriptExecutor", Seq(
+        p("script", ParamType.Sql, outputScript(cfg)),
+        p("bq_dataset_location", ParamType.PString, cfg.bqDatasetLocation)),
+      Seq(StartConditionSpec(setupId, Condition.Success)))
+    val upload = JobSpec(uuid(), s"${cfg.name} - Predictive Upload",
+      uploadWorkerClass(cfg), uploadParams(cfg),
+      Seq(StartConditionSpec(outputId, Condition.Success)))
+    PipelineSpec(s"${cfg.name} - Predictive", Seq(setup, output, upload),
+      schedules = Seq(ScheduleSpec(PredictiveCron)))
+  }
+
+  private def uploadWorkerClass(cfg: MlModelSpec): String = cfg.destination match {
+    case GoogleAnalyticsMpEvent => "BQToMeasurementProtocolGA4"
+    case GoogleAdsOfflineConversion => "BQToAdsOfflineClickConversion"
+  }
+
+  /** `predictive_pipeline.json:57-146`: the reference's upload parameter
+    * set verbatim (bq_table_id carries the dataset prefix so the session
+    * catalog resolves it — the separate bq_dataset_id param is kept for
+    * shape parity). */
+  private def uploadParams(cfg: MlModelSpec): Seq[ParamSpec] = {
+    val common = Seq(
+      p("bq_project_id", ParamType.PString, cfg.projectId),
+      p("bq_dataset_id", ParamType.PString, cfg.bqDatasetId),
+      p("bq_dataset_location", ParamType.PString, cfg.bqDatasetLocation),
+      p("bq_table_id", ParamType.PString, cfg.table("output")))
+    cfg.destination match {
+      case GoogleAnalyticsMpEvent => common ++ Seq(
+        p("measurement_id", ParamType.PString, cfg.ga4MeasurementId),
+        p("api_secret", ParamType.PString, cfg.ga4ApiSecret),
+        p("template", ParamType.Text, mpEventTemplate(cfg)),
+        p("mp_batch_size", ParamType.PNumber, "20"),
+        p("debug", ParamType.PBoolean, "0"))
+      case GoogleAdsOfflineConversion => common ++ Seq(
+        p("customer_id", ParamType.PString, cfg.adsCustomerId),
+        p("template", ParamType.Text, adsConversionTemplate(cfg)),
+        p("debug", ParamType.PBoolean, "0"))
+    }
+  }
+
+  /** `templates/google_analytics_mp_event.json` compiled: CLIENT_ID ids
+    * post as clientId, USER_ID as userId (plus clientId when GA is in
+    * source — the output table then carries both). */
+  def mpEventTemplate(cfg: MlModelSpec): String = {
+    val isUser = cfg.dataset.uniqueId == "user_id"
+    val ids =
+      if (isUser) """"clientId": "${client_id}", "userId": "${user_id}", """
+      else """"clientId": "${client_id}", """
+    val scoreFields =
+      if (cfg.isClassification) """"score": "${score}", "nscore": "${normalized_score}""""
+      else """"revenue": "${revenue}""""
+    s"""{$ids"nonPersonalizedAds": false, "events": [{"name": "$${event_name}", """ +
+      s""""params": {"type": "$${type}", "value": "$${value}", $scoreFields}}]}"""
+  }
+
+  /** `templates/google_ads_offline_conversion.json` compiled. */
+  def adsConversionTemplate(cfg: MlModelSpec): String =
+    s"""{"conversionEnvironment": "WEB", "gclid": "$${gclid}", """ +
+      s""""conversionAction": "customers/${cfg.adsCustomerId}/conversionActions/${cfg.adsConversionActionId}", """ +
+      s""""conversionDateTime": "$${datetime}", "conversionValue": $${value}, "currencyCode": "USD"}"""
+
+  /**
+   * The OUTPUTING-step script (`output.sql:2-135`, GA source) in the
+   * engine's BQ dialect: latest shard from `__TABLES_SUMMARY__`,
+   * `prepared_predictions` band join, and the destination branch — MP's
+   * users-without-score anti-join or Ads' freshest-gclid window. The
+   * correlated-UNNEST spellings become Spark higher-order/LATERAL VIEW
+   * forms; everything else is the reference's text shape. The oracle-
+   * checked DataFrame twins are `output_predictions`/`_mp` in
+   * `queries/Ml.scala`; this script is exercised end-to-end by the
+   * compiled-pipeline integration spec.
+   */
+  def outputScript(cfg: MlModelSpec): String = {
+    val ds = cfg.bqDatasetId
+    val head =
+      s"""DECLARE _LATEST_TABLE_SUFFIX STRING DEFAULT (
+         |  SELECT MAX(SPLIT(table_id, 'events_')[OFFSET(1)])
+         |  FROM `$ds.__TABLES_SUMMARY__`
+         |  WHERE REGEXP_CONTAINS(table_id, '^events_[0-9]+$$')
+         |);""".stripMargin
+    val events =
+      s"""  events AS (
+         |    SELECT ${cfg.dataset.uniqueId} AS unique_id,
+         |      event_name AS name,
+         |      event_timestamp AS `timestamp`,
+         |      event_params AS params
+         |    FROM `$ds.events_*`
+         |    WHERE _TABLE_SUFFIX = _LATEST_TABLE_SUFFIX
+         |    AND LOWER(platform) = 'web'
+         |  )""".stripMargin
+    val prepared =
+      if (cfg.isClassification)
+        s"""  prepared_predictions AS (
+           |    SELECT DISTINCT
+           |      p.unique_id, p.user_pseudo_id, p.user_id,
+           |      ROUND(MAX(cv.value), 4) AS value,
+           |      MAX(cv.normalized_probability) AS normalized_score,
+           |      MAX(p.probability) * 100 AS score
+           |    FROM ${cfg.table("predictions")} p
+           |    LEFT OUTER JOIN ${cfg.table("conversion_values")} cv
+           |    ON p.probability BETWEEN cv.probability_range_start AND cv.probability_range_end
+           |    GROUP BY 1, 2, 3
+           |  )""".stripMargin
+      else
+        s"""  prepared_predictions AS (
+           |    SELECT DISTINCT
+           |      unique_id, user_pseudo_id, user_id,
+           |      IF(predicted_label > 0, ROUND(predicted_label, 4), 0) AS value,
+           |      IF(predicted_label > 0, ROUND(predicted_label, 4), 0) AS revenue
+           |    FROM ${cfg.table("predictions")}
+           |  )""".stripMargin
+    val branch = cfg.destination match {
+      case GoogleAnalyticsMpEvent =>
+        val idCols =
+          if (cfg.dataset.uniqueId == "user_id")
+            "p.user_pseudo_id AS client_id,\n    p.unique_id AS user_id,"
+          else "p.unique_id AS client_id,"
+        s"""  users_with_score AS (
+           |    SELECT DISTINCT unique_id FROM events
+           |    WHERE name = 'prop_score'
+           |    AND EXISTS(params, pp -> pp.value.string_value = 'Predicted_Value')
+           |  ),
+           |  users_without_score AS (
+           |    SELECT DISTINCT unique_id FROM events
+           |    WHERE unique_id NOT IN (SELECT unique_id FROM users_with_score)
+           |  )
+           |  SELECT
+           |    p.* EXCEPT(unique_id, user_pseudo_id, user_id),
+           |    $idCols
+           |    'prop_score' AS event_name,
+           |    'Predicted_Value' AS type
+           |  FROM prepared_predictions p
+           |  INNER JOIN users_without_score wos
+           |  ON p.unique_id = wos.unique_id""".stripMargin
+      case GoogleAdsOfflineConversion =>
+        s"""  gclids AS (
+           |    SELECT * EXCEPT(row_num) FROM (
+           |      SELECT unique_id,
+           |        p.value.string_value AS gclid,
+           |        FORMAT_TIMESTAMP('%F %T%Ez', TIMESTAMP_MICROS(`timestamp`)) AS `datetime`,
+           |        ROW_NUMBER() OVER (PARTITION BY unique_id
+           |          ORDER BY `timestamp` DESC, p.value.string_value DESC) AS row_num
+           |      FROM events LATERAL VIEW EXPLODE(params) t AS p
+           |      WHERE name = '${cfg.clickEvent}' AND p.key = 'gclid'
+           |      AND COALESCE(p.value.string_value, '') != ''
+           |    ) WHERE row_num = 1
+           |  )
+           |  SELECT p.*, g.gclid, g.`datetime`
+           |  FROM prepared_predictions p
+           |  INNER JOIN gclids g
+           |  ON p.unique_id = g.unique_id""".stripMargin
+    }
+    // CREATE OR REPLACE TABLE is a v2-catalog statement; the session
+    // catalog spells the same semantic as DROP + CTAS
+    s"""$head
+       |DROP TABLE IF EXISTS ${cfg.table("output")};
+       |CREATE TABLE ${cfg.table("output")} AS (
+       |  WITH
+       |$events,
+       |$prepared,
+       |$branch
+       |);""".stripMargin
+  }
+
+  // ---- JSON codec (the /api/ml-models wire format; ml_model/views.py) ----
+
+  def toJson(cfg: MlModelSpec): String = {
+    val d = cfg.dataset
+    def vbl(role: String, name: String, key: String, cmp: String = null,
+        value: String = null, isStr: Boolean = false, desc: String = null): JValue = {
+      val base: List[(String, JValue)] = List(
+        "role" -> JString(role), "name" -> JString(name),
+        "source" -> JString("GOOGLE_ANALYTICS"))
+      val kv = Option(key).map(k => "key" -> (JString(k): JValue)).toList
+      val cv = Option(cmp).map(c => "comparison" -> (JString(c): JValue)).toList
+      val vv = Option(value).map(v => "value" -> (JString(v): JValue)).toList
+      val sv = if (isStr) List("value_is_string" -> (JBool(true): JValue)) else Nil
+      val dv = Option(desc).map(x => "description" -> (JString(x): JValue)).toList
+      JObject(base ++ kv ++ cv ++ vv ++ sv ++ dv)
+    }
+    def cmpWire(c: MlCompiler.Cmp): (String, String) = c match {
+      case null => (null, null)
+      case MlCompiler.Equal => ("EQUAL", null)
+      case MlCompiler.NotEqual => ("NOT_EQUAL", null)
+      case MlCompiler.Greater => ("GREATER", null)
+      case MlCompiler.GreaterOrEqual => ("GREATER_OR_EQUAL", null)
+      case MlCompiler.Less => ("LESS", null)
+      case MlCompiler.LessOrEqual => ("LESS_OR_EQUAL", null)
+      case MlCompiler.Regex(pat) => ("REGEX", pat)
+    }
+    val features = d.features.map { f =>
+      val (cw, regexPat) = cmpWire(f.cmp)
+      vbl("FEATURE", f.name, f.key, cw,
+        if (regexPat != null) regexPat else f.value, f.valueIsString, f.description)
+    }
+    val label = vbl("LABEL", d.label.name, d.label.key, isStr = d.label.valueIsString)
+    val trigger = d.triggerEvent.map(t => vbl("TRIGGER_EVENT", t.name, t.key)).toList
+    val j = JObject(
+      "name" -> JString(cfg.name),
+      "type" -> JString(cfg.modelType),
+      "unique_id" -> JString(if (d.uniqueId == "user_id") "USER_ID" else "CLIENT_ID"),
+      "destination" -> JString(cfg.destination.wire),
+      "project_id" -> JString(cfg.projectId),
+      "bq_dataset_id" -> JString(cfg.bqDatasetId),
+      "bq_dataset_location" -> JString(cfg.bqDatasetLocation),
+      "ga4_measurement_id" -> JString(cfg.ga4MeasurementId),
+      "ga4_api_secret" -> JString(cfg.ga4ApiSecret),
+      "ads_customer_id" -> JString(cfg.adsCustomerId),
+      "ads_conversion_action_id" -> JString(cfg.adsConversionActionId),
+      "click_event" -> JString(cfg.clickEvent),
+      "source_dir" -> JString(cfg.sourceDir),
+      "work_dir" -> JString(cfg.workDir),
+      "class_imbalance" -> JInt(d.classImbalance),
+      "conversion_rate_segments" -> JInt(d.conversionRateSegments),
+      "average_conversion_value" -> JDouble(d.averageConversionValue),
+      "hash_split" -> JBool(d.hashSplit),
+      "split_hash" -> JString(d.splitHash match {
+        case MlCompiler.Md5Split => "MD5"; case _ => "FARM" }),
+      "engagement_event" -> JString(d.engagementEvent),
+      "suffix_lo" -> JString(d.suffixLo),
+      "suffix_hi" -> JString(d.suffixHi),
+      "hyper_parameters" -> JArray(cfg.hyperParameters.map { case (n, v) =>
+        JObject("name" -> JString(n), "value" -> JString(v)): JValue }.toList),
+      "variables" -> JArray(((features :+ label) ++ trigger).toList))
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  def fromJson(json: String): MlModelSpec = {
+    val root = JsonMethods.parse(json)
+    def str(k: String, default: String = ""): String =
+      root \ k match { case JString(s) => s; case _ => default }
+    def num(k: String, default: Double): Double = root \ k match {
+      case JInt(i) => i.toDouble; case JDouble(d) => d; case JDecimal(d) => d.toDouble
+      case _ => default
+    }
+    def bool(k: String, default: Boolean): Boolean =
+      root \ k match { case JBool(b) => b; case _ => default }
+    def vstr(v: JValue, k: String): String =
+      v \ k match { case JString(s) => s; case _ => null }
+    val vars = root \ "variables" match { case JArray(a) => a; case _ => Nil }
+    def byRole(r: String): List[JValue] =
+      vars.filter(v => vstr(v, "role") == r)
+    def cmpOf(v: JValue): (MlCompiler.Cmp, String) = {
+      val value = vstr(v, "value")
+      vstr(v, "comparison") match {
+        case null => (null, value)
+        case "EQUAL" => (MlCompiler.Equal, value)
+        case "NOT_EQUAL" => (MlCompiler.NotEqual, value)
+        case "GREATER" => (MlCompiler.Greater, value)
+        case "GREATER_OR_EQUAL" => (MlCompiler.GreaterOrEqual, value)
+        case "LESS" => (MlCompiler.Less, value)
+        case "LESS_OR_EQUAL" => (MlCompiler.LessOrEqual, value)
+        case "REGEX" => (MlCompiler.Regex(value), value)
+        case other => throw new IllegalArgumentException(s"Unknown comparison: $other")
+      }
+    }
+    val features = byRole("FEATURE").map { v =>
+      val (cmp, value) = cmpOf(v)
+      GaFeature(vstr(v, "name"), vstr(v, "key"), cmp, value,
+        v \ "value_is_string" match { case JBool(b) => b; case _ => false },
+        vstr(v, "description"))
+    }
+    val labelJ = byRole("LABEL").headOption.getOrElse(
+      throw new IllegalArgumentException("MlModel requires a LABEL variable"))
+    val label = GaLabel(vstr(labelJ, "name"), vstr(labelJ, "key"),
+      labelJ \ "value_is_string" match { case JBool(b) => b; case _ => false })
+    val trigger = byRole("TRIGGER_EVENT").headOption
+      .map(v => GaTrigger(vstr(v, "name"), vstr(v, "key")))
+    val modelType = str("type")
+    val dataset = MlModel(
+      isClassification = ClassificationTypes.contains(modelType.toUpperCase),
+      uniqueId = if (str("unique_id") == "USER_ID") "user_id" else "user_pseudo_id",
+      features = features,
+      label = label,
+      suffixLo = str("suffix_lo"),
+      suffixHi = str("suffix_hi"),
+      triggerEvent = trigger,
+      classImbalance = num("class_imbalance", 4).toInt,
+      conversionRateSegments = num("conversion_rate_segments", 10).toInt,
+      averageConversionValue = num("average_conversion_value", 1.0),
+      hashSplit = bool("hash_split", default = true),
+      engagementEvent = str("engagement_event", "user_engagement"),
+      splitHash = if (str("split_hash") == "MD5") MlCompiler.Md5Split else MlCompiler.FarmSplit)
+    val hps = root \ "hyper_parameters" match {
+      case JArray(a) => a.map(h => (vstr(h, "name"), vstr(h, "value")))
+      case _ => Nil
+    }
+    MlModelSpec(
+      name = str("name"),
+      modelType = modelType,
+      dataset = dataset,
+      projectId = str("project_id"),
+      bqDatasetId = str("bq_dataset_id"),
+      bqDatasetLocation = str("bq_dataset_location"),
+      destination = Destination.fromWire(str("destination")),
+      ga4MeasurementId = str("ga4_measurement_id"),
+      ga4ApiSecret = str("ga4_api_secret"),
+      adsCustomerId = str("ads_customer_id"),
+      adsConversionActionId = str("ads_conversion_action_id"),
+      hyperParameters = hps,
+      clickEvent = str("click_event", "page_view"),
+      sourceDir = str("source_dir"),
+      workDir = str("work_dir"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.workers
+
+import graft.core.Dag
+import graft.core.Dag.{Worker, WorkerContext}
+import graft.core.Spec.WorkerValue
+import graft.plans.{MlCompiler, MlModelPipelines}
+import graft.plans.MlModelPipelines.MlModelSpec
+import graft.queries.Ga4
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The native job bodies behind [[MlModelPipelines]]'s compiled pipelines.
+ * The reference renders each step into SQL text for `BQScriptExecutor`
+ * (`templates/model_bqml.sql` steps TRAINING /
+ * CALCULATING_CONVERSION_VALUES / PREDICTING); the Spark-native engine
+ * hands the typed model config to these workers, which run the SAME
+ * composition through [[MlCompiler]]'s DataFrame builder + the MLlib
+ * trainer — one implementation of the dataset semantics instead of a SQL
+ * copy. Tables land in the session catalog under `{bq_dataset_id}.` so
+ * the Output step's genuine SQL script and the Upload worker resolve them
+ * exactly like the reference's `{project}.{dataset}.X` ids.
+ */
+object MlModelJobs {
+
+  private def cfgOf(params: Map[String, WorkerValue]): MlModelSpec =
+    MlModelPipelines.fromJson(Workers.str(params, "ml_model"))
+
+  private def ensureDb(spark: SparkSession, cfg: MlModelSpec): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.bqDatasetId}")
+
+  private def modelUri(cfg: MlModelSpec): String = s"${cfg.workDir}/model"
+
+  private def ga4(spark: SparkSession, cfg: MlModelSpec): DataFrame =
+    Ga4.ga4EventsPartitioned(spark, cfg.sourceDir)
+
+  /** The Output script scans `events_*` / `__TABLES_SUMMARY__`
+    * (`output.sql:2-20`); in the ML context those ARE the GA4 export, so
+    * the wildcard views resolve to the GA4-shaped date-partitioned
+    * relation (suffix predicates still prune partitions) and its
+    * partition-metadata listing. */
+  private def registerGa4Wildcard(spark: SparkSession, cfg: MlModelSpec): Unit = {
+    ga4(spark, cfg).createOrReplaceTempView("events_star")
+    import spark.implicits._
+    graft.sources.WildcardTable.listSuffixes(spark, cfg.sourceDir)
+      .map(sfx => s"events_$sfx").toDF("table_id")
+      .createOrReplaceTempView("tables_summary")
+  }
+
+  /** Model scores over a step's dataset, shaped like the reference's
+    * predictions table: classification exposes the positive-class
+    * probability as scalar `probability` (`model_bqml.sql:313-316`),
+    * regression the raw score as `predicted_label`. */
+  private def scored(spark: SparkSession, cfg: MlModelSpec, step: MlCompiler.Step): DataFrame = {
+    val ds = MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, step)
+    val out = PipelineModel.load(modelUri(cfg)).transform(ds)
+    if (cfg.isClassification)
+      out.withColumn("__p", vector_to_array(col("probability")).getItem(1))
+        .drop("features", "rawPrediction", "probability", "prediction")
+        .withColumnRenamed("__p", "probability")
+    else
+      out.drop("features")
+        .withColumnRenamed("prediction", "predicted_label")
+  }
+
+  /** `{name} - Training Setup`: training dataset (suffix-window pruned,
+    * hash-split/rebalanced per config) → `training_dataset` table →
+    * estimator fit with the config's hyperparameters. */
+  final class TrainingSetup(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val cfg = cfgOf(params)
+      ensureDb(spark, cfg)
+      val ds = MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, MlCompiler.Training)
+      Workers.writeTable(ds, cfg.table("training_dataset"), overwrite = true)
+      new Ml.Trainer(spark, Map(
+        "training_table" -> WorkerValue.S(cfg.table("training_dataset")),
+        "model_type" -> WorkerValue.S(cfg.modelType),
+        "model_uri" -> WorkerValue.S(modelUri(cfg)),
+        "hyper_parameters" -> WorkerValue.S(
+          cfg.hyperParameters.map { case (k, v) => s"$k=$v" }.mkString("\n"))))
+        .execute(ctx)
+      ctx.log(s"Training setup complete: ${cfg.table("training_dataset")} -> ${modelUri(cfg)}")
+    }
+  }
+
+  /** `{name} - Conversion Value Calculations` (classifiers only): scores
+    * over the training-timespan dataset → NTILE calibration →
+    * `conversion_values` segments table (`model_bqml.sql`
+    * CALCULATING_CONVERSION_VALUES). */
+  final class ConversionValues(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val cfg = cfgOf(params)
+      ensureDb(spark, cfg)
+      val preds = scored(spark, cfg, MlCompiler.ConversionValues)
+        .select(col("unique_id"), col("label"), col("probability"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cv = MlCompiler.conversionValues(spark, preds, cfg.dataset)
+      Workers.writeTable(cv, cfg.table("conversion_values"), overwrite = true)
+      preds.unpersist()
+      ctx.log(s"Conversion values written: ${cfg.table("conversion_values")}")
+    }
+  }
+
+  /** `{name} - Predictive Setup`: scores over the predicting dataset →
+    * `predictions` table, and registers the wildcard views the Output
+    * script scans. */
+  final class PredictiveSetup(spark: SparkSession, params: Map[String, WorkerValue]) extends Worker {
+    def execute(ctx: WorkerContext): Unit = {
+      val cfg = cfgOf(params)
+      ensureDb(spark, cfg)
+      val preds = scored(spark, cfg, MlCompiler.Predicting)
+      Workers.writeTable(preds, cfg.table("predictions"), overwrite = true)
+      registerGa4Wildcard(spark, cfg)
+      ctx.log(s"Predictions written: ${cfg.table("predictions")}")
+    }
+  }
+
+  def register(r: Dag.Registry, spark: SparkSession): Unit = {
+    r.register("MlTrainingSetup")(p => new TrainingSetup(spark, p))
+    r.register("MlConversionValues")(p => new ConversionValues(spark, p))
+    r.register("MlPredictiveSetup")(p => new PredictiveSetup(spark, p))
+  }
+}

@@ -267,6 +267,7 @@ object Workers {
     r.register("StorageCleaner")(p => new StorageCleaner(spark, p))
     Sinks.register(r, spark)
     Ml.register(r, spark)
+    MlModelJobs.register(r, spark)
     r
   }
 

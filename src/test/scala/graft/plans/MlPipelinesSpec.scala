@@ -1,0 +1,191 @@
+package graft.plans
+
+import java.nio.file.Files
+import java.time.LocalDate
+import graft.SparkFixture
+import graft.core.{Cron, Dag, Spec}
+import graft.core.Spec.{Condition, ParamSpec, PipelineSpec}
+import graft.plans.MlModelPipelines._
+import graft.workers.{Sinks, Workers}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The MlModel → pipeline compiler against the reference's shape
+ * assertions (`ml_model_templates_compiler_tests.py:29-91` training,
+ * `:958-1073` predictive) plus what the reference cannot test — actually
+ * RUNNING the compiled pipelines end-to-end through the DAG runtime on
+ * the wildcard layout.
+ */
+class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
+
+  private def demoDataset = MlCompiler.MlModel(
+    isClassification = true,
+    uniqueId = "user_pseudo_id",
+    features = Seq(
+      MlCompiler.GaFeature("error"),
+      MlCompiler.GaFeature("view", key = "medium", cmp = MlCompiler.Equal, value = "cpc",
+        valueIsString = true, description = "view_cpc")),
+    label = MlCompiler.GaLabel("purchase", "k"),
+    suffixLo = "20240105", suffixHi = "20240125",
+    classImbalance = 1, conversionRateSegments = 10,
+    averageConversionValue = 25.0, hashSplit = false,
+    engagementEvent = "view")
+
+  private def demoCfg(
+      modelType: String = "BOOSTED_TREE_CLASSIFIER",
+      destination: Destination = GoogleAnalyticsMpEvent,
+      workDir: String = "/tmp/graft_mlpipe") = MlModelSpec(
+    name = "Test Model",
+    modelType = modelType,
+    dataset = demoDataset,
+    projectId = "test-project-id-1234",
+    bqDatasetId = "test_dataset",
+    bqDatasetLocation = "US",
+    destination = destination,
+    ga4MeasurementId = "G-TESTID",
+    ga4ApiSecret = "test-secret",
+    adsCustomerId = "123456",
+    adsConversionActionId = "789",
+    hyperParameters = Seq("MAX_ITERATIONS" -> "10"),
+    clickEvent = "click",
+    sourceDir = "/root/testdata/sf0.001",
+    workDir = workDir)
+
+  private def first(params: Seq[ParamSpec], name: String): Option[ParamSpec] =
+    params.find(_.name == name)
+
+  test("schedule helpers match compiler.py:367-379") {
+    assert(safeDay(LocalDate.of(2024, 4, 6)) == "6")
+    assert(safeDay(LocalDate.of(2024, 3, 30)) == "28")
+    assert(quarterlyMonths(LocalDate.of(2024, 4, 1)) == "4,7,10,1")
+    assert(quarterlyMonths(LocalDate.of(2024, 12, 15)) == "12,3,6,9")
+    assert(trainingCron(LocalDate.of(2024, 4, 6)) == "0 0 6 4,7,10,1 *")
+    assert(Cron.isValid(trainingCron(LocalDate.of(2024, 4, 6))))
+    assert(Cron.isValid(PredictiveCron))
+  }
+
+  test("training pipeline shape (ml_model_templates_compiler_tests.py:29-91)") {
+    val pipeline = training(demoCfg(), LocalDate.of(2024, 4, 6))
+    assert(pipeline.name == "Test Model - Training")
+    assert(pipeline.schedules.head.cron == "0 0 6 4,7,10,1 *")
+
+    val setup = pipeline.jobs.head
+    assert(setup.name == "Test Model - Training Setup")
+    assert(first(setup.params, "bq_dataset_location").exists(_.value == "US"))
+    assert(first(setup.params, "ml_model").exists(_.value.nonEmpty))
+
+    // conversion-value job: classifiers only, chained on setup success
+    val cv = pipeline.jobs(1)
+    assert(cv.name == "Test Model - Conversion Value Calculations")
+    assert(cv.startConditions.head.precedingJobId == setup.id)
+    assert(cv.startConditions.head.condition == Condition.Success)
+    assert(first(cv.params, "bq_dataset_location").exists(_.value == "US"))
+
+    val regression = training(demoCfg(modelType = "LINEAR_REG"), LocalDate.of(2024, 4, 6))
+    assert(regression.jobs.length == 1, "regression trains without a conversion-value job")
+  }
+
+  test("predictive pipeline shape (ml_model_templates_compiler_tests.py:958-1073)") {
+    for (dest <- Seq(GoogleAnalyticsMpEvent, GoogleAdsOfflineConversion)) {
+      val pipeline = predictive(demoCfg(destination = dest))
+      assert(pipeline.name == "Test Model - Predictive")
+      assert(pipeline.schedules.head.cron == "0 0 * * *")
+
+      val setup = pipeline.jobs.find(_.name == "Test Model - Predictive Setup").get
+      val output = pipeline.jobs.find(_.name == "Test Model - Predictive Output").get
+      val upload = pipeline.jobs.find(_.name == "Test Model - Predictive Upload").get
+
+      assert(output.startConditions.head.precedingJobId == setup.id)
+      assert(upload.startConditions.head.precedingJobId == output.id)
+      assert(output.workerClass == "BQScriptExecutor")
+      val script = first(output.params, "script").get
+      assert(script.ptype == Spec.ParamType.Sql)
+      assert(script.value.contains("__TABLES_SUMMARY__") &&
+        script.value.contains("prepared_predictions"))
+      assert(first(output.params, "bq_dataset_location").exists(_.value == "US"))
+
+      assert(first(upload.params, "bq_project_id").exists(_.value == "test-project-id-1234"))
+      assert(first(upload.params, "bq_dataset_id").exists(_.value == "test_dataset"))
+      assert(first(upload.params, "bq_dataset_location").exists(_.value == "US"))
+      assert(first(upload.params, "template").exists(_.value.nonEmpty))
+      dest match {
+        case GoogleAnalyticsMpEvent =>
+          assert(upload.workerClass == "BQToMeasurementProtocolGA4")
+          assert(first(upload.params, "measurement_id").exists(_.value == "G-TESTID"))
+          assert(first(upload.params, "api_secret").exists(_.value == "test-secret"))
+          assert(first(upload.params, "mp_batch_size").exists(_.value == "20"))
+        case GoogleAdsOfflineConversion =>
+          assert(upload.workerClass == "BQToAdsOfflineClickConversion")
+          assert(first(upload.params, "customer_id").exists(_.value == "123456"))
+          assert(first(upload.params, "template").exists(_.value.contains(
+            "customers/123456/conversionActions/789")))
+      }
+    }
+  }
+
+  test("MlModelSpec JSON codec round-trips (the /api/ml-models wire format)") {
+    val cfg = demoCfg(destination = GoogleAdsOfflineConversion).copy(
+      dataset = demoDataset.copy(
+        triggerEvent = Some(MlCompiler.GaTrigger("signup", "k")),
+        splitHash = MlCompiler.Md5Split, hashSplit = true, classImbalance = 4))
+    val back = MlModelPipelines.fromJson(MlModelPipelines.toJson(cfg))
+    assert(back == cfg)
+    // and the compiled pipeline export round-trips through Spec.toJson
+    val pipeline = predictive(cfg)
+    val restored = Spec.fromJson(Spec.toJson(pipeline))
+    assert(restored.name == pipeline.name)
+    assert(restored.jobs.map(_.name) == pipeline.jobs.map(_.name))
+    assert(restored.jobs.map(_.workerClass) == pipeline.jobs.map(_.workerClass))
+    assert(restored.jobs.flatMap(_.startConditions) == pipeline.jobs.flatMap(_.startConditions))
+    assert(restored.schedules == pipeline.schedules)
+    assert(restored.jobs.find(_.workerClass == "BQScriptExecutor").get
+      .params.find(_.name == "script").get.value ==
+      pipeline.jobs.find(_.workerClass == "BQScriptExecutor").get
+        .params.find(_.name == "script").get.value)
+  }
+
+  test("compiled training + predictive pipelines run end-to-end on the wildcard layout") {
+    val workDir = Files.createTempDirectory("graft_mlpipe").toString
+    val cfg = demoCfg(modelType = "LOGISTIC_REG", workDir = workDir)
+      .copy(bqDatasetId = "mlpipe")
+    val registry = Workers.registry(spark)
+    val exec = Dag.newExecutor(4)
+    try {
+      Sinks.RecordingTransport.clear()
+
+      val trainRun = new Dag.PipelineRun(training(cfg, LocalDate.of(2024, 4, 6)), registry, exec)
+      assert(trainRun.start())
+      assert(trainRun.awaitCompletion(300000) == Dag.PipelineStatus.Succeeded,
+        s"training failed: ${trainRun.failureMessages}")
+      assert(spark.table("mlpipe.training_dataset").count() > 0)
+      val cv = spark.table("mlpipe.conversion_values")
+      assert(cv.count() == 10)
+      assert(cv.columns.toSet == Set("normalized_probability", "value",
+        "probability_range_start", "probability_range_end"))
+
+      val predRun = new Dag.PipelineRun(predictive(cfg), registry, exec)
+      assert(predRun.start())
+      assert(predRun.awaitCompletion(300000) == Dag.PipelineStatus.Succeeded,
+        s"predictive failed: ${predRun.failureMessages}")
+
+      val preds = spark.table("mlpipe.predictions")
+      assert(preds.columns.contains("probability") && preds.count() > 0)
+
+      val out = spark.table("mlpipe.output")
+      assert(out.columns.toSet == Set("value", "normalized_score", "score",
+        "client_id", "event_name", "type"))
+      val rows = out.count()
+      assert(rows > 0, "output table must score at least one user")
+
+      // the upload job posted one MP event per output row via the
+      // recording client, to the GA4 collect URL with our credentials
+      assert(Sinks.RecordingTransport.size.toLong == rows)
+      val (url, body) = Sinks.RecordingTransport.requests.peek()
+      assert(url.contains("measurement_id=G-TESTID") && url.contains("api_secret=test-secret"))
+      assert(body.contains("\"clientId\"") && body.contains("prop_score"))
+    } finally {
+      exec.shutdown()
+      Sinks.RecordingTransport.clear()
+    }
+  }
+}
