@@ -23,6 +23,22 @@ import scala.collection.concurrent.TrieMap
  *   POST /api/pipelines/{id}/stop     → stop
  *   GET  /api/pipelines/{id}/export   → the export-format JSON
  *
+ * Jobs blueprint (`job/views.py:69-160` — jobs are rows of a pipeline):
+ *
+ *   GET  /api/jobs?pipeline_id={id}   → job list (all pipelines without the filter)
+ *   GET  /api/jobs/{pid}/{jobId}      → single job detail
+ *   PUT  /api/jobs/{pid}/{jobId}      → update name/worker/params (409 while active)
+ *
+ * ML-models blueprint (`ml_model/views.py:145-244`): a stored model
+ * config owns its two compiled pipelines; POST/PUT (re)build them via
+ * [[graft.plans.MlModelPipelines]] exactly like `build_pipelines`:
+ *
+ *   GET    /api/ml-models             → model summaries
+ *   POST   /api/ml-models             → create + compile training/predictive pipelines
+ *   GET    /api/ml-models/{id}        → model + its pipelines
+ *   PUT    /api/ml-models/{id}        → update + recompile pipelines (409 while active)
+ *   DELETE /api/ml-models/{id}        → delete model + its pipelines (409 while active)
+ *
  * The 3-service Pub/Sub loop of the reference collapses into the
  * in-process [[Dag.PipelineRun]] scheduler; statuses surface with the
  * same vocabulary (idle/running/stopping/failed/succeeded).
@@ -32,6 +48,9 @@ final class RestApi(registry: Dag.Registry,
 
   private val pipelines = TrieMap.empty[Long, Dag.PipelineRun]
   private val nextId = new AtomicLong(0)
+  // model id → (model config, its compiled pipeline ids)
+  private val mlModels = TrieMap.empty[Long, (graft.plans.MlModelPipelines.MlModelSpec, Seq[Long])]
+  private val nextModelId = new AtomicLong(0)
 
   def create(spec: Spec.PipelineSpec): Long = {
     val id = nextId.incrementAndGet()
@@ -66,8 +85,85 @@ final class RestApi(registry: Dag.Registry,
     x.close()
   }
 
+  // ---- jobs blueprint ----
+
+  private def jobJson(pid: Long, p: Dag.PipelineRun, j: Spec.JobSpec): JObject = JObject(
+    "id" -> JString(j.id),
+    "pipeline_id" -> JLong(pid),
+    "name" -> JString(j.name),
+    "worker_class" -> JString(j.workerClass),
+    "status" -> JString(p.jobs(j.id).status.wire),
+    "params" -> JArray(j.params.toList.map(pp => JObject(
+      "name" -> JString(pp.name),
+      "type" -> JString(pp.ptype.wire),
+      "value" -> JString(pp.value)): JValue)),
+    "hash_start_conditions" -> JArray(j.startConditions.toList.map(sc => JObject(
+      "preceding_job_id" -> JString(sc.precedingJobId),
+      "condition" -> JString(sc.condition.wire)): JValue)))
+
+  /** PUT body → updated JobSpec fields (job/views.py:94-108: name,
+    * worker_class, params; conditions untouched unless sent). */
+  private def updateJob(pid: Long, jobId: String, body: String): Option[JObject] =
+    pipelines.get(pid).flatMap { p =>
+      p.spec.jobs.find(_.id == jobId).map { old =>
+        if (p.status == Dag.PipelineStatus.Running || p.status == Dag.PipelineStatus.Stopping)
+          throw new IllegalStateException("pipeline is active")
+        val root = JsonMethods.parse(body)
+        def strOr(k: String, d: String) =
+          root \ k match { case JString(s) => s; case _ => d }
+        val params = root \ "params" match {
+          case JArray(arr) => arr.map { v =>
+            val JString(n) = v \ "name"
+            Spec.ParamSpec(n,
+              Spec.ParamType.fromWire(v \ "type" match { case JString(t) => t; case _ => "string" }),
+              v \ "value" match { case JString(s) => s; case _ => "" })
+          }
+          case _ => old.params
+        }
+        val updated = old.copy(name = strOr("name", old.name),
+          workerClass = strOr("worker_class", old.workerClass), params = params)
+        val newSpec = p.spec.copy(jobs = p.spec.jobs.map(j => if (j.id == jobId) updated else j))
+        val replaced = new Dag.PipelineRun(newSpec, registry, executor)
+        pipelines.put(pid, replaced)
+        jobJson(pid, replaced, updated)
+      }
+    }
+
+  // ---- ml-models blueprint ----
+
+  private def mlModelJson(id: Long, cfg: graft.plans.MlModelPipelines.MlModelSpec,
+      pids: Seq[Long]): JObject = {
+    val JObject(modelFields) =
+      JsonMethods.parse(graft.plans.MlModelPipelines.toJson(cfg))
+    JObject(("id" -> (JLong(id): JValue)) +: modelFields :+
+      ("pipelines" -> (JArray(pids.toList.flatMap(pid =>
+        pipelines.get(pid).map(p => summary(pid, p): JValue))): JValue)))
+  }
+
+  private def modelPipelinesActive(pids: Seq[Long]): Boolean =
+    pids.flatMap(pipelines.get).exists(p =>
+      p.status == Dag.PipelineStatus.Running || p.status == Dag.PipelineStatus.Stopping)
+
+  /** `ml_model/views.py:335-355` build_pipelines: compile + attach the
+    * training and predictive pipelines for a model config. */
+  private def buildModelPipelines(cfg: graft.plans.MlModelPipelines.MlModelSpec): Seq[Long] =
+    Seq(create(graft.plans.MlModelPipelines.training(cfg)),
+      create(graft.plans.MlModelPipelines.predictive(cfg)))
+
+  private def putMlModel(id: Long, body: String): JObject = {
+    val cfg = graft.plans.MlModelPipelines.fromJson(body)
+    val oldPids = mlModels.get(id).map(_._2).getOrElse(Nil)
+    if (modelPipelinesActive(oldPids)) throw new IllegalStateException("pipeline is active")
+    oldPids.foreach(pipelines.remove)
+    val pids = buildModelPipelines(cfg)
+    mlModels.put(id, (cfg, pids))
+    mlModelJson(id, cfg, pids)
+  }
+
   private val PipelineIdRe = raw"/api/pipelines/(\d+)".r
   private val PipelineActionRe = raw"/api/pipelines/(\d+)/(start|stop|export)".r
+  private val JobIdRe = raw"/api/jobs/(\d+)/([^/]+)".r
+  private val MlModelIdRe = raw"/api/ml-models/(\d+)".r
 
   private def handle(x: HttpExchange): Unit = {
     val path = x.getRequestURI.getPath
@@ -106,6 +202,62 @@ final class RestApi(registry: Dag.Registry,
         pipelines.get(id.toLong) match {
           case None => respond(x, 404, """{"error":"not found"}""")
           case Some(p) => respond(x, 200, JsonMethods.compact(detail(id.toLong, p)))
+        }
+      case ("GET", "/api/jobs") =>
+        val wanted = Option(x.getRequestURI.getQuery).flatMap(
+          _.split("&").collectFirst {
+            case kv if kv.startsWith("pipeline_id=") => kv.stripPrefix("pipeline_id=").toLong })
+        val rows = pipelines.toList.sortBy(_._1)
+          .filter { case (pid, _) => wanted.forall(_ == pid) }
+          .flatMap { case (pid, p) => p.spec.jobs.map(j => jobJson(pid, p, j): JValue) }
+        respond(x, 200, JsonMethods.compact(JArray(rows)))
+      case ("GET", JobIdRe(pid, jobId)) =>
+        pipelines.get(pid.toLong).flatMap(p => p.spec.jobs.find(_.id == jobId)
+          .map(j => jobJson(pid.toLong, p, j))) match {
+          case None => respond(x, 404, """{"error":"not found"}""")
+          case Some(j) => respond(x, 200, JsonMethods.compact(j))
+        }
+      case ("PUT", JobIdRe(pid, jobId)) =>
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        try updateJob(pid.toLong, jobId, body) match {
+          case None => respond(x, 404, """{"error":"not found"}""")
+          case Some(j) => respond(x, 200, JsonMethods.compact(j))
+        } catch {
+          case _: IllegalStateException => respond(x, 409, """{"error":"pipeline is active"}""")
+        }
+      case ("GET", "/api/ml-models") =>
+        respond(x, 200, JsonMethods.compact(JArray(
+          mlModels.toList.sortBy(_._1).map { case (id, (cfg, pids)) =>
+            mlModelJson(id, cfg, pids): JValue })))
+      case ("POST", "/api/ml-models") =>
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val id = nextModelId.incrementAndGet()
+        respond(x, 201, JsonMethods.compact(putMlModel(id, body)))
+      case ("GET", MlModelIdRe(id)) =>
+        mlModels.get(id.toLong) match {
+          case None => respond(x, 404, """{"error":"not found"}""")
+          case Some((cfg, pids)) =>
+            respond(x, 200, JsonMethods.compact(mlModelJson(id.toLong, cfg, pids)))
+        }
+      case ("PUT", MlModelIdRe(id)) =>
+        if (!mlModels.contains(id.toLong)) respond(x, 404, """{"error":"not found"}""")
+        else {
+          val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          try respond(x, 200, JsonMethods.compact(putMlModel(id.toLong, body)))
+          catch {
+            case _: IllegalStateException => respond(x, 409, """{"error":"pipeline is active"}""")
+          }
+        }
+      case ("DELETE", MlModelIdRe(id)) =>
+        mlModels.get(id.toLong) match {
+          case None => respond(x, 404, """{"error":"not found"}""")
+          case Some((_, pids)) =>
+            if (modelPipelinesActive(pids)) respond(x, 409, """{"error":"pipeline is active"}""")
+            else {
+              pids.foreach(pipelines.remove)
+              mlModels.remove(id.toLong)
+              respond(x, 204, "")
+            }
         }
       case _ => respond(x, 404, """{"error":"no route"}""")
     } catch {

@@ -77,6 +77,93 @@ class RestApiSpec extends AnyFunSuite {
       // 404s
       assert(get("/api/pipelines/999").statusCode() == 404)
       assert(post("/api/pipelines/999/start").statusCode() == 404)
+
+      // ---- jobs blueprint (job/views.py:69-160) ----
+      val jobs = JsonMethods.parse(get(s"/api/jobs?pipeline_id=$id").body())
+        .asInstanceOf[JArray].arr
+      assert(jobs.length == 2)
+      assert((jobs.head \ "worker_class") == JString("Commenter"))
+      assert((jobs.head \ "status") == JString("succeeded"))
+      val one = JsonMethods.parse(get(s"/api/jobs/$id/j1").body())
+      assert((one \ "name") == JString("first"))
+      assert((one \ "params").asInstanceOf[JArray].arr.nonEmpty)
+      // update: rename + param change on the inactive pipeline
+      val put = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/api/jobs/$id/j1"))
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"name": "renamed", "params": [
+            |{"name": "comment", "type": "text", "value": "updated"}]}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(put.statusCode() == 200)
+      val renamed = JsonMethods.parse(get(s"/api/jobs/$id/j1").body())
+      assert((renamed \ "name") == JString("renamed"))
+      assert(get(s"/api/jobs/$id/nope").statusCode() == 404)
+    } finally {
+      api.shutdown()
+      executor.shutdownNow()
+    }
+  }
+
+  test("ml-models blueprint: CRUD compiles and recompiles the two pipelines (ml_model/views.py:145-244)") {
+    val registry = new Dag.Registry
+    registry.register("Commenter")(p => new graft.workers.Workers.Commenter(p))
+    val executor = Executors.newScheduledThreadPool(2)
+    val api = new RestApi(registry, executor)
+    val port = api.start()
+    val http = HttpClient.newHttpClient()
+    def get(path: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    def send(method: String, path: String, body: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    val modelJson = graft.plans.MlModelPipelines.toJson(
+      graft.plans.MlModelPipelines.MlModelSpec(
+        name = "Api Model", modelType = "LOGISTIC_REG",
+        dataset = graft.plans.MlCompiler.MlModel(
+          isClassification = true, uniqueId = "user_pseudo_id",
+          features = Seq(graft.plans.MlCompiler.GaFeature("click")),
+          label = graft.plans.MlCompiler.GaLabel("purchase", "k"),
+          suffixLo = "20240105", suffixHi = "20240125"),
+        projectId = "p", bqDatasetId = "ds", bqDatasetLocation = "US",
+        destination = graft.plans.MlModelPipelines.GoogleAnalyticsMpEvent))
+    try {
+      // create → model + its two compiled pipelines appear
+      val created = send("POST", "/api/ml-models", modelJson)
+      assert(created.statusCode() == 201, created.body())
+      val mid = (JsonMethods.parse(created.body()) \ "id") match {
+        case JLong(n) => n; case JInt(n) => n.toLong; case other => fail(s"id: $other")
+      }
+      val pipes = (JsonMethods.parse(created.body()) \ "pipelines").asInstanceOf[JArray].arr
+      assert(pipes.map(p => p \ "name") ==
+        List(JString("Api Model - Training"), JString("Api Model - Predictive")))
+
+      assert(get("/api/ml-models").body().contains("Api Model"))
+      val detail = JsonMethods.parse(get(s"/api/ml-models/$mid").body())
+      assert((detail \ "type") == JString("LOGISTIC_REG"))
+
+      // the compiled pipelines are real pipeline resources
+      val plist = JsonMethods.parse(get("/api/pipelines").body()).asInstanceOf[JArray].arr
+      assert(plist.exists(p => (p \ "name") == JString("Api Model - Predictive")))
+
+      // PUT: update recompiles (old pipelines replaced, name changes through)
+      val updated = send("PUT", s"/api/ml-models/$mid",
+        modelJson.replace("Api Model", "Api Model v2"))
+      assert(updated.statusCode() == 200)
+      val plist2 = JsonMethods.parse(get("/api/pipelines").body()).asInstanceOf[JArray].arr
+      assert(plist2.exists(p => (p \ "name") == JString("Api Model v2 - Predictive")))
+      assert(!plist2.exists(p => (p \ "name") == JString("Api Model - Predictive")),
+        "stale compiled pipelines must be replaced")
+
+      // DELETE removes the model and its pipelines
+      assert(send("DELETE", s"/api/ml-models/$mid", "").statusCode() == 204)
+      assert(get(s"/api/ml-models/$mid").statusCode() == 404)
+      val plist3 = JsonMethods.parse(get("/api/pipelines").body()).asInstanceOf[JArray].arr
+      assert(!plist3.exists(p => (p \ "name") == JString("Api Model v2 - Predictive")))
+
+      assert(get("/api/ml-models/999").statusCode() == 404)
+      assert(send("PUT", "/api/ml-models/999", modelJson).statusCode() == 404)
     } finally {
       api.shutdown()
       executor.shutdownNow()
