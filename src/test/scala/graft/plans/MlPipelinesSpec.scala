@@ -148,6 +148,12 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
     val workDir = Files.createTempDirectory("graft_mlpipe").toString
     val cfg = demoCfg(modelType = "LOGISTIC_REG", workDir = workDir)
       .copy(bqDatasetId = "mlpipe")
+    // the in-memory catalog is fresh per JVM but the warehouse directory
+    // is not: a stale mlpipe.db from a previous test run would fail
+    // saveAsTable with LOCATION_ALREADY_EXISTS
+    spark.sql("DROP DATABASE IF EXISTS mlpipe CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_warehouse/mlpipe.db"))
     val registry = Workers.registry(spark)
     val exec = Dag.newExecutor(4)
     try {
