@@ -120,8 +120,21 @@ final class RestApi(registry: Dag.Registry,
           }
           case _ => old.params
         }
+        val conditions = root \ "hash_start_conditions" match {
+          case JArray(arr) => arr.map { sc =>
+            val pjid = sc \ "preceding_job_id" match {
+              case JString(s) => s
+              case JInt(i) => i.toString
+              case _ => ""
+            }
+            Spec.StartConditionSpec(pjid, Spec.Condition.fromWire(
+              sc \ "condition" match { case JString(c) => c; case _ => "whatever" }))
+          }
+          case _ => old.startConditions
+        }
         val updated = old.copy(name = strOr("name", old.name),
-          workerClass = strOr("worker_class", old.workerClass), params = params)
+          workerClass = strOr("worker_class", old.workerClass), params = params,
+          startConditions = conditions)
         val newSpec = p.spec.copy(jobs = p.spec.jobs.map(j => if (j.id == jobId) updated else j))
         val replaced = new Dag.PipelineRun(newSpec, registry, executor)
         pipelines.put(pid, replaced)

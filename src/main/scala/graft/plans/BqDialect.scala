@@ -66,7 +66,9 @@ object BqDialect {
           case 'S' => sb.append("ss")
           case 'F' => sb.append("yyyy-MM-dd")
           case 'T' => sb.append("HH:mm:ss")
-          case 'E' if i + 2 < fmt.length && fmt.charAt(i + 2) == 'z' => sb.append("XXX"); i += 1
+          // 'xxx' not 'XXX': BQ's %Ez prints '+00:00' at zero offset,
+          // Java's uppercase X substitutes 'Z' there
+          case 'E' if i + 2 < fmt.length && fmt.charAt(i + 2) == 'z' => sb.append("xxx"); i += 1
           case 'j' => sb.append("DDD")
           case other => sb.append(other)
         }

@@ -113,8 +113,24 @@ object MlModelPipelines {
     p("ml_model", ParamType.Text, toJson(cfg)),
     p("bq_dataset_location", ParamType.PString, cfg.bqDatasetLocation))
 
+  /** Compile-time validation: a model created over the REST wire with
+    * missing locations or hostile identifier fields must fail at
+    * pipeline-build time (the reference validates on save), not at 2 AM
+    * when the cron fires — and `bqDatasetId`/`clickEvent` are spliced
+    * into SQL text, so they are restricted to identifier-safe characters
+    * rather than escaped. */
+  private def validateForCompile(cfg: MlModelSpec): Unit = {
+    require(cfg.sourceDir.nonEmpty, "source_dir is required to compile pipelines")
+    require(cfg.workDir.nonEmpty, "work_dir is required to compile pipelines")
+    require(cfg.bqDatasetId.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bq_dataset_id must be an identifier: '${cfg.bqDatasetId}'")
+    require(cfg.clickEvent.matches("[A-Za-z0-9_.-]+"),
+      s"click_event must be an event name: '${cfg.clickEvent}'")
+  }
+
   /** `templates/training_pipeline.json`. */
   def training(cfg: MlModelSpec, today: LocalDate = LocalDate.now()): PipelineSpec = {
+    validateForCompile(cfg)
     val setupId = uuid()
     val setup = JobSpec(setupId, s"${cfg.name} - Training Setup",
       "MlTrainingSetup", modelParams(cfg))
@@ -130,6 +146,7 @@ object MlModelPipelines {
 
   /** `templates/predictive_pipeline.json`. */
   def predictive(cfg: MlModelSpec): PipelineSpec = {
+    validateForCompile(cfg)
     val setupId = uuid()
     val outputId = uuid()
     val setup = JobSpec(setupId, s"${cfg.name} - Predictive Setup",
@@ -209,10 +226,16 @@ object MlModelPipelines {
    */
   def outputScript(cfg: MlModelSpec): String = {
     val ds = cfg.bqDatasetId
+    // the {ds}_events_star / {ds}_tables_summary views are the
+    // `events_*` / `__TABLES_SUMMARY__` analogs registered by the Setup
+    // job, namespaced per dataset id so concurrent predictive pipelines
+    // for different models cannot scan each other's source (the dialect's
+    // generic session-global `events_*` rewrite stays available for
+    // ad-hoc scripts)
     val head =
       s"""DECLARE _LATEST_TABLE_SUFFIX STRING DEFAULT (
          |  SELECT MAX(SPLIT(table_id, 'events_')[OFFSET(1)])
-         |  FROM `$ds.__TABLES_SUMMARY__`
+         |  FROM ${ds}_tables_summary
          |  WHERE REGEXP_CONTAINS(table_id, '^events_[0-9]+$$')
          |);""".stripMargin
     val events =
@@ -221,7 +244,7 @@ object MlModelPipelines {
          |      event_name AS name,
          |      event_timestamp AS `timestamp`,
          |      event_params AS params
-         |    FROM `$ds.events_*`
+         |    FROM ${ds}_events_star
          |    WHERE _TABLE_SUFFIX = _LATEST_TABLE_SUFFIX
          |    AND LOWER(platform) = 'web'
          |  )""".stripMargin

@@ -37,8 +37,13 @@ object WildcardTable {
     val st = srcFs.getFileStatus(src)
     val fp = java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)
     // never start the layout dir with '_': Spark's file index treats
-    // leading-underscore paths as metadata and filters them from listings
-    val safe = "d" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    // leading-underscore paths as metadata and filters them from listings.
+    // The raw-string hash tag makes distinct source dirs that sanitize to
+    // the same text (".../sf0.01" vs ".../sf0_01") distinct on disk — the
+    // superseded-layout cleanup below deletes by this prefix, so a
+    // sanitization collision would delete a LIVE layout of another source
+    val safe = "d" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "h" + java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_wildcard"
     val out = s"$root/${safe}_$fp"
     val fs = new Path(out).getFileSystem(conf)

@@ -73,19 +73,24 @@ object Ml {
     val l1 = hp.collectFirst { case (k, v) if k.equalsIgnoreCase("L1_REG") => v.toDouble }
     val l2 = hp.collectFirst { case (k, v) if k.equalsIgnoreCase("L2_REG") => v.toDouble }
     val ignored = scala.collection.mutable.ArrayBuffer.empty[String]
-    // elastic-net translation: MLlib folds L1/L2 into a single strength
-    // (regParam) + mix (elasticNetParam); penalty = regParam * (mix*L1 +
-    // (1-mix)*L2) ≡ BQML's separate coefficients
+    // elastic-net translation: MLlib's penalty is
+    //   regParam * (α·||w||₁ + (1-α)/2·||w||₂²)
+    // so matching BQML's a·||w||₁ + b·||w||₂² requires α = a/(a+2b),
+    // regParam = a+2b (note the ½ on MLlib's L2 term)
     if (l1.isDefined || l2.isDefined) {
       val a = l1.getOrElse(0.0); val b = l2.getOrElse(0.0)
-      val ok = setIf("regParam", a + b) &&
-        (a + b == 0.0 || setIf("elasticNetParam", a / (a + b)))
+      val ok = setIf("regParam", a + 2 * b) &&
+        (a + 2 * b == 0.0 || setIf("elasticNetParam", a / (a + 2 * b)))
       if (!ok) ignored += "L1_REG/L2_REG"
     }
     hp.foreach { case (k0, v) =>
       val k = k0.trim.toUpperCase
       val ok = k match {
-        case "L1_REG" | "L2_REG" | "HIDDEN_UNITS" => true // handled above
+        case "L1_REG" | "L2_REG" => true // handled above
+        // consumed by the DNN layer sizing; any other estimator has no
+        // layers param, so it lands on the ignored list like BQML's
+        // inapplicable-option behavior
+        case "HIDDEN_UNITS" => est.hasParam("layers")
         case "MAX_ITERATIONS" => setIf("maxIter", v.toDouble.toInt)
         case "LEARN_RATE" => setIf("stepSize", v.toDouble)
         case "MIN_REL_PROGRESS" => setIf("tol", v.toDouble)
@@ -132,7 +137,13 @@ object Ml {
       // by-name probes — executed only for DNN_* layer sizing
       def featureDim(): Int = formula.fit(df).transform(df.limit(1))
         .select("features").head.getAs[org.apache.spark.ml.linalg.Vector](0).size
-      def numClasses(): Int = df.select(labelCol).distinct().count().toInt
+      // MLP labels are 0..k-1, so the output width is max(label)+1 —
+      // distinct-count would size it wrong for non-contiguous labels
+      // ({0,2} needs 3) and break on single-class shards (floor of 2)
+      def numClasses(): Int = math.max(2,
+        df.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(labelCol).cast("double")))
+          .head.getDouble(0).toInt + 1)
       val (est, ignored) =
         estimator(modelType, labelCol, hyperParams, featureDim _, numClasses _)
       if (ignored.nonEmpty)

@@ -36,17 +36,21 @@ object MlModelJobs {
   private def ga4(spark: SparkSession, cfg: MlModelSpec): DataFrame =
     Ga4.ga4EventsPartitioned(spark, cfg.sourceDir)
 
-  /** The Output script scans `events_*` / `__TABLES_SUMMARY__`
-    * (`output.sql:2-20`); in the ML context those ARE the GA4 export, so
-    * the wildcard views resolve to the GA4-shaped date-partitioned
+  /** The Output script scans the `events_*` / `__TABLES_SUMMARY__`
+    * analogs (`output.sql:2-20`); in the ML context those ARE the GA4
+    * export, so the views resolve to the GA4-shaped date-partitioned
     * relation (suffix predicates still prune partitions) and its
-    * partition-metadata listing. */
+    * partition-metadata listing. The views are NAMESPACED per dataset id
+    * (`{ds}_events_star`) rather than the dialect's session-global
+    * `events_star`: two predictive pipelines for different models may run
+    * concurrently on one session, and a shared view name would let one
+    * model's Output job scan the other model's source. */
   private def registerGa4Wildcard(spark: SparkSession, cfg: MlModelSpec): Unit = {
-    ga4(spark, cfg).createOrReplaceTempView("events_star")
+    ga4(spark, cfg).createOrReplaceTempView(s"${cfg.bqDatasetId}_events_star")
     import spark.implicits._
     graft.sources.WildcardTable.listSuffixes(spark, cfg.sourceDir)
       .map(sfx => s"events_$sfx").toDF("table_id")
-      .createOrReplaceTempView("tables_summary")
+      .createOrReplaceTempView(s"${cfg.bqDatasetId}_tables_summary")
   }
 
   /** Model scores over a step's dataset, shaped like the reference's

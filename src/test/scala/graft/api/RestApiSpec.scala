@@ -97,6 +97,16 @@ class RestApiSpec extends AnyFunSuite {
       assert(put.statusCode() == 200)
       val renamed = JsonMethods.parse(get(s"/api/jobs/$id/j1").body())
       assert((renamed \ "name") == JString("renamed"))
+      // start conditions sent in the body are applied, not silently dropped
+      val putCond = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/api/jobs/$id/j2"))
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"hash_start_conditions": [
+            |{"preceding_job_id": "j1", "condition": "whatever"}]}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(putCond.statusCode() == 200)
+      val j2 = JsonMethods.parse(get(s"/api/jobs/$id/j2").body())
+      assert((j2 \ "hash_start_conditions")(0) \ "condition" == JString("whatever"))
       assert(get(s"/api/jobs/$id/nope").statusCode() == 404)
     } finally {
       api.shutdown()
@@ -127,7 +137,8 @@ class RestApiSpec extends AnyFunSuite {
           label = graft.plans.MlCompiler.GaLabel("purchase", "k"),
           suffixLo = "20240105", suffixHi = "20240125"),
         projectId = "p", bqDatasetId = "ds", bqDatasetLocation = "US",
-        destination = graft.plans.MlModelPipelines.GoogleAnalyticsMpEvent))
+        destination = graft.plans.MlModelPipelines.GoogleAnalyticsMpEvent,
+        sourceDir = "/root/testdata/sf0.001", workDir = "/tmp/graft_api_model"))
     try {
       // create → model + its two compiled pipelines appear
       val created = send("POST", "/api/ml-models", modelJson)

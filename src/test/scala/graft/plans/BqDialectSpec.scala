@@ -28,7 +28,13 @@ class BqDialectSpec extends AnyFunSuite with SparkFixture {
     assert(BqDialect.rewrite("SELECT FORMAT_DATE('%F', dcol) FROM t") ==
       "SELECT date_format(dcol, 'yyyy-MM-dd') FROM t")
     assert(BqDialect.rewrite("SELECT FORMAT_TIMESTAMP('%F %T%Ez', ts) FROM t") ==
-      "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ssXXX') FROM t")
+      "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ssxxx') FROM t")
+  }
+
+  test("%Ez prints '+00:00' at zero offset like BigQuery, never 'Z'") {
+    val sql = BqDialect.rewrite(
+      "SELECT FORMAT_TIMESTAMP('%F %T%Ez', TIMESTAMP_MICROS(1704067200000000)) AS d")
+    assert(spark.sql(sql).head().getString(0) == "2024-01-01 00:00:00+00:00")
   }
 
   test("rewritten SQL actually runs on Spark") {

@@ -100,7 +100,7 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
       assert(output.workerClass == "BQScriptExecutor")
       val script = first(output.params, "script").get
       assert(script.ptype == Spec.ParamType.Sql)
-      assert(script.value.contains("__TABLES_SUMMARY__") &&
+      assert(script.value.contains("test_dataset_tables_summary") &&
         script.value.contains("prepared_predictions"))
       assert(first(output.params, "bq_dataset_location").exists(_.value == "US"))
 
@@ -120,6 +120,17 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
           assert(first(upload.params, "template").exists(_.value.contains(
             "customers/123456/conversionActions/789")))
       }
+    }
+  }
+
+  test("compile-time validation rejects missing locations and SQL-hostile identifiers") {
+    intercept[IllegalArgumentException] { predictive(demoCfg().copy(sourceDir = "")) }
+    intercept[IllegalArgumentException] { training(demoCfg().copy(workDir = "")) }
+    intercept[IllegalArgumentException] { predictive(demoCfg().copy(bqDatasetId = "ds;drop")) }
+    // a quote in click_event would escape the script's string literal
+    intercept[IllegalArgumentException] {
+      predictive(demoCfg(destination = GoogleAdsOfflineConversion)
+        .copy(clickEvent = "x' OR name != '"))
     }
   }
 

@@ -256,17 +256,24 @@ class MlSpec extends AnyFunSuite with SparkFixture {
       "MAX_ITERATIONS" -> "7", "L1_REG" -> "0.1", "L2_REG" -> "0.3"))
     val lrc = lr.asInstanceOf[LogisticRegression]
     assert(lrc.getMaxIter == 7)
-    assert(math.abs(lrc.getRegParam - 0.4) < 1e-12)
-    assert(math.abs(lrc.getElasticNetParam - 0.25) < 1e-12)
+    // MLlib penalty = regParam*(α·L1 + (1-α)/2·L2²-term): matching
+    // a=0.1, b=0.3 needs regParam = a+2b = 0.7, α = a/(a+2b) = 1/7
+    assert(math.abs(lrc.getRegParam - 0.7) < 1e-12)
+    assert(math.abs(lrc.getElasticNetParam - 0.1 / 0.7) < 1e-12)
+    // effective penalties round-trip: α·regParam = L1, (1-α)/2·regParam = L2
+    assert(math.abs(lrc.getElasticNetParam * lrc.getRegParam - 0.1) < 1e-12)
+    assert(math.abs((1 - lrc.getElasticNetParam) / 2 * lrc.getRegParam - 0.3) < 1e-12)
     assert(lrIgnored.isEmpty)
 
     val (gbt, gbtIgnored) = Ml.estimator("BOOSTED_TREE_CLASSIFIER", "label", Map(
       "LEARN_RATE" -> "0.2", "MAX_TREE_DEPTH" -> "3", "SUBSAMPLE" -> "0.8",
-      "L1_REG" -> "0.5"))
+      "L1_REG" -> "0.5", "HIDDEN_UNITS" -> "8"))
     val g = gbt.asInstanceOf[GBTClassifier]
     assert(g.getStepSize == 0.2 && g.getMaxDepth == 3 && g.getSubsamplingRate == 0.8)
-    // GBT carries no elastic-net penalty: recorded as ignored, not an error
+    // GBT carries neither an elastic-net penalty nor layers: recorded as
+    // ignored, not an error
     assert(gbtIgnored.contains("L1_REG/L2_REG"))
+    assert(gbtIgnored.contains("HIDDEN_UNITS"))
 
     intercept[IllegalArgumentException] {
       Ml.estimator("LOGISTIC_REG", "label", Map("LEARNING_RATE_TYPO" -> "1"))
