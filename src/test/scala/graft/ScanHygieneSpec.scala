@@ -66,4 +66,21 @@ class ScanHygieneSpec extends AnyFunSuite with SparkFixture {
     val bhj = df.queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
     assert(bhj.nonEmpty, "no broadcast joins in the multi-dim join")
   }
+
+  test("output_predictions: latest-shard gclid scan prunes partitions; band join broadcasts") {
+    val df = SparkEntry.queries("output_predictions")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    // the freshest-click scan must read ONLY the latest shard — at 100 TB
+    // the latest partition is a day, the table is years
+    val latest = graft.sources.WildcardTable.listSuffixes(spark, sfDir).max
+    val pruned = scans(plan).filter(s =>
+      s.partitionFilters.nonEmpty && s.partitionFilters.mkString.contains(latest))
+    assert(pruned.nonEmpty,
+      "no scan is pruned to the latest shard — the gclid lookup reads the full corpus")
+    // the ≤10-row conversion-value segments must be the broadcast side of
+    // the band join (a shuffle there would move the scored corpus instead)
+    val bnl = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b }
+    assert(bnl.nonEmpty, "band join onto conversion-value segments is not broadcast")
+  }
 }
