@@ -205,4 +205,55 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
       Sinks.RecordingTransport.clear()
     }
   }
+
+  test("regression + Ads-destination pipelines run end-to-end (predicted_label branch, %Ez datetimes)") {
+    val workDir = Files.createTempDirectory("graft_mlpipe_ads").toString
+    val cfg = demoCfg(modelType = "LINEAR_REG",
+      destination = GoogleAdsOfflineConversion, workDir = workDir)
+      .copy(bqDatasetId = "mlpipe_ads",
+        dataset = demoDataset.copy(isClassification = false,
+          triggerEvent = Some(MlCompiler.GaTrigger("signup", "k"))))
+    spark.sql("DROP DATABASE IF EXISTS mlpipe_ads CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_warehouse/mlpipe_ads.db"))
+    val registry = Workers.registry(spark)
+    val exec = Dag.newExecutor(4)
+    try {
+      Sinks.RecordingTransport.clear()
+
+      val trainSpec = training(cfg, LocalDate.of(2024, 4, 6))
+      assert(trainSpec.jobs.length == 1, "regression trains without a conversion-value job")
+      val trainRun = new Dag.PipelineRun(trainSpec, registry, exec)
+      assert(trainRun.start())
+      assert(trainRun.awaitCompletion(300000) == Dag.PipelineStatus.Succeeded,
+        s"training failed: ${trainRun.failureMessages}")
+
+      val predRun = new Dag.PipelineRun(predictive(cfg), registry, exec)
+      assert(predRun.start())
+      assert(predRun.awaitCompletion(300000) == Dag.PipelineStatus.Succeeded,
+        s"predictive failed: ${predRun.failureMessages}")
+
+      assert(spark.table("mlpipe_ads.predictions").columns.contains("predicted_label"))
+      val out = spark.table("mlpipe_ads.output")
+      assert(out.columns.toSet == Set("unique_id", "user_pseudo_id", "user_id",
+        "value", "revenue", "gclid", "datetime"))
+      val rows = out.collect()
+      assert(rows.nonEmpty, "ads output must carry at least one gclid row")
+      val dt = rows.head.getAs[String]("datetime")
+      // BigQuery's %Ez prints the numeric offset — 'Z' would be the
+      // uppercase-pattern bug the round-5 review caught
+      assert(dt.endsWith("+00:00"), s"datetime must carry the +00:00 offset: $dt")
+
+      // one chunked Ads upload per partition batch, with the conversion
+      // action resolved from the model's output parameters
+      assert(Sinks.RecordingTransport.size > 0)
+      val (url, body) = Sinks.RecordingTransport.requests.peek()
+      assert(url.contains("customers/123456:uploadClickConversions"))
+      assert(body.contains("customers/123456/conversionActions/789"))
+      assert(body.contains("\"gclid\"") && body.contains("+00:00"))
+    } finally {
+      exec.shutdown()
+      Sinks.RecordingTransport.clear()
+    }
+  }
 }
