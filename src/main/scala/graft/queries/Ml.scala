@@ -43,6 +43,14 @@ object Ml {
   def mlTrainingDataset(s: SparkSession, dir: String): DataFrame =
     MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), cfg(hashSplit = false, imbalance = 1), Training)
 
+  /** The USER_ID unique-id variant (`compiler.py:85-87` UniqueId.USER_ID →
+    * the sparse signed-in `user_id` column): events without a signed-in id
+    * fall into one NULL group that self-eliminates at the fe/ab/uv joins —
+    * the same semantics BigQuery's NULL grouping + equi-joins produce. */
+  def mlTrainingDatasetUid(s: SparkSession, dir: String): DataFrame =
+    MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir),
+      cfg(hashSplit = false, imbalance = 1).copy(uniqueId = "user_id"), Training)
+
   def mlPredictDataset(s: SparkSession, dir: String): DataFrame =
     MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), cfg(hashSplit = false, imbalance = 1), Predicting)
 
@@ -261,6 +269,7 @@ object Ml {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_training_dataset" -> (mlTrainingDataset _),
+    "ml_training_dataset_uid" -> (mlTrainingDatasetUid _),
     "ml_predict_dataset" -> (mlPredictDataset _),
     "ml_training_rebalanced" -> (mlTrainingRebalanced _),
     "ml_training_rebalanced_md5" -> (mlTrainingRebalancedMd5 _),
@@ -278,7 +287,7 @@ object Ml {
     * `evsExtra` appends to the events filter; `uvSql` overrides the
     * user_variables relation (combined-source path). */
   private def duckCoreWith(extraCtes: String, evsExtra: String, uvSql: String,
-      labSql: String = Ml.defaultLab): String =
+      labSql: String = Ml.defaultLab, uniqueIdCol: String = "user_pseudo_id"): String =
     s"""${Ga4.duckGa4},$extraCtes
        |evs AS (
        |  SELECT
@@ -289,7 +298,7 @@ object Ml {
        |    event_params AS params,
        |    user_id,
        |    user_pseudo_id,
-       |    user_pseudo_id AS unique_id,
+       |    $uniqueIdCol AS unique_id,
        |    geo.country AS country,
        |    geo.region AS region,
        |    device.language AS language,
@@ -483,6 +492,15 @@ object Ml {
          |ORDER BY 1 ASC, 3 ASC""".stripMargin,
     "ml_training_dataset" ->
       s"""WITH $duckCore
+         |SELECT fe.country, fe.region, fe.language, fe.traffic_source,
+         |  fe.traffic_medium, fe.device_type, fe.device_os, fe.device_browser,
+         |  fe.daypart, ab.cnt_error, ab.cnt_view_cpc, ab.cnt_click_k_gt50,
+         |  ab.engagement_time, uv.label
+         |FROM fe
+         |JOIN ab ON fe.unique_id = ab.unique_id
+         |JOIN uv ON fe.unique_id = uv.unique_id""".stripMargin,
+    "ml_training_dataset_uid" ->
+      s"""WITH ${duckCoreWith("", "", defaultUv, defaultLab, uniqueIdCol = "user_id")}
          |SELECT fe.country, fe.region, fe.language, fe.traffic_source,
          |  fe.traffic_medium, fe.device_type, fe.device_os, fe.device_browser,
          |  fe.daypart, ab.cnt_error, ab.cnt_view_cpc, ab.cnt_click_k_gt50,
