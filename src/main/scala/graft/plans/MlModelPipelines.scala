@@ -31,6 +31,23 @@ import org.json4s.jackson.JsonMethods
  */
 object MlModelPipelines {
 
+  /** `ml_model/shared.py` Source (the input.source vocabulary). */
+  sealed abstract class InputSource(val wire: String) {
+    def hasGa: Boolean = this != FirstParty
+    def hasFp: Boolean = this != GoogleAnalytics
+  }
+  case object GoogleAnalytics extends InputSource("GOOGLE_ANALYTICS")
+  case object FirstParty extends InputSource("FIRST_PARTY")
+  case object GoogleAnalyticsAndFirstParty
+    extends InputSource("GOOGLE_ANALYTICS_AND_FIRST_PARTY")
+  object InputSource {
+    def fromWire(s: String): InputSource = s.toUpperCase match {
+      case "FIRST_PARTY" => FirstParty
+      case "GOOGLE_ANALYTICS_AND_FIRST_PARTY" => GoogleAnalyticsAndFirstParty
+      case _ => GoogleAnalytics
+    }
+  }
+
   /** `compiler.py:65-67`. */
   sealed abstract class Destination(val wire: String)
   case object GoogleAnalyticsMpEvent extends Destination("GOOGLE_ANALYTICS_MP_EVENT")
@@ -72,6 +89,12 @@ object MlModelPipelines {
       // (`output.sql:105-117` hardcodes page_view; the driver fixture's
       // vocabulary uses click)
       clickEvent: String = "page_view",
+      source: InputSource = GoogleAnalytics,
+      // first-party input (`input.parameters.first_party_table` +
+      // the FIRST_PARTY variable roles, compiler.py:109-206)
+      fpTable: String = "",
+      fpRoles: Option[MlCompiler.FpRoles] = None,
+      fpGclid: String = "",
       sourceDir: String = "",
       workDir: String = "") {
     require(RegressionTypes.contains(modelType.toUpperCase) ||
@@ -119,13 +142,26 @@ object MlModelPipelines {
     * when the cron fires — and `bqDatasetId`/`clickEvent` are spliced
     * into SQL text, so they are restricted to identifier-safe characters
     * rather than escaped. */
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
+
   private def validateForCompile(cfg: MlModelSpec): Unit = {
-    require(cfg.sourceDir.nonEmpty, "source_dir is required to compile pipelines")
+    require(!cfg.source.hasGa || cfg.sourceDir.nonEmpty,
+      "source_dir is required to compile pipelines over a GA source")
     require(cfg.workDir.nonEmpty, "work_dir is required to compile pipelines")
-    require(cfg.bqDatasetId.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    require(cfg.bqDatasetId.matches(IdentRe),
       s"bq_dataset_id must be an identifier: '${cfg.bqDatasetId}'")
     require(cfg.clickEvent.matches("[A-Za-z0-9_.-]+"),
       s"click_event must be an event name: '${cfg.clickEvent}'")
+    if (cfg.source.hasFp) {
+      require(cfg.fpTable.nonEmpty, "first_party_table is required for a FIRST_PARTY source")
+      val roles = cfg.fpRoles.getOrElse(
+        throw new IllegalArgumentException("FIRST_PARTY variables (roles) are required"))
+      // role column names are spliced into the Output SQL
+      val spliced = Seq(roles.uniqueId) ++ roles.triggerDate ++
+        (if (cfg.fpGclid.nonEmpty) Seq(cfg.fpGclid) else Nil)
+      spliced.foreach(c => require(c.matches(IdentRe),
+        s"first-party role columns must be identifiers: '$c'"))
+    }
   }
 
   /** `templates/training_pipeline.json`. */
@@ -214,78 +250,114 @@ object MlModelPipelines {
       s""""conversionDateTime": "$${datetime}", "conversionValue": $${value}, "currencyCode": "USD"}"""
 
   /**
-   * The OUTPUTING-step script (`output.sql:2-135`, GA source) in the
-   * engine's BQ dialect: latest shard from `__TABLES_SUMMARY__`,
-   * `prepared_predictions` band join, and the destination branch — MP's
-   * users-without-score anti-join or Ads' freshest-gclid window. The
-   * correlated-UNNEST spellings become Spark higher-order/LATERAL VIEW
-   * forms; everything else is the reference's text shape. The oracle-
-   * checked DataFrame twins are `output_predictions`/`_mp` in
-   * `queries/Ml.scala`; this script is exercised end-to-end by the
-   * compiled-pipeline integration spec.
+   * The OUTPUTING-step script (`output.sql:2-135`) in the engine's BQ
+   * dialect: for a GA source, latest shard from `__TABLES_SUMMARY__` +
+   * wildcard event scan; for a FIRST_PARTY source, the customer table
+   * windowed on its trigger-date column (the reference scans
+   * "yesterday"; the engine scans the model's predictive window so the
+   * nightly shape is reproducible over fixed data). Then the
+   * `prepared_predictions` band join and the destination branch — MP's
+   * users-without-score anti-join or Ads' freshest-gclid window (GA) /
+   * direct gclid column (first-party). The correlated-UNNEST spellings
+   * become Spark higher-order/LATERAL VIEW forms; everything else is the
+   * reference's text shape. The oracle-checked DataFrame twins are
+   * `output_predictions`/`_mp` in `queries/Ml.scala`; the script paths
+   * are exercised end-to-end by the compiled-pipeline integration specs.
    */
   def outputScript(cfg: MlModelSpec): String = {
     val ds = cfg.bqDatasetId
-    // the {ds}_events_star / {ds}_tables_summary views are the
-    // `events_*` / `__TABLES_SUMMARY__` analogs registered by the Setup
-    // job, namespaced per dataset id so concurrent predictive pipelines
-    // for different models cannot scan each other's source (the dialect's
-    // generic session-global `events_*` rewrite stays available for
-    // ad-hoc scripts)
+    val ga = cfg.source.hasGa
+    // the {ds}_events_star / {ds}_tables_summary / {ds}_first_party views
+    // are registered by the Setup job, namespaced per dataset id so
+    // concurrent predictive pipelines for different models cannot scan
+    // each other's source (the dialect's generic session-global
+    // `events_*` rewrite stays available for ad-hoc scripts)
     val head =
-      s"""DECLARE _LATEST_TABLE_SUFFIX STRING DEFAULT (
-         |  SELECT MAX(SPLIT(table_id, 'events_')[OFFSET(1)])
-         |  FROM ${ds}_tables_summary
-         |  WHERE REGEXP_CONTAINS(table_id, '^events_[0-9]+$$')
-         |);""".stripMargin
-    val events =
-      s"""  events AS (
-         |    SELECT ${cfg.dataset.uniqueId} AS unique_id,
-         |      event_name AS name,
-         |      event_timestamp AS `timestamp`,
-         |      event_params AS params
-         |    FROM ${ds}_events_star
-         |    WHERE _TABLE_SUFFIX = _LATEST_TABLE_SUFFIX
-         |    AND LOWER(platform) = 'web'
-         |  )""".stripMargin
+      if (ga)
+        s"""DECLARE _LATEST_TABLE_SUFFIX STRING DEFAULT (
+           |  SELECT MAX(SPLIT(table_id, 'events_')[OFFSET(1)])
+           |  FROM ${ds}_tables_summary
+           |  WHERE REGEXP_CONTAINS(table_id, '^events_[0-9]+$$')
+           |);""".stripMargin
+      else ""
+    val sourceCte =
+      if (ga)
+        s"""  events AS (
+           |    SELECT ${cfg.dataset.uniqueId} AS unique_id,
+           |      event_name AS name,
+           |      event_timestamp AS `timestamp`,
+           |      event_params AS params
+           |    FROM ${ds}_events_star
+           |    WHERE _TABLE_SUFFIX = _LATEST_TABLE_SUFFIX
+           |    AND LOWER(platform) = 'web'
+           |  )""".stripMargin
+      else {
+        // output.sql:23-34 first_party branch; the -1s end bound is the
+        // reference's DATETIME_SUB(..., INTERVAL 1 SECOND)
+        val roles = cfg.fpRoles.get
+        val trigger = roles.triggerDate.getOrElse(
+          throw new IllegalArgumentException("FIRST_PARTY output requires a TRIGGER_DATE role"))
+        val gclidCol = if (cfg.fpGclid.nonEmpty) s"\n    ${cfg.fpGclid} AS gclid," else ""
+        s"""  first_party AS (
+           |    SELECT ${roles.uniqueId} AS unique_id,$gclidCol
+           |      $trigger AS `timestamp`
+           |    FROM ${ds}_first_party
+           |    WHERE $trigger BETWEEN to_timestamp('${cfg.dataset.suffixLo}', 'yyyyMMdd')
+           |    AND to_timestamp('${cfg.dataset.suffixHi}', 'yyyyMMdd') - INTERVAL 1 SECOND
+           |  )""".stripMargin
+      }
+    // the GA export carries both GA ids alongside the model's unique id
+    // (output.sql:40-43); a first-party table has only its unique id
+    val gaIds = if (ga) " p.user_pseudo_id, p.user_id," else ""
+    val gaIdsBare = if (ga) " user_pseudo_id, user_id," else ""
+    val groupCols = if (ga) "1, 2, 3" else "1"
     val prepared =
       if (cfg.isClassification)
         s"""  prepared_predictions AS (
            |    SELECT DISTINCT
-           |      p.unique_id, p.user_pseudo_id, p.user_id,
+           |      p.unique_id,$gaIds
            |      ROUND(MAX(cv.value), 4) AS value,
            |      MAX(cv.normalized_probability) AS normalized_score,
            |      MAX(p.probability) * 100 AS score
            |    FROM ${cfg.table("predictions")} p
            |    LEFT OUTER JOIN ${cfg.table("conversion_values")} cv
            |    ON p.probability BETWEEN cv.probability_range_start AND cv.probability_range_end
-           |    GROUP BY 1, 2, 3
+           |    GROUP BY $groupCols
            |  )""".stripMargin
       else
         s"""  prepared_predictions AS (
            |    SELECT DISTINCT
-           |      unique_id, user_pseudo_id, user_id,
+           |      unique_id,$gaIdsBare
            |      IF(predicted_label > 0, ROUND(predicted_label, 4), 0) AS value,
            |      IF(predicted_label > 0, ROUND(predicted_label, 4), 0) AS revenue
            |    FROM ${cfg.table("predictions")}
            |  )""".stripMargin
+    val exceptIds = if (ga) "unique_id, user_pseudo_id, user_id" else "unique_id"
     val branch = cfg.destination match {
       case GoogleAnalyticsMpEvent =>
         val idCols =
-          if (cfg.dataset.uniqueId == "user_id")
+          if (ga && cfg.dataset.uniqueId == "user_id")
             "p.user_pseudo_id AS client_id,\n    p.unique_id AS user_id,"
+          else if (cfg.dataset.uniqueId == "user_id") "p.unique_id AS user_id,"
           else "p.unique_id AS client_id,"
-        s"""  users_with_score AS (
-           |    SELECT DISTINCT unique_id FROM events
-           |    WHERE name = 'prop_score'
-           |    AND EXISTS(params, pp -> pp.value.string_value = 'Predicted_Value')
-           |  ),
-           |  users_without_score AS (
-           |    SELECT DISTINCT unique_id FROM events
-           |    WHERE unique_id NOT IN (SELECT unique_id FROM users_with_score)
-           |  )
+        val wos =
+          if (ga)
+            s"""  users_with_score AS (
+               |    SELECT DISTINCT unique_id FROM events
+               |    WHERE name = 'prop_score'
+               |    AND EXISTS(params, pp -> pp.value.string_value = 'Predicted_Value')
+               |  ),
+               |  users_without_score AS (
+               |    SELECT DISTINCT unique_id FROM events
+               |    WHERE unique_id NOT IN (SELECT unique_id FROM users_with_score)
+               |  )""".stripMargin
+          else
+            s"""  users_without_score AS (
+               |    SELECT DISTINCT unique_id FROM first_party
+               |  )""".stripMargin
+        s"""$wos
            |  SELECT
-           |    p.* EXCEPT(unique_id, user_pseudo_id, user_id),
+           |    p.* EXCEPT($exceptIds),
            |    $idCols
            |    'prop_score' AS event_name,
            |    'Predicted_Value' AS type
@@ -293,18 +365,28 @@ object MlModelPipelines {
            |  INNER JOIN users_without_score wos
            |  ON p.unique_id = wos.unique_id""".stripMargin
       case GoogleAdsOfflineConversion =>
-        s"""  gclids AS (
-           |    SELECT * EXCEPT(row_num) FROM (
-           |      SELECT unique_id,
-           |        p.value.string_value AS gclid,
-           |        FORMAT_TIMESTAMP('%F %T%Ez', TIMESTAMP_MICROS(`timestamp`)) AS `datetime`,
-           |        ROW_NUMBER() OVER (PARTITION BY unique_id
-           |          ORDER BY `timestamp` DESC, p.value.string_value DESC) AS row_num
-           |      FROM events LATERAL VIEW EXPLODE(params) t AS p
-           |      WHERE name = '${cfg.clickEvent}' AND p.key = 'gclid'
-           |      AND COALESCE(p.value.string_value, '') != ''
-           |    ) WHERE row_num = 1
-           |  )
+        val gclids =
+          if (ga)
+            s"""  gclids AS (
+               |    SELECT * EXCEPT(row_num) FROM (
+               |      SELECT unique_id,
+               |        p.value.string_value AS gclid,
+               |        FORMAT_TIMESTAMP('%F %T%Ez', TIMESTAMP_MICROS(`timestamp`)) AS `datetime`,
+               |        ROW_NUMBER() OVER (PARTITION BY unique_id
+               |          ORDER BY `timestamp` DESC, p.value.string_value DESC) AS row_num
+               |      FROM events LATERAL VIEW EXPLODE(params) t AS p
+               |      WHERE name = '${cfg.clickEvent}' AND p.key = 'gclid'
+               |      AND COALESCE(p.value.string_value, '') != ''
+               |    ) WHERE row_num = 1
+               |  )""".stripMargin
+          else
+            s"""  gclids AS (
+               |    SELECT unique_id, gclid,
+               |      FORMAT_TIMESTAMP('%F %T%Ez', `timestamp`) AS `datetime`
+               |    FROM first_party
+               |    WHERE COALESCE(gclid, '') != ''
+               |  )""".stripMargin
+        s"""$gclids
            |  SELECT p.*, g.gclid, g.`datetime`
            |  FROM prepared_predictions p
            |  INNER JOIN gclids g
@@ -316,10 +398,10 @@ object MlModelPipelines {
        |DROP TABLE IF EXISTS ${cfg.table("output")};
        |CREATE TABLE ${cfg.table("output")} AS (
        |  WITH
-       |$events,
+       |$sourceCte,
        |$prepared,
        |$branch
-       |);""".stripMargin
+       |);""".stripMargin.stripLeading()
   }
 
   // ---- JSON codec (the /api/ml-models wire format; ml_model/views.py) ----
@@ -327,10 +409,11 @@ object MlModelPipelines {
   def toJson(cfg: MlModelSpec): String = {
     val d = cfg.dataset
     def vbl(role: String, name: String, key: String, cmp: String = null,
-        value: String = null, isStr: Boolean = false, desc: String = null): JValue = {
+        value: String = null, isStr: Boolean = false, desc: String = null,
+        source: String = "GOOGLE_ANALYTICS"): JValue = {
       val base: List[(String, JValue)] = List(
         "role" -> JString(role), "name" -> JString(name),
-        "source" -> JString("GOOGLE_ANALYTICS"))
+        "source" -> JString(source))
       val kv = Option(key).map(k => "key" -> (JString(k): JValue)).toList
       val cv = Option(cmp).map(c => "comparison" -> (JString(c): JValue)).toList
       val vv = Option(value).map(v => "value" -> (JString(v): JValue)).toList
@@ -353,8 +436,21 @@ object MlModelPipelines {
       vbl("FEATURE", f.name, f.key, cw,
         if (regexPat != null) regexPat else f.value, f.valueIsString, f.description)
     }
-    val label = vbl("LABEL", d.label.name, d.label.key, isStr = d.label.valueIsString)
+    val label =
+      if (d.label != null && d.label.name != null && d.label.name.nonEmpty)
+        List(vbl("LABEL", d.label.name, d.label.key, isStr = d.label.valueIsString))
+      else Nil
     val trigger = d.triggerEvent.map(t => vbl("TRIGGER_EVENT", t.name, t.key)).toList
+    def fpVbl(role: String, name: String): JValue =
+      vbl(role, name, key = null, source = "FIRST_PARTY")
+    val fpVars = cfg.fpRoles.toList.flatMap { r =>
+      List(fpVbl("USER_ID", r.uniqueId)) ++
+        r.features.map(fpVbl("FEATURE", _)) ++
+        r.label.map(fpVbl("LABEL", _)) ++
+        r.firstValue.map(fpVbl("FIRST_VALUE", _)) ++
+        r.triggerDate.map(fpVbl("TRIGGER_DATE", _)) ++
+        (if (cfg.fpGclid.nonEmpty) List(fpVbl("GCLID", cfg.fpGclid)) else Nil)
+    }
     val j = JObject(
       "name" -> JString(cfg.name),
       "type" -> JString(cfg.modelType),
@@ -368,6 +464,8 @@ object MlModelPipelines {
       "ads_customer_id" -> JString(cfg.adsCustomerId),
       "ads_conversion_action_id" -> JString(cfg.adsConversionActionId),
       "click_event" -> JString(cfg.clickEvent),
+      "source" -> JString(cfg.source.wire),
+      "first_party_table" -> JString(cfg.fpTable),
       "source_dir" -> JString(cfg.sourceDir),
       "work_dir" -> JString(cfg.workDir),
       "class_imbalance" -> JInt(d.classImbalance),
@@ -381,7 +479,7 @@ object MlModelPipelines {
       "suffix_hi" -> JString(d.suffixHi),
       "hyper_parameters" -> JArray(cfg.hyperParameters.map { case (n, v) =>
         JObject("name" -> JString(n), "value" -> JString(v)): JValue }.toList),
-      "variables" -> JArray(((features :+ label) ++ trigger).toList))
+      "variables" -> JArray(((features.toList ++ label) ++ trigger ++ fpVars)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -397,9 +495,12 @@ object MlModelPipelines {
       root \ k match { case JBool(b) => b; case _ => default }
     def vstr(v: JValue, k: String): String =
       v \ k match { case JString(s) => s; case _ => null }
-    val vars = root \ "variables" match { case JArray(a) => a; case _ => Nil }
+    val allVars = root \ "variables" match { case JArray(a) => a; case _ => Nil }
+    val (fpVars, vars) = allVars.partition(v => vstr(v, "source") == "FIRST_PARTY")
     def byRole(r: String): List[JValue] =
       vars.filter(v => vstr(v, "role") == r)
+    def fpByRole(r: String): List[String] =
+      fpVars.filter(v => vstr(v, "role") == r).map(v => vstr(v, "name"))
     def cmpOf(v: JValue): (MlCompiler.Cmp, String) = {
       val value = vstr(v, "value")
       vstr(v, "comparison") match {
@@ -420,10 +521,23 @@ object MlModelPipelines {
         v \ "value_is_string" match { case JBool(b) => b; case _ => false },
         vstr(v, "description"))
     }
-    val labelJ = byRole("LABEL").headOption.getOrElse(
-      throw new IllegalArgumentException("MlModel requires a LABEL variable"))
-    val label = GaLabel(vstr(labelJ, "name"), vstr(labelJ, "key"),
-      labelJ \ "value_is_string" match { case JBool(b) => b; case _ => false })
+    val source = InputSource.fromWire(str("source", "GOOGLE_ANALYTICS"))
+    // a FIRST_PARTY-only model has no GA label; GA-including models must
+    val label = byRole("LABEL").headOption match {
+      case Some(labelJ) => GaLabel(vstr(labelJ, "name"), vstr(labelJ, "key"),
+        labelJ \ "value_is_string" match { case JBool(b) => b; case _ => false })
+      case None if source == FirstParty => GaLabel("", "")
+      case None => throw new IllegalArgumentException(
+        "MlModel requires a GOOGLE_ANALYTICS LABEL variable")
+    }
+    val fpRoles = fpByRole("USER_ID").headOption.map { uid =>
+      MlCompiler.FpRoles(
+        uniqueId = uid,
+        features = fpByRole("FEATURE"),
+        label = fpByRole("LABEL").headOption,
+        firstValue = fpByRole("FIRST_VALUE").headOption,
+        triggerDate = fpByRole("TRIGGER_DATE").headOption)
+    }
     val trigger = byRole("TRIGGER_EVENT").headOption
       .map(v => GaTrigger(vstr(v, "name"), vstr(v, "key")))
     val modelType = str("type")
@@ -459,6 +573,10 @@ object MlModelPipelines {
       adsConversionActionId = str("ads_conversion_action_id"),
       hyperParameters = hps,
       clickEvent = str("click_event", "page_view"),
+      source = source,
+      fpTable = str("first_party_table"),
+      fpRoles = fpRoles,
+      fpGclid = fpByRole("GCLID").headOption.getOrElse(""),
       sourceDir = str("source_dir"),
       workDir = str("work_dir"))
   }

@@ -36,6 +36,27 @@ object MlModelJobs {
   private def ga4(spark: SparkSession, cfg: MlModelSpec): DataFrame =
     Ga4.ga4EventsPartitioned(spark, cfg.sourceDir)
 
+  /** The first-party variable relation: the customer table projected
+    * through its role mapping (`model_bqml.sql:53-70`). */
+  private def fpv(spark: SparkSession, cfg: MlModelSpec): DataFrame =
+    MlCompiler.firstPartyCte(Workers.resolveTable(spark, cfg.fpTable), cfg.fpRoles.get)
+
+  /** Step dataset per the model's input source (`compiler.py:109-206`
+    * VariableSet dispatch): GA-only, first-party-only, or the combined
+    * path where the GA composition is semi-join-restricted to first-party
+    * ids and the fp features ride along. */
+  private def datasetFor(spark: SparkSession, cfg: MlModelSpec,
+      step: MlCompiler.Step): DataFrame = cfg.source match {
+    case MlModelPipelines.GoogleAnalytics =>
+      MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, step)
+    case MlModelPipelines.FirstParty =>
+      MlCompiler.firstPartyDataset(spark, fpv(spark, cfg), cfg.dataset, step)
+    case MlModelPipelines.GoogleAnalyticsAndFirstParty =>
+      // GA supplies label + trigger; the fp relation contributes ids + features
+      MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, step,
+        firstParty = Some(fpv(spark, cfg).drop("label", "trigger_date")))
+  }
+
   /** The Output script scans the `events_*` / `__TABLES_SUMMARY__`
     * analogs (`output.sql:2-20`); in the ML context those ARE the GA4
     * export, so the views resolve to the GA4-shaped date-partitioned
@@ -45,12 +66,17 @@ object MlModelJobs {
     * `events_star`: two predictive pipelines for different models may run
     * concurrently on one session, and a shared view name would let one
     * model's Output job scan the other model's source. */
-  private def registerGa4Wildcard(spark: SparkSession, cfg: MlModelSpec): Unit = {
-    ga4(spark, cfg).createOrReplaceTempView(s"${cfg.bqDatasetId}_events_star")
-    import spark.implicits._
-    graft.sources.WildcardTable.listSuffixes(spark, cfg.sourceDir)
-      .map(sfx => s"events_$sfx").toDF("table_id")
-      .createOrReplaceTempView(s"${cfg.bqDatasetId}_tables_summary")
+  private def registerOutputViews(spark: SparkSession, cfg: MlModelSpec): Unit = {
+    if (cfg.source.hasGa) {
+      ga4(spark, cfg).createOrReplaceTempView(s"${cfg.bqDatasetId}_events_star")
+      import spark.implicits._
+      graft.sources.WildcardTable.listSuffixes(spark, cfg.sourceDir)
+        .map(sfx => s"events_$sfx").toDF("table_id")
+        .createOrReplaceTempView(s"${cfg.bqDatasetId}_tables_summary")
+    }
+    if (cfg.source.hasFp)
+      Workers.resolveTable(spark, cfg.fpTable)
+        .createOrReplaceTempView(s"${cfg.bqDatasetId}_first_party")
   }
 
   /** Model scores over a step's dataset, shaped like the reference's
@@ -58,7 +84,7 @@ object MlModelJobs {
     * probability as scalar `probability` (`model_bqml.sql:313-316`),
     * regression the raw score as `predicted_label`. */
   private def scored(spark: SparkSession, cfg: MlModelSpec, step: MlCompiler.Step): DataFrame = {
-    val ds = MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, step)
+    val ds = datasetFor(spark, cfg, step)
     val out = PipelineModel.load(modelUri(cfg)).transform(ds)
     if (cfg.isClassification)
       out.withColumn("__p", vector_to_array(col("probability")).getItem(1))
@@ -76,7 +102,7 @@ object MlModelJobs {
     def execute(ctx: WorkerContext): Unit = {
       val cfg = cfgOf(params)
       ensureDb(spark, cfg)
-      val ds = MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, MlCompiler.Training)
+      val ds = datasetFor(spark, cfg, MlCompiler.Training)
       Workers.writeTable(ds, cfg.table("training_dataset"), overwrite = true)
       new Ml.Trainer(spark, Map(
         "training_table" -> WorkerValue.S(cfg.table("training_dataset")),
@@ -116,7 +142,7 @@ object MlModelJobs {
       ensureDb(spark, cfg)
       val preds = scored(spark, cfg, MlCompiler.Predicting)
       Workers.writeTable(preds, cfg.table("predictions"), overwrite = true)
-      registerGa4Wildcard(spark, cfg)
+      registerOutputViews(spark, cfg)
       ctx.log(s"Predictions written: ${cfg.table("predictions")}")
     }
   }

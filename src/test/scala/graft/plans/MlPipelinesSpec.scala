@@ -123,6 +123,38 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  private val demoFpRoles = MlCompiler.FpRoles(
+    uniqueId = "customer_id",
+    features = Seq("n_events", "total_value"),
+    label = Some("purchased"),
+    triggerDate = Some("first_seen"))
+
+  test("FIRST_PARTY source: script scans the customer table, no wildcard declare, no GA ids") {
+    val cfg = demoCfg().copy(source = FirstParty, sourceDir = "",
+      fpTable = "/tmp/fp.parquet", fpRoles = Some(demoFpRoles), fpGclid = "gclid")
+    val script = predictive(cfg).jobs.find(_.workerClass == "BQScriptExecutor").get
+      .params.find(_.name == "script").get.value
+    assert(!script.contains("DECLARE"), "first-party output has no latest-shard declare")
+    assert(script.contains("first_party AS") &&
+      script.contains("test_dataset_first_party"))
+    assert(script.contains("customer_id AS unique_id") &&
+      script.contains("first_seen AS `timestamp`"))
+    assert(!script.contains("user_pseudo_id"), "a first-party table has no GA ids")
+    // ads destination takes the gclid column directly, no UNNEST window
+    val ads = predictive(cfg.copy(destination = GoogleAdsOfflineConversion))
+      .jobs.find(_.workerClass == "BQScriptExecutor").get
+      .params.find(_.name == "script").get.value
+    assert(ads.contains("gclid AS gclid") || ads.contains("gclid,"), ads)
+    assert(!ads.contains("LATERAL VIEW"), "first-party gclid is a plain column")
+    // and fp-source models require the fp table + roles at compile time
+    intercept[IllegalArgumentException] {
+      predictive(cfg.copy(fpTable = ""))
+    }
+    intercept[IllegalArgumentException] {
+      predictive(cfg.copy(fpRoles = None))
+    }
+  }
+
   test("compile-time validation rejects missing locations and SQL-hostile identifiers") {
     intercept[IllegalArgumentException] { predictive(demoCfg().copy(sourceDir = "")) }
     intercept[IllegalArgumentException] { training(demoCfg().copy(workDir = "")) }
@@ -141,6 +173,10 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
         splitHash = MlCompiler.Md5Split, hashSplit = true, classImbalance = 4))
     val back = MlModelPipelines.fromJson(MlModelPipelines.toJson(cfg))
     assert(back == cfg)
+    // combined-source config with first-party roles round-trips too
+    val combined = cfg.copy(source = GoogleAnalyticsAndFirstParty,
+      fpTable = "/tmp/fp.parquet", fpRoles = Some(demoFpRoles), fpGclid = "gclid")
+    assert(MlModelPipelines.fromJson(MlModelPipelines.toJson(combined)) == combined)
     // and the compiled pipeline export round-trips through Spec.toJson
     val pipeline = predictive(cfg)
     val restored = Spec.fromJson(Spec.toJson(pipeline))
@@ -200,6 +236,54 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
       val (url, body) = Sinks.RecordingTransport.requests.peek()
       assert(url.contains("measurement_id=G-TESTID") && url.contains("api_secret=test-secret"))
       assert(body.contains("\"clientId\"") && body.contains("prop_score"))
+    } finally {
+      exec.shutdown()
+      Sinks.RecordingTransport.clear()
+    }
+  }
+
+  test("FIRST_PARTY-source pipelines run end-to-end (customer table in, MP posts out)") {
+    import spark.implicits._
+    val workDir = Files.createTempDirectory("graft_mlpipe_fp").toString
+    // deterministic customer CRM table: learnable label, trigger dates
+    // inside the model's predictive window
+    val fp = (0 until 60).map { i =>
+      (s"c$i", (i % 20 + 1).toLong, i * 1.5,
+        java.sql.Timestamp.valueOf(f"2024-01-${2 + i % 20}%02d 10:00:00"),
+        if (i % 20 + 1 > 10) 1.0 else 0.0)
+    }.toDF("customer_id", "n_events", "total_value", "first_seen", "purchased")
+    fp.write.mode("overwrite").parquet(s"$workDir/fp")
+    val cfg = demoCfg(modelType = "LOGISTIC_REG", workDir = workDir)
+      .copy(bqDatasetId = "mlpipe_fp", source = FirstParty, sourceDir = "",
+        fpTable = s"$workDir/fp", fpRoles = Some(demoFpRoles),
+        dataset = demoDataset.copy(suffixLo = "20240101", suffixHi = "20240125"))
+    spark.sql("DROP DATABASE IF EXISTS mlpipe_fp CASCADE")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_warehouse/mlpipe_fp.db"))
+    val registry = Workers.registry(spark)
+    val exec = Dag.newExecutor(4)
+    try {
+      Sinks.RecordingTransport.clear()
+      val trainRun = new Dag.PipelineRun(training(cfg, LocalDate.of(2024, 4, 6)), registry, exec)
+      assert(trainRun.start())
+      assert(trainRun.awaitCompletion(300000) == Dag.PipelineStatus.Succeeded,
+        s"training failed: ${trainRun.failureMessages}")
+      assert(spark.table("mlpipe_fp.conversion_values").count() == 10)
+
+      val predRun = new Dag.PipelineRun(predictive(cfg), registry, exec)
+      assert(predRun.start())
+      assert(predRun.awaitCompletion(300000) == Dag.PipelineStatus.Succeeded,
+        s"predictive failed: ${predRun.failureMessages}")
+
+      val out = spark.table("mlpipe_fp.output")
+      // first-party output carries no GA ids — just the scored columns
+      assert(out.columns.toSet == Set("value", "normalized_score", "score",
+        "client_id", "event_name", "type"))
+      val rows = out.count()
+      assert(rows > 0)
+      assert(Sinks.RecordingTransport.size.toLong == rows)
+      val (_, body) = Sinks.RecordingTransport.requests.peek()
+      assert(body.contains("\"clientId\": \"c"))
     } finally {
       exec.shutdown()
       Sinks.RecordingTransport.clear()
