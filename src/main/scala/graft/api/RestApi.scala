@@ -158,10 +158,14 @@ final class RestApi(registry: Dag.Registry,
       p.status == Dag.PipelineStatus.Running || p.status == Dag.PipelineStatus.Stopping)
 
   /** `ml_model/views.py:335-355` build_pipelines: compile + attach the
-    * training and predictive pipelines for a model config. */
-  private def buildModelPipelines(cfg: graft.plans.MlModelPipelines.MlModelSpec): Seq[Long] =
-    Seq(create(graft.plans.MlModelPipelines.training(cfg)),
-      create(graft.plans.MlModelPipelines.predictive(cfg)))
+    * training and predictive pipelines for a model config. Both specs
+    * compile BEFORE either is registered, so a validation failure in the
+    * second cannot leave an orphaned first pipeline behind. */
+  private def buildModelPipelines(cfg: graft.plans.MlModelPipelines.MlModelSpec): Seq[Long] = {
+    val specs = Seq(graft.plans.MlModelPipelines.training(cfg),
+      graft.plans.MlModelPipelines.predictive(cfg))
+    specs.map(create)
+  }
 
   private def putMlModel(id: Long, body: String): JObject = {
     val cfg = graft.plans.MlModelPipelines.fromJson(body)

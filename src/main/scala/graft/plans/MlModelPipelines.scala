@@ -152,10 +152,25 @@ object MlModelPipelines {
       s"bq_dataset_id must be an identifier: '${cfg.bqDatasetId}'")
     require(cfg.clickEvent.matches("[A-Za-z0-9_.-]+"),
       s"click_event must be an event name: '${cfg.clickEvent}'")
+    // the suffix window is spliced into the first-party Output SQL as
+    // literals (and is a _TABLE_SUFFIX-shaped date everywhere else)
+    require(cfg.dataset.suffixLo.matches("[0-9]{8}") && cfg.dataset.suffixHi.matches("[0-9]{8}"),
+      s"timespan bounds must be yyyyMMdd: '${cfg.dataset.suffixLo}'..'${cfg.dataset.suffixHi}'")
     if (cfg.source.hasFp) {
       require(cfg.fpTable.nonEmpty, "first_party_table is required for a FIRST_PARTY source")
       val roles = cfg.fpRoles.getOrElse(
         throw new IllegalArgumentException("FIRST_PARTY variables (roles) are required"))
+      if (cfg.source == FirstParty) {
+        // fp-only models take the label and the Output window from the
+        // customer table; compiling without these roles would fail only
+        // when the nightly cron fires
+        require(roles.label.isDefined,
+          "a FIRST_PARTY-only model requires a FIRST_PARTY LABEL variable")
+        require(roles.triggerDate.isDefined,
+          "a FIRST_PARTY-only model requires a TRIGGER_DATE variable")
+        require(cfg.destination != GoogleAdsOfflineConversion || cfg.fpGclid.nonEmpty,
+          "the Ads destination requires a FIRST_PARTY GCLID variable")
+      }
       // role column names are spliced into the Output SQL
       val spliced = Seq(roles.uniqueId) ++ roles.triggerDate ++
         (if (cfg.fpGclid.nonEmpty) Seq(cfg.fpGclid) else Nil)
@@ -228,14 +243,17 @@ object MlModelPipelines {
     }
   }
 
-  /** `templates/google_analytics_mp_event.json` compiled: CLIENT_ID ids
-    * post as clientId, USER_ID as userId (plus clientId when GA is in
-    * source — the output table then carries both). */
+  /** `templates/google_analytics_mp_event.json` compiled: clientId when
+    * the model keys on CLIENT_ID *or* GA is in source (the output table
+    * then carries client_id), userId when it keys on USER_ID — the
+    * template's placeholders must match the output table's columns or
+    * the upload worker's row substitution throws. */
   def mpEventTemplate(cfg: MlModelSpec): String = {
     val isUser = cfg.dataset.uniqueId == "user_id"
-    val ids =
-      if (isUser) """"clientId": "${client_id}", "userId": "${user_id}", """
-      else """"clientId": "${client_id}", """
+    val clientId =
+      if (!isUser || cfg.source.hasGa) """"clientId": "${client_id}", """ else ""
+    val userId = if (isUser) """"userId": "${user_id}", """ else ""
+    val ids = clientId + userId
     val scoreFields =
       if (cfg.isClassification) """"score": "${score}", "nscore": "${normalized_score}""""
       else """"revenue": "${revenue}""""
@@ -443,14 +461,14 @@ object MlModelPipelines {
     val trigger = d.triggerEvent.map(t => vbl("TRIGGER_EVENT", t.name, t.key)).toList
     def fpVbl(role: String, name: String): JValue =
       vbl(role, name, key = null, source = "FIRST_PARTY")
+    // GCLID is emitted independently of the role set, mirroring fromJson
     val fpVars = cfg.fpRoles.toList.flatMap { r =>
       List(fpVbl("USER_ID", r.uniqueId)) ++
         r.features.map(fpVbl("FEATURE", _)) ++
         r.label.map(fpVbl("LABEL", _)) ++
         r.firstValue.map(fpVbl("FIRST_VALUE", _)) ++
-        r.triggerDate.map(fpVbl("TRIGGER_DATE", _)) ++
-        (if (cfg.fpGclid.nonEmpty) List(fpVbl("GCLID", cfg.fpGclid)) else Nil)
-    }
+        r.triggerDate.map(fpVbl("TRIGGER_DATE", _))
+    } ++ (if (cfg.fpGclid.nonEmpty) List(fpVbl("GCLID", cfg.fpGclid)) else Nil)
     val j = JObject(
       "name" -> JString(cfg.name),
       "type" -> JString(cfg.modelType),

@@ -114,7 +114,8 @@ object Ml {
     val c = cfg(hashSplit = false, imbalance = 1)
     val fpv = MlCompiler.firstPartyCte(
         fpTable(s, dir).filter(col("n_events") >= 5), fpRoles)
-      .drop("label", "trigger_date") // GA source provides label/trigger here
+      // GA source provides label/trigger/first_value here
+      .drop("label", "trigger_date", "first_value")
     MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), c, Training, firstParty = Some(fpv))
   }
 

@@ -52,9 +52,11 @@ object MlModelJobs {
     case MlModelPipelines.FirstParty =>
       MlCompiler.firstPartyDataset(spark, fpv(spark, cfg), cfg.dataset, step)
     case MlModelPipelines.GoogleAnalyticsAndFirstParty =>
-      // GA supplies label + trigger; the fp relation contributes ids + features
+      // GA supplies label, trigger, and first_value; the fp relation
+      // contributes ids + features (an fp first_value would collide with
+      // the GA trigger's column in the uv join)
       MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, step,
-        firstParty = Some(fpv(spark, cfg).drop("label", "trigger_date")))
+        firstParty = Some(fpv(spark, cfg).drop("label", "trigger_date", "first_value")))
   }
 
   /** The Output script scans the `events_*` / `__TABLES_SUMMARY__`

@@ -164,6 +164,38 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
       predictive(demoCfg(destination = GoogleAdsOfflineConversion)
         .copy(clickEvent = "x' OR name != '"))
     }
+    // the suffix window is spliced into the fp Output SQL as literals
+    intercept[IllegalArgumentException] {
+      predictive(demoCfg().copy(dataset = demoDataset.copy(suffixLo = "2024-01-05')--")))
+    }
+    // fp-only models must carry the roles their jobs and Output need
+    val fpCfg = demoCfg().copy(source = FirstParty, sourceDir = "",
+      fpTable = "/tmp/fp.parquet", fpRoles = Some(demoFpRoles))
+    intercept[IllegalArgumentException] {
+      predictive(fpCfg.copy(fpRoles = Some(demoFpRoles.copy(triggerDate = None))))
+    }
+    intercept[IllegalArgumentException] {
+      training(fpCfg.copy(fpRoles = Some(demoFpRoles.copy(label = None))))
+    }
+    intercept[IllegalArgumentException] {
+      predictive(fpCfg.copy(destination = GoogleAdsOfflineConversion, fpGclid = ""))
+    }
+  }
+
+  test("MP template placeholders match the output table's id columns per source/unique-id") {
+    // CLIENT_ID: clientId only
+    assert(mpEventTemplate(demoCfg()).contains("\"clientId\""))
+    assert(!mpEventTemplate(demoCfg()).contains("user_id"))
+    // USER_ID + GA source: both ids (output carries client_id AND user_id)
+    val gaUser = demoCfg().copy(dataset = demoDataset.copy(uniqueId = "user_id"))
+    assert(mpEventTemplate(gaUser).contains("\"clientId\"") &&
+      mpEventTemplate(gaUser).contains("\"userId\""))
+    // USER_ID + first-party-only: userId only — a clientId placeholder
+    // would throw per row in the upload worker (no client_id column)
+    val fpUser = gaUser.copy(source = FirstParty, sourceDir = "",
+      fpTable = "/tmp/fp.parquet", fpRoles = Some(demoFpRoles))
+    assert(!mpEventTemplate(fpUser).contains("client_id"))
+    assert(mpEventTemplate(fpUser).contains("\"userId\""))
   }
 
   test("MlModelSpec JSON codec round-trips (the /api/ml-models wire format)") {
