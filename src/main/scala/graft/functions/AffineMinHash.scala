@@ -22,10 +22,17 @@ import org.apache.spark.sql.types._
  * exceeds Long range — Spark 4 runs ANSI mode, silent wraparound would be
  * an error. Returns null for a null or empty input array.
  */
-case class AffineMinHash(child: Expression, a: Array[Long], b: Array[Long])
+// the permutation constants are Seq (structural equality), not Array
+// (identity equality): case-class equality feeds Catalyst semanticEquals,
+// and identity-equal params would block common-subexpression elimination
+// and exchange reuse between textually identical minhash calls
+case class AffineMinHash(child: Expression, a: Seq[Long], b: Seq[Long])
     extends UnaryExpression {
 
   require(a.length == b.length, "affine_minhash: a and b must have equal length")
+
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -40,11 +47,11 @@ case class AffineMinHash(child: Expression, a: Array[Long], b: Array[Long])
   override def prettyName: String = "affine_minhash"
 
   protected override def nullSafeEval(h: Any): Any =
-    AffineMinHash.compute(h.asInstanceOf[ArrayData], a, b)
+    AffineMinHash.compute(h.asInstanceOf[ArrayData], aArr, bArr)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
-    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
     val resTerm = ctx.freshName("minhashRes")
     nullSafeCodeGen(ctx, ev, c => {
       s"""

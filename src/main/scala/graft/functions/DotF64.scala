@@ -31,11 +31,28 @@ case class DotF64(left: Expression, right: Expression) extends BinaryExpression 
 
   override def prettyName: String = "dot_f64"
 
-  protected override def nullSafeEval(a: Any, b: Any): Any =
-    DotF64.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // length mismatch → NULL, matching the aggregate(zip_with(...)) spelling
+  // this expression replaces (zip_with null-pads the shorter side and the
+  // null poisons the sum): a truncated/malformed embedding must flag the
+  // row, not return a plausible-looking partial dot product
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    if (ad.numElements() != bd.numElements()) null
+    else DotF64.dot(ad, bd)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotF64.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.DotF64.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotF64 =

@@ -18,6 +18,34 @@ object GraftFunctions {
     * triples — one list shared by session-level [[register]] and the
     * cluster-wide [[graft.GraftExtensions]] injection path, so the two can
     * never drift. */
+  /** Constant-parameter extraction for the SQL builders: these functions
+    * take their tuning parameters as literals (a non-foldable or
+    * wrong-typed argument in SQL text should fail analysis with a message,
+    * not crash the builder with a ClassCastException). */
+  private def constLongs(e: Expression, fn: String, arg: String): Seq[Long] = {
+    require(e.foldable, s"$fn: $arg must be a constant array")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+    (e.eval(), e.dataType) match {
+      case (ad: ArrayData, ArrayType(LongType, _)) => ad.toLongArray().toSeq
+      case (ad: ArrayData, ArrayType(IntegerType, _)) => ad.toIntArray().map(_.toLong).toSeq
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a non-null integer array, got ${e.dataType.catalogString}")
+    }
+  }
+
+  private def constInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a constant integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => math.toIntExact(l)
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a non-null integer, got $other")
+    }
+  }
+
   val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("farm_fingerprint"),
       new ExpressionInfo(classOf[FarmFingerprint].getName, "farm_fingerprint"),
@@ -28,19 +56,20 @@ object GraftFunctions {
     (FunctionIdentifier("affine_minhash"),
       new ExpressionInfo(classOf[AffineMinHash].getName, "affine_minhash"),
       (children: Seq[Expression]) => AffineMinHash(children(0),
-        children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
-        children(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())),
+        constLongs(children(1), "affine_minhash", "a"),
+        constLongs(children(2), "affine_minhash", "b"))),
     (FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       (children: Seq[Expression]) => DotF64(children(0), children(1))),
     (FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       (children: Seq[Expression]) => ShingleSet(children(0),
-        children(1).eval().asInstanceOf[Int])),
+        constInt(children(1), "shingle_set", "n"))),
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       (children: Seq[Expression]) => WinnowFp(children(0),
-        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+        constInt(children(1), "winnow_fp", "k"),
+        constInt(children(2), "winnow_fp", "w"))))
 
   def register(spark: SparkSession): Unit = {
     if (!isRegistered(spark)) {

@@ -53,14 +53,23 @@ object Quantiles {
     * partition exceeds ~8.5e9 rows. */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
       rankCol: String, totalCol: String): DataFrame = {
+    Seq("__mid", "__pid", "__lrn").foreach(h => require(!df.columns.contains(h),
+      s"withGlobalRank: input must not contain helper column '$h'"))
     val parts = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(df.rdd.getNumPartitions)
     // `repartitionByRange` runs a range-boundary SAMPLING job before the
     // shuffle — without this persist the entire upstream plan (here often
     // an expensive multi-join composition) executes twice, once for the
     // sampler and once for the real pass. The input cache lives only until
-    // the ranged relation is materialized below.
-    val cachedIn = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the ranged relation is materialized below — UNLESS the caller
+    // already persisted the input, in which case their cache is used
+    // as-is and left alone (unpersisting it here would silently drop a
+    // cache the caller still depends on).
+    val callerCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cachedIn =
+      if (callerCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranged = cachedIn.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
@@ -70,7 +79,13 @@ object Quantiles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    cachedIn.unpersist(false) // ranged is materialized; the input cache is done
+    if (!callerCached)
+      cachedIn.unpersist(false) // ranged is materialized; the input cache is done
+    // NOTE: `ranged` itself stays persisted for the lifetime of the
+    // returned plan — the per-partition offsets were computed against this
+    // exact materialization, and a re-execution could range-partition rows
+    // differently. Callers running many rank computations in one session
+    // should clearCache() between them (Verify/Bench do).
     val offsets = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toMap
     val total = cnts.map(_._2).sum
     ranged
@@ -93,8 +108,11 @@ object Quantiles {
   }
 
   /** `ntile(n) OVER (ORDER BY order*)` as a distributed computation. */
-  def withNtile(df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame =
+  def withNtile(df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame = {
+    Seq("__rank", "__total").foreach(h => require(!df.columns.contains(h),
+      s"withNtile: input must not contain helper column '$h'"))
     withGlobalRank(df, order, "__rank", "__total")
       .withColumn(out, ntileFromRank(col("__rank"), col("__total"), n))
       .drop("__rank", "__total")
+  }
 }

@@ -33,11 +33,18 @@ object SkewJoin {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "__salt column name collision")
-    // per-row salt: spreads each key's rows uniformly without consulting
-    // data values (monotonic id = partition-local ordinal, so consecutive
-    // rows of a hot key round-robin across salts)
+    // per-row salt: DETERMINISTIC (hash of the full row), never an
+    // ordinal. The salt is a shuffle/join key — with an order-dependent
+    // salt (monotonically_increasing_id, rand), a map-task re-execution
+    // after a fetch failure can re-salt rows differently while some
+    // reducers already consumed the old assignment, silently dropping or
+    // duplicating fact rows (the SPARK-23207 failure class, which Spark
+    // only auto-repairs for its own round-robin partitioning). Cost of
+    // determinism: byte-identical duplicate rows share a salt, so
+    // spreading relies on row variety (ids/timestamps) — true for any
+    // fact table with a key or event-time column.
     val salted = fact.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

@@ -72,18 +72,19 @@ object WildcardTable {
 
   /** The `events_*` relation: all shards, `_table_suffix` as a STRING
     * partition column (BQ suffix semantics — no int inference). The
-    * inference conf is restored right after the (eager) schema/partition
-    * resolution so other partitioned reads in the session keep their
-    * default typing. */
+    * partition type is pinned by passing an EXPLICIT read schema (flat
+    * events schema + the string partition column) — a user-specified
+    * schema bypasses partition-column type inference per read, unlike the
+    * session-global inference conf, whose toggle-and-restore would race
+    * with concurrent partitioned reads on the same session and silently
+    * flip THEIR partition column types. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "false")
-    try s.read.parquet(eventsPath(s, dir))
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+    val path = eventsPath(s, dir)
+    val dataSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val full = org.apache.spark.sql.types.StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField("_table_suffix",
+        org.apache.spark.sql.types.StringType))
+    s.read.schema(full).parquet(path)
   }
 
   /** `__TABLES_SUMMARY__` analog: partition-directory names from file-system

@@ -85,16 +85,18 @@ object StreamingOps {
         (userId: Long, rows: Iterator[StreamEvent], state: GroupState[SessionBuf]) =>
           // FULL microsecond precision: Timestamp.getTime is millis only —
           // the batch twin compares gaps in micros, so sub-ms must not be
-          // truncated or boundary gap decisions diverge
-          def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          // truncated or boundary gap decisions diverge. floorDiv/floorMod,
+          // not `/`/`%`: truncation toward zero mangles pre-epoch instants
+          // by up to a second.
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
           def toTs(us: Long): Timestamp = {
-            val t = new Timestamp(us / 1000000 * 1000)
-            t.setNanos((us % 1000000).toInt * 1000)
+            val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+            t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
             t
           }
           def toSession(st: SessionState): Session =
             Session(userId, toTs(st.startUs), toTs(st.endUs), st.n, st.total)
-          val gapMs = GapUs / 1000
           var open = state.getOption.map(_.open.toList).getOrElse(Nil)
           // interval-merge this trigger's events (sorted: arrival order
           // within a batch is not event-time order); an event bridging two
@@ -112,16 +114,23 @@ object StreamingOps {
                 mergeable.map(_.total).sum + e.value)
             open = (merged :: rest).sortBy(_.startUs)
           }
-          // emit every session the watermark has sealed (end + gap behind
-          // the watermark → nothing admissible can extend it)
+          // emit every session the watermark has sealed. Admissible events
+          // have event-time ms >= wm, i.e. µs >= wm*1000; the session is
+          // extendable while some admissible µs can still be <= endUs+GapUs,
+          // so seal only when floor((endUs+GapUs)/1000) < wm — a floor of
+          // endUs alone would seal one tick early when the end carries
+          // sub-ms micros (or an event lands exactly on the gap boundary)
+          // and a still-admissible event would then spawn a spurious
+          // second session the batch twin does not have
+          def sealMs(s: SessionState): Long = Math.floorDiv(s.endUs + GapUs, 1000L)
           val wm = state.getCurrentWatermarkMs()
-          val (closed, stillOpen) = open.partition(s => s.endUs / 1000 + gapMs <= wm)
+          val (closed, stillOpen) = open.partition(s => sealMs(s) < wm)
           if (stillOpen.isEmpty) state.remove()
           else {
             state.update(SessionBuf(stillOpen))
             // fire at the earliest seal point; strictly above the current
-            // watermark by the partition above
-            state.setTimeoutTimestamp(stillOpen.map(_.endUs / 1000 + gapMs).min + 1)
+            // watermark (sealMs >= wm here since the session is unsealed)
+            state.setTimeoutTimestamp(stillOpen.map(sealMs).min + 1)
           }
           closed.sortBy(_.startUs).map(toSession).iterator
       }
