@@ -54,6 +54,11 @@ object Curation {
    */
   def connectedComponents(allDocs: DataFrame, pairs: DataFrame,
       edgeCollectCap: Long = EdgeCollectCap): DataFrame = {
+    // the cap feeds limit(cap + 1) below — a Long that .toInt would wrap
+    // negative (analysis error) or truncate small (silently solving a
+    // TRUNCATED edge list = wrongly split clusters) must be rejected here
+    require(edgeCollectCap < Int.MaxValue,
+      s"edgeCollectCap must be < Int.MaxValue (driver collect); got $edgeCollectCap")
     // persisted across the size probe: when the probe overflows the cap,
     // the distributed path re-reads the (often expensive) pair relation
     // instead of re-executing it — and the iterative path re-reads edges
@@ -164,7 +169,11 @@ object Curation {
    * and whether it is the cluster's canonical representative — the doc a
    * curation run keeps.
    */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+  /** [[dedupComponents]] without the presentation sort — consumers that
+    * immediately re-shuffle (the best-of-cluster window joins and
+    * re-partitions by comp_id) must not pay a corpus-wide range sort whose
+    * ordering the next exchange destroys. */
+  private def dedupComponentsCore(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     // Collapse → solve → expand: identical word sets collapse to one node
     // (represented by their min doc_id — so the component minimum over
@@ -189,8 +198,10 @@ object Curation {
     docComp.join(sz, "comp")
       .select(col("doc_id"), col("comp").as("comp_id"), col("cluster_size"),
         (col("doc_id") === col("comp")).as("is_canonical"))
-      .orderBy(col("doc_id"))
   }
+
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    dedupComponentsCore(s, dir).orderBy(col("doc_id"))
 
   /** Deterministic md5-mod-100 bucket of an id — the cross-engine
     * reproducible sampling hash (same family as the ML split). */
@@ -226,16 +237,22 @@ object Curation {
    * have. The DuckDB oracle encodes the same dedup-then-filter order.
    */
   def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     val toks = load(s, dir, "documents")
       .repartition(parts, col("doc_id")) // spread the CPU-heavy tokenize (see Text.dedupBowFp)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws"),
-        when(size(GraftFunctions.shingle_set(col("text"), 1)) > 0,
-          md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1)))).as("bow_fp"))
-    val keeper = toks.groupBy(col("bow_fp")).agg(min(col("doc_id")).as("keeper"))
-    toks.join(keeper, "bow_fp")
+        size(Text.words(col("text"))).cast("long").as("n_ws"),
+        Text.bowFp(s, col("text")).as("bow_fp"))
+    // keeper as a window min, not groupBy+self-join: the CPU-heavy
+    // tokenize scan above runs ONCE (a self-join consumes the unpersisted
+    // relation twice), and the single shuffle is the window's — the same
+    // MIN(doc_id) OVER (PARTITION BY bow_fp) spelling as the oracle.
+    // NULL fingerprints (empty docs) form one window group, exactly as
+    // they formed one groupBy group; their rows die at n_ws >= 6 either way.
+    toks
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("bow_fp"))))
       .filter(col("doc_id") === col("keeper") &&
         col("n_ws") >= 6 &&
         md5Mod100(col("doc_id")) < sampleRate(col("lang")))
@@ -255,10 +272,9 @@ object Curation {
    */
   def curationBestOfCluster(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = dedupComponents(s, dir).select(col("doc_id"), col("comp_id"))
+    val comp = dedupComponentsCore(s, dir).select(col("doc_id"), col("comp_id"))
     val toks = load(s, dir, "documents")
-      .select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws"))
+      .select(col("doc_id"), size(Text.words(col("text"))).cast("long").as("n_ws"))
     val w = Window.partitionBy(col("comp_id"))
       .orderBy(col("n_ws").desc, col("doc_id").asc)
     comp.join(toks, "doc_id")
@@ -288,9 +304,7 @@ object Curation {
     val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     val fp = load(s, dir, "documents")
       .repartition(parts, col("doc_id")) // spread the tokenize kernel
-      .select(col("doc_id"), col("source"),
-        when(size(GraftFunctions.shingle_set(col("text"), 1)) > 0,
-          md5(concat_ws(" ", GraftFunctions.shingle_set(col("text"), 1)))).as("bow_fp"))
+      .select(col("doc_id"), col("source"), Text.bowFp(s, col("text")).as("bow_fp"))
       // NULL fingerprints (empty word set) can never equi-join; drop
       // them before the collapse so they don't shuffle.
       .filter(col("bow_fp").isNotNull)

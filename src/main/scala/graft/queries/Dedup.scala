@@ -115,7 +115,15 @@ object Dedup {
     * [[Curation.dedupComponents]] runs connected components on THIS graph
     * (set-representative nodes) and only expands membership at the end —
     * at scale the set graph is orders of magnitude smaller than the
-    * expanded doc-pair graph. */
+    * expanded doc-pair graph.
+    *
+    * Cache contract: the returned plans reference a PERSISTED collapsed
+    * universe (the `groups` relation) that stays cached for the lifetime
+    * of the returned DataFrames — it feeds the cardinality probe, both
+    * pair-join sides, and the member expansion, and there is no point
+    * before the caller's final action at which it could be released here.
+    * One-shot consumers (Verify/Bench) clearCache() between queries; a
+    * long-lived service should do the same after materializing results. */
   private[queries] def jaccardSetGraph(docSets: DataFrame,
       probeDense: Boolean = true): (DataFrame, DataFrame) = {
     // empty word sets are OUT of the pair universe: Jaccard over two empty
@@ -153,7 +161,7 @@ object Dedup {
         transform(slice(col("members"), i + 2, size(col("members"))),
           y => struct(x.as("da"), y.as("db")))))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"), col("nw").as("inter"),
-        (col("nw").cast("double") / col("nw").cast("double")).as("jac"))
+        lit(1.0).as("jac")) // identical sets: J = 1 by construction
 
     cross.unionByName(intra)
       .select(col("da"), col("db"), col("inter"), col("jac"))
@@ -191,16 +199,29 @@ object Dedup {
 
     val parts = dw.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(32)
-    val a = g.select(col("lang"), col("mask").as("ka"), col("members").as("ma"))
+    // The pair loop runs over NARROW (lang, mask) rows only — members
+    // arrays collectively hold every doc_id in the corpus, so carrying
+    // them through the broadcast would ship the whole corpus's ids to the
+    // driver and every executor. They re-attach by (lang, mask) AFTER the
+    // threshold filter, when only qualifying pairs remain (same shape as
+    // ppjoinPairs' mside join).
+    val a = g.select(col("lang"), col("mask").as("ka"))
       .repartition(parts, col("ka"))
-    val b = g.select(col("lang").as("lang_b"), col("mask").as("kb"), col("members").as("mb"))
+    val b = g.select(col("lang").as("lang_b"), col("mask").as("kb"))
     val inter = bit_count(col("ka").bitwiseAND(col("kb"))).cast("long")
     val union = bit_count(col("ka").bitwiseOR(col("kb"))).cast("long")
-    val pairs = a.join(broadcast(b),
+    val qual = a.join(broadcast(b),
         col("lang") === col("lang_b") && col("ka") < col("kb") &&
           inter * JacDen >= union * JacNum)
-      .select(col("ma"), col("mb"), inter.as("inter"),
+      .select(col("lang"), col("ka"), col("kb"), inter.as("inter"),
         (inter.cast("double") / union.cast("double")).as("jac"))
+    val mm = g.select(col("lang"), col("mask"), col("members"))
+    val pairs = qual
+      .join(mm.select(col("lang"), col("mask").as("ka"), col("members").as("ma")),
+        Seq("lang", "ka"))
+      .join(mm.select(col("lang"), col("mask").as("kb"), col("members").as("mb")),
+        Seq("lang", "kb"))
+      .select(col("ma"), col("mb"), col("inter"), col("jac"))
     (pairs, g)
   }
 
@@ -443,7 +464,7 @@ object Dedup {
        |sh AS (
        |  SELECT doc_id, list_sort(list_distinct(
        |    CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
-    WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+       |    WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
        |    ELSE list_transform(generate_series(1, len(words) - 2),
        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END)) AS shingles
        |  FROM base),
@@ -511,7 +532,7 @@ object Dedup {
         |dw AS (
         |  SELECT doc_id, lang, list_distinct(
         |    CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
-    WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |    WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
         |    ELSE list_transform(generate_series(1, len(words) - 2),
         |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END) AS words
         |  FROM w0),

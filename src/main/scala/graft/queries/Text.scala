@@ -16,8 +16,10 @@ object Text {
   private def docs(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
 
-  /** Non-empty whitespace tokens. */
-  private def words(c: Column): Column =
+  /** Non-empty whitespace tokens — THE tokenizer every fingerprint/count
+    * in the curation family shares (one spelling, one parity contract with
+    * the DuckDB `list_filter(string_split(...))` oracle side). */
+  private[queries] def words(c: Column): Column =
     filter(split(c, " "), w => w =!= "")
 
   /** Token counting: whitespace tokens + a BPE-ish regex token count. */
@@ -73,8 +75,10 @@ object Text {
 
   /** NULL for an empty word set — matches DuckDB, where
     * `array_to_string([], ' ')` is NULL (empty docs carry no bag-of-words
-    * identity; exact-dup grouping treats them as one NULL group). */
-  private def bowFp(s: SparkSession, c: Column): Column = {
+    * identity; exact-dup grouping treats them as one NULL group). Shared
+    * with [[Curation]] so the fingerprint used by dedup, the composed
+    * curation pipeline, and the contamination check can never diverge. */
+  private[queries] def bowFp(s: SparkSession, c: Column): Column = {
     val ws = wordSet(s, c)
     when(size(ws) > 0, md5(concat_ws(" ", ws)))
   }
