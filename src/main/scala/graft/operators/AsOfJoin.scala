@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Backward as-of join: for every left row, attach the single most recent
+ * right row at or before the left row's time, per key — the "latest
+ * state/event as of T" lookup an attribution or feature pipeline needs.
+ *
+ * Spark has no built-in as-of join, and the naive spellings both die at
+ * scale: a range join materializes every (left × admissible-right) pair
+ * before picking the max (quadratic on hot keys), and a correlated
+ * subquery runs once per left row. This is the scalable formulation —
+ * tag both inputs, UNION them, and carry the last right payload forward
+ * with one partitioned running window:
+ *
+ *   - ONE shuffle (hash on the key for the window), work linear in
+ *     |left| + |right|, no pair materialization;
+ *   - the same merge-on-time algorithm pandas `merge_asof` and kdb `aj`
+ *     implement imperatively, expressed declaratively so Catalyst/AQE
+ *     keep planning freedom.
+ *
+ * Semantics:
+ *   - inclusive — a right row at exactly the left time matches (right
+ *     rows sort before left rows at equal time);
+ *   - left-outer — a left row with no admissible right row gets NULL
+ *     payload columns;
+ *   - right-side (key, time) ties resolve to the greatest payload struct
+ *     (deterministic on every run and engine; payload types must be
+ *     orderable — no maps).
+ */
+object AsOfJoin {
+
+  /**
+   * @param left      probe side; all its columns pass through
+   * @param right     build side (the "state" stream)
+   * @param keys      equi-join key columns (present on both sides)
+   * @param leftTime  left ordering column (any orderable type, shared
+   *                  with rightTime)
+   * @param rightTime right ordering column
+   * @param payload   right columns to attach, as (rightCol, outputName);
+   *                  include rightTime itself to see the matched time
+   */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)]): DataFrame = {
+    require(payload.nonEmpty, "asof: payload must name at least one right column")
+    val helpers = Seq("__t", "__side", "__rpay", "__m")
+    helpers.foreach { h =>
+      require(!left.columns.contains(h) && !right.columns.contains(h),
+        s"asof: input must not contain helper column '$h'")
+    }
+    payload.foreach { case (_, out) =>
+      require(!left.columns.contains(out),
+        s"asof: left already has a column named '$out'")
+    }
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(payload.map { case (c, out) => col(c).as(out) }: _*).as("__rpay")): _*)
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    // left rows get a NULL __rpay, right rows get NULL left columns
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right-before-left at equal time (inclusive match); among tied right
+    // rows the greatest payload struct sorts last and wins — left rows'
+    // NULL __rpay never reorders them relative to right rows (the side
+    // tag already did)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rpay").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map { case (_, out) => col(s"__m.$out").as(out) }: _*)
+  }
+}

@@ -113,7 +113,29 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(col("hour_of_day"))
 
+  /** Backward as-of join ([[graft.operators.AsOfJoin]]): for every
+    * purchase, the most recent same-user view at or before it — the
+    * attribution lookup ("which impression preceded this conversion")
+    * as one shuffle + one window, never a range-join pair blowup.
+    * DuckDB's native ASOF LEFT JOIN is the oracle, so the operator's
+    * inclusive/left-outer/tie semantics are hash-checked end-to-end. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.backward(p, v, Seq("user_id"), "ts", "ts",
+        Seq("ts" -> "view_ts"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        expr("view_ts DIV 1000").as("view_ts_us"),
+        (expr("ts DIV 1000") - expr("view_ts DIV 1000")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
     "q10_first_event" -> (q10FirstEvent _),
     "q11_ntile" -> (q11Ntile _),
     "q12_lag_lead" -> (q12LagLead _),
@@ -122,6 +144,15 @@ object Events {
     "q25_hour_buckets" -> (q25HourBuckets _))
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  epoch_us(v.ts) AS view_ts_us,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q10_first_event" ->
       """SELECT user_id, first_event_type, first_value, first_ts_us FROM (
         |  SELECT user_id, event_type AS first_event_type, value AS first_value,
