@@ -175,7 +175,34 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  private val TopNgrams = 50
+
+  /**
+   * Corpus-wide top-K bigram counts — the vocabulary/tokenizer-training
+   * prep scan (which word pairs dominate the corpus). ORDERED bigrams
+   * from the token sequence (not the distinct shingle set: frequency is
+   * the point). One explode → one map-side-combinable count → top-K via
+   * orderBy+limit, which Spark plans as TakeOrderedAndProject — each
+   * partition keeps only its local top K and the driver merges K-sized
+   * heaps; no global sort ever materializes. Ties at the K boundary
+   * break on the ngram text so the cut is deterministic cross-engine.
+   */
+  def textNgramCounts(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs(s, dir)
+      .filter(size(w) >= 2) // also keeps slice's length arg non-negative (ANSI)
+      .select(explode(bigrams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(TopNgrams)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_counts" -> (textNgramCounts _),
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
     "text_tokens" -> (textTokens _),
@@ -186,6 +213,16 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_counts" ->
+      s"""WITH t AS (
+         |  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS words
+         |  FROM documents),
+         |b AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+         |    i -> words[i] || ' ' || words[i + 1])) AS ngram
+         |  FROM t WHERE len(words) >= 2)
+         |SELECT ngram, COUNT(1) AS n FROM b
+         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT $TopNgrams""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
