@@ -52,7 +52,8 @@ object Quantiles {
     * documented layout) — size `spark.sql.shuffle.partitions` so no range
     * partition exceeds ~8.5e9 rows. */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
-      rankCol: String, totalCol: String): DataFrame = {
+      rankCol: String, totalCol: String,
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
     Seq("__mid", "__pid", "__lrn").foreach(h => require(!df.columns.contains(h),
       s"withGlobalRank: input must not contain helper column '$h'"))
     val parts = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
@@ -85,7 +86,9 @@ object Quantiles {
     // returned plan — the per-partition offsets were computed against this
     // exact materialization, and a re-execution could range-partition rows
     // differently. Callers running many rank computations in one session
-    // should clearCache() between them (Verify/Bench do).
+    // should clearCache() between them (Verify/Bench do); long-lived
+    // callers collect it via `onCache` and unpersist after materializing.
+    onCache(ranged)
     val offsets = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toMap
     val total = cnts.map(_._2).sum
     ranged
@@ -108,10 +111,11 @@ object Quantiles {
   }
 
   /** `ntile(n) OVER (ORDER BY order*)` as a distributed computation. */
-  def withNtile(df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame = {
+  def withNtile(df: DataFrame, n: Int, order: Seq[Column], out: String,
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
     Seq("__rank", "__total").foreach(h => require(!df.columns.contains(h),
       s"withNtile: input must not contain helper column '$h'"))
-    withGlobalRank(df, order, "__rank", "__total")
+    withGlobalRank(df, order, "__rank", "__total", onCache)
       .withColumn(out, ntileFromRank(col("__rank"), col("__total"), n))
       .drop("__rank", "__total")
   }

@@ -160,9 +160,7 @@ object BqDialect {
    */
   def registerWildcardTables(spark: SparkSession, dir: String): Unit = {
     graft.sources.WildcardTable.events(spark, dir).createOrReplaceTempView("events_star")
-    import spark.implicits._
-    graft.sources.WildcardTable.listSuffixes(spark, dir)
-      .map(s => s"events_$s").toDF("table_id")
+    graft.sources.WildcardTable.tablesSummary(spark, dir)
       .createOrReplaceTempView("tables_summary")
   }
 

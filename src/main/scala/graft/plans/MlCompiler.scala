@@ -45,8 +45,12 @@ object MlCompiler {
   case object LessOrEqual extends Cmp
   case class Regex(pattern: String) extends Cmp
 
-  /** A GA feature counted per user. Plain (no key): event-count
-    * `SUM(IF(name=...))`; with key+cmp: the correlated-UNNEST counter. */
+  /** A GA feature counted per user. Plain (no key+comparison): event-count
+    * `SUM(IF(name=...))`; with key+cmp: the correlated-UNNEST counter.
+    * A key WITHOUT a comparison falls back to the name counter — the
+    * reference branches on `{% if feature.comparison %}` alone
+    * (`model_bqml.sql:219,249-251`), so a keyed-but-comparison-less wire
+    * feature must count events, not crash the plan build. */
   case class GaFeature(
       name: String,
       key: String = null,
@@ -54,7 +58,8 @@ object MlCompiler {
       value: String = null,
       valueIsString: Boolean = false,
       description: String = null) {
-    def outName: String = if (key == null) s"cnt_$name" else s"cnt_$description"
+    def isNameCounter: Boolean = key == null || cmp == null
+    def outName: String = if (isNameCounter) s"cnt_$name" else s"cnt_$description"
   }
 
   /** Label event (VariableRole.LABEL with a GA source). */
@@ -236,13 +241,16 @@ object MlCompiler {
   /** One feature-counter column for `aggregate_behavior`
     * (`model_bqml.sql:219-250`). */
   private def featureFlag(f: GaFeature): Column = {
-    if (f.key == null) return when(col("name") === f.name, 1L).otherwise(0L)
+    if (f.isNameCounter) return when(col("name") === f.name, 1L).otherwise(0L)
     def vmatch(v: Column): Column = {
       val str = coalesce(v.getField("string_value"),
         v.getField("int_value").cast("string"))
       val num = coalesce(v.getField("int_value").cast("double"),
         v.getField("float_value"), v.getField("double_value"))
-      val wide = coalesce(v.getField("string_value").cast("double"),
+      // try_cast, not cast: a non-numeric string param value ('N/A') must
+      // make the comparison NULL (row not counted), not kill the whole
+      // scan under Spark 4 ANSI — the DuckDB oracle spells this TRY_CAST
+      val wide = coalesce(v.getField("string_value").try_cast("double"),
         v.getField("int_value").cast("double"),
         v.getField("float_value"), v.getField("double_value"))
       f.cmp match {
@@ -268,8 +276,13 @@ object MlCompiler {
     val joined = events.join(uv, Seq("unique_id"))
       .filter((col("label") > 0 && col("date") <= col("trigger_date")) || col("label") === 0)
     val counters = cfg.features.map(f => sum(featureFlag(f)).as(f.outName))
-    val engagement = sum(element_at(
-      filter(col("params"), p => p.getField("key") === "engagement_time_msec"), 1)
+    // try_element_at: an event with NO engagement_time_msec param yields
+    // NULL (the reference's scalar subquery over UNNEST does the same,
+    // model_bqml.sql:254) — a plain element_at on the empty filtered
+    // array would throw under Spark 4 ANSI. The driver fixture carries
+    // the param on every event, so only real GA4 exports hit this.
+    val engagement = sum(try_element_at(
+      filter(col("params"), p => p.getField("key") === "engagement_time_msec"), lit(1))
       .getField("value").getField("int_value")).as("engagement_time")
     joined.groupBy(col("unique_id")).agg(counters.head, (counters.tail :+ engagement): _*)
   }
@@ -281,8 +294,18 @@ object MlCompiler {
    * combined-source `user_variables` branch (`model_bqml.sql:201-207`);
    * GA events are then pre-filtered to its ids (`model_bqml.sql:104-108`).
    */
+  /**
+   * @param onCache invoked with every relation this build persists (the
+   *                shared events window slice). One-shot callers can
+   *                ignore it (Verify/Bench clearCache between queries);
+   *                LONG-LIVED callers — the scheduled ML workers — must
+   *                collect these and unpersist after materializing the
+   *                result, or each nightly run leaks a cached copy of the
+   *                events slice for the life of the session.
+   */
   def dataset(s: SparkSession, ga4: DataFrame, cfg: MlModel, step: Step,
-      firstParty: Option[DataFrame] = None): DataFrame = {
+      firstParty: Option[DataFrame] = None,
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
     GraftFunctions.register(s)
     var ev = eventsCte(ga4, cfg, step)
     firstParty.foreach { fpv =>
@@ -304,6 +327,7 @@ object MlCompiler {
     val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     ev = ev.repartition(parts, col("unique_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onCache(ev)
     val fe = firstEngagement(ev, cfg)
     val av = analyticsVariables(ev, fe, cfg)
     val uv = firstParty match {
@@ -340,6 +364,12 @@ object MlCompiler {
           .drop("label").withColumnRenamed("__lbl", "label")
       case _ => df
     }
+    // deliberately NOT gated on isClassification: the reference applies
+    // the rebalance whenever `step.is_training and class_imbalance > 1`
+    // (model_bqml.sql:305-311) and its UI exposes the imbalance slider
+    // (default 4) for regression models too — a regression caller that
+    // wants no label-zero sampling sets class_imbalance = 1, as the
+    // reference's own regression test does
     step match {
       case Training if cfg.classImbalance > 1 =>
         val pos = project(unified.filter(col("label") > 0))
@@ -417,10 +447,11 @@ object MlCompiler {
    * `probability` must be a column of the input (the reference feeds
    * ML.PREDICT output; callers plug in the model's scores).
    */
-  def conversionValues(s: SparkSession, preds: DataFrame, cfg: MlModel): DataFrame = {
+  def conversionValues(s: SparkSession, preds: DataFrame, cfg: MlModel,
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val n = cfg.conversionRateSegments
     val seg = Quantiles.withNtile(preds, n,
-      Seq(col("probability"), col("unique_id")), "normalized_probability")
+      Seq(col("probability"), col("unique_id")), "normalized_probability", onCache)
     // LAG/LEAD runs over the aggregated #segments-row relation —
     // metadata-sized, single partition is the correct plan (the
     // data-derived constant key survives constant folding, so no

@@ -177,6 +177,29 @@ object MlModelPipelines {
       spliced.foreach(c => require(c.matches(IdentRe),
         s"first-party role columns must be identifiers: '$c'"))
     }
+    // Feature-variable invariants: a malformed wire feature must fail HERE,
+    // not as a MatchError/NumberFormatException when the nightly cron
+    // builds the plan (keyed-without-comparison features are legal — they
+    // fall back to name counters, as the reference's template does).
+    cfg.dataset.features.filterNot(_.isNameCounter).foreach { f =>
+      require(f.description != null && f.description.nonEmpty,
+        s"feature '${f.name}' has a comparison but no description " +
+          "(the description names its cnt_ output column)")
+      f.cmp match {
+        case MlCompiler.Regex(pat) =>
+          require(pat != null && pat.nonEmpty,
+            s"feature '${f.name}': REGEX comparison requires a pattern")
+        case (MlCompiler.Equal | MlCompiler.NotEqual) if f.valueIsString =>
+          require(f.value != null, s"feature '${f.name}': comparison requires a value")
+        case _ =>
+          require(f.value != null && scala.util.Try(f.value.toDouble).isSuccess,
+            s"feature '${f.name}': numeric comparison requires a numeric " +
+              s"value, got '${f.value}'")
+      }
+    }
+    val outs = cfg.dataset.features.map(_.outName)
+    require(outs.distinct.size == outs.size,
+      s"duplicate feature output columns: ${outs.diff(outs.distinct).distinct.mkString(", ")}")
   }
 
   /** `templates/training_pipeline.json`. */
@@ -360,10 +383,19 @@ object MlModelPipelines {
           else "p.unique_id AS client_id,"
         val wos =
           if (ga)
+            // unique_id IS NOT NULL: the reference's NOT IN (output.sql:82)
+            // silently returns ZERO rows the moment one prop_score event
+            // carries a NULL unique_id (a signed-out session on a USER_ID
+            // model) — NULL in a NOT IN subquery poisons every row. The
+            // guard makes the script agree with the left_anti DataFrame
+            // twin (output_predictions_mp) on all inputs; NULL-id rows
+            // themselves never reach the output either way (the final
+            // equi-join cannot match them).
             s"""  users_with_score AS (
                |    SELECT DISTINCT unique_id FROM events
                |    WHERE name = 'prop_score'
                |    AND EXISTS(params, pp -> pp.value.string_value = 'Predicted_Value')
+               |    AND unique_id IS NOT NULL
                |  ),
                |  users_without_score AS (
                |    SELECT DISTINCT unique_id FROM events

@@ -87,6 +87,15 @@ object WildcardTable {
     s.read.schema(full).parquet(path)
   }
 
+  /** The `__TABLES_SUMMARY__` relation (one `table_id` row per shard) —
+    * ONE derivation shared by the dialect's session-global view and the
+    * ML pipelines' per-dataset namespaced views, so the table_id shape
+    * can never drift between ad-hoc scripts and compiled Output jobs. */
+  def tablesSummary(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    listSuffixes(s, dir).map(sfx => s"events_$sfx").toDF("table_id")
+  }
+
   /** `__TABLES_SUMMARY__` analog: partition-directory names from file-system
     * metadata only (no data files opened). */
   def listSuffixes(s: SparkSession, dir: String): Seq[String] = {

@@ -129,11 +129,18 @@ object Ml {
       val hyperParams = Workers.strList(params, "hyper_parameters")
         .map(_.split("=", 2)).collect { case Array(k, v) => k.trim -> v.trim }.toMap
       // RFormula handles string features (one-hot) like BQML's implicit
-      // TRANSFORM of categorical columns.
+      // TRANSFORM of categorical columns. handleInvalid=keep: the model
+      // scores data DISJOINT from what it was fit on (the >=90 holdout in
+      // the conversion-values job, tomorrow's users in the nightly
+      // predict) — the default "error" would kill the job on the first
+      // country/browser/daypart value absent from the training split;
+      // "keep" routes unseen categories to a dedicated index, which is
+      // BQML's behavior for unseen categorical values at prediction time.
       val formula = new RFormula()
         .setFormula(s"$labelCol ~ ${featureCols.mkString(" + ")}")
         .setFeaturesCol("features")
         .setLabelCol(labelCol)
+        .setHandleInvalid("keep")
       // by-name probes — executed only for DNN_* layer sizing
       def featureDim(): Int = formula.fit(df).transform(df.limit(1))
         .select("features").head.getAs[org.apache.spark.ml.linalg.Vector](0).size

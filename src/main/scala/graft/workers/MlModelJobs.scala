@@ -41,14 +41,27 @@ object MlModelJobs {
   private def fpv(spark: SparkSession, cfg: MlModelSpec): DataFrame =
     MlCompiler.firstPartyCte(Workers.resolveTable(spark, cfg.fpTable), cfg.fpRoles.get)
 
+  /** Per-job collector for the relations the dataset build persists.
+    * These workers run on a LONG-LIVED scheduler session (daily predictive
+    * cron), so "Verify/Bench clearCache between queries" does not apply —
+    * each job frees its own caches after materializing its output table,
+    * or every nightly run leaks a cached events slice until the session
+    * dies. */
+  private final class CacheScope {
+    private val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def collect(df: DataFrame): Unit = cached += df
+    def release(): Unit = { cached.foreach(_.unpersist(false)); cached.clear() }
+  }
+
   /** Step dataset per the model's input source (`compiler.py:109-206`
     * VariableSet dispatch): GA-only, first-party-only, or the combined
     * path where the GA composition is semi-join-restricted to first-party
     * ids and the fp features ride along. */
   private def datasetFor(spark: SparkSession, cfg: MlModelSpec,
-      step: MlCompiler.Step): DataFrame = cfg.source match {
+      step: MlCompiler.Step, scope: CacheScope): DataFrame = cfg.source match {
     case MlModelPipelines.GoogleAnalytics =>
-      MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, step)
+      MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, step,
+        onCache = scope.collect)
     case MlModelPipelines.FirstParty =>
       MlCompiler.firstPartyDataset(spark, fpv(spark, cfg), cfg.dataset, step)
     case MlModelPipelines.GoogleAnalyticsAndFirstParty =>
@@ -56,7 +69,8 @@ object MlModelJobs {
       // contributes ids + features (an fp first_value would collide with
       // the GA trigger's column in the uv join)
       MlCompiler.dataset(spark, ga4(spark, cfg), cfg.dataset, step,
-        firstParty = Some(fpv(spark, cfg).drop("label", "trigger_date", "first_value")))
+        firstParty = Some(fpv(spark, cfg).drop("label", "trigger_date", "first_value")),
+        onCache = scope.collect)
   }
 
   /** The Output script scans the `events_*` / `__TABLES_SUMMARY__`
@@ -71,9 +85,7 @@ object MlModelJobs {
   private def registerOutputViews(spark: SparkSession, cfg: MlModelSpec): Unit = {
     if (cfg.source.hasGa) {
       ga4(spark, cfg).createOrReplaceTempView(s"${cfg.bqDatasetId}_events_star")
-      import spark.implicits._
-      graft.sources.WildcardTable.listSuffixes(spark, cfg.sourceDir)
-        .map(sfx => s"events_$sfx").toDF("table_id")
+      graft.sources.WildcardTable.tablesSummary(spark, cfg.sourceDir)
         .createOrReplaceTempView(s"${cfg.bqDatasetId}_tables_summary")
     }
     if (cfg.source.hasFp)
@@ -85,8 +97,9 @@ object MlModelJobs {
     * predictions table: classification exposes the positive-class
     * probability as scalar `probability` (`model_bqml.sql:313-316`),
     * regression the raw score as `predicted_label`. */
-  private def scored(spark: SparkSession, cfg: MlModelSpec, step: MlCompiler.Step): DataFrame = {
-    val ds = datasetFor(spark, cfg, step)
+  private def scored(spark: SparkSession, cfg: MlModelSpec, step: MlCompiler.Step,
+      scope: CacheScope): DataFrame = {
+    val ds = datasetFor(spark, cfg, step, scope)
     val out = PipelineModel.load(modelUri(cfg)).transform(ds)
     if (cfg.isClassification)
       out.withColumn("__p", vector_to_array(col("probability")).getItem(1))
@@ -104,8 +117,10 @@ object MlModelJobs {
     def execute(ctx: WorkerContext): Unit = {
       val cfg = cfgOf(params)
       ensureDb(spark, cfg)
-      val ds = datasetFor(spark, cfg, MlCompiler.Training)
+      val scope = new CacheScope
+      val ds = datasetFor(spark, cfg, MlCompiler.Training, scope)
       Workers.writeTable(ds, cfg.table("training_dataset"), overwrite = true)
+      scope.release() // the table is materialized; the build caches are done
       new Ml.Trainer(spark, Map(
         "training_table" -> WorkerValue.S(cfg.table("training_dataset")),
         "model_type" -> WorkerValue.S(cfg.modelType),
@@ -125,12 +140,14 @@ object MlModelJobs {
     def execute(ctx: WorkerContext): Unit = {
       val cfg = cfgOf(params)
       ensureDb(spark, cfg)
-      val preds = scored(spark, cfg, MlCompiler.ConversionValues)
+      val scope = new CacheScope
+      val preds = scored(spark, cfg, MlCompiler.ConversionValues, scope)
         .select(col("unique_id"), col("label"), col("probability"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cv = MlCompiler.conversionValues(spark, preds, cfg.dataset)
+      val cv = MlCompiler.conversionValues(spark, preds, cfg.dataset, scope.collect)
       Workers.writeTable(cv, cfg.table("conversion_values"), overwrite = true)
       preds.unpersist()
+      scope.release()
       ctx.log(s"Conversion values written: ${cfg.table("conversion_values")}")
     }
   }
@@ -142,8 +159,10 @@ object MlModelJobs {
     def execute(ctx: WorkerContext): Unit = {
       val cfg = cfgOf(params)
       ensureDb(spark, cfg)
-      val preds = scored(spark, cfg, MlCompiler.Predicting)
+      val scope = new CacheScope
+      val preds = scored(spark, cfg, MlCompiler.Predicting, scope)
       Workers.writeTable(preds, cfg.table("predictions"), overwrite = true)
+      scope.release()
       registerOutputViews(spark, cfg)
       ctx.log(s"Predictions written: ${cfg.table("predictions")}")
     }

@@ -180,6 +180,23 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       predictive(fpCfg.copy(destination = GoogleAdsOfflineConversion, fpGclid = ""))
     }
+    // feature invariants fail at compile, not as MatchError/NFE at cron time
+    def withFeature(f: MlCompiler.GaFeature) =
+      demoCfg().copy(dataset = demoDataset.copy(features = demoDataset.features :+ f))
+    intercept[IllegalArgumentException] { // comparison but no description
+      predictive(withFeature(MlCompiler.GaFeature("view", key = "k",
+        cmp = MlCompiler.Greater, value = "5")))
+    }
+    intercept[IllegalArgumentException] { // numeric comparison, non-numeric value
+      predictive(withFeature(MlCompiler.GaFeature("view", key = "k",
+        cmp = MlCompiler.Greater, value = "lots", description = "v")))
+    }
+    intercept[IllegalArgumentException] { // duplicate output columns
+      predictive(withFeature(MlCompiler.GaFeature("error")))
+    }
+    // keyed-but-comparison-less features are LEGAL name counters
+    // (model_bqml.sql:219 branches on the comparison alone)
+    predictive(withFeature(MlCompiler.GaFeature("click", key = "k")))
   }
 
   test("MP template placeholders match the output table's id columns per source/unique-id") {

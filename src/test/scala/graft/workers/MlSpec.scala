@@ -279,4 +279,38 @@ class MlSpec extends AnyFunSuite with SparkFixture {
       Ml.estimator("LOGISTIC_REG", "label", Map("LEARNING_RATE_TYPO" -> "1"))
     }
   }
+
+  test("MlCompiler: ANSI robustness — absent engagement params and non-numeric strings") {
+    // The driver fixture carries engagement_time_msec on every event and
+    // numeric-looking strings only; real GA4 exports do neither. Both
+    // shapes must yield NULL/uncounted rows, not an ANSI
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT / CAST_INVALID_INPUT job kill.
+    GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ga4 = graft.queries.Ga4.ga4Events(spark, dir)
+      .withColumn("event_params", // strip the engagement param from odd events
+        when(pmod(col("event_id"), lit(2)) === 1,
+          filter(col("event_params"), p => p.getField("key") =!= "engagement_time_msec"))
+          .otherwise(col("event_params")))
+    val cfg = MlCompiler.MlModel(
+      isClassification = true, uniqueId = "user_pseudo_id",
+      features = Seq(
+        // numeric comparison probing a STRING-valued param ('cpc', ...):
+        // non-numeric strings must try_cast to NULL, never qualify
+        MlCompiler.GaFeature("view", key = "medium", cmp = MlCompiler.Greater,
+          value = "5", description = "med_gt5"),
+        // keyed feature WITHOUT a comparison: a name counter, not a crash
+        MlCompiler.GaFeature("click", key = "m"),
+        MlCompiler.GaFeature("error")),
+      label = MlCompiler.GaLabel("purchase", "k"),
+      suffixLo = "20240101", suffixHi = "20240130",
+      classImbalance = 1, hashSplit = false, engagementEvent = "view")
+    val ds = MlCompiler.dataset(spark, ga4, cfg, MlCompiler.Training)
+    assert(ds.count() > 0)
+    assert(ds.filter(col("cnt_med_gt5") > 0).count() == 0,
+      "a string param value must never satisfy a numeric comparison")
+    // the comparison-less keyed feature counted click events by name
+    assert(ds.columns.contains("cnt_click"))
+    assert(ds.agg(sum(col("cnt_click"))).head.getLong(0) > 0)
+  }
 }
