@@ -44,7 +44,13 @@ import scala.collection.concurrent.TrieMap
  * same vocabulary (idle/running/stopping/failed/succeeded).
  */
 final class RestApi(registry: Dag.Registry,
-    executor: java.util.concurrent.ScheduledExecutorService) {
+    executor: java.util.concurrent.ScheduledExecutorService,
+    // the reference binds general settings + the bigquery() table peek into
+    // every run's render session (inline.py:51-80); an embedding with a
+    // SparkSession passes `Workers.sparkTablePeek(spark)` here — the
+    // default session makes any bigquery()-using import fail at start
+    generalSettings: Map[String, String] = Map.empty,
+    session: () => graft.core.Templates.Session = () => new graft.core.Templates.Session()) {
 
   private val pipelines = TrieMap.empty[Long, Dag.PipelineRun]
   private val nextId = new AtomicLong(0)
@@ -54,7 +60,8 @@ final class RestApi(registry: Dag.Registry,
 
   def create(spec: Spec.PipelineSpec): Long = {
     val id = nextId.incrementAndGet()
-    pipelines.put(id, new Dag.PipelineRun(spec, registry, executor))
+    pipelines.put(id, new Dag.PipelineRun(spec, registry, executor,
+      generalSettings = generalSettings, session = session))
     id
   }
 
@@ -116,7 +123,7 @@ final class RestApi(registry: Dag.Registry,
             val JString(n) = v \ "name"
             Spec.ParamSpec(n,
               Spec.ParamType.fromWire(v \ "type" match { case JString(t) => t; case _ => "string" }),
-              v \ "value" match { case JString(s) => s; case _ => "" })
+              Spec.paramValueString(v \ "value")) // numbers/bools coerce like the import codec
           }
           case _ => old.params
         }
@@ -136,7 +143,8 @@ final class RestApi(registry: Dag.Registry,
           workerClass = strOr("worker_class", old.workerClass), params = params,
           startConditions = conditions)
         val newSpec = p.spec.copy(jobs = p.spec.jobs.map(j => if (j.id == jobId) updated else j))
-        val replaced = new Dag.PipelineRun(newSpec, registry, executor)
+        val replaced = new Dag.PipelineRun(newSpec, registry, executor,
+          generalSettings = generalSettings, session = session)
         pipelines.put(pid, replaced)
         jobJson(pid, replaced, updated)
       }
@@ -171,8 +179,11 @@ final class RestApi(registry: Dag.Registry,
     val cfg = graft.plans.MlModelPipelines.fromJson(body)
     val oldPids = mlModels.get(id).map(_._2).getOrElse(Nil)
     if (modelPipelinesActive(oldPids)) throw new IllegalStateException("pipeline is active")
-    oldPids.foreach(pipelines.remove)
+    // build FIRST, remove after: a compile/validation failure must leave
+    // the model's existing pipelines exactly as they were (the 400 the
+    // client gets would otherwise hide that the old pipelines are gone)
     val pids = buildModelPipelines(cfg)
+    oldPids.foreach(pipelines.remove)
     mlModels.put(id, (cfg, pids))
     mlModelJson(id, cfg, pids)
   }

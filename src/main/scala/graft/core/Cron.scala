@@ -13,9 +13,13 @@ object Cron {
 
   final class CronError(msg: String) extends RuntimeException(msg)
 
-  private def toInt(v: String): Int = {
+  /** `_to_int` equality — via BigInt, because python's `int()` is
+    * arbitrary-precision: "99999999999 * * * *" is a schedule that parses
+    * and simply never fires; `.toInt` would escape the CronError contract
+    * with a NumberFormatException the scheduler's guard then swallows. */
+  private def digitsEqual(v: String, target: Int): Boolean = {
     val t = v.trim
-    if (t.nonEmpty && t.forall(_.isDigit)) t.toInt
+    if (t.nonEmpty && t.forall(_.isDigit)) BigInt(t) == target
     else throw new CronError("Failed to parse string to integer")
   }
 
@@ -25,7 +29,8 @@ object Cron {
     if (v == "*") return true
     if (v.contains("-")) throw new CronError("Unsupported syntax used in cron: \"-\"")
     if (v.contains("/")) throw new CronError("Unsupported syntax used in cron: \"/\"")
-    v.split(",").map(_.trim).filter(_.nonEmpty).exists(x => toInt(x) == target)
+    // empty comma entries are dropped, as the reference's filter(None, ...)
+    v.split(",").map(_.trim).filter(_.nonEmpty).exists(digitsEqual(_, target))
   }
 
   /** True if `dt` falls into the cron schedule. */

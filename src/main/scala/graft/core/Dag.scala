@@ -126,6 +126,10 @@ object Dag {
         }
       if (rendered.isEmpty || spec.jobs.isEmpty || !jobs.values.forall(_.getReady)) {
         if (rendered.isEmpty || !jobs.values.forall(_.getReady)) {
+          // deliberately force-fails EVERY job (even one mid-flight): the
+          // reference does exactly this on FAILED_RENDERING_PARAMETERS /
+          // JOBS_NOT_READY — "invites the user to look at logs by setting
+          // all jobs as failed" (models.py:239-250)
           setStatus(PipelineStatus.Failed)
           jobs.values.foreach(_.setStatus(JobStatus.Failed))
         }
@@ -327,7 +331,9 @@ object Dag {
           p.spec.schedules.exists(s =>
             scala.util.Try(Cron.matches(s.cron, now)).getOrElse(false)) &&
           PipelineStatus.inactive.contains(p.status)
-        if (due) { p.start(); Some(p.spec.name) } else None
+        // start() can refuse (another trigger won the race, a job is not
+        // ready) — report only runs that actually started
+        if (due && p.start()) Some(p.spec.name) else None
       }
   }
 

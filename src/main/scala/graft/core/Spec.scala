@@ -74,16 +74,21 @@ object Spec {
 
   // ---- JSON codec (export format) ----
 
+  /** Wire param `value` → string form: the export format (and UI) may
+    * carry numbers/booleans natively. Shared with the REST job-update
+    * path so both decoders coerce identically. */
+  private[graft] def paramValueString(v: JValue): String = v match {
+    case JString(s) => s
+    case JBool(b) => if (b) "1" else "0"
+    case JInt(i) => i.toString
+    case JDouble(d) => d.toString
+    case _ => ""
+  }
+
   private def paramFromJson(v: JValue): ParamSpec = {
     val JString(name) = v \ "name"
     val ptype = (v \ "type") match { case JString(t) => ParamType.fromWire(t); case _ => ParamType.PString }
-    val value = (v \ "value") match {
-      case JString(s) => s
-      case JBool(b) => if (b) "1" else "0"
-      case JInt(i) => i.toString
-      case JDouble(d) => d.toString
-      case _ => ""
-    }
+    val value = paramValueString(v \ "value")
     val label = (v \ "label") match { case JString(l) => Some(l); case _ => None }
     ParamSpec(name, ptype, value, label)
   }

@@ -13,11 +13,13 @@ import scala.util.matching.Regex
 /**
  * Row-wise upload sinks (SURVEY §2.1): the reference's paged
  * coordinator/processor pattern collapses into `foreachPartition` — Spark
- * task parallelism replaces the 1000-row/50-page self-respawn plumbing,
- * while the external-API batch sizes (20 events / 2,000 conversions per
- * request) are preserved as request constants
- * (bq_to_measurement_protocol_ga4.py:35-168,
- * bq_to_ads_offline_click_conversion.py:41-232).
+ * task parallelism replaces the 1000-row/50-page self-respawn plumbing.
+ * Request granularity mirrors the reference exactly: the Ads sink batches
+ * 2,000 conversions per request
+ * (bq_to_ads_offline_click_conversion.py:41-232); the GA4 MP sink posts
+ * ONE payload per row — its `mp_batch_size` param (default 20) is
+ * accepted but, as in the reference, not used for request batching
+ * (bq_to_measurement_protocol_ga4.py:111-153 `_send_payload` per row).
  */
 object Sinks {
 
@@ -39,9 +41,21 @@ object Sinks {
   }
 
   /** python string.Template substitution: `$var` and `${var}`;
-    * missing variable raises (substitute semantics), `$$` escapes. */
+    * missing variable raises (substitute semantics), `$$` escapes, and a
+    * `$` that starts no valid pattern ("$1", trailing "$") raises like
+    * Template.substitute's ValueError('Invalid placeholder') — a template
+    * typo must fail at render, not post a malformed payload downstream. */
   def pyTemplateSubstitute(template: String, values: Map[String, String]): String = {
     val re: Regex = ("\\$(\\$|\\{([A-Za-z_][A-Za-z0-9_]*)\\}|([A-Za-z_][A-Za-z0-9_]*))").r
+    // every '$' must begin a valid pattern (checked on the TEMPLATE, before
+    // substitution — substituted values may legitimately contain '$')
+    val covered = re.findAllMatchIn(template).map(m => m.start until m.end).toList
+    var i = template.indexOf('$')
+    while (i >= 0) {
+      if (!covered.exists(_.contains(i)))
+        throw new IllegalArgumentException(s"Invalid placeholder in string at index $i")
+      i = template.indexOf('$', i + 1)
+    }
     re.replaceAllIn(template, m => {
       if (m.group(1) == "$") Regex.quoteReplacement("$")
       else {

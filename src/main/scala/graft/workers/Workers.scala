@@ -72,6 +72,13 @@ object Workers {
       val script = str(params, "script", str(params, "query"))
       require(script.trim.nonEmpty, "'script' parameter is required")
       if (bool(params, "dry_run")) {
+        // objects CREATEd by earlier (parsed-but-not-executed) statements
+        // of this same script: a later query referencing one must not fail
+        // the dry run — BigQuery's script dry run plans the whole script
+        // with intra-script state (bq_script_executor.py:26-36)
+        val created = scala.collection.mutable.Set.empty[String]
+        val CreateRe = ("(?i)CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
+          "(?:TABLE|VIEW|FUNCTION)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z0-9_.]+)`?").r
         BqDialect.splitStatements(script).foreach { stmt =>
           // spark.sql() EXECUTES command plans (DDL/DML) eagerly — a dry
           // run must only parse + analyze. Commands are validated by the
@@ -79,11 +86,23 @@ object Workers {
           // surface optimizer size stats.
           val rewritten = BqDialect.rewrite(stmt)
           val plan = spark.sessionState.sqlParser.parsePlan(rewritten)
-          if (plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
+          if (plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]) {
+            CreateRe.findFirstMatchIn(rewritten).foreach { m =>
+              val name = m.group(1)
+              created += name
+              created += name.split('.').last // unqualified references too
+            }
             ctx.log("Dry run: statement parsed (command — not executed)")
-          else {
-            val bytes = spark.sql(rewritten).queryExecution.optimizedPlan.stats.sizeInBytes
-            ctx.log(s"Dry run: estimated $bytes bytes processed")
+          } else {
+            try {
+              val bytes = spark.sql(rewritten).queryExecution.optimizedPlan.stats.sizeInBytes
+              ctx.log(s"Dry run: estimated $bytes bytes processed")
+            } catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if created.exists(n => Option(e.getMessage).exists(_.contains(n))) =>
+                ctx.log("Dry run: statement parsed (references an object " +
+                  "created earlier in this script — analysis skipped)")
+            }
           }
         }
       } else {
@@ -170,6 +189,13 @@ object Workers {
             .option("enforceSchema", "false")
             .option("multiLine", bool(params, "allow_quoted_newlines")) // quoted newlines
           if (nullMarker.nonEmpty) r = r.option("nullValue", nullMarker)
+          // the skip path splits files into LINES, which cannot coexist
+          // with quoted-newline records (a record spanning lines would be
+          // torn apart and silently corrupt within the bad-record budget)
+          // — refuse the combination loudly
+          require(rowsToSkip <= 1 || !bool(params, "allow_quoted_newlines"),
+            "rows_to_skip > 1 with allow_quoted_newlines is not supported: " +
+              "line-based skipping would tear quoted multi-line records")
           if (rowsToSkip > 1) r.csv(skippedLines())
           else r.option("header", rowsToSkip > 0).csv(uris: _*)
         }

@@ -97,6 +97,18 @@ class RestApiSpec extends AnyFunSuite {
       assert(put.statusCode() == 200)
       val renamed = JsonMethods.parse(get(s"/api/jobs/$id/j1").body())
       assert((renamed \ "name") == JString("renamed"))
+      // native JSON numbers/booleans coerce like the import codec
+      // (Spec.paramValueString), not to empty string
+      val putNum = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/api/jobs/$id/j1"))
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"params": [{"name": "n", "type": "number", "value": 5},
+            |{"name": "b", "type": "boolean", "value": true}]}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(putNum.statusCode() == 200)
+      val numd = (JsonMethods.parse(get(s"/api/jobs/$id/j1").body()) \ "params")
+        .asInstanceOf[JArray].arr
+      assert(numd.map(v => v \ "value") == List(JString("5"), JString("1")))
       // start conditions sent in the body are applied, not silently dropped
       val putCond = http.send(HttpRequest.newBuilder(
         URI.create(s"http://127.0.0.1:$port/api/jobs/$id/j2"))
@@ -157,6 +169,15 @@ class RestApiSpec extends AnyFunSuite {
       // the compiled pipelines are real pipeline resources
       val plist = JsonMethods.parse(get("/api/pipelines").body()).asInstanceOf[JArray].arr
       assert(plist.exists(p => (p \ "name") == JString("Api Model - Predictive")))
+
+      // PUT with a body that fails compile-time validation: 400, and the
+      // existing pipelines must survive untouched (build-then-swap)
+      val badPut = send("PUT", s"/api/ml-models/$mid",
+        modelJson.replace(""""work_dir":"/tmp/graft_api_model"""", """"work_dir":""""))
+      assert(badPut.statusCode() == 400, badPut.body())
+      val plistAfterBad = JsonMethods.parse(get("/api/pipelines").body()).asInstanceOf[JArray].arr
+      assert(plistAfterBad.exists(p => (p \ "name") == JString("Api Model - Predictive")),
+        "a rejected update must not destroy the model's existing pipelines")
 
       // PUT: update recompiles (old pipelines replaced, name changes through)
       val updated = send("PUT", s"/api/ml-models/$mid",

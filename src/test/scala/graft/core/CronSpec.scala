@@ -44,4 +44,14 @@ class CronSpec extends AnyFunSuite {
     assert(!Cron.isValid("0 0 * *"))
     assert(!Cron.isValid("0-5 * * * *"))
   }
+
+  test("overlong numeric fields parse like python int: never match, never throw") {
+    // python's int() is arbitrary-precision — a schedule like this is
+    // valid and simply never fires; it must not escape as a
+    // NumberFormatException the scheduler's guard would swallow forever
+    val dt = java.time.LocalDateTime.of(2024, 4, 6, 0, 0)
+    assert(Cron.isValid("99999999999 * * * *"))
+    assert(!Cron.matches("99999999999 * * * *", dt))
+    assert(Cron.matches("0,99999999999 * * * *", dt))
+  }
 }

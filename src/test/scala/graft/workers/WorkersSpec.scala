@@ -147,6 +147,16 @@ class WorkersSpec extends AnyFunSuite with SparkFixture {
     intercept[NoSuchElementException] {
       Sinks.pyTemplateSubstitute("$missing", vals)
     }
+    // python Template.substitute raises ValueError('Invalid placeholder')
+    // for a '$' that starts no pattern — a typo must not post verbatim
+    intercept[IllegalArgumentException] {
+      Sinks.pyTemplateSubstitute("price: $1,000", vals)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.pyTemplateSubstitute("trailing $", vals)
+    }
+    // '$' INSIDE a substituted value is fine (checked pre-substitution)
+    assert(Sinks.pyTemplateSubstitute("$a", Map("a" -> "$9.99")) == "$9.99")
   }
 
   test("MeasurementProtocolGA4 posts one templated payload per row; debug hits validation URL") {
