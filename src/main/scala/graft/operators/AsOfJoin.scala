@@ -52,13 +52,26 @@ object AsOfJoin {
       require(!left.columns.contains(h) && !right.columns.contains(h),
         s"asof: input must not contain helper column '$h'")
     }
+    val outs = payload.map(_._2)
+    require(outs.distinct.size == outs.size,
+      s"asof: duplicate payload output names: ${outs.diff(outs.distinct).distinct.mkString(", ")}")
     payload.foreach { case (_, out) =>
       require(!left.columns.contains(out),
         s"asof: left already has a column named '$out'")
+      require(!out.contains("."),
+        s"asof: payload output name must not contain '.': '$out'")
     }
-    val r = right.select(
-      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-        struct(payload.map { case (c, out) => col(c).as(out) }: _*).as("__rpay")): _*)
+    // NULL-time right rows are excluded up front: `right.t <= left.t` is
+    // never true for NULL (ASOF JOIN / merge_asof semantics) — under the
+    // window's nulls-first sort they would otherwise become a
+    // match-of-last-resort at the head of every key partition. A left row
+    // with NULL time correctly gets NULL payload for free: it sorts
+    // before every (non-null-time) right row, so its frame holds none.
+    val r = right
+      .filter(col(rightTime).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          struct(payload.map { case (c, out) => col(c).as(out) }: _*).as("__rpay")): _*)
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     // left rows get a NULL __rpay, right rows get NULL left columns
     val u = l.unionByName(r, allowMissingColumns = true)

@@ -189,6 +189,8 @@ object MlModelPipelines {
         case MlCompiler.Regex(pat) =>
           require(pat != null && pat.nonEmpty,
             s"feature '${f.name}': REGEX comparison requires a pattern")
+          require(scala.util.Try(java.util.regex.Pattern.compile(pat)).isSuccess,
+            s"feature '${f.name}': REGEX pattern does not compile: '$pat'")
         case (MlCompiler.Equal | MlCompiler.NotEqual) if f.valueIsString =>
           require(f.value != null, s"feature '${f.name}': comparison requires a value")
         case _ =>

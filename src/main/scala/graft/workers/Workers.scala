@@ -98,8 +98,16 @@ object Workers {
               val bytes = spark.sql(rewritten).queryExecution.optimizedPlan.stats.sizeInBytes
               ctx.log(s"Dry run: estimated $bytes bytes processed")
             } catch {
+              // ONLY a missing-relation error naming a created object is
+              // forgiven — matching on the error condition + the exact
+              // relation name, never message substrings (a created name
+              // like "t" appears in almost any error text)
               case e: org.apache.spark.sql.AnalysisException
-                  if created.exists(n => Option(e.getMessage).exists(_.contains(n))) =>
+                  if e.getCondition == "TABLE_OR_VIEW_NOT_FOUND" && {
+                    val rel = Option(e.getMessageParameters.get("relationName"))
+                      .getOrElse("").replace("`", "")
+                    created.contains(rel) || created.contains(rel.split('.').last)
+                  } =>
                 ctx.log("Dry run: statement parsed (references an object " +
                   "created earlier in this script — analysis skipped)")
             }

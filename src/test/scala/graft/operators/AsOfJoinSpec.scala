@@ -65,6 +65,19 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty)
   }
 
+  test("NULL times never match: right NULL-time rows are excluded, left NULL-time rows get NULL") {
+    val s = spark
+    import s.implicits._
+    val right = Seq(("a", Some(10L), 1.0), ("a", None, 99.0)).toDF("k", "t", "px")
+    val left = Seq(("a", Some(5L)), ("a", Some(10L)), ("a", None)).toDF("k", "t")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("px" -> "qpx"))
+      .collect().map(r => (if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1)
+    // t=5: only the NULL-time quote is admissible-looking but must NOT match;
+    // t=10: matches px=1.0; t=NULL: never matches anything
+    assert(out === Array((-1L, -1.0), (5L, -1.0), (10L, 1.0)))
+  }
+
   test("helper/output column collisions are rejected") {
     val s = spark
     import s.implicits._
@@ -75,6 +88,12 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     }
     intercept[IllegalArgumentException] {
       AsOfJoin.backward(l, l, Seq("k"), "t", "t", Seq("t" -> "t"))
+    }
+    intercept[IllegalArgumentException] { // duplicate payload outputs
+      AsOfJoin.backward(l, l, Seq("k"), "t", "t", Seq("t" -> "x", "k" -> "x"))
+    }
+    intercept[IllegalArgumentException] { // dotted output breaks field access
+      AsOfJoin.backward(l, l, Seq("k"), "t", "t", Seq("t" -> "a.b"))
     }
   }
 }

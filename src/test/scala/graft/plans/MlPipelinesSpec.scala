@@ -191,6 +191,10 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
       predictive(withFeature(MlCompiler.GaFeature("view", key = "k",
         cmp = MlCompiler.Greater, value = "lots", description = "v")))
     }
+    intercept[IllegalArgumentException] { // regex that does not compile
+      predictive(withFeature(MlCompiler.GaFeature("view", key = "k",
+        cmp = MlCompiler.Regex("["), description = "v")))
+    }
     intercept[IllegalArgumentException] { // duplicate output columns
       predictive(withFeature(MlCompiler.GaFeature("error")))
     }

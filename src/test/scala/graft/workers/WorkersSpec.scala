@@ -66,6 +66,24 @@ class WorkersSpec extends AnyFunSuite with SparkFixture {
       "dry run executed the CREATE TABLE — it must only parse/analyze")
   }
 
+  test("SqlScriptExecutor: dry_run tolerates intra-script references but not real errors") {
+    // a query over an object CREATEd earlier in the same (unexecuted)
+    // script must pass the dry run, as BigQuery's script dry run does
+    new Workers.SqlScriptExecutor(spark, Map(
+      "script" -> WorkerValue.S(
+        "CREATE TEMPORARY VIEW dryrun_v AS SELECT 1 AS a; SELECT a FROM dryrun_v"),
+      "dry_run" -> WorkerValue.B(true))).execute(noCtx)
+    assert(!spark.catalog.tableExists("dryrun_v"))
+    // ...but a genuinely missing relation still fails, even when a created
+    // name ("t") is a substring of the error text
+    intercept[org.apache.spark.sql.AnalysisException] {
+      new Workers.SqlScriptExecutor(spark, Map(
+        "script" -> WorkerValue.S(
+          "CREATE TEMPORARY VIEW t AS SELECT 1 AS a; SELECT a FROM no_such_table_anywhere"),
+        "dry_run" -> WorkerValue.B(true))).execute(noCtx)
+    }
+  }
+
   test("StorageImporter: autodetect CSV still enforces the bad-record budget") {
     val dir = Files.createTempDirectory("graft_imp_auto")
     // last line has an unterminated quote — malformed under any schema
