@@ -110,6 +110,60 @@ object Quantiles {
       .cast("long")
   }
 
+  /**
+   * Exact global running total (prefix sum) of a LONG column under a total
+   * order — `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` without
+   * the single-partition window. Same two-pass shape as [[withGlobalRank]]:
+   * range-partition on the order, per-partition SEQUENTIAL fold
+   * (mapPartitions — the one computation a declarative window cannot do
+   * here without re-shuffling the relation on the partition id), plus a
+   * metadata-sized per-partition-sum collect folded into a literal offset
+   * map. NULL values count as 0.
+   *
+   * This is the primitive behind sequence-packing/chunk accounting: with
+   * a cumulative token count, `(cum - n) DIV L` is the L-token context
+   * window each document starts in.
+   */
+  def withRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+      out: String, onCache: DataFrame => Unit = _ => ()): DataFrame = {
+    require(!df.columns.contains(out),
+      s"withRunningTotal: input already contains output column '$out'")
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"withRunningTotal: '$valueCol' must be LONG (exact integer prefix sums)")
+    val parts = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(df.rdd.getNumPartitions)
+    val callerCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cachedIn =
+      if (callerCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = cachedIn.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition sums → prefix offsets (#partitions rows — metadata)
+    val sums = ranged
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (!callerCached) cachedIn.unpersist(false)
+    onCache(ranged) // same cache contract as withGlobalRank
+    val offsets = sums.map(_._1).zip(sums.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val idx = ranged.schema.fieldIndex(valueCol)
+    val outSchema = ranged.schema.add(out, org.apache.spark.sql.types.LongType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val local = ranged.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        acc += (if (r.isNullAt(idx)) 0L else r.getLong(idx))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(enc)
+    // mapPartitions is narrow, so spark_partition_id() here still names the
+    // range partition the offsets were computed for
+    local.withColumn(out, col(out) + element_at(typedLit(offsets), spark_partition_id()))
+  }
+
   /** `ntile(n) OVER (ORDER BY order*)` as a distributed computation. */
   def withNtile(df: DataFrame, n: Int, order: Seq[Column], out: String,
       onCache: DataFrame => Unit = _ => ()): DataFrame = {

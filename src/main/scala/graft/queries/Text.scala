@@ -201,7 +201,33 @@ object Text {
       .limit(TopNgrams)
   }
 
+  private val ChunkTokens = 2048L
+
+  /**
+   * Sequence-packing accounting: concatenate the corpus in doc_id order
+   * and split into [[ChunkTokens]]-token context windows (documents may
+   * straddle a boundary — the standard LLM pretraining packing); report
+   * per-chunk document counts, token totals, and doc-id ranges. The
+   * global cumulative token count runs through
+   * [[graft.operators.Quantiles.withRunningTotal]] — a distributed
+   * two-pass prefix sum, never a single-partition window.
+   */
+  def textPackChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Quantiles
+      .withRunningTotal(toks, Seq(col("doc_id")), "n_tok", "cum_tok")
+      .withColumn("chunk_id", expr(s"(cum_tok - n_tok) DIV $ChunkTokens"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_chunks" -> (textPackChunks _),
     "text_ngram_counts" -> (textNgramCounts _),
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
@@ -213,6 +239,22 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "text_pack_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |    SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT CAST((cum - n_tok) // $ChunkTokens AS BIGINT) AS chunk_id,
+         |  COUNT(1) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+         |  MIN(doc_id) AS first_doc,
+         |  MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_ngram_counts" ->
       s"""WITH t AS (
          |  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS words

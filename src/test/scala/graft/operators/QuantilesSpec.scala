@@ -47,4 +47,20 @@ class QuantilesSpec extends AnyFunSuite with SparkFixture {
     // values are a permutation of 0..996, so rank must be k+1
     assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 1))
   }
+
+  test("withRunningTotal equals the single-partition window prefix sum") {
+    import spark.implicits._
+    val df = (1 to 997).map(i => (((i * 37) % 997).toLong, (i % 13).toLong))
+      .toDF("k", "v").repartition(9)
+    val got = Quantiles.withRunningTotal(df, Seq(col("k")), "v", "cum")
+      .select("k", "cum")
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("k"), sum(col("v")).over(w).as("cum"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // NULL values count as 0, like SUM ignoring nulls mid-stream
+    val withNulls = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("k", "v")
+    val cum = Quantiles.withRunningTotal(withNulls, Seq(col("k")), "v", "cum")
+      .orderBy("k").select("cum").collect().map(_.getLong(0))
+    assert(cum === Array(5L, 5L, 12L))
+  }
 }
