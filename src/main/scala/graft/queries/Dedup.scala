@@ -380,8 +380,11 @@ object Dedup {
       sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"),
       cols => md5(concat_ws(",", cols.map(_.cast("string")): _*)))
 
-  private def minhashLshPipeline(s: SparkSession, dir: String,
-      hash32: Column => Column, bandKey: Seq[Column] => Column): DataFrame = {
+  /** Shared LSH front half: per-doc shingle sets and the bucket-capped
+    * banded relation (band, key, doc_id, mh). Returns (base, pruned). */
+  private def bandedFor(s: SparkSession, dir: String,
+      hash32: Column => Column,
+      bandKey: Seq[Column] => Column): (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     val base = spreadDocs(s, dir)
       .select(col("doc_id"),
@@ -401,7 +404,7 @@ object Dedup {
       struct(lit(b).as("band"), bandKey(slice).as("key"))
     }
     // Candidate generation stays NARROW: (band, key, doc_id, mh[32]) flows
-    // through the self-join — shingle arrays re-attach by doc_id only for
+    // through the join — shingle arrays re-attach by doc_id only for
     // candidates that survive. Oversized buckets (degenerate boilerplate
     // clusters) are dropped before the quadratic pair expansion.
     val banded = withMh
@@ -412,7 +415,29 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(wb))
       .filter(col("bsz") <= MaxBucketSize)
       .drop("bsz")
+    (base, pruned)
+  }
 
+  /** Exact-Jaccard verification of candidate (da, db) pairs against the
+    * per-doc shingle sets; keeps pairs with J ≥ 0.5. */
+  private def verifyPairs(base: DataFrame, cand: DataFrame,
+      da: String, db: String): DataFrame = {
+    val shingleSets = base.select(col("doc_id"), col("shingles"))
+    cand
+      .join(shingleSets.select(col("doc_id").as(da), col("shingles").as("sha")), da)
+      .join(shingleSets.select(col("doc_id").as(db), col("shingles").as("shb")), db)
+      .withColumn("inter",
+        GraftFunctions.sorted_intersect_size(col("sha"), col("shb")).cast("double"))
+      .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
+      .withColumn("jac", col("inter") / col("uni"))
+      .filter(col("jac") >= 0.5)
+      .select(col(da), col(db), round(col("jac"), 6).as("jac"))
+      .orderBy(col(da), col(db))
+  }
+
+  private def minhashLshPipeline(s: SparkSession, dir: String,
+      hash32: Column => Column, bandKey: Seq[Column] => Column): DataFrame = {
+    val (base, pruned) = bandedFor(s, dir, hash32, bandKey)
     val left = pruned.select(col("band"), col("key"), col("doc_id").as("da"), col("mh").as("mha"))
     val right = pruned.select(col("band").as("band_r"), col("key").as("key_r"),
       col("doc_id").as("db"), col("mh").as("mhb"))
@@ -426,18 +451,41 @@ object Dedup {
       .filter(agree >= lit((MinhashEstThreshold * MinhashPerms).toInt))
       .select(col("da"), col("db"))
       .dropDuplicates("da", "db")
+    verifyPairs(base, cand, "da", "db")
+  }
 
-    val shingleSets = base.select(col("doc_id"), col("shingles"))
-    cand
-      .join(shingleSets.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
-      .join(shingleSets.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")
-      .withColumn("inter",
-        GraftFunctions.sorted_intersect_size(col("sha"), col("shb")).cast("double"))
-      .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
-      .withColumn("jac", col("inter") / col("uni"))
-      .filter(col("jac") >= 0.5)
-      .select(col("da"), col("db"), round(col("jac"), 6).as("jac"))
-      .orderBy(col("da"), col("db"))
+  /**
+   * Incremental near-dup check — the daily-ingest shape: match ONLY the
+   * newest batch (the lexicographically greatest `source`) against the
+   * EXISTING corpus through the same band-bucket index, never a corpus
+   * self-join. The banded new batch is broadcast-hinted (an incoming
+   * batch is small relative to the accumulated corpus — the asymmetry is
+   * the whole point; at scale the existing side's band relation is the
+   * stored index a production pipeline maintains between ingests). The
+   * batch marker is a 1-row aggregate collect (metadata, like the dense
+   * probe). md5 family end-to-end so the whole path is oracle-checked.
+   */
+  def dedupIncrementalMd5(s: SparkSession, dir: String): DataFrame = {
+    val (base, pruned) = bandedFor(s, dir,
+      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"),
+      cols => md5(concat_ws(",", cols.map(_.cast("string")): _*)))
+    val ids = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val maxSrc = ids.agg(max(col("source"))).first().getString(0)
+    val newBatch = pruned
+      .join(ids.filter(col("source") === maxSrc).select(col("doc_id")), "doc_id")
+      .select(col("band"), col("key"), col("doc_id").as("new_doc"), col("mh").as("mha"))
+    val existing = pruned
+      .join(ids.filter(col("source") =!= maxSrc).select(col("doc_id")), "doc_id")
+      .select(col("band").as("band_r"), col("key").as("key_r"),
+        col("doc_id").as("old_doc"), col("mh").as("mhb"))
+    val agree = size(filter(zip_with(col("mha"), col("mhb"),
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+    val cand = existing.join(broadcast(newBatch),
+        col("band") === col("band_r") && col("key") === col("key_r"))
+      .filter(agree >= lit((MinhashEstThreshold * MinhashPerms).toInt))
+      .select(col("new_doc"), col("old_doc"))
+      .dropDuplicates("new_doc", "old_doc")
+    verifyPairs(base, cand, "new_doc", "old_doc")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -445,11 +493,15 @@ object Dedup {
     "dedup_jaccard_ngrams" -> (dedupJaccardNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
-    "dedup_minhash_lsh_md5" -> (dedupMinhashLshMd5 _))
+    "dedup_minhash_lsh_md5" -> (dedupMinhashLshMd5 _),
+    "dedup_incremental_md5" -> (dedupIncrementalMd5 _))
 
-  /** DuckDB mirror of the md5-keyed LSH pipeline (constants generated by
-    * the same permA/permB loop as the Spark side). */
-  private def minhashLshMd5Oracle: String = {
+  private def minhashAgreeMin: Int = (MinhashEstThreshold * MinhashPerms).toInt
+
+  /** Shared DuckDB CTE block mirroring [[bandedFor]] with the md5 family
+    * (constants generated by the same permA/permB loop as the Spark
+    * side): documents → shingles → 32 minhashes → capped band buckets. */
+  private def minhashMd5SharedCtes: String = {
     val perms = (0 until MinhashPerms)
       .map(j => s"list_min(list_transform(h32, h -> h * ${permA(j)} + ${permB(j)}))")
       .mkString(",\n      ")
@@ -457,8 +509,7 @@ object Dedup {
       val parts = (1 to 4).map(r => s"CAST(mh[${b * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, mh, $b AS band, md5($parts) AS key FROM mh"
     }.mkString("\n    UNION ALL\n    ")
-    val agreeMin = (MinhashEstThreshold * MinhashPerms).toInt
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
        |  FROM documents),
        |sh AS (
@@ -483,13 +534,18 @@ object Dedup {
        |pruned AS (
        |  SELECT * FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM banded)
-       |  WHERE bsz <= $MaxBucketSize),
+       |  WHERE bsz <= $MaxBucketSize)""".stripMargin
+  }
+
+  /** DuckDB mirror of the md5-keyed LSH pipeline. */
+  private def minhashLshMd5Oracle: String =
+    s"""WITH $minhashMd5SharedCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |  FROM pruned x JOIN pruned y
        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
        |  WHERE len(list_filter(generate_series(1, $MinhashPerms),
-       |    i -> x.mh[i] = y.mh[i])) >= $agreeMin),
+       |    i -> x.mh[i] = y.mh[i])) >= $minhashAgreeMin),
        |verified AS (
        |  SELECT da, db,
        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
@@ -501,7 +557,32 @@ object Dedup {
        |FROM verified
        |WHERE inter / (szsum - inter) >= 0.5
        |ORDER BY da, db""".stripMargin
-  }
+
+  /** DuckDB mirror of the incremental (new-batch-vs-existing) check. */
+  private def dedupIncrementalMd5Oracle: String =
+    s"""WITH $minhashMd5SharedCtes,
+       |ms AS (SELECT max(source) AS m FROM documents),
+       |newd AS (SELECT doc_id FROM documents, ms WHERE source = m),
+       |oldd AS (SELECT doc_id FROM documents, ms WHERE source <> m),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS old_doc
+       |  FROM pruned x
+       |  JOIN newd ON x.doc_id = newd.doc_id
+       |  JOIN pruned y ON x.band = y.band AND x.key = y.key
+       |  JOIN oldd ON y.doc_id = oldd.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashPerms),
+       |    i -> x.mh[i] = y.mh[i])) >= $minhashAgreeMin),
+       |verified AS (
+       |  SELECT new_doc, old_doc,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
+       |    CAST(len(a.shingles) + len(b.shingles) AS DOUBLE) AS szsum
+       |  FROM cand
+       |  JOIN sh a ON cand.new_doc = a.doc_id
+       |  JOIN sh b ON cand.old_doc = b.doc_id)
+       |SELECT new_doc, old_doc, round(inter / (szsum - inter), 6) AS jac
+       |FROM verified
+       |WHERE inter / (szsum - inter) >= 0.5
+       |ORDER BY new_doc, old_doc""".stripMargin
 
   /** The exact same-lang word-set Jaccard pair query WITHOUT the final
     * ordering, shared with [[Curation]]'s connected-components oracle
@@ -551,5 +632,6 @@ object Dedup {
         |ORDER BY da, db""".stripMargin,
     "dedup_jaccard_words" -> (jaccardWordsPairsSql + "\nORDER BY da, db"),
     "dedup_simhash" -> simhashOracle,
-    "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle)
+    "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle,
+    "dedup_incremental_md5" -> dedupIncrementalMd5Oracle)
 }
