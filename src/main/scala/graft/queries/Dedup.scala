@@ -375,10 +375,15 @@ object Dedup {
     * banding, bucket cap, agreement prefilter, exact verify — is
     * hash-checked against a DuckDB oracle. `dedup_minhash_lsh` keeps the
     * production farmhash (golden-tested; no DuckDB analog). */
+  /** The md5 hash family — ONE spelling shared by the self-join pipeline,
+    * the incremental probe, and (via the generated SQL) the oracles. */
+  private val md5Hash32: Column => Column =
+    sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
+  private val md5BandKey: Seq[Column] => Column =
+    cols => md5(concat_ws(",", cols.map(_.cast("string")): _*))
+
   def dedupMinhashLshMd5(s: SparkSession, dir: String): DataFrame =
-    minhashLshPipeline(s, dir,
-      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"),
-      cols => md5(concat_ws(",", cols.map(_.cast("string")): _*)))
+    minhashLshPipeline(s, dir, md5Hash32, md5BandKey)
 
   /** Shared LSH front half: per-doc shingle sets and the bucket-capped
     * banded relation (band, key, doc_id, mh). Returns (base, pruned). */
@@ -441,18 +446,20 @@ object Dedup {
     val left = pruned.select(col("band"), col("key"), col("doc_id").as("da"), col("mh").as("mha"))
     val right = pruned.select(col("band").as("band_r"), col("key").as("key_r"),
       col("doc_id").as("db"), col("mh").as("mhb"))
-    val agree = size(filter(zip_with(col("mha"), col("mhb"),
-      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
     // agree-prefilter FIRST (per-row, no shuffle), then narrow to (da,db),
     // then dedup — the shuffle dedups only surviving narrow pairs instead
     // of the full wide candidate set
     val cand = left.join(right,
         col("band") === col("band_r") && col("key") === col("key_r") && col("da") < col("db"))
-      .filter(agree >= lit((MinhashEstThreshold * MinhashPerms).toInt))
+      .filter(mhAgree >= lit(minhashAgreeMin))
       .select(col("da"), col("db"))
       .dropDuplicates("da", "db")
     verifyPairs(base, cand, "da", "db")
   }
+
+  /** Minhash-agreement estimate over (mha, mhb): count of equal slots. */
+  private def mhAgree: Column = size(filter(zip_with(col("mha"), col("mhb"),
+    (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
 
   /**
    * Incremental near-dup check — the daily-ingest shape: match ONLY the
@@ -466,23 +473,23 @@ object Dedup {
    * probe). md5 family end-to-end so the whole path is oracle-checked.
    */
   def dedupIncrementalMd5(s: SparkSession, dir: String): DataFrame = {
-    val (base, pruned) = bandedFor(s, dir,
-      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"),
-      cols => md5(concat_ws(",", cols.map(_.cast("string")): _*)))
+    val (base, pruned) = bandedFor(s, dir, md5Hash32, md5BandKey)
     val ids = load(s, dir, "documents").select(col("doc_id"), col("source"))
     val maxSrc = ids.agg(max(col("source"))).first().getString(0)
+    // null-safe split: an UNTAGGED (NULL-source) doc belongs to the
+    // existing corpus — `=!=` would silently drop it from BOTH sides and
+    // report its duplicates clean. (If every source is NULL, maxSrc is
+    // null, the batch is empty, and the result is correctly empty.)
     val newBatch = pruned
       .join(ids.filter(col("source") === maxSrc).select(col("doc_id")), "doc_id")
       .select(col("band"), col("key"), col("doc_id").as("new_doc"), col("mh").as("mha"))
     val existing = pruned
-      .join(ids.filter(col("source") =!= maxSrc).select(col("doc_id")), "doc_id")
+      .join(ids.filter(!(col("source") <=> maxSrc)).select(col("doc_id")), "doc_id")
       .select(col("band").as("band_r"), col("key").as("key_r"),
         col("doc_id").as("old_doc"), col("mh").as("mhb"))
-    val agree = size(filter(zip_with(col("mha"), col("mhb"),
-      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
     val cand = existing.join(broadcast(newBatch),
         col("band") === col("band_r") && col("key") === col("key_r"))
-      .filter(agree >= lit((MinhashEstThreshold * MinhashPerms).toInt))
+      .filter(mhAgree >= lit(minhashAgreeMin))
       .select(col("new_doc"), col("old_doc"))
       .dropDuplicates("new_doc", "old_doc")
     verifyPairs(base, cand, "new_doc", "old_doc")
@@ -563,7 +570,7 @@ object Dedup {
     s"""WITH $minhashMd5SharedCtes,
        |ms AS (SELECT max(source) AS m FROM documents),
        |newd AS (SELECT doc_id FROM documents, ms WHERE source = m),
-       |oldd AS (SELECT doc_id FROM documents, ms WHERE source <> m),
+       |oldd AS (SELECT doc_id FROM documents, ms WHERE source IS DISTINCT FROM m),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS old_doc
        |  FROM pruned x

@@ -61,6 +61,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental dedup probes only the newest batch against the existing corpus") {
+    // fixture sources: s0 = {0,1,3,4}, s1 = {2} → the batch is doc 2
+    // (exact dup of doc 0, near-dup of doc 1); pairs must be
+    // (new=2, old∈{0,1}) only — never old-vs-old pairs like (0,1)
+    val dir = docsDir()
+    val rows = Dedup.dedupIncrementalMd5(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.keySet.forall(_._1 == 2L), s"only the s1 batch may probe; got $rows")
+    assert(rows((2L, 0L)) == 1.0, "exact dup of the existing doc must match at J=1")
+    assert(!rows.contains((2L, 3L)) && !rows.contains((2L, 4L)))
+  }
+
   test("dense path HINTS broadcast only for narrow (lang, mask) rows — never member arrays") {
     // the members arrays collectively hold every doc_id in the corpus; an
     // EXPLICIT broadcast() hint carrying them would ship the corpus's ids
