@@ -45,7 +45,22 @@ object AsOfJoin {
    */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      payload: Seq[(String, String)]): DataFrame = {
+      payload: Seq[(String, String)]): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, payload, forwardDir = false)
+
+  /** Forward as-of join: the single EARLIEST right row at or after each
+    * left row's time — "next event after T" (the conversion that followed
+    * an impression). Same machinery as [[backward]] under a reversed time
+    * sort; right-side (key, time) ties resolve to the greatest payload
+    * struct, exactly as in [[backward]]. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)]): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, payload, forwardDir = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)], forwardDir: Boolean): DataFrame = {
     require(payload.nonEmpty, "asof: payload must name at least one right column")
     val helpers = Seq("__t", "__side", "__rpay", "__m")
     helpers.foreach { h =>
@@ -76,11 +91,16 @@ object AsOfJoin {
     // left rows get a NULL __rpay, right rows get NULL left columns
     val u = l.unionByName(r, allowMissingColumns = true)
     // right-before-left at equal time (inclusive match); among tied right
-    // rows the greatest payload struct sorts last and wins — left rows'
-    // NULL __rpay never reorders them relative to right rows (the side
-    // tag already did)
+    // rows the winning payload struct sorts last — left rows' NULL __rpay
+    // never reorders them relative to right rows (the side tag already
+    // did). Forward is the same scan under reversed time order: the last
+    // right row seen walking time DOWNWARD is the nearest future row.
+    // desc_nulls_first, not plain desc (nulls-last): a NULL-time left row
+    // must keep an EMPTY frame in both directions, or it would "match"
+    // under the reversed sort
+    val timeOrd = if (forwardDir) col("__t").desc_nulls_first else col("__t").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__rpay").asc_nulls_first)
+      .orderBy(timeOrd, col("__side").asc, col("__rpay").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

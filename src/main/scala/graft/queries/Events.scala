@@ -134,8 +134,27 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of: the next same-user click at or after each purchase —
+    * the "what followed the conversion" lookup, oracle-checked against
+    * DuckDB's ASOF LEFT JOIN with the reversed inequality. */
+  def qAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.forward(p, c, Seq("user_id"), "ts", "ts",
+        Seq("ts" -> "click_ts"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        expr("click_ts DIV 1000").as("click_ts_us"),
+        (expr("click_ts DIV 1000") - expr("ts DIV 1000")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_fwd" -> (qAsofFwd _),
     "q10_first_event" -> (q10FirstEvent _),
     "q11_ntile" -> (q11Ntile _),
     "q12_lag_lead" -> (q12LagLead _),
@@ -152,6 +171,15 @@ object Events {
         |  epoch_us(v.ts) AS view_ts_us,
         |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_fwd" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  epoch_us(c.ts) AS click_ts_us,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
         |ORDER BY p.event_id""".stripMargin,
     "q10_first_event" ->
       """SELECT user_id, first_event_type, first_value, first_ts_us FROM (

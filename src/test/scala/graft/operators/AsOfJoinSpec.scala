@@ -65,6 +65,42 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty)
   }
 
+  test("forward picks the earliest right row at or after each left time") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq(("a", 5L), ("a", 20L), ("a", 35L), ("b", 1L)).toDF("k", "t")
+    val out = AsOfJoin.forward(trades, quotes, Seq("k"), "t", "t",
+        Seq("t" -> "qt", "px" -> "qpx"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(out === Array(
+      ("a", 5L, 10L, 1.0),    // next quote after 5
+      ("a", 20L, 20L, 2.0),   // equal time matches (inclusive)
+      ("a", 35L, -1L, -1.0),  // after the last quote -> NULL
+      ("b", 1L, 15L, 9.0)))
+  }
+
+  test("forward matches a per-row min-subquery oracle on random data") {
+    val s = spark
+    import s.implicits._
+    val left = s.range(500).select(
+      (col("id") % 7).as("k"), (col("id") * 13 % 1000).as("t")).distinct()
+    val right = s.range(300).select(
+      (col("id") % 7).as("k"), (col("id") * 29 % 1000).as("t"),
+      col("id").as("payload"))
+    val got = AsOfJoin.forward(left, right, Seq("k"), "t", "t",
+      Seq("t" -> "rt"))
+    // forward picks min rt among admissible rows; project rt only so the
+    // oracle's tie choice cannot differ
+    val oracle = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.t") >= col("l.t"), "left_outer")
+      .groupBy(col("l.k").as("k"), col("l.t").as("t"))
+      .agg(min(col("r.t")).as("rt"))
+    assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty)
+  }
+
   test("NULL times never match: right NULL-time rows are excluded, left NULL-time rows get NULL") {
     val s = spark
     import s.implicits._
@@ -76,6 +112,12 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     // t=5: only the NULL-time quote is admissible-looking but must NOT match;
     // t=10: matches px=1.0; t=NULL: never matches anything
     assert(out === Array((-1L, -1.0), (5L, -1.0), (10L, 1.0)))
+    // forward direction: same contract (the reversed sort must keep
+    // NULL-time left rows at the frame head, not hand them every row)
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), "t", "t", Seq("px" -> "qpx"))
+      .collect().map(r => (if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1)
+    assert(fwd === Array((-1L, -1.0), (5L, 1.0), (10L, 1.0)))
   }
 
   test("helper/output column collisions are rejected") {
