@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Multimodal.queries ++
       graft.queries.Ga4.queries ++
       graft.queries.Wildcard.queries ++
-      graft.queries.Ml.queries
+      graft.queries.Ml.queries ++
+      graft.queries.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Multimodal.oracle ++
       graft.queries.Ga4.oracle ++
       graft.queries.Wildcard.oracle ++
-      graft.queries.Ml.oracle
+      graft.queries.Ml.oracle ++
+      graft.queries.Corpus.oracle
 }

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.functions.GraftFunctions
+
+/**
+ * Corpus-preparation operators for the large-scale training-data pipeline
+ * (builder brief §dedup/§text-analysis, beyond the reference's own surface):
+ * segment-level dedup with document reassembly (the CCNet/RefinedWeb
+ * line-dedup shape), deterministic global shuffle + shard assignment for
+ * training order, source-weighted mixture sampling, corpus term scoring
+ * (the tf-idf shape), and benchmark decontamination by shingle overlap
+ * (the GPT-3 appendix-C n-gram decontamination shape).
+ *
+ * Every operator is a linear pipeline — scan → (explode) → hash-keyed
+ * shuffle → agg — with no per-row UDFs and no driver-side loops; the only
+ * driver round-trips are metadata-sized (a corpus row count, the rank
+ * offsets inside [[graft.operators.Quantiles]]).
+ */
+object Corpus {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+
+  // ---------------------------------------------------------------------
+  // Segment-level dedup (CCNet-style) — text_seg_dedup
+  // ---------------------------------------------------------------------
+
+  /** Tokens per segment. The synthetic corpus has no newlines, so the
+    * "line" unit is a fixed token window; on real data the split would be
+    * `split(text, '\n')` and everything downstream is unchanged. */
+  private val SegTokens = 8
+
+  /**
+   * Corpus-wide segment dedup with reassembly: split every document into
+   * [[SegTokens]]-token segments, keep only the FIRST occurrence of each
+   * distinct segment corpus-wide (ordered by (doc_id, seg_no) — the
+   * deterministic keep-first contract), and reassemble each document from
+   * its surviving segments.
+   *
+   * Scale shape: one explode (corpus tokens ÷ 8 rows), ONE shuffle for the
+   * keep-first window (partitioned by segment text — a hot boilerplate
+   * segment lands in one partition but is only aggregated, never joined,
+   * so there is no m×n blowup), one groupBy(doc_id) for the reassembly.
+   * The per-doc collect_list is bounded by document size, not corpus size.
+   */
+  def textSegDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val nSeg = floor((size(col("w")) + (SegTokens - 1)) / SegTokens).cast("int")
+    val segs = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(col("w"), i * SegTokens + 1, lit(SegTokens)), " ")))
+        .as(Seq("seg_no", "seg")))
+    val first = min(struct(col("doc_id"), col("seg_no")))
+      .over(Window.partitionBy(col("seg")))
+    segs
+      .withColumn("kept",
+        col("doc_id") === first.getField("doc_id") &&
+          col("seg_no") === first.getField("seg_no"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_no"), col("seg"))))),
+          e => e.getField("seg")), " ").as("joined"))
+      // zero survivors → NULL, matching the oracle's empty string_agg
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        when(col("n_kept") > 0, col("joined")).as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic global shuffle → training order + shards — shuffle_order
+  // ---------------------------------------------------------------------
+
+  /** Shard count for the training-file assignment. */
+  private val Shards = 8
+
+  /**
+   * Deterministic global shuffle for training order: every document gets a
+   * pseudo-random but reproducible position (rank under md5(doc_id)) and a
+   * round-robin shard assignment — the "globally shuffle the corpus, then
+   * write N training shards" step every pretraining pipeline ends with.
+   *
+   * A naive `row_number() OVER (ORDER BY md5(...))` is a single-partition
+   * window — the classic scale-killer. This reuses
+   * [[graft.operators.Quantiles.withGlobalRank]]: range-partition on the
+   * shuffle key, zero-extra-shuffle local ranks, metadata-sized offset
+   * collect. At 100 TB the output would be written with
+   * `partitionBy(shard_id)` straight from the ranged partitions.
+   */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("skey"))
+    graft.operators.Quantiles
+      .withGlobalRank(keyed, Seq(col("skey"), col("doc_id")), "pos", "__total")
+      .select(col("pos"), col("doc_id"),
+        ((col("pos") - 1) % Shards).as("shard_id"))
+      .orderBy(col("pos"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Source-weighted mixture sampling — mix_weighted
+  // ---------------------------------------------------------------------
+
+  /** Per-source keep rates (percent) for the training mixture — the
+    * "sample source A at 90%, source B at 50%, the long tail at 15%"
+    * config a data-mixing recipe pins down. Unlisted sources fall back to
+    * [[MixDefaultRate]]. */
+  private val MixRates: Map[String, Int] = Map(
+    "src0" -> 90, "src1" -> 90, "src2" -> 90, "src3" -> 90,
+    "src4" -> 50, "src5" -> 50, "src6" -> 50,
+    "src7" -> 50, "src8" -> 50, "src9" -> 50)
+  private val MixDefaultRate = 15
+
+  /**
+   * Mixture-weighting audit: deterministically sample each source at its
+   * configured rate (the same md5-mod-100 scan-local predicate family as
+   * [[Curation.sampleStratified]] — reproducible across engines and runs,
+   * zero shuffle for the sampling itself) and account per source for what
+   * the mixture keeps (docs and characters). One scan, one groupBy.
+   */
+  def mixWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rate = coalesce(element_at(typedLit(MixRates), col("source")),
+      lit(MixDefaultRate))
+    docs(s, dir)
+      .select(col("source"), col("n_chars"), rate.as("rate"),
+        (Curation.md5Mod100(col("doc_id")) < rate).as("keep"))
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Corpus term scoring (tf-idf shape) — text_tfidf_topk
+  // ---------------------------------------------------------------------
+
+  /** Result size for the term ranking. */
+  private val TopTerms = 40
+
+  /**
+   * Corpus-level term statistics and ranking — the tf-idf shape: explode
+   * to (doc, term), aggregate term frequency and document frequency in one
+   * pass, score, top-K. The score is the integer `tf · (N − df)` (df-damped
+   * frequency) rather than `tf · ln(N/df)`: the ORDERING is the same
+   * monotone-in-df family, and integer arithmetic is bit-identical across
+   * engines, where `ln` is only correctly-rounded-to-1-ulp on either side
+   * (a hash-exact oracle cannot tolerate a last-ulp tie flip).
+   *
+   * The corpus row count is a metadata-sized scalar materialized up front
+   * (the same statistics-to-driver round-trip AQE performs at stage
+   * boundaries); everything else is a single explode → groupBy(term).
+   */
+  def textTfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = docs(s, dir).count()
+    docs(s, dir)
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("score", col("tf") * (lit(nDocs) - col("df")))
+      .orderBy(col("score").desc, col("term"))
+      .limit(TopTerms)
+  }
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination by shingle overlap — decontam_overlap
+  // ---------------------------------------------------------------------
+
+  /** Tokens per decontamination shingle (GPT-3's appendix-C uses 13-gram
+    * spans at web scale; 5 keeps the synthetic short-doc corpus
+    * non-vacuous). */
+  private val DecontamShingle = 5
+  /** Overlap fraction at which a document is flagged contaminated. */
+  private val DecontamTau = 0.2
+
+  /**
+   * Held-out-benchmark decontamination: treat one source (`src0`) as the
+   * evaluation benchmark and flag training documents whose distinct
+   * [[DecontamShingle]]-token shingles overlap the benchmark's shingle set
+   * by ≥ [[DecontamTau]].
+   *
+   * Collapse-EARLY contract (the contamination_check lesson): the
+   * benchmark side is reduced to its DISTINCT shingle set before the join,
+   * so a boilerplate shingle appearing m times in the benchmark and n
+   * times in training costs n join rows, never m·n. The join is a
+   * left-semi on the shingle — at real scale the benchmark set is the
+   * small side and broadcasts; per-doc hit counting is a plain groupBy.
+   * Every training doc appears in the output (zero-hit docs with
+   * overlap 0), so the check stays non-vacuous at any scale factor.
+   */
+  def decontamOverlap(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        GraftFunctions.shingle_set(col("text"), DecontamShingle).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val bench = sh.filter(col("source") === "src0")
+      .select(explode(col("shs")).as("sh")).distinct()
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+    val hits = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(bench, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    train.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_sh").cast("double"))
+          .as("overlap_frac"),
+        (col("n_hit").cast("double") / col("n_sh").cast("double") >=
+          DecontamTau).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Contract registration
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_seg_dedup" -> (textSegDedup _),
+    "shuffle_order" -> (shuffleOrder _),
+    "mix_weighted" -> (mixWeighted _),
+    "text_tfidf_topk" -> (textTfidfTopk _),
+    "decontam_overlap" -> (decontamOverlap _))
+
+  /** DuckDB spelling of the mixture rate config. */
+  private val duckRate: String = {
+    val hi = MixRates.filter(_._2 == 90).keys.toSeq.sorted
+      .map(x => s"'$x'").mkString(", ")
+    val mid = MixRates.filter(_._2 == 50).keys.toSeq.sorted
+      .map(x => s"'$x'").mkString(", ")
+    s"CASE WHEN source IN ($hi) THEN 90 WHEN source IN ($mid) THEN 50 " +
+      s"ELSE $MixDefaultRate END"
+  }
+
+  /** DuckDB spelling of the ShingleSet kernel (same short-doc and blank
+    * contract as dedup_jaccard_ngrams' oracle). */
+  private def duckShingles(n: Int): String = {
+    val cat = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+       |    WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+       |    ELSE list_distinct(list_transform(generate_series(1, len(w) - ${n - 1}),
+       |      i -> $cat)) END""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_seg_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, (len(w) + ${SegTokens - 1}) // $SegTokens)) - 1 AS seg_no,
+         |    unnest(list_transform(generate_series(1, (len(w) + ${SegTokens - 1}) // $SegTokens),
+         |      i -> array_to_string(w[(i-1)*$SegTokens + 1 : i*$SegTokens], ' '))) AS seg
+         |  FROM t WHERE len(w) > 0),
+         |k AS (
+         |  SELECT doc_id, seg_no, seg,
+         |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+         |  FROM s)
+         |SELECT doc_id,
+         |  COUNT(1) AS n_segs,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1) AS new_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "shuffle_order" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |  FROM r)
+         |SELECT pos, doc_id, (pos - 1) % $Shards AS shard_id
+         |FROM p ORDER BY pos""".stripMargin,
+    "mix_weighted" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars, $duckRate AS rate,
+         |    CASE WHEN ${Curation.duckMd5Mod100("doc_id")} < $duckRate
+         |      THEN 1 ELSE 0 END AS keep
+         |  FROM documents)
+         |SELECT source, rate, COUNT(1) AS n_docs,
+         |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM d GROUP BY source, rate ORDER BY source""".stripMargin,
+    "text_tfidf_topk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+         |  FROM documents),
+         |a AS (
+         |  SELECT term, COUNT(1) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM t GROUP BY term)
+         |SELECT term, tf, df,
+         |  tf * ((SELECT COUNT(1) FROM documents) - df) AS score
+         |FROM a ORDER BY score DESC, term LIMIT $TopTerms""".stripMargin,
+    "decontam_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, ${duckShingles(DecontamShingle)} AS shs
+         |  FROM t),
+         |nz AS (SELECT * FROM s WHERE len(shs) > 0),
+         |b AS (SELECT DISTINCT unnest(shs) AS sh FROM nz WHERE source = 'src0'),
+         |tr AS (
+         |  SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh
+         |  FROM nz WHERE source <> 'src0'),
+         |c AS (
+         |  SELECT doc_id, unnest(shs) AS sh
+         |  FROM nz WHERE source <> 'src0'),
+         |h AS (
+         |  SELECT doc_id, COUNT(1) AS n_hit
+         |  FROM c JOIN b USING (sh) GROUP BY doc_id)
+         |SELECT tr.doc_id, tr.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+         |  COALESCE(h.n_hit, 0)::DOUBLE / tr.n_sh::DOUBLE AS overlap_frac,
+         |  COALESCE(h.n_hit, 0)::DOUBLE / tr.n_sh::DOUBLE >= $DecontamTau AS contaminated
+         |FROM tr LEFT JOIN h USING (doc_id) ORDER BY tr.doc_id""".stripMargin)
+}

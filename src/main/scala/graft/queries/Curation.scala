@@ -205,7 +205,7 @@ object Curation {
 
   /** Deterministic md5-mod-100 bucket of an id — the cross-engine
     * reproducible sampling hash (same family as the ML split). */
-  private def md5Mod100(c: Column): Column =
+  private[queries] def md5Mod100(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
   /** Per-language keep rates (percent) for the training-mix sample:
@@ -329,7 +329,7 @@ object Curation {
     "contamination_check" -> (contaminationCheck _))
 
   /** md5-mod-100 in DuckDB dialect. */
-  private def duckMd5Mod100(c: String): String =
+  private[queries] def duckMd5Mod100(c: String): String =
     s"CAST(CAST('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100"
 
   private val duckRate =
