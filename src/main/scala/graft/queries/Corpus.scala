@@ -223,6 +223,96 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // Exact global length percentiles — stats_length_pctl
+  // ---------------------------------------------------------------------
+
+  /** Percentile points for the length-distribution report. */
+  private val Pctls = Seq(25, 50, 75, 90, 99)
+
+  /**
+   * Exact document-length percentiles over the whole corpus — the length
+   * distribution every data card reports, computed EXACTLY (not
+   * approx_percentile) without a single-partition global sort: rank every
+   * doc with [[graft.operators.Quantiles.withGlobalRank]] (range shuffle +
+   * local ranks + metadata-sized offset collect), then keep the rows whose
+   * rank is the ceil(p·N/100) order statistic. Ties broken by doc_id so
+   * the selected row is deterministic.
+   */
+  def statsLengthPctl(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("n_chars"), col("doc_id"))
+    val ranked = graft.operators.Quantiles
+      .withGlobalRank(keyed, Seq(col("n_chars"), col("doc_id")), "rk", "__total")
+    val hits = ranked.withColumn("pctl",
+      explode(filter(typedLit(Pctls),
+        p => col("rk") === floor((col("__total") * p + 99) / 100))))
+    hits.select(col("pctl"), col("rk"), col("n_chars"))
+      .orderBy(col("pctl"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic exactly-N-per-source sample — sample_per_source_topn
+  // ---------------------------------------------------------------------
+
+  /** Rows to keep per source. */
+  private val PerSourceN = 10
+  /** Prefilter oversampling factor (× [[PerSourceN]]). */
+  private val Oversample = 3
+
+  /**
+   * Deterministic N-per-source sample: keep the [[PerSourceN]] docs with
+   * the smallest md5 order inside each source, but NEVER sort a whole
+   * source — a scan-local md5-mod-100 prefilter (threshold
+   * ceil(N·oversample·100 / n_src) percent, from a broadcast per-source
+   * count) shrinks each source to ~N·oversample survivors first, so the
+   * per-source rank window runs on a metadata-sized relation no matter how
+   * large the source is. The contract (and oracle) is the prefilter+rank
+   * composition — fully deterministic given the config.
+   */
+  def samplePerSourceTopn(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val thr = least(lit(100L),
+      floor((lit(PerSourceN * Oversample * 100L) + col("n_src") - 1) /
+        col("n_src")).cast("long"))
+    val survivors = d.join(broadcast(counts), Seq("source"))
+      .filter(Curation.md5Mod100(col("doc_id")) < thr)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"))
+    survivors
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("skey"), col("doc_id"))))
+      .filter(col("rn") <= PerSourceN)
+      .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Corpus composition report — corpus_report
+  // ---------------------------------------------------------------------
+
+  /**
+   * The lang × source composition matrix (docs, characters, length range,
+   * corpus share) — the "data card" table a corpus release publishes. One
+   * groupBy; the corpus-total characters is a metadata-sized scalar
+   * (single agg row to the driver, the same statistics round-trip AQE
+   * does) folded into the share projection as a literal.
+   */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val totalChars =
+      d.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("char_share",
+        round(col("sum_chars").cast("double") / lit(totalChars.toDouble), 6))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // ---------------------------------------------------------------------
   // Contract registration
   // ---------------------------------------------------------------------
 
@@ -231,7 +321,10 @@ object Corpus {
     "shuffle_order" -> (shuffleOrder _),
     "mix_weighted" -> (mixWeighted _),
     "text_tfidf_topk" -> (textTfidfTopk _),
-    "decontam_overlap" -> (decontamOverlap _))
+    "decontam_overlap" -> (decontamOverlap _),
+    "stats_length_pctl" -> (statsLengthPctl _),
+    "sample_per_source_topn" -> (samplePerSourceTopn _),
+    "corpus_report" -> (corpusReport _))
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -324,5 +417,38 @@ object Corpus {
          |SELECT tr.doc_id, tr.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
          |  COALESCE(h.n_hit, 0)::DOUBLE / tr.n_sh::DOUBLE AS overlap_frac,
          |  COALESCE(h.n_hit, 0)::DOUBLE / tr.n_sh::DOUBLE >= $DecontamTau AS contaminated
-         |FROM tr LEFT JOIN h USING (doc_id) ORDER BY tr.doc_id""".stripMargin)
+         |FROM tr LEFT JOIN h USING (doc_id) ORDER BY tr.doc_id""".stripMargin,
+    "stats_length_pctl" ->
+      s"""WITH r AS (
+         |  SELECT n_chars, doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+         |    CAST(COUNT(1) OVER () AS BIGINT) AS total
+         |  FROM documents),
+         |p AS (SELECT unnest([${Pctls.mkString(", ")}]) AS pctl)
+         |SELECT p.pctl, r.rk, r.n_chars
+         |FROM r JOIN p ON r.rk = (r.total * p.pctl + 99) // 100
+         |ORDER BY p.pctl""".stripMargin,
+    "sample_per_source_topn" ->
+      s"""WITH c AS (SELECT source, COUNT(1) AS n_src FROM documents GROUP BY source),
+         |f AS (
+         |  SELECT d.source, d.doc_id, md5(CAST(d.doc_id AS VARCHAR)) AS skey
+         |  FROM documents d JOIN c USING (source)
+         |  WHERE ${Curation.duckMd5Mod100("doc_id")} <
+         |    LEAST(100, (${PerSourceN * Oversample * 100L} + n_src - 1) // n_src)),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) AS rn
+         |  FROM f)
+         |SELECT source, doc_id, rn FROM r WHERE rn <= $PerSourceN
+         |ORDER BY source, rn""".stripMargin,
+    "corpus_report" ->
+      """WITH a AS (
+        |  SELECT lang, source, COUNT(1) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, sum_chars, min_chars, max_chars,
+        |  round(sum_chars::DOUBLE /
+        |    (SELECT SUM(n_chars)::DOUBLE FROM documents), 6) AS char_share
+        |FROM a ORDER BY lang, source""".stripMargin)
 }

@@ -172,11 +172,45 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /**
+   * Int8 symmetric-quantization accounting — the storage-shrink audit an
+   * embedding corpus runs before serving ANN from quantized vectors: per
+   * vector, the max-abs scale, how many dims quantize to zero, how many
+   * saturate at ±127, and the squared reconstruction error. Everything is
+   * a per-row codegen expression over one scan — no shuffle at all until
+   * the (tiny) ordered output. Quantization uses `floor(x/scale + 0.5)`
+   * (identical IEEE ops on both engines) rather than `round()`, whose tie
+   * behavior is engine-defined; float accumulation follows the
+   * [[Similarity]] convention (double promotion, 6-dp rounding on output).
+   * A zero vector (failed encoder) yields NULL accounting rather than a
+   * division error.
+   */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val v = dArr(col("embedding"))
+    val maxabs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), v.as("v"), size(col("embedding")).as("dim"),
+        maxabs.as("maxabs"))
+      .withColumn("scale", when(col("maxabs") > 0, col("maxabs") / 127.0d))
+      .withColumn("q", when(col("scale").isNotNull,
+        transform(col("v"), x => floor(x / col("scale") + lit(0.5d)))))
+      .select(col("vec_id"), col("dim"),
+        round(col("maxabs"), 6).as("maxabs"),
+        size(filter(col("q"), q => q === 0L)).cast("long").as("n_zero"),
+        size(filter(col("q"), q => abs(q) === 127L)).cast("long").as("n_sat"),
+        round(aggregate(
+          zip_with(col("v"), col("q"),
+            (x, q) => (x - q * col("scale")) * (x - q * col("scale"))),
+          lit(0.0), (a, e) => a + e), 6).as("sq_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
     "sim_ivf_topk" -> (simIvfTopk _),
-    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "embed_quantize" -> (embedQuantize _))
 
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
@@ -274,5 +308,26 @@ object Similarity {
         |SELECT va, vb, round(d / (sqrt(dx) * sqrt(dy)), 6) AS sim
         |FROM pairs
         |WHERE d / (sqrt(dx) * sqrt(dy)) >= 0.35
-        |ORDER BY va, vb""".stripMargin)
+        |ORDER BY va, vb""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |m AS (
+        |  SELECT e.vec_id, CAST(len(embedding) AS INT) AS dim,
+        |    MAX(abs(embedding[i]::DOUBLE)) AS maxabs
+        |  FROM e, generate_series(1, 64) t(i)
+        |  GROUP BY e.vec_id, len(embedding)),
+        |q AS (
+        |  SELECT e.vec_id, embedding[i]::DOUBLE AS x, m.maxabs / 127 AS scale,
+        |    CAST(FLOOR(embedding[i]::DOUBLE / (m.maxabs / 127) + 0.5) AS BIGINT) AS q
+        |  FROM e JOIN m USING (vec_id), generate_series(1, 64) t(i)
+        |  WHERE m.maxabs > 0),
+        |a AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |    CAST(SUM(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+        |    round(SUM((x - q * scale) * (x - q * scale)), 6) AS sq_err
+        |  FROM q GROUP BY vec_id)
+        |SELECT m.vec_id, m.dim, round(m.maxabs, 6) AS maxabs,
+        |  a.n_zero, a.n_sat, a.sq_err
+        |FROM m LEFT JOIN a USING (vec_id) ORDER BY m.vec_id""".stripMargin)
 }
