@@ -209,7 +209,7 @@ object Corpus {
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
     val hits = sh.filter(col("source") =!= "src0")
       .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .join(bench, Seq("sh"), "left_semi")
+      .join(broadcast(bench), Seq("sh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"))
     train.join(hits, Seq("doc_id"), "left")

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic cases for the corpus-preparation operators that the driver
+  * fixtures can't pin down: keep-first segment dedup with reassembly,
+  * permutation/shard invariants of the global shuffle, decontamination
+  * flagging, order statistics, per-source sampling bounds, and
+  * quantization edge vectors. */
+class CorpusSpec extends AnyFunSuite with SparkFixture {
+
+  // 8-token segments (Corpus.SegTokens); craft docs around that unit.
+  private val seg1 = "a b c d e f g h"           // segment shared by docs
+  private val seg2 = "i j k l m n o p"
+  private val seg3 = "q r s t u v w x"
+
+  private def corpusDir(): String = {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val d0 = s"$seg1 $seg2"       // doc 0: two segments, first occurrence
+    val d1 = s"$seg1 $seg3"       // doc 1: seg1 is a dup, seg3 survives
+    val d2 = seg1                 // doc 2: entirely duplicated → no text
+    val d3 = "short tail"         // doc 3: single partial segment
+    val rows = Seq(
+      (0L, d0, "en", "s0", d0.length.toLong),
+      (1L, d1, "en", "s0", d1.length.toLong),
+      (2L, d2, "en", "s1", d2.length.toLong),
+      (3L, d3, "de", "s1", d3.length.toLong))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir.toString
+  }
+
+  test("textSegDedup keeps first occurrence corpus-wide and reassembles in order") {
+    val dir = corpusDir()
+    val rows = Corpus.textSegDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows(0L) == ((2L, 2L, s"$seg1 $seg2")), "doc 0 owns both its segments")
+    assert(rows(1L) == ((2L, 1L, seg3)), "doc 1 loses the shared segment, keeps its own")
+    assert(rows(2L)._2 == 0L && rows(2L)._3 == null,
+      "a fully-duplicated doc keeps zero segments and gets NULL text")
+    assert(rows(3L) == ((1L, 1L, "short tail")), "a sub-segment doc is its own segment")
+  }
+
+  test("shuffleOrder emits a permutation with balanced round-robin shards") {
+    val dir = corpusDir()
+    val rows = Corpus.shuffleOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 4L), "pos must be a 1..N permutation")
+    assert(rows.map(_._2).toSet == Set(0L, 1L, 2L, 3L), "every doc appears once")
+    assert(rows.forall { case (pos, _, shard) => shard == (pos - 1) % 8 },
+      "shard is round-robin in shuffle order")
+    val again = Corpus.shuffleOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "the shuffle is reproducible across runs")
+  }
+
+  test("decontamOverlap flags a training doc copied from the benchmark, not an unrelated one") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val copied = s"intro words $bench trailing words here now"
+    val clean = "nothing in common with the held out benchmark rows at all"
+    val rows = Seq(
+      (0L, bench, "en", "src0", bench.length.toLong),   // the benchmark source
+      (1L, copied, "en", "src1", copied.length.toLong), // contains benchmark 5-grams
+      (2L, clean, "en", "src1", clean.length.toLong))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.decontamOverlap(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 2L), "every non-benchmark doc is reported")
+    assert(out(1L)._1 > 0 && out(1L)._2, "the copied doc overlaps and is flagged")
+    assert(out(2L) == ((0L, false)), "the clean doc has zero hits and is not flagged")
+  }
+
+  test("statsLengthPctl returns the exact order statistics") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // lengths 10,20,...,1000: pctl p → value 10 * ceil(100p/100)
+    val rows = (1 to 100).map(i => (i.toLong, "x", "en", "s0", (i * 10).toLong))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.statsLengthPctl(spark, dir.toString).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out == Map(25 -> 250L, 50 -> 500L, 75 -> 750L, 90 -> 900L, 99 -> 990L))
+  }
+
+  test("samplePerSourceTopn keeps at most N per source, deterministically") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = (0 until 300).map(i => (i.toLong, "x", "en", s"s${i % 3}", 1L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.samplePerSourceTopn(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = out.groupBy(_._1)
+    assert(bySource.keySet == Set("s0", "s1", "s2"))
+    assert(bySource.values.forall(_.length <= 10), "never more than N per source")
+    assert(bySource.values.forall(g => g.map(_._3).sorted.toSeq == (1L to g.length)),
+      "ranks are dense 1..k per source")
+    val again = Corpus.samplePerSourceTopn(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq.sorted == again.toSeq.sorted, "sample is reproducible")
+  }
+
+  test("embedQuantize handles a zero vector with NULL accounting and counts saturation") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val unit = Array.fill(4)(1.0f)               // every dim saturates at ±127
+    val zero = Array.fill(4)(0.0f)               // failed-encoder guard path
+    val mixed = Array(1.0f, 0.5f, 0.0f, -1.0f)   // one exact zero, two saturated
+    writeTable(dir, "embeddings", Seq(
+      (0L, unit, 0), (1L, zero, 0), (2L, mixed, 1))
+      .toDF("vec_id", "embedding", "label"))
+    val out = Similarity.embedQuantize(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(3) == 0 && out(0L).getLong(4) == 4,
+      "all-ones vector saturates every dim")
+    assert(out(0L).getDouble(5) == 0.0,
+      "±maxabs reconstructs exactly (to 6 dp)")
+    assert(out(1L).isNullAt(3) && out(1L).isNullAt(4) && out(1L).isNullAt(5),
+      "zero vector gets NULL accounting, not a division error")
+    assert(out(2L).getLong(3) == 1 && out(2L).getLong(4) == 2,
+      "mixed vector counts one zero and two saturated dims")
+  }
+}
