@@ -67,6 +67,32 @@ class ScanHygieneSpec extends AnyFunSuite with SparkFixture {
     assert(bhj.nonEmpty, "no broadcast joins in the multi-dim join")
   }
 
+  test("decontam_overlap: the benchmark shingle set is the broadcast side of the semi-join") {
+    val df = SparkEntry.queries("decontam_overlap")(spark, sfDir)
+    val bhj = df.queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec if b.joinType.sql == "LEFT SEMI" => b }
+    assert(bhj.nonEmpty,
+      "decontamination semi-join does not broadcast the benchmark set — " +
+        "at 100 TB that shuffles the training corpus instead of shipping the benchmark")
+  }
+
+  test("sample_per_source_topn: per-source counts broadcast; docs scan reads few columns") {
+    val df = SparkEntry.queries("sample_per_source_topn")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "the per-source count relation must broadcast, not shuffle the corpus")
+    val schemas = scans(plan).map(_.requiredSchema)
+    assert(schemas.nonEmpty && schemas.forall(_.size <= 2),
+      s"sampler scans more than (doc_id, source): $schemas")
+  }
+
+  test("corpus_report: scan reads only the three report columns") {
+    val df = SparkEntry.queries("corpus_report")(spark, sfDir)
+    val schemas = scans(df.queryExecution.sparkPlan).map(_.requiredSchema)
+    assert(schemas.nonEmpty && schemas.forall(_.size <= 3),
+      s"report scans text columns it never aggregates: $schemas")
+  }
+
   test("output_predictions: latest-shard gclid scan prunes partitions; band join broadcasts") {
     val df = SparkEntry.queries("output_predictions")(spark, sfDir)
     val plan = df.queryExecution.sparkPlan
