@@ -313,6 +313,66 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // Duplicate-cluster-size histogram — dedup_cluster_sizes
+  // ---------------------------------------------------------------------
+
+  /**
+   * How much of the corpus is duplicated, by cluster size: group exact
+   * duplicates (bag-of-words fingerprint, the [[Text.dedupBowFp]] key),
+   * then histogram the cluster sizes — the "n docs appear k times"
+   * table a dedup report leads with. Two linear aggregations, both
+   * map-side combinable; the second input is one row per DISTINCT
+   * fingerprint, already corpus-collapsed.
+   */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(32)
+    docs(s, dir)
+      .repartition(parts, col("doc_id")) // spread before the tokenize+hash kernel
+      .select(Text.bowFp(s, col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("csize") * col("n_clusters"))
+      .orderBy(col("csize"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Token-budget mixture fill — mix_token_budget
+  // ---------------------------------------------------------------------
+
+  /** Token budget for the mixture-fill accounting. */
+  private val TokenBudget = 20000L
+
+  /**
+   * Fill a fixed token budget from the weighted mixture: apply the
+   * [[MixRates]] sampling predicate (scan-local, zero shuffle), walk the
+   * kept docs in deterministic md5 order, and stop when the cumulative
+   * token count passes [[TokenBudget]] — then account per source for what
+   * made it in. The "draw 1T tokens from the weighted mixture" step of a
+   * pretraining data recipe, with an exact, reproducible cutoff.
+   *
+   * The cumulative count uses
+   * [[graft.operators.Quantiles.withRunningTotal]] — the two-pass exact
+   * prefix sum (range shuffle + per-partition offsets) — never a
+   * single-partition `SUM OVER (ORDER BY ...)` window.
+   */
+  def mixTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val rate = coalesce(element_at(typedLit(MixRates), col("source")),
+      lit(MixDefaultRate))
+    val kept = docs(s, dir)
+      .filter(Curation.md5Mod100(col("doc_id")) < rate)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"),
+        size(Text.words(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Quantiles
+      .withRunningTotal(kept, Seq(col("skey"), col("doc_id")), "n_tok", "cum_tok")
+      .filter(col("cum_tok") <= TokenBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
   // Contract registration
   // ---------------------------------------------------------------------
 
@@ -324,7 +384,9 @@ object Corpus {
     "decontam_overlap" -> (decontamOverlap _),
     "stats_length_pctl" -> (statsLengthPctl _),
     "sample_per_source_topn" -> (samplePerSourceTopn _),
-    "corpus_report" -> (corpusReport _))
+    "corpus_report" -> (corpusReport _),
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "mix_token_budget" -> (mixTokenBudget _))
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -450,5 +512,27 @@ object Corpus {
         |SELECT lang, source, n_docs, sum_chars, min_chars, max_chars,
         |  round(sum_chars::DOUBLE /
         |    (SELECT SUM(n_chars)::DOUBLE FROM documents), 6) AS char_share
-        |FROM a ORDER BY lang, source""".stripMargin)
+        |FROM a ORDER BY lang, source""".stripMargin,
+    "dedup_cluster_sizes" ->
+      """WITH f AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp
+        |  FROM documents),
+        |c AS (SELECT fp, COUNT(1) AS csize FROM f GROUP BY fp)
+        |SELECT csize, COUNT(1) AS n_clusters,
+        |  CAST(csize * COUNT(1) AS BIGINT) AS n_docs
+        |FROM c GROUP BY csize ORDER BY csize""".stripMargin,
+    "mix_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |  WHERE ${Curation.duckMd5Mod100("doc_id")} < $duckRate),
+         |c AS (
+         |  SELECT source, n_tok,
+         |    SUM(n_tok) OVER (ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok
+         |  FROM d)
+         |SELECT source, COUNT(1) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM c WHERE cum_tok <= $TokenBudget
+         |GROUP BY source ORDER BY source""".stripMargin)
 }
