@@ -385,50 +385,75 @@ object Dedup {
   def dedupMinhashLshMd5(s: SparkSession, dir: String): DataFrame =
     minhashLshPipeline(s, dir, md5Hash32, md5BandKey)
 
-  /** Shared LSH front half: per-doc shingle sets and the bucket-capped
-    * banded relation (band, key, doc_id, mh). Returns (base, pruned). */
-  private def bandedFor(s: SparkSession, dir: String,
+  /**
+   * Per-doc banded LSH signature of an arbitrary `(doc_id, text, ...)`
+   * relation: `(doc_id, shingles, mh[32], bands[(band, key)])`. Every
+   * column is a per-row codegen expression — no shuffle, no window —
+   * which is what makes the SAME signature computation legal on a
+   * STREAMING DataFrame ([[graft.streaming.StreamingOps]]'s incremental
+   * dedup probe) and on the batch corpus side alike.
+   */
+  private[graft] def bandSignatures(docs: DataFrame,
       hash32: Column => Column,
-      bandKey: Seq[Column] => Column): (DataFrame, DataFrame) = {
-    GraftFunctions.register(s)
-    val base = spreadDocs(s, dir)
-      .select(col("doc_id"),
-        GraftFunctions.shingle_set(col("text"), 3).as("shingles"))
+      bandKey: Seq[Column] => Column): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val base = docs
+      .withColumn("shingles", GraftFunctions.shingle_set(col("text"), 3))
       .withColumn("sh_hashes", transform(col("shingles"), hash32))
-
     // all 32 min-hashes in ONE codegen'd pass over the shingle hashes —
     // the per-permutation transform+array_min spelling interpreted a
     // lambda per (shingle × permutation) and dominated the pipeline
     val mhArr = GraftFunctions.affine_minhash(col("sh_hashes"),
       (0 until MinhashPerms).map(permA), (0 until MinhashPerms).map(permB))
-    val withMh = base.select(col("doc_id"), mhArr.as("mh"))
-
+    val withMh = base.withColumn("mh", mhArr).drop("sh_hashes")
     // band keys: hash of the 4 minhashes in each band
     val bandCols = (0 until LshBands).map { b =>
       val slice = (0 until 4).map(r => col("mh")(b * 4 + r))
       struct(lit(b).as("band"), bandKey(slice).as("key"))
     }
+    withMh.withColumn("bands", array(bandCols: _*))
+  }
+
+  /** [[bandSignatures]] in the md5 (oracle-checkable) hash family. */
+  private[graft] def md5BandSignatures(docs: DataFrame): DataFrame =
+    bandSignatures(docs, md5Hash32, md5BandKey)
+
+  /** Shared LSH front half: per-doc shingle sets and the bucket-capped
+    * banded relation (band, key, doc_id, mh). Returns (base, pruned). */
+  private def bandedFor(s: SparkSession, dir: String,
+      hash32: Column => Column,
+      bandKey: Seq[Column] => Column): (DataFrame, DataFrame) = {
+    val sigs = bandSignatures(spreadDocs(s, dir), hash32, bandKey)
+    val base = sigs.select(col("doc_id"), col("shingles"))
     // Candidate generation stays NARROW: (band, key, doc_id, mh[32]) flows
     // through the join — shingle arrays re-attach by doc_id only for
     // candidates that survive. Oversized buckets (degenerate boilerplate
     // clusters) are dropped before the quadratic pair expansion.
-    val banded = withMh
-      .select(col("doc_id"), col("mh"), explode(array(bandCols: _*)).as("bk"))
+    val banded = sigs
+      .select(col("doc_id"), col("mh"), explode(col("bands")).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"), col("mh"))
-    val wb = Window.partitionBy(col("band"), col("key"))
-    val pruned = banded
-      .withColumn("bsz", count(lit(1)).over(wb))
-      .filter(col("bsz") <= MaxBucketSize)
-      .drop("bsz")
+    val pruned = cappedBands(banded)
     (base, pruned)
   }
 
+  /** Drop oversized (band, key) buckets — degenerate boilerplate clusters
+    * — before any pair expansion. Batch-side only (window). */
+  private[graft] def cappedBands(banded: DataFrame): DataFrame = {
+    val wb = Window.partitionBy(col("band"), col("key"))
+    banded
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= MaxBucketSize)
+      .drop("bsz")
+  }
+
   /** Exact-Jaccard verification of candidate (da, db) pairs against the
-    * per-doc shingle sets; keeps pairs with J ≥ 0.5. */
-  private def verifyPairs(base: DataFrame, cand: DataFrame,
-      da: String, db: String): DataFrame = {
+    * per-doc shingle sets; keeps pairs with J ≥ 0.5. `sort = false` for
+    * streaming callers (global sort is illegal on an unbounded result —
+    * the sink orders instead). */
+  private[graft] def verifyPairs(base: DataFrame, cand: DataFrame,
+      da: String, db: String, sort: Boolean = true): DataFrame = {
     val shingleSets = base.select(col("doc_id"), col("shingles"))
-    cand
+    val scored = cand
       .join(shingleSets.select(col("doc_id").as(da), col("shingles").as("sha")), da)
       .join(shingleSets.select(col("doc_id").as(db), col("shingles").as("shb")), db)
       .withColumn("inter",
@@ -437,7 +462,7 @@ object Dedup {
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= 0.5)
       .select(col(da), col(db), round(col("jac"), 6).as("jac"))
-      .orderBy(col(da), col(db))
+    if (sort) scored.orderBy(col(da), col(db)) else scored
   }
 
   private def minhashLshPipeline(s: SparkSession, dir: String,
@@ -458,7 +483,7 @@ object Dedup {
   }
 
   /** Minhash-agreement estimate over (mha, mhb): count of equal slots. */
-  private def mhAgree: Column = size(filter(zip_with(col("mha"), col("mhb"),
+  private[graft] def mhAgree: Column = size(filter(zip_with(col("mha"), col("mhb"),
     (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
 
   /**
@@ -503,7 +528,7 @@ object Dedup {
     "dedup_minhash_lsh_md5" -> (dedupMinhashLshMd5 _),
     "dedup_incremental_md5" -> (dedupIncrementalMd5 _))
 
-  private def minhashAgreeMin: Int = (MinhashEstThreshold * MinhashPerms).toInt
+  private[graft] def minhashAgreeMin: Int = (MinhashEstThreshold * MinhashPerms).toInt
 
   /** Shared DuckDB CTE block mirroring [[bandedFor]] with the md5 family
     * (constants generated by the same permA/permB loop as the Spark

@@ -182,4 +182,65 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
   }
+
+  /**
+   * Streaming incremental NEAR-dup check (dedup_incremental_md5
+   * unbounded): an arriving document stream `(doc_id, text, ingest_ts)`
+   * is probed against the STATIC corpus band index through a
+   * stream-static equi-join on `(band, key)` — the continuously-ingesting
+   * twin of the daily-batch probe, same md5 LSH family end-to-end
+   * ([[graft.queries.Dedup.md5BandSignatures]] is per-row codegen only,
+   * so the identical signature computation runs legally on the stream).
+   *
+   * Scale shape: the corpus index is the stored banded relation a
+   * production pipeline maintains between ingests (bucket-capped batch
+   * side — the window cap is computed once, statically); the stream side
+   * never shuffles until the candidate dedup, whose state is bounded by
+   * the watermark via `dropDuplicatesWithinWatermark`. Exact-Jaccard
+   * verification re-joins the static shingle sets by candidate doc id
+   * only — corpus text never streams.
+   */
+  def incrementalDedupStream(newDocs: DataFrame, corpusDocs: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    import graft.queries.Dedup
+    // static side: banded + capped corpus index, and its shingle sets
+    val corpusSigs = Dedup.md5BandSignatures(corpusDocs)
+    val index = Dedup.cappedBands(corpusSigs
+      .select(col("doc_id"), col("mh"), explode(col("bands")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"), col("mh")))
+      .select(col("band"), col("key"),
+        col("doc_id").as("old_doc"), col("mh").as("mhb"))
+    val corpusShingles = corpusSigs
+      .select(col("doc_id").as("old_doc"), col("shingles").as("shb"))
+    // stream side: identical per-row signature, then the stream-static
+    // probe join; agreement prefilter BEFORE the stateful dedup so state
+    // holds only plausible pairs
+    val probe = Dedup.md5BandSignatures(newDocs)
+      .select(col("doc_id").as("new_doc"), col("ingest_ts"),
+        col("shingles").as("sha"), col("mh").as("mha"),
+        explode(col("bands")).as("bk"))
+      .select(col("new_doc"), col("ingest_ts"), col("sha"), col("mha"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = probe
+      .withWatermark("ingest_ts", lateness)
+      .join(index, Seq("band", "key"))
+      .filter(Dedup.mhAgree >= lit(Dedup.minhashAgreeMin))
+      .select(col("new_doc"), col("old_doc"), col("ingest_ts"), col("sha"))
+      .dropDuplicatesWithinWatermark("new_doc", "old_doc")
+    // exact-Jaccard verify, inline (same math as Dedup.verifyPairs; the
+    // corpus shingle sets re-join by surviving candidate id only, and a
+    // streaming result can't carry the batch twin's global ORDER BY —
+    // the sink orders)
+    val inter = graft.functions.GraftFunctions
+      .sorted_intersect_size(col("sha"), col("shb")).cast("double")
+    cand
+      .join(corpusShingles, Seq("old_doc"))
+      .withColumn("inter", inter)
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
+      .withColumn("jac", col("inter") / col("uni"))
+      .filter(col("jac") >= 0.5)
+      .select(col("new_doc"), col("old_doc"), round(col("jac"), 6).as("jac"))
+  }
 }

@@ -154,4 +154,44 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
       assert(ids.min == 1L || ids.min == 2L) // exactly one of the dup pair survives
     } finally q.stop()
   }
+
+  test("incrementalDedupStream: stream-static probe matches the batch incremental check") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // same near-dup geometry as DedupSpec: corpus = base + unrelated,
+    // arriving batch = near-dup, exact copy, and a fresh doc
+    val base = "spark makes big data processing fast scalable reliable for everyone working with huge datasets every day"
+    val nearDup = "spark makes big data processing fast scalable reliable for everyone working with huge datasets every night"
+    val unrelated = "completely different words about cooking pasta with tomato sauce basil"
+    val fresh = "totally fresh words never seen anywhere in the corpus before now"
+    val dir = tmpSfDir()
+    writeTable(dir, "documents", Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (3L, unrelated, "en", "s0", unrelated.length.toLong),
+      (11L, nearDup, "en", "s9", nearDup.length.toLong),
+      (12L, base, "en", "s9", base.length.toLong),
+      (13L, fresh, "en", "s9", fresh.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // the batch twin on the same split (s9 is the max source = the batch)
+    val expected = graft.queries.Dedup.dedupIncrementalMd5(s, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.contains((12L, 0L, 1.0)),
+      "fixture sanity: the exact copy must pair with its corpus original")
+    val corpus = s.read.parquet(s"$dir/documents.parquet").filter($"source" === "s0")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val stream = in.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = incrementalDedupStream(stream, corpus).writeStream
+      .format("memory").queryName("incdedup").outputMode("append").start()
+    try {
+      in.addData((11L, nearDup, ts(0)), (12L, base, ts(1)))
+      q.processAllAvailable()
+      in.addData((13L, fresh, ts(30)))
+      q.processAllAvailable()
+      val got = s.table("incdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"stream result $got must equal the batch incremental result $expected")
+    } finally q.stop()
+  }
 }
