@@ -313,6 +313,26 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // Hierarchical rollup of the composition report — corpus_rollup
+  // ---------------------------------------------------------------------
+
+  /**
+   * The composition report with subtotals — `ROLLUP(lang, source)`: per
+   * (lang, source), per lang, and grand total in ONE pass (Catalyst's
+   * Expand operator replicates each row per grouping set BEFORE the
+   * single hash aggregate, so the subtotal levels share one shuffle
+   * instead of a union of three aggregations). `grouping_id` marks the
+   * level exactly as the SQL-standard GROUPING() bitmap does.
+   */
+  def corpusRollup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lvl"), col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  // ---------------------------------------------------------------------
   // Duplicate-cluster-size histogram — dedup_cluster_sizes
   // ---------------------------------------------------------------------
 
@@ -386,7 +406,8 @@ object Corpus {
     "sample_per_source_topn" -> (samplePerSourceTopn _),
     "corpus_report" -> (corpusReport _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
-    "mix_token_budget" -> (mixTokenBudget _))
+    "mix_token_budget" -> (mixTokenBudget _),
+    "corpus_rollup" -> (corpusRollup _))
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -534,5 +555,11 @@ object Corpus {
          |  FROM d)
          |SELECT source, COUNT(1) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM c WHERE cum_tok <= $TokenBudget
-         |GROUP BY source ORDER BY source""".stripMargin)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "corpus_rollup" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS lvl,
+        |  COUNT(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
 }

@@ -102,6 +102,42 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq.sorted == again.toSeq.sorted, "sample is reproducible")
   }
 
+  test("dedupClusterSizes histograms bow-fingerprint clusters, counting permuted copies") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val a = "alpha beta gamma"
+    val aPerm = "gamma alpha beta"        // same word set → same cluster
+    val b = "delta epsilon"
+    val rows = Seq(
+      (0L, a, "en", "s0", 1L), (1L, aPerm, "en", "s0", 1L), (2L, a, "en", "s1", 1L),
+      (3L, b, "en", "s0", 1L), (4L, b, "en", "s1", 1L),
+      (5L, "unique words here", "en", "s0", 1L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.dedupClusterSizes(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)),
+      s"expected one singleton, one pair, one triple; got $out")
+  }
+
+  test("mixTokenBudget fills the budget exactly in deterministic order and stays under it") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 100 docs at 90% keep + 100 at the 15% default, 300 tokens each —
+    // the 20k budget binds, and cum sums are multiples of 300
+    val text300 = (1 to 300).map(i => s"w$i").mkString(" ")
+    val rows = (0 until 100).map(i => (i.toLong, text300, "en", "src0", 1L)) ++
+      (100 until 200).map(i => (i.toLong, text300, "en", "other", 1L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.mixTokenBudget(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = out.map(_._3).sum
+    assert(total == (20000L / 300) * 300,
+      s"the budget must fill to the last whole doc (19800); got $total in $out")
+    val again = Corpus.mixTokenBudget(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq.sorted == again.toSeq.sorted, "the fill is reproducible")
+  }
+
   test("embedQuantize handles a zero vector with NULL accounting and counts saturation") {
     import spark.implicits._
     val dir = tmpSfDir()
