@@ -92,6 +92,32 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * Event-time sliding aggregate — a RANGE frame over microsecond event
+   * time (q_range_frame): at every event, the count and exact-decimal
+   * value sum of that user's trailing hour, reduced to the per-user PEAK
+   * (burst detection — the "most active hour" metric). The only window
+   * shape in the inventory with a value-based frame: peer rows enter by
+   * time distance, not row position, so same-instant events are always
+   * frame-mates regardless of tie order. Partitioned by `user_id` —
+   * hash-distributed, no global sort, scale-safe like every other
+   * per-user window here.
+   */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-hourUs, 0)
+    ev(s, dir)
+      .withColumn("us", epochUs())
+      .select(col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(dec(col("value"))).over(w).cast("double").as("val_last_hour"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_last_hour")).as("peak_events_hour"),
+        max(col("val_last_hour")).as("peak_value_hour"))
+      .orderBy(col("user_id"))
+  }
+
   /** JSON property extraction from the props column (GA4 event_params
     * analog): get_json_object + typed cast + agg. */
   def q24JsonProps(s: SparkSession, dir: String): DataFrame =
@@ -160,7 +186,8 @@ object Events {
     "q12_lag_lead" -> (q12LagLead _),
     "q21_sessionize" -> (q21Sessionize _),
     "q24_json_props" -> (q24JsonProps _),
-    "q25_hour_buckets" -> (q25HourBuckets _))
+    "q25_hour_buckets" -> (q25HourBuckets _),
+    "q_range_frame" -> (qRangeFrame _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
@@ -227,5 +254,17 @@ object Events {
     "q25_hour_buckets" ->
       """SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour_of_day, COUNT(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY hour_of_day ORDER BY hour_of_day""".stripMargin)
+        |FROM events GROUP BY hour_of_day ORDER BY hour_of_day""".stripMargin,
+    "q_range_frame" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    COUNT(1) OVER win AS n_last_hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER win AS DOUBLE) AS val_last_hour
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(MAX(n_last_hour) AS BIGINT) AS peak_events_hour,
+        |  MAX(val_last_hour) AS peak_value_hour
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
