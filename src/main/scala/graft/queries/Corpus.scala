@@ -313,6 +313,36 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // Doc-store ↔ vector-store coverage audit — integrity_full_outer
+  // ---------------------------------------------------------------------
+
+  /** Minimum characters for a doc to be embedding-worthy (the audit's
+    * "should have a vector" predicate — ~the corpus median). */
+  private val EmbedWorthyChars = 300L
+
+  /**
+   * FULL OUTER integrity audit between the document store and the vector
+   * store: every embedding-worthy doc should have a vector
+   * (`doc_id = vec_id`), every vector should have a live doc — count the
+   * matched, the missing-embedding, and the orphaned-vector populations
+   * in one pass. The inventory's full-outer join: a shuffle equi-join on
+   * the id with BOTH null sides meaningful, then a metadata-sized
+   * status aggregate.
+   */
+  def integrityFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("n_chars") >= EmbedWorthyChars)
+      .select(col("doc_id"))
+    val e = load(s, dir, "embeddings").select(col("vec_id"))
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .select(when(col("doc_id").isNotNull && col("vec_id").isNotNull, "both")
+        .when(col("vec_id").isNull, "missing_embedding")
+        .otherwise("orphaned_vector").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
+  // ---------------------------------------------------------------------
   // Hierarchical rollup of the composition report — corpus_rollup
   // ---------------------------------------------------------------------
 
@@ -407,7 +437,8 @@ object Corpus {
     "corpus_report" -> (corpusReport _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "mix_token_budget" -> (mixTokenBudget _),
-    "corpus_rollup" -> (corpusRollup _))
+    "corpus_rollup" -> (corpusRollup _),
+    "integrity_full_outer" -> (integrityFullOuter _))
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -561,5 +592,13 @@ object Corpus {
         |  CAST(GROUPING(lang, source) AS BIGINT) AS lvl,
         |  COUNT(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
-        |ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+        |ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "integrity_full_outer" ->
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE n_chars >= $EmbedWorthyChars),
+         |e AS (SELECT vec_id FROM embeddings)
+         |SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'both'
+         |            WHEN vec_id IS NULL THEN 'missing_embedding'
+         |            ELSE 'orphaned_vector' END AS status, COUNT(1) AS n
+         |FROM d FULL OUTER JOIN e ON doc_id = vec_id
+         |GROUP BY status ORDER BY status""".stripMargin)
 }
