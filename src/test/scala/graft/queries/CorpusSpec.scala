@@ -138,6 +138,21 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq.sorted == again.toSeq.sorted, "the fill is reproducible")
   }
 
+  test("HLL sketch: approx_count_distinct tracks the exact vocabulary within its rsd") {
+    import org.apache.spark.sql.functions._
+    // the sketch path for the tf-idf/vocab family at 100 TB: one pass, no
+    // exact distinct shuffle — verify the error envelope on real fixtures
+    val terms = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(Text.words(col("text"))).as("term"))
+    val row = terms.agg(
+      countDistinct(col("term")).as("exact"),
+      approx_count_distinct(col("term"), 0.02).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"sketch estimate $approx drifted >5% from exact $exact")
+  }
+
   test("embedQuantize handles a zero vector with NULL accounting and counts saturation") {
     import spark.implicits._
     val dir = tmpSfDir()
