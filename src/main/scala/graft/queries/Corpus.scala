@@ -300,16 +300,62 @@ object Corpus {
    */
   def corpusReport(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // coalesce: an empty corpus sums to NULL, not 0 (getLong would NPE);
+    // the zero-total guard keeps the share NULL (matching the oracle's
+    // CASE) instead of engine-defined 0/0 arithmetic
     val totalChars =
-      d.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+      d.agg(coalesce(sum(col("n_chars")), lit(0L))).collect()(0).getLong(0)
     d.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
       .withColumn("char_share",
-        round(col("sum_chars").cast("double") / lit(totalChars.toDouble), 6))
+        when(lit(totalChars) > 0,
+          round(col("sum_chars").cast("double") / lit(totalChars.toDouble), 6)))
       .orderBy(col("lang"), col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Shingle-set algebra — shingle_except / shingle_intersect
+  // ---------------------------------------------------------------------
+
+  /** (source, shingle) pairs — the exploded [[DecontamShingle]]-gram
+    * relation (unigrams/bigrams would be vacuous here: the synthetic
+    * corpus draws every doc from one ~31-word vocabulary, so only
+    * higher-order shingles distinguish slices). The benchmark slice is
+    * the lexicographically FIRST source — data-derived (a metadata-sized
+    * 1-row aggregate), so the operator is non-vacuous on any corpus. */
+  private def shinglesBySource(s: SparkSession, dir: String): (String, DataFrame) = {
+    GraftFunctions.register(s)
+    val benchSrc = docs(s, dir).agg(min(col("source"))).first().getString(0)
+    val sh = docs(s, dir).select(col("source"),
+      explode(GraftFunctions.shingle_set(col("text"), DecontamShingle)).as("shingle"))
+    (benchSrc, sh)
+  }
+
+  /**
+   * Benchmark-only shingles — the eval-set n-grams the training corpus
+   * does NOT cover (the complement of [[decontamOverlap]]'s hit set).
+   * The inventory's EXCEPT set operator: Catalyst plans it as a distinct
+   * left-anti join, one shuffle per side on the shingle.
+   */
+  def shingleExcept(s: SparkSession, dir: String): DataFrame = {
+    val (benchSrc, sh) = shinglesBySource(s, dir)
+    sh.filter(col("source") === benchSrc).select(col("shingle"))
+      .except(sh.filter(!(col("source") <=> benchSrc)).select(col("shingle")))
+      .orderBy(col("shingle"))
+  }
+
+  /**
+   * Shingles shared by the benchmark slice and the rest of the corpus —
+   * the INTERSECT twin of [[shingleExcept]] (distinct left-semi join).
+   */
+  def shingleIntersect(s: SparkSession, dir: String): DataFrame = {
+    val (benchSrc, sh) = shinglesBySource(s, dir)
+    sh.filter(col("source") === benchSrc).select(col("shingle"))
+      .intersect(sh.filter(!(col("source") <=> benchSrc)).select(col("shingle")))
+      .orderBy(col("shingle"))
   }
 
   // ---------------------------------------------------------------------
@@ -438,7 +484,9 @@ object Corpus {
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "mix_token_budget" -> (mixTokenBudget _),
     "corpus_rollup" -> (corpusRollup _),
-    "integrity_full_outer" -> (integrityFullOuter _))
+    "integrity_full_outer" -> (integrityFullOuter _),
+    "shingle_except" -> (shingleExcept _),
+    "shingle_intersect" -> (shingleIntersect _))
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -562,8 +610,9 @@ object Corpus {
         |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |  FROM documents GROUP BY lang, source)
         |SELECT lang, source, n_docs, sum_chars, min_chars, max_chars,
-        |  round(sum_chars::DOUBLE /
-        |    (SELECT SUM(n_chars)::DOUBLE FROM documents), 6) AS char_share
+        |  CASE WHEN (SELECT COALESCE(SUM(n_chars), 0) FROM documents) > 0
+        |    THEN round(sum_chars::DOUBLE /
+        |      (SELECT SUM(n_chars)::DOUBLE FROM documents), 6) END AS char_share
         |FROM a ORDER BY lang, source""".stripMargin,
     "dedup_cluster_sizes" ->
       """WITH f AS (
@@ -600,5 +649,27 @@ object Corpus {
          |            WHEN vec_id IS NULL THEN 'missing_embedding'
          |            ELSE 'orphaned_vector' END AS status, COUNT(1) AS n
          |FROM d FULL OUTER JOIN e ON doc_id = vec_id
-         |GROUP BY status ORDER BY status""".stripMargin)
+         |GROUP BY status ORDER BY status""".stripMargin,
+    "shingle_except" ->
+      s"""WITH t AS (
+         |  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT source, unnest(${duckShingles(DecontamShingle)}) AS shingle FROM t),
+         |m AS (SELECT MIN(source) AS bs FROM documents)
+         |SELECT shingle FROM b WHERE source = (SELECT bs FROM m)
+         |EXCEPT
+         |SELECT shingle FROM b WHERE source IS DISTINCT FROM (SELECT bs FROM m)
+         |ORDER BY shingle""".stripMargin,
+    "shingle_intersect" ->
+      s"""WITH t AS (
+         |  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT source, unnest(${duckShingles(DecontamShingle)}) AS shingle FROM t),
+         |m AS (SELECT MIN(source) AS bs FROM documents)
+         |SELECT shingle FROM b WHERE source = (SELECT bs FROM m)
+         |INTERSECT
+         |SELECT shingle FROM b WHERE source IS DISTINCT FROM (SELECT bs FROM m)
+         |ORDER BY shingle""".stripMargin)
 }
