@@ -118,6 +118,40 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * Ordered 3-stage funnel (q_funnel): per user, the earliest
+   * view → first click within [[FunnelWindowUs]] after that view → first
+   * purchase within the window after that click, with the stage reached.
+   * The marketing staple the reference's audiences are built from,
+   * computed with per-stage conditional aggregation: each stage is an
+   * equi-join on `user_id` (hash-shuffled, one row per user on the build
+   * side) plus a time filter — never a per-user sort or a cross join of
+   * a user's events.
+   */
+  /** Per-stage attribution window (24 h in µs). */
+  private val FunnelWindowUs = 86400000000L
+
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("us", epochUs())
+      .select(col("user_id"), col("event_type"), col("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("view_us") && col("us") <= col("view_us") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("click_us") && col("us") <= col("click_us") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        (lit(1L) + col("click_us").isNotNull.cast("long") +
+          col("purchase_us").isNotNull.cast("long")).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** JSON property extraction from the props column (GA4 event_params
     * analog): get_json_object + typed cast + agg. */
   def q24JsonProps(s: SparkSession, dir: String): DataFrame =
@@ -187,7 +221,8 @@ object Events {
     "q21_sessionize" -> (q21Sessionize _),
     "q24_json_props" -> (q24JsonProps _),
     "q25_hour_buckets" -> (q25HourBuckets _),
-    "q_range_frame" -> (qRangeFrame _))
+    "q_range_frame" -> (qRangeFrame _),
+    "q_funnel" -> (qFunnel _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
@@ -266,5 +301,27 @@ object Events {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
         |SELECT user_id, CAST(MAX(n_last_hour) AS BIGINT) AS peak_events_hour,
         |  MAX(val_last_hour) AS peak_value_hour
-        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_funnel" ->
+      s"""WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+        |    AND epoch_us(e.ts) <= v.view_us + $FunnelWindowUs
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        |    AND epoch_us(e.ts) <= c.click_us + $FunnelWindowUs
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+        |  CAST(1 + CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin)
 }
