@@ -152,6 +152,40 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * Time-series gap fill + LOCF (q_gap_fill): the dense per-user daily
+   * panel — every (user, day) cell over the corpus date span, zero-filled
+   * where the user was inactive, with the last ACTIVE day carried forward
+   * (the classic spine-join + last-observation-carried-forward shape
+   * reporting pipelines need before any day-over-day arithmetic).
+   *
+   * Scale shape: the date bounds are ONE metadata row to the driver; the
+   * spine is distinct-users × explode(sequence(lo, hi)) — never a
+   * cross join of two scans; the fill join is user+day hash-partitioned;
+   * the LOCF window is partitioned by user. Dense-panel size (users ×
+   * days) is the operator's contract, same as any reporting cube.
+   */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .withColumn("day", to_date(timestamp_micros(epochUs())))
+    val bounds = e.agg(min(col("day")), max(col("day"))).first()
+    val (lo, hi) = (bounds.getDate(0), bounds.getDate(1))
+    val daily = e.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    val spine = e.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(sequence(lit(lo), lit(hi))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total", coalesce(col("total"), lit(0.0d)))
+      .withColumn("last_active_day",
+        last(when(col("n") > 0, col("day")), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("n"), col("total"),
+        col("last_active_day"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** JSON property extraction from the props column (GA4 event_params
     * analog): get_json_object + typed cast + agg. */
   def q24JsonProps(s: SparkSession, dir: String): DataFrame =
@@ -222,7 +256,8 @@ object Events {
     "q24_json_props" -> (q24JsonProps _),
     "q25_hour_buckets" -> (q25HourBuckets _),
     "q_range_frame" -> (qRangeFrame _),
-    "q_funnel" -> (qFunnel _))
+    "q_funnel" -> (qFunnel _),
+    "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
@@ -323,5 +358,27 @@ object Events {
         |         + CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
-        |ORDER BY v.user_id""".stripMargin)
+        |ORDER BY v.user_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+        |d AS (
+        |  SELECT user_id, day, COUNT(1) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM e GROUP BY user_id, day),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s AS (
+        |  SELECT u.user_id, unnest(generate_series(
+        |    (SELECT MIN(day) FROM e), (SELECT MAX(day) FROM e),
+        |    INTERVAL 1 DAY))::DATE AS day
+        |  FROM u),
+        |f AS (
+        |  SELECT s.user_id, s.day,
+        |    CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+        |    COALESCE(d.total, 0.0) AS total
+        |  FROM s LEFT JOIN d USING (user_id, day))
+        |SELECT user_id, day, n, total,
+        |  last_value(CASE WHEN n > 0 THEN day END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS last_active_day
+        |FROM f ORDER BY user_id, day""".stripMargin)
 }
