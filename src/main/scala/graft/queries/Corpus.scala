@@ -359,6 +359,60 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // Wide composition table — corpus_pivot
+  // ---------------------------------------------------------------------
+
+  /** The corpus languages, pinned so the pivot schema is static (a
+    * values-less pivot adds a distinct-collection driver job and makes
+    * the output schema data-dependent — wrong for a published report). */
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  /**
+   * The composition report in WIDE form — `pivot`: one row per source,
+   * one doc-count column per language. Catalyst lowers the fixed-values
+   * pivot to a single hash aggregate with per-value conditional
+   * aggregates — one shuffle, no per-language pass.
+   */
+  def corpusPivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = docs(s, dir)
+      .groupBy(col("source"))
+      .pivot(col("lang"), Langs)
+      .agg(count(lit(1)))
+    // a (source, lang) combination with no docs pivots to NULL; the
+    // report wants an explicit zero
+    wide.select(col("source") +: Langs.map(l =>
+        coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Relative standing within a language — stats_percent_rank
+  // ---------------------------------------------------------------------
+
+  /**
+   * `PERCENT_RANK` + `CUME_DIST` over the per-language length
+   * distribution, reported for each language's 3 longest docs — where a
+   * doc stands inside its slice (the SQL-standard relative-rank pair,
+   * absent elsewhere in the inventory). Tie-stable: both functions
+   * depend only on the ORDER BY value, not tie order; the top-3 cut uses
+   * a doc_id tiebreak. All three windows share one (lang)-partitioned
+   * sort — hash-distributed, no global sort.
+   */
+  def statsPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val byLen = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val top = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        round(percent_rank().over(byLen), 6).as("pr"),
+        round(cume_dist().over(byLen), 6).as("cd"),
+        row_number().over(top).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("pr"), col("cd"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // Doc-store ↔ vector-store coverage audit — integrity_full_outer
   // ---------------------------------------------------------------------
 
@@ -486,7 +540,9 @@ object Corpus {
     "corpus_rollup" -> (corpusRollup _),
     "integrity_full_outer" -> (integrityFullOuter _),
     "shingle_except" -> (shingleExcept _),
-    "shingle_intersect" -> (shingleIntersect _))
+    "shingle_intersect" -> (shingleIntersect _),
+    "corpus_pivot" -> (corpusPivot _),
+    "stats_percent_rank" -> (statsPercentRank _))
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -671,5 +727,21 @@ object Corpus {
          |SELECT shingle FROM b WHERE source = (SELECT bs FROM m)
          |INTERSECT
          |SELECT shingle FROM b WHERE source IS DISTINCT FROM (SELECT bs FROM m)
-         |ORDER BY shingle""".stripMargin)
+         |ORDER BY shingle""".stripMargin,
+    "corpus_pivot" -> {
+      val cols = Langs.map(l =>
+        s"COUNT(1) FILTER (WHERE lang = '$l') AS $l").mkString(",\n  ")
+      s"""SELECT source,
+         |  $cols
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+    "stats_percent_rank" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pr,
+        |    round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS cd,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, pr, cd
+        |FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin)
 }
