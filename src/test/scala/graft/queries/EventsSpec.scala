@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ordering semantics the dense driver fixture can't isolate: the funnel
+  * must require STRICT stage order inside the attribution window, and the
+  * gap-fill panel must zero-fill and carry the last ACTIVE day forward. */
+class EventsSpec extends AnyFunSuite with SparkFixture {
+
+  /** ns timestamp at `minutes` past 2024-01-01T00:00Z. */
+  private def tsNs(minutes: Long): Long = 1704067200L * 1000000000L + minutes * 60L * 1000000000L
+
+  private def usOf(minutes: Long): Long = tsNs(minutes) / 1000L
+
+  test("qFunnel: stages require strict order inside the 24h window; no view means no row") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val H = 60L
+    val rows = Seq(
+      // user 1: view → click → purchase, all in order and in window → stage 3
+      (1L, 1L, tsNs(1 * H), "view", 1.0),
+      (2L, 1L, tsNs(2 * H), "click", 1.0),
+      (3L, 1L, tsNs(3 * H), "purchase", 1.0),
+      // user 2: click BEFORE its only view → the click must not count → stage 1
+      (4L, 2L, tsNs(1 * H), "click", 1.0),
+      (5L, 2L, tsNs(2 * H), "view", 1.0),
+      // user 3: click 25h after the view — outside the window → stage 1
+      (6L, 3L, tsNs(1 * H), "view", 1.0),
+      (7L, 3L, tsNs(26 * H), "click", 1.0),
+      // user 4: purchase BEFORE the qualifying click → stage 2
+      (8L, 4L, tsNs(1 * H), "view", 1.0),
+      (9L, 4L, tsNs(90), "purchase", 1.0),
+      (10L, 4L, tsNs(2 * H), "click", 1.0),
+      // user 5: no view at all → not in the funnel
+      (11L, 5L, tsNs(1 * H), "click", 1.0),
+      (12L, 5L, tsNs(2 * H), "purchase", 1.0))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.qFunnel(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "only users with a view enter the funnel")
+    assert(out(1L).getLong(4) == 3)
+    assert(out(2L).getLong(4) == 1 && out(2L).isNullAt(2),
+      "a click before the first view must not advance the funnel")
+    assert(out(3L).getLong(4) == 1, "a click outside the window must not advance the funnel")
+    assert(out(4L).getLong(4) == 2 && out(4L).isNullAt(3),
+      "a purchase before the qualifying click must not advance the funnel")
+    assert(out(1L).getLong(1) == usOf(1 * H) && out(1L).getLong(2) == usOf(2 * H) &&
+      out(1L).getLong(3) == usOf(3 * H))
+  }
+
+  test("qGapFill: dense panel zero-fills and carries the last active day forward") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val day = 24 * 60L
+    val rows = Seq(
+      // user 1 active on days 1 and 4; user 2 only on day 5 (sets the span)
+      (1L, 1L, tsNs(0 * day + 60), "view", 2.0),
+      (2L, 1L, tsNs(3 * day + 60), "view", 4.0),
+      (3L, 2L, tsNs(4 * day + 60), "view", 8.0))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.qGapFill(spark, dir.toString).collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString),
+        (r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDate(4).toString)))
+      .toMap
+    assert(out.size == 10, "2 users × 5-day span = 10 panel cells")
+    assert(out((1L, "2024-01-01")) == ((1L, 2.0, "2024-01-01")))
+    assert(out((1L, "2024-01-02")) == ((0L, 0.0, "2024-01-01")),
+      "an inactive day zero-fills and keeps the last active day")
+    assert(out((1L, "2024-01-04")) == ((1L, 4.0, "2024-01-04")))
+    assert(out((1L, "2024-01-05")) == ((0L, 0.0, "2024-01-04")))
+    assert(out((2L, "2024-01-03")) == ((0L, 0.0, null)),
+      "before any activity the carried day is NULL")
+    assert(out((2L, "2024-01-05")) == ((1L, 8.0, "2024-01-05")))
+  }
+}
