@@ -141,6 +141,34 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // Temperature-scaled mixture shares — mix_temperature
+  // ---------------------------------------------------------------------
+
+  /**
+   * Temperature-scaled sampling shares (the multilingual-pretraining
+   * recipe: p_i ∝ n_i^α flattens the source distribution so small
+   * sources aren't drowned): per source, the raw share n_i/Σn and the
+   * α = 0.5 share √n_i/Σ√n. α is pinned at 0.5 because IEEE `sqrt` is
+   * correctly-rounded on every engine — an arbitrary `pow(x, α)` is
+   * only faithfully rounded, which a hash-exact oracle can't tolerate.
+   * One count aggregate; the two denominators are a 1-row (metadata)
+   * aggregate over the per-source counts.
+   */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val t = counts.agg(sum(col("n_docs")),
+      sum(sqrt(col("n_docs").cast("double")))).first()
+    val (totalN, totalW) = (t.getLong(0), t.getDouble(1))
+    counts.select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / lit(totalN.toDouble), 6)
+          .as("raw_share"),
+        round(sqrt(col("n_docs").cast("double")) / lit(totalW), 6)
+          .as("temp_share"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
   // Corpus term scoring (tf-idf shape) — text_tfidf_topk
   // ---------------------------------------------------------------------
 
@@ -542,7 +570,8 @@ object Corpus {
     "shingle_except" -> (shingleExcept _),
     "shingle_intersect" -> (shingleIntersect _),
     "corpus_pivot" -> (corpusPivot _),
-    "stats_percent_rank" -> (statsPercentRank _))
+    "stats_percent_rank" -> (statsPercentRank _),
+    "mix_temperature" -> (mixTemperature _))
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -743,5 +772,12 @@ object Corpus {
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |SELECT lang, doc_id, n_chars, pr, cd
-        |FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin)
+        |FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
+    "mix_temperature" ->
+      """WITH c AS (SELECT source, COUNT(1) AS n_docs FROM documents GROUP BY source),
+        |t AS (SELECT SUM(n_docs) AS tn, SUM(sqrt(n_docs::DOUBLE)) AS tw FROM c)
+        |SELECT source, n_docs,
+        |  round(n_docs::DOUBLE / tn::DOUBLE, 6) AS raw_share,
+        |  round(sqrt(n_docs::DOUBLE) / tw, 6) AS temp_share
+        |FROM c, t ORDER BY source""".stripMargin)
 }
