@@ -86,9 +86,23 @@ object Bench {
       val ok = samples.filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Millisecond-rounded values keep the line ~40% shorter than raw
+    // doubles: BENCH_r06.json lost 30/95 per-query entries to the driver's
+    // fixed-size capture, and the map's tail is the first casualty. The
+    // summary fields ("metric"/"value"/"sf") sit BEFORE the per-query map
+    // for the same reason, and the full line is also written to
+    // BENCH_LOCAL.json in the repo so a truncated capture never loses data.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs}"""
+    println(line)
+    Console.out.flush()
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -9,8 +9,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every build is wrapped in [[graft.core.QueryCaches.owned]]: any
+    * intermediate a query persists (the ML events slice, the two-pass rank
+    * materializations, the collapsed dedup universe, the components
+    * checkpoint) is released automatically after the caller's FIRST action
+    * over the returned plan — cache lifetime is owned here, not by the
+    * harness's clearCache(), so a long-lived server embedding these
+    * queries accumulates nothing. One materializing action per returned
+    * DataFrame (the driver contract); construct a fresh one to re-run. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) =>
+        graft.core.QueryCaches.owned(s)(fn(s, dir)))
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Events.queries ++
       graft.queries.Arrays.queries ++

@@ -53,7 +53,7 @@ object Quantiles {
     * partition exceeds ~8.5e9 rows. */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
       rankCol: String, totalCol: String,
-      onCache: DataFrame => Unit = _ => ()): DataFrame = {
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): DataFrame = {
     Seq("__mid", "__pid", "__lrn").foreach(h => require(!df.columns.contains(h),
       s"withGlobalRank: input must not contain helper column '$h'"))
     val parts = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
@@ -125,7 +125,7 @@ object Quantiles {
    * window each document starts in.
    */
   def withRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
-      out: String, onCache: DataFrame => Unit = _ => ()): DataFrame = {
+      out: String, onCache: DataFrame => Unit = graft.core.QueryCaches.report): DataFrame = {
     require(!df.columns.contains(out),
       s"withRunningTotal: input already contains output column '$out'")
     require(df.schema(valueCol).dataType ==
@@ -166,7 +166,7 @@ object Quantiles {
 
   /** `ntile(n) OVER (ORDER BY order*)` as a distributed computation. */
   def withNtile(df: DataFrame, n: Int, order: Seq[Column], out: String,
-      onCache: DataFrame => Unit = _ => ()): DataFrame = {
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): DataFrame = {
     Seq("__rank", "__total").foreach(h => require(!df.columns.contains(h),
       s"withNtile: input must not contain helper column '$h'"))
     withGlobalRank(df, order, "__rank", "__total", onCache)

@@ -305,7 +305,7 @@ object MlCompiler {
    */
   def dataset(s: SparkSession, ga4: DataFrame, cfg: MlModel, step: Step,
       firstParty: Option[DataFrame] = None,
-      onCache: DataFrame => Unit = _ => ()): DataFrame = {
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): DataFrame = {
     GraftFunctions.register(s)
     var ev = eventsCte(ga4, cfg, step)
     firstParty.foreach { fpv =>
@@ -448,7 +448,7 @@ object MlCompiler {
    * ML.PREDICT output; callers plug in the model's scores).
    */
   def conversionValues(s: SparkSession, preds: DataFrame, cfg: MlModel,
-      onCache: DataFrame => Unit = _ => ()): DataFrame = {
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): DataFrame = {
     val n = cfg.conversionRateSegments
     val seg = Quantiles.withNtile(preds, n,
       Seq(col("probability"), col("unique_id")), "normalized_probability", onCache)

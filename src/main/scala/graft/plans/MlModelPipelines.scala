@@ -145,6 +145,13 @@ object MlModelPipelines {
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
 
   private def validateForCompile(cfg: MlModelSpec): Unit = {
+    // the reference's compiler is where a user first learns their model
+    // type can't run (`compiler.py:50-62`); our trainer's rejection
+    // (`workers/Ml.scala` estimator) must therefore surface HERE, at
+    // pipeline-compile time, not when the quarterly cron fires
+    require(!cfg.modelType.equalsIgnoreCase("DNN_REGRESSOR"),
+      "MODEL_TYPE DNN_REGRESSOR is not supported: MLlib has no perceptron " +
+        "regressor; use BOOSTED_TREE_REGRESSOR / RANDOM_FOREST_REGRESSOR / LINEAR_REG")
     require(!cfg.source.hasGa || cfg.sourceDir.nonEmpty,
       "source_dir is required to compile pipelines over a GA source")
     require(cfg.workDir.nonEmpty, "work_dir is required to compile pipelines")

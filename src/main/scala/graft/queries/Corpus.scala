@@ -151,15 +151,20 @@ object Corpus {
    * α = 0.5 share √n_i/Σ√n. α is pinned at 0.5 because IEEE `sqrt` is
    * correctly-rounded on every engine — an arbitrary `pow(x, α)` is
    * only faithfully rounded, which a hash-exact oracle can't tolerate.
-   * One count aggregate; the two denominators are a 1-row (metadata)
-   * aggregate over the per-source counts.
+   * One count aggregate; the denominators are folded on the DRIVER from
+   * the collected per-source counts (#sources rows — metadata-sized at
+   * any scale) in sorted source order: a distributed `sum(sqrt(n))` adds
+   * doubles in partition-arrival order, so its last ulp — and therefore
+   * `round(..., 6)` on an exact half-way tie — could vary run to run,
+   * which a hash-exact oracle can't tolerate.
    */
   def mixTemperature(s: SparkSession, dir: String): DataFrame = {
     val counts = docs(s, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
-    val t = counts.agg(sum(col("n_docs")),
-      sum(sqrt(col("n_docs").cast("double")))).first()
-    val (totalN, totalW) = (t.getLong(0), t.getDouble(1))
+    val perSource = counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val totalN = perSource.map(_._2).sum
+    val totalW = perSource.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
     counts.select(col("source"), col("n_docs"),
         round(col("n_docs").cast("double") / lit(totalN.toDouble), 6)
           .as("raw_share"),

@@ -111,18 +111,31 @@ object Curation {
     // Each round's plan would otherwise NEST the previous round's plan —
     // by round k Catalyst re-analyzes a depth-k tree and the fixed
     // per-round cost grows without bound (the classic iterative-DataFrame
-    // lineage blow-up). The eager localCheckpoint materializes the round
-    // and TRUNCATES lineage, so every round is constant work. (On a
-    // multi-executor cluster prefer reliable `checkpoint()` for
-    // fault-tolerant rounds; the algorithm is unchanged.)
+    // lineage blow-up). The eager checkpoint materializes the round and
+    // TRUNCATES lineage, so every round is constant work. Two flavors,
+    // selected by `spark.graft.components.reliableCheckpoint`:
+    //  - false (default): `localCheckpoint` — executor-memory blocks, the
+    //    right call on local mode and short iterations;
+    //  - true: reliable `checkpoint()` to the context's checkpoint dir —
+    //    the multi-executor-cluster setting, where an executor loss under
+    //    localCheckpoint would lose un-recomputable round state (lineage
+    //    was truncated). Requires `sc.setCheckpointDir` on a path all
+    //    executors can reach (HDFS/object store on a real cluster).
+    val reliable = s.conf.getOption("spark.graft.components.reliableCheckpoint")
+      .exists(_.toBoolean)
+    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
+      "spark.graft.components.reliableCheckpoint=true requires " +
+        "SparkContext.setCheckpointDir (a fault-tolerant path every executor can reach)")
+    def roundCheckpoint(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     def freeCheckpoint(df: DataFrame): Unit =
       df.queryExecution.analyzed.collectLeaves().foreach {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
         case _ => ()
       }
-    var labels = allDocs.select(col("doc_id"), col("doc_id").as("comp"))
-      .repartition(parts, col("doc_id"))
-      .localCheckpoint()
+    var labels = roundCheckpoint(
+      allDocs.select(col("doc_id"), col("doc_id").as("comp"))
+        .repartition(parts, col("doc_id")))
     // labels only ever decrease, so Σcomp strictly decreases until the
     // fixpoint — a single map-side-combinable agg per round is the whole
     // convergence protocol (exact DECIMAL so no precision-induced early stop)
@@ -139,12 +152,11 @@ object Curation {
         .join(labels.select(col("doc_id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src")).agg(min(col("dcomp")).as("nbr_comp"))
         .withColumnRenamed("src", "doc_id")
-      val next = labels
+      val next = roundCheckpoint(labels // eager: materializes the round, truncates lineage
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .repartition(parts, col("doc_id"))
-        .localCheckpoint() // eager: materializes the round, truncates lineage
+        .repartition(parts, col("doc_id")))
       val sumNow = labelSum(next)
       freeCheckpoint(labels)
       labels = next
@@ -153,6 +165,14 @@ object Curation {
       iter += 1
     }
     edges.unpersist(false)
+    // the FINAL round's checkpoint RDD backs the returned plan for its
+    // whole lifetime — hand its release to the enclosing query scope
+    // (QueryCaches.owned unpersists it after the caller's first action)
+    labels.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        graft.core.QueryCaches.reportRdd(l.rdd)
+      case _ => ()
+    }
     if (!done)
       throw new IllegalStateException(
         s"connected components did not converge in $MaxIters rounds — " +

@@ -122,10 +122,12 @@ object Dedup {
     * of the returned DataFrames — it feeds the cardinality probe, both
     * pair-join sides, and the member expansion, and there is no point
     * before the caller's final action at which it could be released here.
-    * One-shot consumers (Verify/Bench) clearCache() between queries; a
-    * long-lived service should do the same after materializing results. */
+    * The persist is reported through `onCache`
+    * ([[graft.core.QueryCaches]]): the public query entries auto-release
+    * it after their first action; long-lived callers thread a CacheScope. */
   private[queries] def jaccardSetGraph(docSets: DataFrame,
-      probeDense: Boolean = true): (DataFrame, DataFrame) = {
+      probeDense: Boolean = true,
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): (DataFrame, DataFrame) = {
     // empty word sets are OUT of the pair universe: Jaccard over two empty
     // sets is 0/0, and the oracle's inverted-index join can never pair
     // them — treating them as mutual duplicates was both a divide-by-zero
@@ -138,13 +140,14 @@ object Dedup {
         dw.select(explode(col("words")).as("w")).distinct()
           .limit(DenseVocabBits + 1).collect().map(_.getString(0))
       else Array.empty[String]
-    if (probeDense && probe.length <= DenseVocabBits) densePairs(dw, probe)
-    else ppjoinPairs(dw)
+    if (probeDense && probe.length <= DenseVocabBits) densePairs(dw, probe, onCache)
+    else ppjoinPairs(dw, onCache)
   }
 
-  private[queries] def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true): DataFrame = {
+  private[queries] def jaccardPairs(docSets: DataFrame, probeDense: Boolean = true,
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): DataFrame = {
     // groups carries (lang, members, nw [, mask|words...]) per unique set
-    val (setPairs, groups) = jaccardSetGraph(docSets, probeDense)
+    val (setPairs, groups) = jaccardSetGraph(docSets, probeDense, onCache)
 
     // expand qualifying set pairs to all member doc pairs (distinct sets
     // never share a doc, so no duplicates can arise)
@@ -181,7 +184,8 @@ object Dedup {
     * would otherwise coalesce the byte-tiny input to one partition and
     * serialize the O(n²) comparisons. Falls back to the PPJoin path if the
     * collapsed universe exceeds the cap. */
-  private def densePairs(dw: DataFrame, vocab: Array[String]): (DataFrame, DataFrame) = {
+  private def densePairs(dw: DataFrame, vocab: Array[String],
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): (DataFrame, DataFrame) = {
     val bitValue = typedLit(vocab.sorted.zipWithIndex.map { case (t, i) => t -> (1L << i) }.toMap)
     val maskExpr = aggregate(transform(col("words"), w => element_at(bitValue, w)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
@@ -195,7 +199,8 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("nw", bit_count(col("mask")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (g.count() > DenseSetsCap) { g.unpersist(); return ppjoinPairs(dw) }
+    if (g.count() > DenseSetsCap) { g.unpersist(); return ppjoinPairs(dw, onCache) }
+    onCache(g)
 
     val parts = dw.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(32)
@@ -226,7 +231,8 @@ object Dedup {
   }
 
   /** General-vocabulary path: PPJoin prefix index + sorted-merge verify. */
-  private def ppjoinPairs(dw: DataFrame): (DataFrame, DataFrame) = {
+  private def ppjoinPairs(dw: DataFrame,
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): (DataFrame, DataFrame) = {
     // unique (lang, word-set) groups; members sorted so intra-group pair
     // generation emits da < db without an extra comparison.
     // persisted: four consumers (token explode, prefix build, both verify
@@ -239,6 +245,7 @@ object Dedup {
       .withColumn("sid", md5(concat_ws("\u0001", col("lang"), concat_ws(" ", col("words")))))
       .withColumn("nw", size(col("words")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onCache(sets)
     val ex = sets.select(col("sid"), col("lang"), col("nw"), explode(col("words")).as("w"))
     // global token rarity over unique sets; plain shuffle join (never broadcast)
     val dfreq = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))

@@ -118,6 +118,9 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Per-stage attribution window (24 h in µs). */
+  private val FunnelWindowUs = 86400000000L
+
   /**
    * Ordered 3-stage funnel (q_funnel): per user, the earliest
    * view → first click within [[FunnelWindowUs]] after that view → first
@@ -128,9 +131,6 @@ object Events {
    * side) plus a time filter — never a per-user sort or a cross join of
    * a user's events.
    */
-  /** Per-stage attribution window (24 h in µs). */
-  private val FunnelWindowUs = 86400000000L
-
   def qFunnel(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).withColumn("us", epochUs())
       .select(col("user_id"), col("event_type"), col("us"))
@@ -159,8 +159,11 @@ object Events {
    * (the classic spine-join + last-observation-carried-forward shape
    * reporting pipelines need before any day-over-day arithmetic).
    *
-   * Scale shape: the date bounds are ONE metadata row to the driver; the
-   * spine is distinct-users × explode(sequence(lo, hi)) — never a
+   * Scale shape: the date bounds come from PARTITION METADATA — the
+   * `_table_suffix` directory names of the date-sharded layout (the same
+   * listing `q_latest_suffix` reads), min/max'd on the driver with zero
+   * Spark jobs — never a full-column min/max scan of the events relation;
+   * the spine is distinct-users × explode(sequence(lo, hi)) — never a
    * cross join of two scans; the fill join is user+day hash-partitioned;
    * the LOCF window is partitioned by user. Dense-panel size (users ×
    * days) is the operator's contract, same as any reporting cube.
@@ -168,8 +171,13 @@ object Events {
   def qGapFill(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
       .withColumn("day", to_date(timestamp_micros(epochUs())))
-    val bounds = e.agg(min(col("day")), max(col("day"))).first()
-    val (lo, hi) = (bounds.getDate(0), bounds.getDate(1))
+    // shard suffixes are yyyyMMdd of the SAME ts-derived UTC date as `day`
+    // (WildcardTable.suffixExpr), so the suffix range IS the day range
+    val sfx = graft.sources.WildcardTable.listSuffixes(s, dir)
+    require(sfx.nonEmpty, s"no event shards under $dir")
+    val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+    val lo = java.sql.Date.valueOf(java.time.LocalDate.parse(sfx.min, fmt))
+    val hi = java.sql.Date.valueOf(java.time.LocalDate.parse(sfx.max, fmt))
     val daily = e.groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
     val spine = e.select(col("user_id")).distinct()

@@ -144,6 +144,7 @@ object Ml {
         ((col("unique_id").cast("long") * 2654435761L % 1000003L) / lit(1000003.0))
           .as("probability"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform { df => graft.core.QueryCaches.report(df); df }
 
   /** `prepared_predictions` (`output.sql:37-54`): scores band-joined onto
     * the conversion-value segments. The segment relation is ≤
@@ -251,6 +252,7 @@ object Ml {
       .filter(col("_table_suffix").between("20240105", "20240125")) // pruned scan
       .select(col("event_name").as("name"), col("event_params").as("params"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform { df => graft.core.QueryCaches.report(df); df }
     val top = evs.groupBy(col("name")).agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc).limit(100)
     val v = col("p.value")

@@ -311,15 +311,14 @@ object Similarity {
         |ORDER BY va, vb""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ex AS (SELECT vec_id, len(embedding) AS dim, unnest(embedding)::DOUBLE AS x FROM e),
         |m AS (
-        |  SELECT e.vec_id, CAST(len(embedding) AS INT) AS dim,
-        |    MAX(abs(embedding[i]::DOUBLE)) AS maxabs
-        |  FROM e, generate_series(1, 64) t(i)
-        |  GROUP BY e.vec_id, len(embedding)),
+        |  SELECT vec_id, CAST(MAX(dim) AS INT) AS dim, MAX(abs(x)) AS maxabs
+        |  FROM ex GROUP BY vec_id),
         |q AS (
-        |  SELECT e.vec_id, embedding[i]::DOUBLE AS x, m.maxabs / 127 AS scale,
-        |    CAST(FLOOR(embedding[i]::DOUBLE / (m.maxabs / 127) + 0.5) AS BIGINT) AS q
-        |  FROM e JOIN m USING (vec_id), generate_series(1, 64) t(i)
+        |  SELECT ex.vec_id, ex.x, m.maxabs / 127 AS scale,
+        |    CAST(FLOOR(ex.x / (m.maxabs / 127) + 0.5) AS BIGINT) AS q
+        |  FROM ex JOIN m USING (vec_id)
         |  WHERE m.maxabs > 0),
         |a AS (
         |  SELECT vec_id,

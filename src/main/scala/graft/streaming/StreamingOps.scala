@@ -194,25 +194,37 @@ object StreamingOps {
    *
    * Scale shape: the corpus index is the stored banded relation a
    * production pipeline maintains between ingests (bucket-capped batch
-   * side — the window cap is computed once, statically); the stream side
-   * never shuffles until the candidate dedup, whose state is bounded by
-   * the watermark via `dropDuplicatesWithinWatermark`. Exact-Jaccard
-   * verification re-joins the static shingle sets by candidate doc id
-   * only — corpus text never streams.
+   * side) — both it and the shingle-set relation are PERSISTED here, so
+   * the band window and the signature computation run once and every
+   * micro-batch probes the materialized result rather than re-scanning
+   * the corpus (a stream-static join re-executes an unpersisted static
+   * plan per batch). The caller owns the cache lifetime through
+   * `onCache` (the [[graft.workers.MlModelJobs]] tracker pattern) and
+   * unpersists after stopping the stream. The stream side never shuffles
+   * until the candidate dedup, whose state is bounded by the watermark
+   * via `dropDuplicatesWithinWatermark`. Exact-Jaccard verification
+   * re-joins the static shingle sets by candidate doc id only — corpus
+   * text never streams.
    */
   def incrementalDedupStream(newDocs: DataFrame, corpusDocs: DataFrame,
-      lateness: String = "1 hour"): DataFrame = {
+      lateness: String = "1 hour",
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
     import graft.queries.Dedup
+    def cached(df: DataFrame): DataFrame = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      onCache(c)
+      c
+    }
     // static side: banded + capped corpus index, and its shingle sets
     val corpusSigs = Dedup.md5BandSignatures(corpusDocs)
-    val index = Dedup.cappedBands(corpusSigs
+    val index = cached(Dedup.cappedBands(corpusSigs
       .select(col("doc_id"), col("mh"), explode(col("bands")).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
         col("doc_id"), col("mh")))
       .select(col("band"), col("key"),
-        col("doc_id").as("old_doc"), col("mh").as("mhb"))
-    val corpusShingles = corpusSigs
-      .select(col("doc_id").as("old_doc"), col("shingles").as("shb"))
+        col("doc_id").as("old_doc"), col("mh").as("mhb")))
+    val corpusShingles = cached(corpusSigs
+      .select(col("doc_id").as("old_doc"), col("shingles").as("shb")))
     // stream side: identical per-row signature, then the stream-static
     // probe join; agreement prefilter BEFORE the stateful dedup so state
     // holds only plausible pairs

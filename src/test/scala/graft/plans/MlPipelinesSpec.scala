@@ -203,6 +203,22 @@ class MlPipelinesSpec extends AnyFunSuite with SparkFixture {
     predictive(withFeature(MlCompiler.GaFeature("click", key = "k")))
   }
 
+  test("DNN_REGRESSOR is rejected at pipeline-compile time, not at train time (compiler.py:50-62)") {
+    // the reference's compiler is where its user first learns a model type
+    // can't run; our MLlib gap (no perceptron regressor) must surface at
+    // the same point — compiling either pipeline — not when the quarterly
+    // training cron fires months later
+    for (compile <- Seq[MlModelSpec => Any](c => training(c), c => predictive(c))) {
+      val e = intercept[IllegalArgumentException] {
+        compile(demoCfg(modelType = "DNN_REGRESSOR"))
+      }
+      assert(e.getMessage.contains("DNN_REGRESSOR") &&
+        e.getMessage.contains("no perceptron regressor"))
+    }
+    // the classifier sibling still compiles (the rejection is type-exact)
+    training(demoCfg(modelType = "DNN_CLASSIFIER"))
+  }
+
   test("MP template placeholders match the output table's id columns per source/unique-id") {
     // CLIENT_ID: clientId only
     assert(mpEventTemplate(demoCfg()).contains("\"clientId\""))

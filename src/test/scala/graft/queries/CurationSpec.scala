@@ -42,6 +42,31 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("reliable-checkpoint rounds (cluster setting) agree with localCheckpoint rounds") {
+    // the multi-executor setting: fault-tolerant checkpoint() per round
+    // instead of executor-memory localCheckpoint. Algorithm identical.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.conf.set("spark.graft.components.reliableCheckpoint", "true")
+    try {
+      // misconfiguration must fail fast, not corrupt rounds
+      spark.sparkContext.setCheckpointDir(null.asInstanceOf[String])
+      val noDir = intercept[IllegalArgumentException] {
+        components(Seq(1L, 2L), Seq((1L, 2L)))
+      }
+      assert(noDir.getMessage.contains("setCheckpointDir"))
+      spark.sparkContext.setCheckpointDir(dir)
+      val got = components(Seq(1L, 2L, 3L, 4L, 5L, 9L),
+        Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)))
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 9L))
+      // the checkpoint files actually landed under the reliable dir
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0)
+    } finally {
+      spark.conf.unset("spark.graft.components.reliableCheckpoint")
+      spark.sparkContext.setCheckpointDir(hadCkpt.orNull)
+    }
+  }
+
   test("driver union-find fast path agrees with the distributed path") {
     val nodes = (1L to 40L)
     val edges = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), // chain

@@ -76,4 +76,34 @@ class EventsSpec extends AnyFunSuite with SparkFixture {
       "before any activity the carried day is NULL")
     assert(out((2L, "2024-01-05")) == ((1L, 8.0, "2024-01-05")))
   }
+
+  test("qGapFill reads spine bounds from partition metadata — no extra scan job at build time") {
+    // VERDICT r06 nit 2: the old bounds pass ran agg(min,max).first() —
+    // a full extra scan of events before the main job. The bounds now come
+    // from the date-sharded layout's directory names (the same listing
+    // q_latest_suffix reads), so CONSTRUCTING the query must run exactly
+    // the jobs any lazy events-query build runs (parquet schema
+    // inference) and not one more. Self-calibrating: measure a build
+    // that is known to take no driver-side action over the data.
+    val sfDir = "/root/testdata/sf0.001"
+    graft.sources.WildcardTable.eventsPath(spark, sfDir) // layout setup, not query work
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Events.q10FirstEvent(spark, sfDir) // lazy baseline over the same table
+      Thread.sleep(500) // job-start events arrive on the async listener bus
+      val baseline = jobs.getAndSet(0)
+      val df = Events.qGapFill(spark, sfDir)
+      Thread.sleep(500)
+      assert(jobs.get() <= baseline,
+        s"qGapFill construction ran ${jobs.get()} Spark job(s) vs the lazy baseline's " +
+          s"$baseline; spine bounds must come from partition metadata, not a data scan")
+      assert(df.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
