@@ -33,6 +33,7 @@ import scala.collection.concurrent.TrieMap
  * config owns its two compiled pipelines; POST/PUT (re)build them via
  * [[graft.plans.MlModelPipelines]] exactly like `build_pipelines`:
  *
+ *   GET    /api/ml-models/variables   → GA4 + first-party feature/label discovery
  *   GET    /api/ml-models             → model summaries
  *   POST   /api/ml-models             → create + compile training/predictive pipelines
  *   GET    /api/ml-models/{id}        → model + its pipelines
@@ -50,7 +51,11 @@ final class RestApi(registry: Dag.Registry,
     // SparkSession passes `Workers.sparkTablePeek(spark)` here — the
     // default session makes any bigquery()-using import fail at start
     generalSettings: Map[String, String] = Map.empty,
-    session: () => graft.core.Templates.Session = () => new graft.core.Templates.Session()) {
+    session: () => graft.core.Templates.Session = () => new graft.core.Templates.Session(),
+    // the variables endpoint introspects tables, which needs an engine
+    // session (the reference's BigQuery client analog); embeddings that
+    // don't serve it can leave the default and get a 400 on that route
+    spark: () => Option[org.apache.spark.sql.SparkSession] = () => None) {
 
   private val pipelines = TrieMap.empty[Long, Dag.PipelineRun]
   private val nextId = new AtomicLong(0)
@@ -188,6 +193,67 @@ final class RestApi(registry: Dag.Registry,
     mlModelJson(id, cfg, pids)
   }
 
+  /**
+   * `GET /api/ml-models/variables` (`ml_model/views.py:246-291`
+   * MlModelVariables): the GA4 event/parameter inventory and/or the
+   * first-party table's usable columns, for the UI's feature/label
+   * picker. Query params replace the reference's JSON-blob args:
+   *
+   *   - `ga_dir`   → run the analytics discovery query
+   *                  ([[graft.queries.Ml.mlVariableDiscovery]]) over that
+   *                  source dir; 400 if it yields no events (the
+   *                  reference aborts 400 on an empty result too);
+   *   - `fp_table` → introspect that table's schema
+   *                  ([[graft.queries.Ml.firstPartyVariables]] — JSON and
+   *                  nested columns dropped, `bigquery.py:158-161`).
+   *
+   * Wire shape matches `ml_variable_structure`: name / count / source /
+   * parameters[key, value_type].
+   */
+  private def variablesJson(params: Map[String, String]): JArray = {
+    val s = spark().getOrElse(
+      throw new IllegalArgumentException("variables endpoint needs an engine session"))
+    val ga = params.get("ga_dir").map { dir =>
+      // owned: the discovery query persists its pruned events slice; the
+      // collect below is the one action, after which the cache is released
+      val rows = graft.core.QueryCaches.owned(s)(
+        graft.queries.Ml.mlVariableDiscovery(s, dir)).collect()
+      if (rows.isEmpty) throw new IllegalArgumentException(
+        "GA4 dataset does not include expected events tables. " +
+          "Check configuration (source dir and timespan) and try again.")
+      // rows arrive (name, count, parameter_key, parameter_value_type)
+      // sorted by (name, key): group consecutive runs like views.py:135-143
+      rows.toSeq.groupBy(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1._1)
+        .map { case ((name, count), ps) => JObject(
+          "name" -> JString(name),
+          "count" -> JLong(count),
+          "source" -> JString("GOOGLE_ANALYTICS"),
+          "parameters" -> JArray(ps.toList.map(p => JObject(
+            "key" -> JString(p.getString(2)),
+            "value_type" -> JString(p.getString(3))): JValue))): JValue }
+    }.getOrElse(Seq.empty)
+    val fp = params.get("fp_table").map { table =>
+      graft.queries.Ml.firstPartyVariables(s, table).map { case (name, tpe) => JObject(
+        "name" -> JString(name),
+        "count" -> JLong(0L),
+        "source" -> JString("FIRST_PARTY"),
+        "parameters" -> JArray(List(JObject(
+          "key" -> JString("value"),
+          "value_type" -> JString(tpe)): JValue))): JValue }
+    }.getOrElse(Seq.empty)
+    if (params.get("ga_dir").isEmpty && params.get("fp_table").isEmpty)
+      throw new IllegalArgumentException("pass ga_dir and/or fp_table")
+    JArray((ga ++ fp).toList)
+  }
+
+  private def queryParams(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getQuery).toSeq.flatMap(_.split("&").toSeq).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+        case _ => None
+      }
+    }.toMap
+
   private val PipelineIdRe = raw"/api/pipelines/(\d+)".r
   private val PipelineActionRe = raw"/api/pipelines/(\d+)/(start|stop|export)".r
   private val JobIdRe = raw"/api/jobs/(\d+)/([^/]+)".r
@@ -253,6 +319,8 @@ final class RestApi(registry: Dag.Registry,
         } catch {
           case _: IllegalStateException => respond(x, 409, """{"error":"pipeline is active"}""")
         }
+      case ("GET", "/api/ml-models/variables") =>
+        respond(x, 200, JsonMethods.compact(variablesJson(queryParams(x))))
       case ("GET", "/api/ml-models") =>
         respond(x, 200, JsonMethods.compact(JArray(
           mlModels.toList.sortBy(_._1).map { case (id, (cfg, pids)) =>

@@ -270,6 +270,39 @@ object Ml {
       .orderBy(col("name").asc, col("parameter_key").asc)
   }
 
+  /**
+   * First-party variable discovery (`bigquery.py:140-162`
+   * `get_first_party_variables`): introspect a registered first-party
+   * table's schema and propose (name, field type) rows for the UI's
+   * feature/label picker. The reference drops BigQuery `JSON` and
+   * `RECORD` columns; the Spark analogs are `VariantType` (semi-
+   * structured JSON) and the nested types (struct/array/map). Pure
+   * driver-side metadata — reading the parquet footer schema runs no
+   * scan of the table's data.
+   *
+   * Field types surface in BigQuery's vocabulary (STRING/INTEGER/...)
+   * so a UI written against the reference's wire format needs no
+   * translation layer.
+   */
+  def firstPartyVariables(s: SparkSession, tablePath: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.types._
+    def bqType(dt: DataType): Option[String] = dt match {
+      case _: StructType | _: ArrayType | _: MapType | _: VariantType => None // RECORD / JSON
+      case _: StringType => Some("STRING")
+      case LongType | IntegerType | ShortType | ByteType => Some("INTEGER")
+      case DoubleType | FloatType => Some("FLOAT")
+      case BooleanType => Some("BOOLEAN")
+      case TimestampType => Some("TIMESTAMP")
+      case TimestampNTZType => Some("DATETIME")
+      case DateType => Some("DATE")
+      case _: DecimalType => Some("NUMERIC")
+      case BinaryType => Some("BYTES")
+      case other => Some(other.sql.toUpperCase)
+    }
+    s.read.parquet(tablePath).schema.fields.toSeq
+      .flatMap(f => bqType(f.dataType).map(t => f.name -> t))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_training_dataset" -> (mlTrainingDataset _),
     "ml_training_dataset_uid" -> (mlTrainingDatasetUid _),

@@ -201,4 +201,68 @@ class RestApiSpec extends AnyFunSuite {
       executor.shutdownNow()
     }
   }
+
+  test("variables endpoint: FP schema introspection drops nested columns; GA discovery grouped (ml_model/views.py:246-291)") {
+    val spark = graft.SparkFixture.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a first-party table with droppable columns: a struct (RECORD) and
+    // an array — plus the usable scalar spread
+    val fpDir = java.nio.file.Files.createTempDirectory("graft_fp").toString + "/crm.parquet"
+    Seq((1L, "a@x.com", 12.5, true))
+      .toDF("customer_id", "email", "ltv", "active")
+      .withColumn("first_seen", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("address", struct(lit("street").as("s"), lit("city").as("c")))
+      .withColumn("tags", array(lit("a"), lit("b")))
+      .write.parquet(fpDir)
+
+    val registry = new Dag.Registry
+    val executor = Executors.newScheduledThreadPool(1)
+    val api = new RestApi(registry, executor, spark = () => Some(spark))
+    val port = api.start()
+    val http = HttpClient.newHttpClient()
+    def get(path: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val enc = java.net.URLEncoder.encode(fpDir, "UTF-8")
+      val fp = JsonMethods.parse(get(s"/api/ml-models/variables?fp_table=$enc").body())
+        .asInstanceOf[JArray].arr
+      val byName = fp.map(v => (v \ "name") -> (v \ "parameters")(0) \ "value_type").toMap
+      assert(!byName.contains(JString("address")) && !byName.contains(JString("tags")),
+        "RECORD/JSON-analog columns must be dropped (bigquery.py:158-161)")
+      assert(byName(JString("customer_id")) == JString("INTEGER"))
+      assert(byName(JString("email")) == JString("STRING"))
+      assert(byName(JString("ltv")) == JString("FLOAT"))
+      assert(byName(JString("active")) == JString("BOOLEAN"))
+      assert(byName(JString("first_seen")) == JString("TIMESTAMP"))
+      assert(fp.forall(v => (v \ "source") == JString("FIRST_PARTY")))
+
+      // GA + FP combined: analytics variables grouped by event name with
+      // their typed parameter slots, FP columns appended after
+      val both = JsonMethods.parse(
+        get(s"/api/ml-models/variables?ga_dir=/root/testdata/sf0.001&fp_table=$enc").body())
+        .asInstanceOf[JArray].arr
+      val gaVars = both.filter(v => (v \ "source") == JString("GOOGLE_ANALYTICS"))
+      assert(gaVars.nonEmpty, "sf0.001 must yield analytics variables")
+      assert(gaVars.forall { v =>
+        (v \ "parameters").asInstanceOf[JArray].arr.nonEmpty &&
+          ((v \ "count") match { case JInt(n) => n > 0; case JLong(n) => n > 0; case _ => false })
+      })
+      assert(both.count(v => (v \ "source") == JString("FIRST_PARTY")) == 5)
+
+      // reference aborts 400 when the GA dataset has no event tables;
+      // missing params and a session-less facade are client errors too
+      assert(get("/api/ml-models/variables").statusCode() == 400)
+      val noSession = new RestApi(registry, executor)
+      val p2 = noSession.start()
+      try assert(http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p2/api/ml-models/variables?fp_table=$enc")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+      finally noSession.shutdown()
+    } finally {
+      api.shutdown()
+      executor.shutdownNow()
+    }
+  }
 }
