@@ -12,17 +12,34 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * The events table carries a nanosecond-precision timestamp, which Spark's
-   * parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). We read it
-   * under the `nanosAsLong` legacy conf, so `ts` arrives as a raw
-   * nanosecond LONG — which is *better* for oracle parity: Spark and DuckDB
-   * then share an exact total order on ts (no sub-microsecond truncation
-   * ambiguity in window ordering). Derive instants via `ts DIV 1000` →
-   * `timestamp_micros` (truncation identical to DuckDB's `epoch_us`).
+   * The events table's `ts` column is exposed to every consumer as a raw
+   * nanosecond-epoch LONG, whatever precision the parquet file carries:
+   *
+   *  - timestamp[ns] files (early driver drops) are read under the
+   *    `nanosAsLong` legacy conf, so `ts` already arrives as that long;
+   *  - timestamp[us] files (current driver drops) arrive as a Spark
+   *    TIMESTAMP and are normalized via `unix_micros(ts) * 1000`.
+   *
+   * The long form is *better* for oracle parity: Spark and DuckDB share an
+   * exact total order on ts (no sub-microsecond truncation ambiguity in
+   * window ordering), and `ts DIV 1000` == DuckDB `epoch_us(ts)` in both
+   * layouts (for a microsecond file the `* 1000` then `DIV 1000` round-trip
+   * is exact). Instants derive via `ts DIV 1000` → `timestamp_micros`.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000L))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Naive (no-UTC-adjustment) micros: the session runs in UTC, so the
+        // NTZ→TIMESTAMP cast is value-preserving and matches DuckDB's
+        // epoch_us() of the same naive value.
+        df.withColumn("ts",
+          F.unix_micros(F.col("ts").cast(org.apache.spark.sql.types.TimestampType)) * F.lit(1000L))
+      case _ => df
+    }
   }
 
   /**

@@ -80,7 +80,10 @@ object WildcardTable {
     * flip THEIR partition column types. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val path = eventsPath(s, dir)
-    val dataSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // The layout is materialized from Tables.events (ts normalized to a
+    // nanosecond LONG) — the explicit read schema must match THAT relation,
+    // not the raw file, whose ts may be a physical timestamp column.
+    val dataSchema = graft.queries.Tables.events(s, dir).schema
     val full = org.apache.spark.sql.types.StructType(dataSchema.fields :+
       org.apache.spark.sql.types.StructField("_table_suffix",
         org.apache.spark.sql.types.StringType))
