@@ -205,12 +205,88 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * K-means assignment pass (one Lloyd iteration's E-step) — the
+   * clustering primitive behind semantic dedup / diversity-balanced corpus
+   * sampling: every member vector is assigned to its nearest centroid by
+   * squared Euclidean distance, and the per-cluster population + mean
+   * distortion (the inertia decomposition a trainer watches for
+   * convergence) come back as the audit table. Centroids are vec_id 0..7 —
+   * externally-trained model parameters, same convention as
+   * [[simIvfTopk]]'s coarse quantizer.
+   *
+   * Scale: centroids are driver-constant codegen expressions (no join —
+   * the assignment is a pure per-row argmin over the scan, d² expanded as
+   * ‖v‖² − 2·v·c + ‖c‖² so ‖v‖² is computed once per row); the only
+   * shuffle is the k-group aggregation, map-side-combined. Determinism:
+   * per-row d² rounded to 6 dp (identical IEEE ops both engines), then
+   * summed as exact DECIMAL so partial-agg order can't flip low bits;
+   * `+ 0.0` canonicalizes a −0.0 round result.
+   */
+  def embedKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = anchorVecs(s, dir)
+    def best(v: Column, vv: Column): Column = array_max(array(
+      cents.zipWithIndex.map { case (c, j) =>
+        val cl = typedLit(c)
+        val d2 = vv - lit(2.0) * dot(v, cl) + dot(cl, cl)
+        struct((-d2).as("nd"), lit(-j).as("nj"))
+      }: _*))
+    load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("b", best(col("v"), col("vv")))
+      .select((-col("b.nj")).cast("long").as("cid"),
+        (round(-col("b.nd"), 6) + lit(0.0)).as("rd2"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("rd2").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(30, 12))).cast("double") / count(lit(1)), 6)
+          .as("mean_d2"))
+      .orderBy(col("cid"))
+  }
+
+  /**
+   * Per-dimension moment pass over the embedding corpus — the calibration
+   * scan behind whitening / PCA preprocessing and per-dimension
+   * quantization ranges: for every vector dimension, the population count,
+   * mean and (biased) variance.
+   *
+   * Scale: one posexplode (linear) into a groupBy(dim) with exactly `dim`
+   * groups — partial aggregation collapses each map task to ≤dim rows, so
+   * the shuffle is metadata-sized regardless of corpus size. Determinism:
+   * elements rounded to 6 dp, summed (and squared-summed) as exact
+   * DECIMAL; variance derived from the two exact sums with identical IEEE
+   * ops on both engines; `+ 0.0` canonicalizes −0.0 (dimension means of
+   * centered embeddings round to zero routinely).
+   */
+  def embedDimStats(s: SparkSession, dir: String): DataFrame = {
+    val decS = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val decQ = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 14)
+    load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(dArr(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), round(col("x"), 6).as("rx"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(decS)).cast("double").as("s"),
+        sum((col("rx") * col("rx")).cast(decQ)).cast("double").as("sq"))
+      .select(col("dim"), col("n"),
+        (round(col("s") / col("n"), 6) + lit(0.0)).as("mean"),
+        (round(col("sq") / col("n") - (col("s") / col("n")) * (col("s") / col("n")), 6)
+          + lit(0.0)).as("var"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
-    "embed_quantize" -> (embedQuantize _))
+    "embed_quantize" -> (embedQuantize _),
+    "embed_kmeans_assign" -> (embedKmeansAssign _),
+    "embed_dim_stats" -> (embedDimStats _))
 
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
@@ -328,5 +404,37 @@ object Similarity {
         |  FROM q GROUP BY vec_id)
         |SELECT m.vec_id, m.dim, round(m.maxabs, 6) AS maxabs,
         |  a.n_zero, a.n_sat, a.sq_err
-        |FROM m LEFT JOIN a USING (vec_id) ORDER BY m.vec_id""".stripMargin)
+        |FROM m LEFT JOIN a USING (vec_id) ORDER BY m.vec_id""".stripMargin,
+    "embed_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+        |dots AS (
+        |  SELECT m.vec_id, cent.cid0,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+        |  FROM m, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cid0, round(vv - 2 * vc + cc, 6) + 0.0 AS rd2,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+        |  FROM dots)
+        |SELECT cid0 AS cid, COUNT(1) AS n,
+        |  round(CAST(SUM(CAST(rd2 AS DECIMAL(30,12))) AS DOUBLE) / COUNT(1), 6) AS mean_d2
+        |FROM assign WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+    "embed_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx
+        |  FROM embeddings, generate_series(1, 64) t(i)
+        |  WHERE embedding IS NOT NULL),
+        |agg AS (
+        |  SELECT dim, COUNT(1) AS n,
+        |    CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(rx * rx AS DECIMAL(38,14))) AS DOUBLE) AS sq
+        |  FROM x GROUP BY dim)
+        |SELECT dim, n, round(s / n, 6) + 0.0 AS mean,
+        |  round(sq / n - (s / n) * (s / n), 6) + 0.0 AS var
+        |FROM agg ORDER BY dim""".stripMargin)
 }

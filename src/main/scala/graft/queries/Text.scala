@@ -226,7 +226,101 @@ object Text {
       .orderBy(col("chunk_id"))
   }
 
+  /**
+   * Corpus-frequency rarity scoring — the LM-quality proxy a curation
+   * pipeline runs where a perplexity filter would need a trained model:
+   * per document, the fraction of tokens that are corpus-rare (global
+   * count ≤ 2 — hapax/dis legomena, the OOV-ish tail) and the mean inverse
+   * corpus frequency of its tokens. High rare-fraction flags
+   * gibberish/boilerplate-free-but-noisy docs; low flags templated text.
+   * Deliberately log-free: `log()` is not correctly-rounded and differs
+   * across libm implementations, so surprisal sums can't hash-match a
+   * second engine — inverse frequency is an exact-arithmetic stand-in
+   * (1/cnt is one IEEE division; per-token values rounded to 6 dp and
+   * summed as exact DECIMAL).
+   *
+   * Scale: per-doc term frequencies first (one explode + groupBy — the
+   * map-side combine collapses repeated tokens per doc), then the corpus
+   * count table by a second groupBy on token, joined back on token (AQE
+   * skew-join splits the stopword keys; a window over token partitions
+   * would put every "the" row in one task, so the join shape is the one
+   * that scales), then one groupBy(doc). Empty docs re-enter via a
+   * left join from the (pruned) documents scan.
+   */
+  def textRarityScore(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val perDoc = tf.join(corpus, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("cnt") <= 2, col("tf")).otherwise(lit(0L))).as("n_rare"),
+        sum((col("tf") * round(lit(1.0) / col("cnt"), 6)).cast(dec)).as("sinv"))
+    docs(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        round(col("n_rare") / col("n_tokens"), 6).as("rare_frac"),
+        round(col("sinv").cast("double") / col("n_tokens"), 6).as("mean_inv_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stop list for the quality-rule battery (a fixed, tiny vocabulary the
+    * way published heuristic filters pin theirs). */
+  private val RuleStopwords = Seq("the", "of", "and", "to", "in")
+
+  /**
+   * Heuristic quality-rule battery (the Rae et al. 2021 "Gopher rules" /
+   * C4 filter shape): five per-document predicates — word count ≥ 50,
+   * mean word length in [3, 10], symbol-character ratio ≤ 10%, ≥ 2
+   * stopword occurrences, digit-character ratio ≤ 20% — rolled up into a
+   * per-source audit of how many documents each rule (and their
+   * conjunction) keeps. Every ratio test is spelled as an integer
+   * cross-multiplication (`10·sym ≤ chars`, not `sym/chars ≤ 0.1`), so
+   * the battery is exact integer arithmetic end-to-end — no float
+   * boundary can flip a verdict between engines.
+   *
+   * Scale: all predicates are pure codegen expressions over the scan; the
+   * only shuffle is the per-source count rollup (map-side combined).
+   */
+  def filterGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("long")
+    val nChars = length(col("text")).cast("long")
+    // token characters (text minus separators) — the mean-word-length numerator
+    val wordChars = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val symChars = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long")
+    val digitChars = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+    val nStop = size(filter(w, x => x.isin(RuleStopwords: _*))).cast("long")
+    val pWc = nWords >= 50L
+    val pWlen = (lit(3L) * nWords <= wordChars) && (wordChars <= lit(10L) * nWords)
+    val pSym = lit(10L) * symChars <= nChars
+    val pStop = nStop >= 2L
+    val pDigit = lit(5L) * digitChars <= nChars
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    docs(s, dir)
+      .select(col("source"), pWc.as("p_wc"), pWlen.as("p_wlen"), pSym.as("p_sym"),
+        pStop.as("p_stop"), pDigit.as("p_digit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("p_wc")).as("n_pass_wordcount"),
+        cnt(col("p_wlen")).as("n_pass_wordlen"),
+        cnt(col("p_sym")).as("n_pass_symbol"),
+        cnt(col("p_stop")).as("n_pass_stopword"),
+        cnt(col("p_digit")).as("n_pass_digit"),
+        cnt(col("p_wc") && col("p_wlen") && col("p_sym") && col("p_stop") &&
+          col("p_digit")).as("n_keep"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rarity_score" -> (textRarityScore _),
+    "filter_gopher_rules" -> (filterGopherRules _),
     "text_pack_chunks" -> (textPackChunks _),
     "text_ngram_counts" -> (textNgramCounts _),
     "text_scrub" -> (textScrub _),
@@ -239,6 +333,49 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "text_rarity_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(1) AS tf FROM tok GROUP BY 1, 2),
+        |corpus AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN cnt <= 2 THEN tf.tf ELSE 0 END) AS BIGINT) AS n_rare,
+        |    CAST(SUM(CAST(tf.tf * round(CAST(1.0 AS DOUBLE) / cnt, 6) AS DECIMAL(30,8))) AS DOUBLE) AS sinv
+        |  FROM tf JOIN corpus USING (token) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, COALESCE(n_rare, 0) AS n_rare,
+        |  round(n_rare / n_tokens, 6) AS rare_frac,
+        |  round(sinv / n_tokens, 6) AS mean_inv_freq
+        |FROM documents d LEFT JOIN per_doc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "filter_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |    n_words >= 50 AS p_wc,
+        |    3 * n_words <= word_chars AND word_chars <= 10 * n_words AS p_wlen,
+        |    10 * sym_chars <= n_chars AS p_sym,
+        |    n_stop >= 2 AS p_stop,
+        |    5 * digit_chars <= n_chars AS p_digit
+        |  FROM f)
+        |SELECT source, COUNT(1) AS n_docs,
+        |  CAST(SUM(CASE WHEN p_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordcount,
+        |  CAST(SUM(CASE WHEN p_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
+        |  CAST(SUM(CASE WHEN p_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_symbol,
+        |  CAST(SUM(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stopword,
+        |  CAST(SUM(CASE WHEN p_digit THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_digit,
+        |  CAST(SUM(CASE WHEN p_wc AND p_wlen AND p_sym AND p_stop AND p_digit
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "text_pack_chunks" ->
       s"""WITH t AS (
          |  SELECT doc_id,

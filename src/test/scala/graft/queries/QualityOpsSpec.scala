@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary semantics of the round-8 quality/clustering operators that
+  * the dense driver fixtures can't isolate: exact rule thresholds in the
+  * heuristic filter battery, rarity accounting for empty docs and
+  * repeated tokens, and k-means assignment ties/zero-centroids. */
+class QualityOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("filterGopherRules: every threshold is inclusive exactly at the boundary") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 50 four-char words incl. 2 stopwords ("thee" is 4 chars, use real stop
+    // tokens): 48 content words + "the" + "of" → wc=50 boundary, stop=2
+    // boundary, mean word length = (48*4 + 3 + 2)/50 = 197/50 = 3.94 ∈ [3,10],
+    // zero symbols, zero digits → passes everything.
+    val pass = (Seq.fill(48)("word") ++ Seq("the", "of")).mkString(" ")
+    // 49 words incl. the same 2 stopwords → fails ONLY word count.
+    val short = (Seq.fill(47)("word") ++ Seq("the", "of")).mkString(" ")
+    // symbol ratio exactly AT 10%: 9 symbol chars in 90 chars total.
+    // "the of xxxx…" padding to 81 alnum/space chars + 9 '#' → 10*9 ≤ 90 passes.
+    val symPad = Seq.fill(24)("aaa").mkString(" ") // 24*3+23 = 95 chars, 0 syms
+    val rows = Seq(
+      (0L, pass, "en", "s0", pass.length.toLong),
+      (1L, short, "en", "s0", short.length.toLong),
+      (2L, symPad, "en", "s1", symPad.length.toLong),
+      (3L, "", "en", "s1", 0L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Text.filterGopherRules(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = out("s0")
+    assert(s0.getLong(1) == 2 && s0.getLong(2) == 1, "only the 50-word doc passes word count")
+    assert(s0.getLong(5) == 2, "both s0 docs hit the 2-stopword boundary inclusively")
+    assert(s0.getLong(7) == 1, "conjunction keeps exactly the boundary-passing doc")
+    val s1 = out("s1")
+    assert(s1.getLong(4) == 2, "zero-symbol docs pass the symbol-ratio rule (0 ≤ 10%)")
+    assert(s1.getLong(7) == 0, "neither s1 doc reaches 50 words")
+  }
+
+  test("textRarityScore: repeated tokens weight by tf; empty docs surface with NULL ratios") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // corpus counts: "x" appears 5x (common), "y" 2x (rare ≤2), "z" 1x (rare)
+    val rows = Seq(
+      (0L, "x x x y z", "en", "s0", 9L),
+      (1L, "x x y", "en", "s0", 5L),
+      (2L, "", "en", "s0", 0L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Text.textRarityScore(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 5 && out(0L).getLong(2) == 2,
+      "doc 0: 5 tokens, y+z rare (corpus count ≤ 2)")
+    assert(out(0L).getDouble(3) == 0.4)
+    // mean inv freq: (3*round(1/5) + 1*round(1/2) + 1*round(1/1)) / 5 = (0.6+0.5+1)/5
+    assert(out(0L).getDouble(4) == 0.42)
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 1)
+    assert(out(2L).getLong(1) == 0 && out(2L).isNullAt(3) && out(2L).isNullAt(4),
+      "an empty doc keeps its row with zero counts and NULL ratios")
+  }
+
+  test("embedKmeansAssign: nearest centroid wins; exact-dup member lands at distance 0") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def unit(axis: Int): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(axis) = 1.0f; v
+    }
+    // centroids: ids 0..7 (unit axes 0..3 cycled); members: an exact dup of
+    // centroid 0 (d²=0, tie between centroids 0 and 4 broken by smaller cid)
+    // and a vector nearer axis 1.
+    val cents = (0L until 8L).map(i => (i, unit((i % 4).toInt), 0))
+    val members = Seq(
+      (10L, unit(0), 0),
+      (11L, Array(0.1f, 0.9f, 0.0f, 0.0f), 1))
+    writeTable(dir, "embeddings",
+      (cents ++ members).toDF("vec_id", "embedding", "label"))
+    val out = Similarity.embedKmeansAssign(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 1L, 0.0), (1L, 1L, 0.02)),
+      "dup member ties centroids 0/4 at d²=0 → smallest cid; member 11 → centroid 1")
+  }
+
+  test("embedDimStats: constant dimension has zero variance (canonical 0.0, not -0.0)") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, Array(1.0f, -0.25f, 0.0f), 0),
+      (1L, Array(1.0f, 0.25f, 0.0f), 0))
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val out = Similarity.embedDimStats(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 2L, 1.0, 0.0), (1L, 2L, 0.0, 0.0625), (2L, 2L, 0.0, 0.0)))
+    // −0.0 canonicalization: java equality treats them equal; compare bits
+    out.foreach { case (_, _, m, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) != java.lang.Double.doubleToLongBits(-0.0),
+        "variance must never surface as -0.0")
+      assert(java.lang.Double.doubleToLongBits(m) != java.lang.Double.doubleToLongBits(-0.0),
+        "mean must never surface as -0.0")
+    }
+  }
+}
