@@ -223,7 +223,11 @@ object Similarity {
    * summed as exact DECIMAL so partial-agg order can't flip low bits;
    * `+ 0.0` canonicalizes a −0.0 round result.
    */
-  def embedKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  /** Shared E-step: every member vector (vec_id ≥ 8) with its nearest
+    * centroid id and (unrounded-argmin, 6-dp-rounded-output) squared
+    * distance. Centroids are driver constants; the assignment is a pure
+    * per-row codegen argmin — no join, no shuffle. */
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = anchorVecs(s, dir)
     def best(v: Column, vv: Column): Column = array_max(array(
@@ -237,15 +241,20 @@ object Similarity {
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
       .withColumn("vv", dot(col("v"), col("v")))
       .withColumn("b", best(col("v"), col("vv")))
-      .select((-col("b.nj")).cast("long").as("cid"),
+      .select(col("vec_id"), col("v"),
+        (-col("b.nj")).cast("long").as("cid"),
         (round(-col("b.nd"), 6) + lit(0.0)).as("rd2"))
+  }
+
+  def embedKmeansAssign(s: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(s, dir)
+      .select(col("cid"), col("rd2"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("rd2").cast(org.apache.spark.sql.types.DataTypes
             .createDecimalType(30, 12))).cast("double") / count(lit(1)), 6)
           .as("mean_d2"))
       .orderBy(col("cid"))
-  }
 
   /**
    * Per-dimension moment pass over the embedding corpus — the calibration
@@ -279,6 +288,33 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /**
+   * K-means update pass (the Lloyd iteration's M-step): per (cluster,
+   * dimension), the member count and the new centroid coordinate — the
+   * element-wise mean of the assigned vectors. Chaining
+   * [[embedKmeansAssign]] (E) and this (M) is one full distributed Lloyd
+   * iteration; a trainer loops the pair, feeding each round's means back
+   * in as the next round's centroid constants.
+   *
+   * Scale: assignment stays a per-row expression (no join); the explode
+   * multiplies rows ×dim, but the groupBy target is only k·dim groups, so
+   * map-side combine collapses every task's output to ≤k·dim rows and the
+   * shuffle is metadata-sized regardless of corpus size. Same determinism
+   * recipe as [[embedDimStats]] (6-dp element rounding, exact DECIMAL
+   * sums, −0.0 canonicalized).
+   */
+  def embedKmeansUpdate(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    kmeansAssigned(s, dir)
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("cid"), col("dim").cast("long").as("dim"), round(col("x"), 6).as("rx"))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("rx").cast(dec)).cast("double") / count(lit(1)), 6) + lit(0.0))
+          .as("c_new"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
@@ -286,6 +322,7 @@ object Similarity {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "embed_quantize" -> (embedQuantize _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
+    "embed_kmeans_update" -> (embedKmeansUpdate _),
     "embed_dim_stats" -> (embedDimStats _))
 
   val oracle: Map[String, String] = Map(
@@ -424,6 +461,30 @@ object Similarity {
         |SELECT cid0 AS cid, COUNT(1) AS n,
         |  round(CAST(SUM(CAST(rd2 AS DECIMAL(30,12))) AS DOUBLE) / COUNT(1), 6) AS mean_d2
         |FROM assign WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+    "embed_kmeans_update" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+        |dots AS (
+        |  SELECT m.vec_id, cent.cid0,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+        |  FROM m, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cid0 AS cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+        |  FROM dots),
+        |x AS (
+        |  SELECT a.cid, CAST(i - 1 AS BIGINT) AS dim,
+        |    round(m.embedding[i]::DOUBLE, 6) AS rx
+        |  FROM assign a JOIN m USING (vec_id), generate_series(1, 64) t(i)
+        |  WHERE a.rn = 1)
+        |SELECT cid, dim, COUNT(1) AS n,
+        |  round(CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6) + 0.0 AS c_new
+        |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     "embed_dim_stats" ->
       """WITH x AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx

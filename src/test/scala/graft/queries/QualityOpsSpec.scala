@@ -81,6 +81,25 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       "dup member ties centroids 0/4 at d²=0 → smallest cid; member 11 → centroid 1")
   }
 
+  test("embedKmeansUpdate: new centroids are the element-wise means of assigned members") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def unit(axis: Int): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(axis) = 1.0f; v
+    }
+    val cents = (0L until 8L).map(i => (i, unit((i % 4).toInt), 0))
+    val members = Seq(
+      (10L, unit(0), 0),
+      (11L, Array(0.1f, 0.9f, 0.0f, 0.0f), 1))
+    writeTable(dir, "embeddings",
+      (cents ++ members).toDF("vec_id", "embedding", "label"))
+    val out = Similarity.embedKmeansUpdate(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1L, 1.0), (0L, 1L, 1L, 0.0), (0L, 2L, 1L, 0.0), (0L, 3L, 1L, 0.0),
+      (1L, 0L, 1L, 0.1), (1L, 1L, 1L, 0.9), (1L, 2L, 1L, 0.0), (1L, 3L, 1L, 0.0)))
+  }
+
   test("embedDimStats: constant dimension has zero variance (canonical 0.0, not -0.0)") {
     import spark.implicits._
     val dir = tmpSfDir()
