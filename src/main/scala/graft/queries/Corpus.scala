@@ -158,6 +158,46 @@ object Corpus {
    * `round(..., 6)` on an exact half-way tie — could vary run to run,
    * which a hash-exact oracle can't tolerate.
    */
+  /** Char budget for [[mixEpochs]] at test scale — a deployment would pass
+    * the real token budget as the job parameter. */
+  private val EpochBudgetChars = 1000000L
+
+  /**
+   * Epoch / repeat planner — the data-budget arithmetic a training-mixture
+   * recipe runs after choosing shares: given each source's available
+   * characters and a √-temperature weight, how many chars the budget
+   * allots it (`target`), how many FULL passes over the source that means
+   * (`epochs`, rounded up), and how much of the final partial pass
+   * remains. The entire plan is integer arithmetic — weights are
+   * `floor(sqrt(avail))` (IEEE sqrt is correctly rounded, so the floor is
+   * engine-exact), allocation is `budget·w DIV W`, and the epoch count is
+   * ceiling division spelled `(target + avail − 1) DIV avail` — so the
+   * plan is bit-identical on any engine, with no float share in sight.
+   *
+   * Scale: one groupBy(source) (map-side combined, ≤|sources| groups); the
+   * total weight is a 1-row driver scalar ([[corpusReport]] precedent).
+   */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir).groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("long").as("avail_chars"))
+      .select(col("source"), col("avail_chars"),
+        floor(sqrt(col("avail_chars").cast("double"))).cast("long").as("weight"))
+    val totalW = counts.agg(coalesce(sum(col("weight")), lit(0L)).cast("long"))
+      .first().getLong(0)
+    val target =
+      if (totalW > 0) expr(s"${EpochBudgetChars}L * weight DIV ${totalW}L") else lit(0L)
+    val withTarget = counts.withColumn("target_chars", target)
+    val epochs = when(col("avail_chars") > 0,
+      expr("(target_chars + avail_chars - 1) DIV avail_chars")).otherwise(lit(0L))
+    withTarget
+      .withColumn("epochs", epochs)
+      .withColumn("last_epoch_chars",
+        when(col("avail_chars") > 0 && col("epochs") > 0,
+          col("target_chars") - (col("epochs") - lit(1L)) * col("avail_chars"))
+          .otherwise(lit(0L)))
+      .orderBy(col("source"))
+  }
+
   def mixTemperature(s: SparkSession, dir: String): DataFrame = {
     val counts = docs(s, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
@@ -576,7 +616,8 @@ object Corpus {
     "shingle_intersect" -> (shingleIntersect _),
     "corpus_pivot" -> (corpusPivot _),
     "stats_percent_rank" -> (statsPercentRank _),
-    "mix_temperature" -> (mixTemperature _))
+    "mix_temperature" -> (mixTemperature _),
+    "mix_epochs" -> (mixEpochs _))
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -784,5 +825,29 @@ object Corpus {
         |SELECT source, n_docs,
         |  round(n_docs::DOUBLE / tn::DOUBLE, 6) AS raw_share,
         |  round(sqrt(n_docs::DOUBLE) / tw, 6) AS temp_share
-        |FROM c, t ORDER BY source""".stripMargin)
+        |FROM c, t ORDER BY source""".stripMargin,
+    "mix_epochs" ->
+      """WITH c AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail_chars
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, avail_chars,
+        |    CAST(floor(sqrt(avail_chars::DOUBLE)) AS BIGINT) AS weight
+        |  FROM c),
+        |t AS (SELECT CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS tw FROM w),
+        |p AS (
+        |  SELECT source, avail_chars, weight,
+        |    CAST(CASE WHEN tw > 0 THEN (1000000 * weight) // tw ELSE 0 END AS BIGINT)
+        |      AS target_chars
+        |  FROM w, t),
+        |e AS (
+        |  SELECT *, CAST(CASE WHEN avail_chars > 0
+        |    THEN (target_chars + avail_chars - 1) // avail_chars
+        |    ELSE 0 END AS BIGINT) AS epochs
+        |  FROM p)
+        |SELECT source, avail_chars, weight, target_chars, epochs,
+        |  CAST(CASE WHEN avail_chars > 0 AND epochs > 0
+        |    THEN target_chars - (epochs - 1) * avail_chars
+        |    ELSE 0 END AS BIGINT) AS last_epoch_chars
+        |FROM e ORDER BY source""".stripMargin)
 }

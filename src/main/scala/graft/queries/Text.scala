@@ -318,7 +318,44 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /**
+   * Unicode script composition — the pass a multilingual corpus runs
+   * before routing docs to script-specific tokenizers/filters (and the
+   * cross-check for [[textLangId]]'s n-gram heuristic): per document, the
+   * character counts of the Latin / Cyrillic / CJK-unified blocks plus
+   * digits, each block's ratio of total characters, and the dominant
+   * script. Counts are `length(text) − length(regexp_replace(text,
+   * block, ''))` — exact integers; the dominant-script CASE compares
+   * counts in a fixed order, so verdicts can't flip between engines.
+   * All ranges are BMP, where Spark's and DuckDB's `length` agree on
+   * codepoints.
+   *
+   * Scale: pure per-row codegen expressions over the scan; no shuffle at
+   * all before the ordered output.
+   */
+  def textScriptRatio(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text")).cast("long")
+    def blockCount(pattern: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), pattern, ""))).cast("long")
+    val latin = blockCount("[A-Za-z]")
+    val cyr = blockCount("[Ѐ-ӿ]")
+    val cjk = blockCount("[一-鿿]")
+    val digit = blockCount("[0-9]")
+    def ratio(c: Column): Column = when(n > 0, round(c / n, 6))
+    docs(s, dir)
+      .select(col("doc_id"), n.as("n_chars"),
+        latin.as("n_latin"), cyr.as("n_cyrillic"), cjk.as("n_cjk"), digit.as("n_digit"),
+        ratio(latin).as("latin_ratio"), ratio(cyr).as("cyrillic_ratio"),
+        ratio(cjk).as("cjk_ratio"),
+        when(latin === 0L && cyr === 0L && cjk === 0L, "none")
+          .when(latin >= cyr && latin >= cjk, "latin")
+          .when(cyr >= cjk, "cyrillic")
+          .otherwise("cjk").as("dominant_script"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script_ratio" -> (textScriptRatio _),
     "text_rarity_score" -> (textRarityScore _),
     "filter_gopher_rules" -> (filterGopherRules _),
     "text_pack_chunks" -> (textPackChunks _),
@@ -333,6 +370,23 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "text_script_ratio" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
+        |  CASE WHEN n_chars > 0 THEN round(n_latin / n_chars, 6) END AS latin_ratio,
+        |  CASE WHEN n_chars > 0 THEN round(n_cyrillic / n_chars, 6) END AS cyrillic_ratio,
+        |  CASE WHEN n_chars > 0 THEN round(n_cjk / n_chars, 6) END AS cjk_ratio,
+        |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_cjk = 0 THEN 'none'
+        |    WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+        |    WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+        |    ELSE 'cjk' END AS dominant_script
+        |FROM f ORDER BY doc_id""".stripMargin,
     "text_rarity_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token

@@ -81,6 +81,45 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       "dup member ties centroids 0/4 at d²=0 → smallest cid; member 11 → centroid 1")
   }
 
+  test("textScriptRatio: block counting and fixed-order dominance ties") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, "abc где 123", "xx", "s0", 11L),   // 3 latin, 3 cyrillic, 3 digit → tie → latin
+      (1L, "где 中文", "xx", "s0", 6L),        // cyrillic 3 > cjk 2 → cyrillic
+      (2L, "中文漢字", "xx", "s0", 4L),         // only cjk
+      (3L, "!!! ???", "xx", "s0", 7L),        // symbols only → none
+      (4L, "", "xx", "s0", 0L))               // empty → none, NULL ratios
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Text.textScriptRatio(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(9) == "latin", "equal counts resolve latin-first")
+    assert(out(0L).getLong(2) == 3 && out(0L).getLong(3) == 3 && out(0L).getLong(5) == 3)
+    assert(out(1L).getString(9) == "cyrillic")
+    assert(out(2L).getString(9) == "cjk" && out(2L).getDouble(8) == 1.0)
+    assert(out(3L).getString(9) == "none")
+    assert(out(4L).getString(9) == "none" && out(4L).isNullAt(6))
+  }
+
+  test("mixEpochs: integer ceiling math; upsampled small source, downsampled large one") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // avail: s_small 10_000 chars (w=100), s_big 1_000_000 (w=1000) → W=1100
+    // target_small = 1e6*100 DIV 1100 = 90_909 → epochs = ceil(90909/10000) = 10,
+    //   last epoch = 90909 - 9*10000 = 909
+    // target_big = 1e6*1000 DIV 1100 = 909_090 → epochs = 1, last = 909_090
+    val rows =
+      (0L until 10L).map(i => (i, "x", "xx", "s_small", 1000L)) ++
+      (10L until 20L).map(i => (i, "x", "xx", "s_big", 100000L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.mixEpochs(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("s_small") == ((10000L, 100L, 90909L, 10L, 909L)),
+      "small source upsamples to 10 epochs with a 909-char final partial pass")
+    assert(out("s_big") == ((1000000L, 1000L, 909090L, 1L, 909090L)),
+      "large source fits in a single partial epoch")
+  }
+
   test("embedKmeansUpdate: new centroids are the element-wise means of assigned members") {
     import spark.implicits._
     val dir = tmpSfDir()
