@@ -249,10 +249,16 @@ object Text {
    */
   def textRarityScore(s: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    // tf feeds BOTH the corpus-count branch and the join probe; without a
+    // persist Spark re-executes the explode+groupBy subtree once per
+    // consumer — the query's heaviest stage, twice. Released by the
+    // QueryCaches.owned wrapper after the caller's action.
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
     val corpus = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val perDoc = tf.join(corpus, "token")
       .groupBy(col("doc_id"))
