@@ -293,7 +293,10 @@ object Text {
    * Scale: all predicates are pure codegen expressions over the scan; the
    * only shuffle is the per-source count rollup (map-side combined).
    */
-  def filterGopherRules(s: SparkSession, dir: String): DataFrame = {
+  /** The five rule predicates over a raw documents scan, in battery
+    * order — shared by the per-source audit and the quality-weighted
+    * sampler so the two can never disagree on a verdict. */
+  private def gopherPredicates: Seq[Column] = {
     val w = words(col("text"))
     val nWords = size(w).cast("long")
     val nChars = length(col("text")).cast("long")
@@ -303,11 +306,16 @@ object Text {
     val digitChars = (length(col("text")) -
       length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
     val nStop = size(filter(w, x => x.isin(RuleStopwords: _*))).cast("long")
-    val pWc = nWords >= 50L
-    val pWlen = (lit(3L) * nWords <= wordChars) && (wordChars <= lit(10L) * nWords)
-    val pSym = lit(10L) * symChars <= nChars
-    val pStop = nStop >= 2L
-    val pDigit = lit(5L) * digitChars <= nChars
+    Seq(
+      nWords >= 50L,
+      (lit(3L) * nWords <= wordChars) && (wordChars <= lit(10L) * nWords),
+      lit(10L) * symChars <= nChars,
+      nStop >= 2L,
+      lit(5L) * digitChars <= nChars)
+  }
+
+  def filterGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val Seq(pWc, pWlen, pSym, pStop, pDigit) = gopherPredicates
     def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
     docs(s, dir)
       .select(col("source"), pWc.as("p_wc"), pWlen.as("p_wlen"), pSym.as("p_sym"),
@@ -360,7 +368,31 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Quality-weighted (importance) sampling — the downsampling pass that
+   * keeps documents with probability proportional to quality instead of a
+   * flat stratum rate: the keep weight is the number of battery rules a
+   * document passes (0..5 → keep probability w/5), and acceptance is the
+   * deterministic md5-mod bucket test spelled as an integer
+   * cross-multiplication (`bucket < 20·w`), so the decision is
+   * reproducible and engine-exact — the same rows survive on every run,
+   * every engine, every partitioning.
+   *
+   * Scale: a pure scan-local predicate like [[Curation.sampleStratified]]
+   * — no shuffle, no state; zero-weight (all-rules-failed) docs can never
+   * be kept.
+   */
+  def sampleQualityWeighted(s: SparkSession, dir: String): DataFrame = {
+    val qw = gopherPredicates.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+    docs(s, dir)
+      .withColumn("quality_w", qw)
+      .filter(Curation.md5Mod100(col("doc_id")) < col("quality_w") * lit(20L))
+      .select(col("doc_id"), col("source"), col("quality_w"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_quality_weighted" -> (sampleQualityWeighted _),
     "text_script_ratio" -> (textScriptRatio _),
     "text_rarity_score" -> (textRarityScore _),
     "filter_gopher_rules" -> (filterGopherRules _),
@@ -376,6 +408,28 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "sample_quality_weighted" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source,
+        |    CAST((CASE WHEN n_words >= 50 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 3 * n_words <= word_chars AND word_chars <= 10 * n_words THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 10 * sym_chars <= n_chars THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 5 * digit_chars <= n_chars THEN 1 ELSE 0 END) AS BIGINT) AS quality_w
+        |  FROM f)
+        |SELECT doc_id, source, quality_w FROM w
+        |WHERE ${Curation.duckMd5Mod100("doc_id")} < quality_w * 20
+        |ORDER BY doc_id""".stripMargin,
     "text_script_ratio" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

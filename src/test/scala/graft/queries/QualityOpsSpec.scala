@@ -81,6 +81,22 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       "dup member ties centroids 0/4 at d²=0 → smallest cid; member 11 → centroid 1")
   }
 
+  test("sampleQualityWeighted: zero-weight docs never survive; full-weight docs always do") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // full-pass doc (same construction as the battery boundary test) vs a
+    // doc failing every rule (1 word, no stopwords, all symbols/digits)
+    val pass = (Seq.fill(48)("word") ++ Seq("the", "of")).mkString(" ")
+    val rows = (0L until 20L).map(i => (i, pass, "en", "s0", pass.length.toLong)) ++
+      (20L until 40L).map(i => (i, "#123!", "en", "s0", 5L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val kept = Text.sampleQualityWeighted(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(kept.map(_._1).toSet == (0L until 20L).toSet,
+      "weight-5 docs pass (bucket < 100 always); weight-0 docs can never be kept")
+    assert(kept.forall(_._2 == 5L))
+  }
+
   test("textScriptRatio: block counting and fixed-order dominance ties") {
     import spark.implicits._
     val dir = tmpSfDir()
