@@ -75,10 +75,19 @@ object Similarity {
 
   /** 8-bit sign-LSH bucket of `v` against the anchor constants — a single
     * codegen'd expression, no join. */
+  /** NULL bucket when there are no anchors (an empty model-parameter
+    * collect on an empty/filtered-out slice) — consumers pair this with a
+    * [[noModel]] guard so the query returns zero rows instead of throwing
+    * from expression construction. */
   private def bucketExpr(v: Column, anchors: Seq[Array[Double]]): Column =
-    anchors.zipWithIndex.map { case (a, j) =>
+    if (anchors.isEmpty) lit(null).cast("long")
+    else anchors.zipWithIndex.map { case (a, j) =>
       when(dot(v, typedLit(a)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Constant-false filter when the model-parameter collect came back
+    * empty: keeps the plan/schema intact, folds to an empty relation. */
+  private def noModel(params: Seq[_]): Column = lit(params.nonEmpty)
 
   /** Sign-LSH bucketing: 8 anchor vectors (vec_id 0..7, driver constants)
     * give an 8-bit bucket per vector; the bucket histogram is the
@@ -88,7 +97,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val anchors = anchorVecs(s, dir)
     load(s, dir, "embeddings")
-      .filter(col("vec_id") >= 8)
+      .filter(col("vec_id") >= 8 && noModel(anchors))
       .select(col("vec_id"), bucketExpr(dArr(col("embedding")), anchors).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -116,12 +125,18 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val cents = anchorVecs(s, dir)
     // (dot, -j) structs: max picks the highest dot, ties the SMALLEST j —
-    // matching the oracle's ORDER BY d DESC, cid ASC
-    def simsArr(v: Column): Column = array(cents.zipWithIndex.map { case (c, j) =>
-      struct(dot(v, typedLit(c)).as("d"), lit(-j).as("nj"))
-    }: _*)
+    // matching the oracle's ORDER BY d DESC, cid ASC. With no centroids
+    // the array must still TYPE-resolve (a bare array() is VOID and kills
+    // the getField extraction at analysis), so a typed placeholder stands
+    // in behind the noModel constant-false guard below.
+    def simsArr(v: Column): Column =
+      if (cents.isEmpty) array(struct(lit(0.0).as("d"), lit(0).as("nj")))
+      else array(cents.zipWithIndex.map { case (c, j) =>
+        struct(dot(v, typedLit(c)).as("d"), lit(-j).as("nj"))
+      }: _*)
 
     val e = load(s, dir, "embeddings")
+      .filter(noModel(cents))
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
     val cands = e.filter(col("vec_id") >= 18)
       .select(col("vec_id"), col("v"),
@@ -159,7 +174,7 @@ object Similarity {
     // along, so neither a bucket aggregation nor a join-back exists and
     // each self-join branch is a bare (pruned) scan + project
     val buckets = load(s, dir, "embeddings")
-      .filter(col("vec_id") >= 8)
+      .filter(col("vec_id") >= 8 && noModel(anchors))
       .select(col("vec_id"), dArr(col("embedding")).as("v"),
         bucketExpr(dArr(col("embedding")), anchors).as("bucket"))
     val a = buckets.select(col("bucket"), col("vec_id").as("va"), col("v").as("xa"))
@@ -230,14 +245,18 @@ object Similarity {
   private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = anchorVecs(s, dir)
-    def best(v: Column, vv: Column): Column = array_max(array(
-      cents.zipWithIndex.map { case (c, j) =>
-        val cl = typedLit(c)
-        val d2 = vv - lit(2.0) * dot(v, cl) + dot(cl, cl)
-        struct((-d2).as("nd"), lit(-j).as("nj"))
-      }: _*))
+    // typed placeholder when there are no centroids (see simsArr note) —
+    // the noModel guard makes the relation empty, never mis-assigned
+    def best(v: Column, vv: Column): Column =
+      if (cents.isEmpty) struct(lit(0.0).as("nd"), lit(0).as("nj"))
+      else array_max(array(
+        cents.zipWithIndex.map { case (c, j) =>
+          val cl = typedLit(c)
+          val d2 = vv - lit(2.0) * dot(v, cl) + dot(cl, cl)
+          struct((-d2).as("nd"), lit(-j).as("nj"))
+        }: _*))
     load(s, dir, "embeddings")
-      .filter(col("vec_id") >= 8)
+      .filter(col("vec_id") >= 8 && noModel(cents))
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
       .withColumn("vv", dot(col("v"), col("v")))
       .withColumn("b", best(col("v"), col("vv")))

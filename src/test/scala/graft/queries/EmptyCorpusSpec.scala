@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A 100 TB engine meets empty inputs constantly — a brand-new source, a
+  * filtered-to-nothing slice, a first incremental batch. Every
+  * documents/embeddings-family contract query must return an empty (or
+  * schema-correct aggregate) result on an EMPTY table, never throw from a
+  * driver-side model-parameter collect or an unguarded scalar. */
+class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def emptyDir(): String = {
+    val dir = tmpSfDir()
+    writeTable(dir, "documents",
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema))
+    writeTable(dir, "embeddings",
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema))
+    dir.toString
+  }
+
+  // every §2.7 query that reads only documents/embeddings
+  private val corpusQueries = Seq(
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint", "text_scrub",
+    "text_repetition", "text_winnow_fp", "text_ngram_counts", "text_pack_chunks",
+    "text_seg_dedup", "text_tfidf_topk", "text_rarity_score", "text_script_ratio",
+    "filter_gopher_rules", "sample_quality_weighted",
+    "dedup_bow_fp", "dedup_jaccard_words", "dedup_jaccard_ngrams", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_incremental_md5",
+    "dedup_components", "dedup_cluster_sizes", "dedup_embedding_cosine",
+    "sample_stratified", "sample_per_source_topn", "pipeline_curation",
+    "curation_best_of_cluster", "contamination_check", "decontam_overlap",
+    "shingle_except", "shingle_intersect", "corpus_report", "corpus_rollup",
+    "corpus_pivot", "mix_weighted", "mix_temperature", "mix_token_budget",
+    "mix_epochs", "shuffle_order", "stats_length_pctl", "stats_percent_rank",
+    "integrity_full_outer", "embed_quantize", "embed_dim_stats",
+    "embed_kmeans_assign", "embed_kmeans_update",
+    "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk")
+
+  test("every corpus-family query returns (not throws) on fully empty tables") {
+    val dir = emptyDir()
+    val failures = corpusQueries.flatMap { name =>
+      try {
+        graft.SparkEntry.queries(name)(spark, dir).collect()
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+      } finally spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
