@@ -174,10 +174,14 @@ object Events {
     // shard suffixes are yyyyMMdd of the SAME ts-derived UTC date as `day`
     // (WildcardTable.suffixExpr), so the suffix range IS the day range
     val sfx = graft.sources.WildcardTable.listSuffixes(s, dir)
-    require(sfx.nonEmpty, s"no event shards under $dir")
+    // no shards (empty events table) → an empty spine: the epoch of the
+    // zero-length sequence below. Any placeholder date works — the
+    // user_id DISTINCT over the empty relation already has zero rows.
     val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
-    val lo = java.sql.Date.valueOf(java.time.LocalDate.parse(sfx.min, fmt))
-    val hi = java.sql.Date.valueOf(java.time.LocalDate.parse(sfx.max, fmt))
+    val lo = java.sql.Date.valueOf(
+      if (sfx.isEmpty) java.time.LocalDate.EPOCH else java.time.LocalDate.parse(sfx.min, fmt))
+    val hi = java.sql.Date.valueOf(
+      if (sfx.isEmpty) java.time.LocalDate.EPOCH else java.time.LocalDate.parse(sfx.max, fmt))
     val daily = e.groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
     val spine = e.select(col("user_id")).distinct()

@@ -59,4 +59,32 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  // events-family queries over the flat table (wildcard/ML compositions
+  // carry their own latest-shard DECLARE contract and are exercised on
+  // non-empty layouts elsewhere)
+  private val eventsQueries = Seq(
+    "q10_first_event", "q11_ntile", "q12_lag_lead", "q21_sessionize",
+    "q24_json_props", "q25_hour_buckets", "q_asof_join", "q_asof_fwd",
+    "q_funnel", "q_gap_fill", "q_range_frame")
+
+  test("event-analytics queries return (not throws) on an empty events table") {
+    val dir = tmpSfDir()
+    writeTable(dir, "events",
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventsSchema))
+    val failures = eventsQueries.flatMap { name =>
+      try {
+        graft.SparkEntry.queries(name)(spark, dir.toString).collect()
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+      } finally spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
