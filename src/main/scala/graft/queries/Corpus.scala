@@ -312,7 +312,11 @@ object Corpus {
    * the selected row is deterministic.
    */
   def statsLengthPctl(s: SparkSession, dir: String): DataFrame = {
-    val keyed = docs(s, dir).select(col("n_chars"), col("doc_id"))
+    // NULL-length docs (failed extraction) are excluded from the length
+    // distribution on BOTH engines — Spark ranks NULLS FIRST, DuckDB
+    // NULLS LAST, so leaving them in shifts every order statistic
+    val keyed = docs(s, dir).filter(col("n_chars").isNotNull)
+      .select(col("n_chars"), col("doc_id"))
     val ranked = graft.operators.Quantiles
       .withGlobalRank(keyed, Seq(col("n_chars"), col("doc_id")), "rk", "__total")
     val hits = ranked.withColumn("pctl",
@@ -476,6 +480,7 @@ object Corpus {
     val top = Window.partitionBy(col("lang"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     docs(s, dir)
+      .filter(col("n_chars").isNotNull) // NULL ranks diverge across engines (see statsLengthPctl)
       .select(col("lang"), col("doc_id"), col("n_chars"),
         round(percent_rank().over(byLen), 6).as("pr"),
         round(cume_dist().over(byLen), 6).as("cd"),
@@ -716,7 +721,7 @@ object Corpus {
          |  SELECT n_chars, doc_id,
          |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
          |    CAST(COUNT(1) OVER () AS BIGINT) AS total
-         |  FROM documents),
+         |  FROM documents WHERE n_chars IS NOT NULL),
          |p AS (SELECT unnest([${Pctls.mkString(", ")}]) AS pctl)
          |SELECT p.pctl, r.rk, r.n_chars
          |FROM r JOIN p ON r.rk = (r.total * p.pctl + 99) // 100
@@ -816,7 +821,7 @@ object Corpus {
         |    round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pr,
         |    round(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS cd,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents)
+        |  FROM documents WHERE n_chars IS NOT NULL)
         |SELECT lang, doc_id, n_chars, pr, cd
         |FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
     "mix_temperature" ->

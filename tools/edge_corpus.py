@@ -42,6 +42,9 @@ DOCS = [
     # permuted copy of the boilerplate: same bag-of-words fingerprint,
     # different text — still contamination by the bow definition
     (20, 'granted hereby permission is free charge of', 'en', 'cc'),
+    # NULL text (a failed extraction) — every operator must agree with the
+    # oracle on NULL propagation, not just on empty strings
+    (21, None, 'en', 'web'),
 ]
 
 
@@ -80,7 +83,7 @@ def main(outdir):
         'text': pa.array([d[1] for d in DOCS], pa.string()),
         'lang': pa.array([d[2] for d in DOCS], pa.string()),
         'source': pa.array([d[3] for d in DOCS], pa.string()),
-        'n_chars': pa.array([len(d[1]) for d in DOCS], pa.int64()),
+        'n_chars': pa.array([len(d[1]) if d[1] is not None else None for d in DOCS], pa.int64()),
     })
     pq.write_table(tbl, os.path.join(outdir, 'documents.parquet'))
     print(f'wrote {tbl.num_rows} docs to {outdir}/documents.parquet')
