@@ -45,6 +45,7 @@ object Similarity {
   def simBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull) // failed-encoder rows are outside vector ops
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -67,7 +68,7 @@ object Similarity {
     * operators (Spark re-executes un-materialized subtrees per branch). */
   private def anchorVecs(s: SparkSession, dir: String): Seq[Array[Double]] =
     load(s, dir, "embeddings")
-      .filter(col("vec_id") < 8)
+      .filter(col("vec_id") < 8 && col("embedding").isNotNull)
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
       .orderBy(col("vec_id"))
       .collect()
@@ -97,7 +98,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val anchors = anchorVecs(s, dir)
     load(s, dir, "embeddings")
-      .filter(col("vec_id") >= 8 && noModel(anchors))
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull && noModel(anchors))
       .select(col("vec_id"), bucketExpr(dArr(col("embedding")), anchors).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -136,7 +137,7 @@ object Similarity {
       }: _*)
 
     val e = load(s, dir, "embeddings")
-      .filter(noModel(cents))
+      .filter(col("embedding").isNotNull && noModel(cents))
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
     val cands = e.filter(col("vec_id") >= 18)
       .select(col("vec_id"), col("v"),
@@ -174,7 +175,7 @@ object Similarity {
     // along, so neither a bucket aggregation nor a join-back exists and
     // each self-join branch is a bare (pruned) scan + project
     val buckets = load(s, dir, "embeddings")
-      .filter(col("vec_id") >= 8 && noModel(anchors))
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull && noModel(anchors))
       .select(col("vec_id"), dArr(col("embedding")).as("v"),
         bucketExpr(dArr(col("embedding")), anchors).as("bucket"))
     val a = buckets.select(col("bucket"), col("vec_id").as("va"), col("v").as("xa"))
@@ -204,6 +205,7 @@ object Similarity {
     val v = dArr(col("embedding"))
     val maxabs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
     load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull) // failed-encoder rows are outside vector ops
       .select(col("vec_id"), v.as("v"), size(col("embedding")).as("dim"),
         maxabs.as("maxabs"))
       .withColumn("scale", when(col("maxabs") > 0, col("maxabs") / 127.0d))
@@ -256,7 +258,7 @@ object Similarity {
           struct((-d2).as("nd"), lit(-j).as("nj"))
         }: _*))
     load(s, dir, "embeddings")
-      .filter(col("vec_id") >= 8 && noModel(cents))
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull && noModel(cents))
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
       .withColumn("vv", dot(col("v"), col("v")))
       .withColumn("b", best(col("v"), col("vv")))
@@ -346,8 +348,8 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL),
         |el AS (
         |  SELECT qid, c.vec_id AS neighbor,
         |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS d,
@@ -362,8 +364,8 @@ object Similarity {
         |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, round(sim, 6) AS sim
         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
     "sim_lsh_buckets" ->
-      """WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 8),
-        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+      """WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL),
         |dots AS (
         |  SELECT v.vec_id, a.aid, SUM(av[i]::DOUBLE * embedding[i]::DOUBLE) AS d
         |  FROM v, a, generate_series(1, 64) t(i)
@@ -374,7 +376,7 @@ object Similarity {
         |  FROM dots GROUP BY vec_id)
         |SELECT bucket, COUNT(1) AS n FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
     "sim_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
         |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id BETWEEN 8 AND 17),
         |c AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 18),
@@ -417,7 +419,7 @@ object Similarity {
         |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, round(sim, 6) AS sim
         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_embedding_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),
         |v AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
         |dots AS (
@@ -442,7 +444,7 @@ object Similarity {
         |WHERE d / (sqrt(dx) * sqrt(dy)) >= 0.35
         |ORDER BY va, vb""".stripMargin,
     "embed_quantize" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |ex AS (SELECT vec_id, len(embedding) AS dim, unnest(embedding)::DOUBLE AS x FROM e),
         |m AS (
         |  SELECT vec_id, CAST(MAX(dim) AS INT) AS dim, MAX(abs(x)) AS maxabs
@@ -462,7 +464,7 @@ object Similarity {
         |  a.n_zero, a.n_sat, a.sq_err
         |FROM m LEFT JOIN a USING (vec_id) ORDER BY m.vec_id""".stripMargin,
     "embed_kmeans_assign" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
         |dots AS (
@@ -481,7 +483,7 @@ object Similarity {
         |  round(CAST(SUM(CAST(rd2 AS DECIMAL(30,12))) AS DOUBLE) / COUNT(1), 6) AS mean_d2
         |FROM assign WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "embed_kmeans_update" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
         |dots AS (

@@ -73,6 +73,7 @@ def edge_embeddings():
         (12, unit(2), 2),           # orthogonal
         (13, [0.0] * DIM, 1),       # candidate zero vector
         (14, mix(1, 2, 0.5), 2),
+        (15, None, 0),              # NULL embedding (failed encoder row)
     ]
 
 
