@@ -19,6 +19,7 @@ object Multimodal {
   /** Build the opaque-binary media table from documents. */
   private def media(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
+      .filter(col("text").isNotNull) // failed-extraction rows are outside media ops
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
   /** Batched decode → per-doc media features. */
@@ -52,51 +53,59 @@ object Multimodal {
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _))
 
-  // The stub decoder is a pure byte function — DuckDB recomputes it:
+  // The stub decoder is a pure byte function — DuckDB recomputes it over
+  // the UTF-8 BYTES (strlen / hex(encode(text)) slicing), not characters:
   // width  = 16*(1+(first byte & 3)), height = 16*(1+(last byte & 3)),
-  // n_frames = 1 + len%7 (documents text is ASCII, so ascii()/length()
-  // operate on the same bytes the Spark side sees). Empty payloads mirror
-  // the stub's contract exactly: decode → (0, NULL, NULL, NULL), resize →
-  // (NULL, NULL, 64, 64, 0), frame sample → no rows.
+  // n_frames = 1 + byte_len%7. `& 3` of a byte is sign-independent, so the
+  // signed-JVM-byte vs unsigned-SQL-byte difference cannot surface. Empty
+  // payloads mirror the stub's contract exactly: decode → (0, NULL, NULL,
+  // NULL), resize → (NULL, NULL, 64, 64, 0), frame sample → no rows; NULL
+  // payloads are excluded at the scan on both engines (media() filter).
   val oracle: Map[String, String] = Map(
     "mm_decode" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS byte_len,
-        |  CASE WHEN length(text) = 0 THEN NULL
-        |    ELSE CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) END AS width,
-        |  CASE WHEN length(text) = 0 THEN NULL
-        |    ELSE CAST(16 * (1 + (ascii(substring(text, length(text), 1)) & 3)) AS BIGINT) END AS height,
-        |  CASE WHEN length(text) = 0 THEN NULL
-        |    ELSE CAST(1 + length(text) % 7 AS BIGINT) END AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id, strlen(text) AS bl, hex(encode(text)) AS hx
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(bl AS BIGINT) AS byte_len,
+        |  CASE WHEN bl = 0 THEN NULL
+        |    ELSE CAST(16 * (1 + (CAST(CAST('0x' || substring(hx, 1, 2) AS UBIGINT) AS BIGINT) & 3)) AS BIGINT) END AS width,
+        |  CASE WHEN bl = 0 THEN NULL
+        |    ELSE CAST(16 * (1 + (CAST(CAST('0x' || substring(hx, 2 * bl - 1, 2) AS UBIGINT) AS BIGINT) & 3)) AS BIGINT) END AS height,
+        |  CASE WHEN bl = 0 THEN NULL
+        |    ELSE CAST(1 + bl % 7 AS BIGINT) END AS n_frames
+        |FROM b ORDER BY doc_id""".stripMargin,
     "mm_feature_agg" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    CAST(length(text) AS BIGINT) AS byte_len,
-        |    CASE WHEN length(text) = 0 THEN NULL
-        |      ELSE CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) END AS width
-        |  FROM documents)
+        |    CAST(strlen(text) AS BIGINT) AS byte_len,
+        |    CASE WHEN strlen(text) = 0 THEN NULL
+        |      ELSE CAST(16 * (1 + (CAST(CAST('0x' || substring(hex(encode(text)), 1, 2) AS UBIGINT) AS BIGINT) & 3)) AS BIGINT) END AS width
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT lang, width, COUNT(1) AS n,
         |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes
         |FROM f JOIN documents USING (doc_id)
         |GROUP BY lang, width ORDER BY lang, width""".stripMargin,
     "mm_resize" ->
-      """SELECT doc_id,
-        |  CASE WHEN length(text) = 0 THEN NULL
-        |    ELSE CAST(16 * (1 + (ascii(substring(text, 1, 1)) & 3)) AS BIGINT) END AS in_w,
-        |  CASE WHEN length(text) = 0 THEN NULL
-        |    ELSE CAST(16 * (1 + (ascii(substring(text, length(text), 1)) & 3)) AS BIGINT) END AS in_h,
+      """WITH b AS (
+        |  SELECT doc_id, strlen(text) AS bl, hex(encode(text)) AS hx
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CASE WHEN bl = 0 THEN NULL
+        |    ELSE CAST(16 * (1 + (CAST(CAST('0x' || substring(hx, 1, 2) AS UBIGINT) AS BIGINT) & 3)) AS BIGINT) END AS in_w,
+        |  CASE WHEN bl = 0 THEN NULL
+        |    ELSE CAST(16 * (1 + (CAST(CAST('0x' || substring(hx, 2 * bl - 1, 2) AS UBIGINT) AS BIGINT) & 3)) AS BIGINT) END AS in_h,
         |  CAST(64 AS BIGINT) AS out_w, CAST(64 AS BIGINT) AS out_h,
-        |  CAST(least(length(text), 512) AS BIGINT) AS out_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST(least(bl, 512) AS BIGINT) AS out_bytes
+        |FROM b ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    1 + length(text) % 7 AS nf
-        |  FROM documents WHERE length(text) > 0)
+        |  SELECT doc_id, strlen(text) AS len, hex(encode(text)) AS hx,
+        |    1 + strlen(text) % 7 AS nf
+        |  FROM documents WHERE text IS NOT NULL AND strlen(text) > 0)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(i * (len // nf) AS BIGINT) AS frame_pos,
-        |  CAST(ascii(substring(text, i * (len // nf) + 1, 1)) AS BIGINT) AS sample_byte
+        |  CAST(CAST('0x' || substring(hx, 2 * (i * (len // nf)) + 1, 2) AS UBIGINT) AS BIGINT) AS sample_byte
         |FROM m, generate_series(0, 2) t(i)
         |WHERE i < least(3, nf)
         |ORDER BY doc_id, frame_idx""".stripMargin)
