@@ -68,7 +68,11 @@ object Events {
     // metadata-sized at any scale), so one partition IS the right plan;
     // the data-derived constant key states that explicitly (a lit(0)
     // would be constant-folded back to an empty partition spec)
-    val w = Window.partitionBy(zeroPart(col("event_type"))).orderBy(col("event_type"))
+    // NULLS LAST explicitly: Spark's ascending default is NULLS FIRST,
+    // DuckDB's is NULLS LAST, so a NULL event_type group would flip its
+    // LAG/LEAD neighbors between engines
+    val w = Window.partitionBy(zeroPart(col("event_type")))
+      .orderBy(col("event_type").asc_nulls_last)
     agg.select(col("event_type"), col("n"), col("total"),
         lag(col("total"), 1).over(w).as("prev_total"),
         lead(col("total"), 1).over(w).as("next_total"))

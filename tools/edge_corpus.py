@@ -77,6 +77,43 @@ def edge_embeddings():
     ]
 
 
+NS = 1_000_000_000
+BASE = 1704067200 * NS  # 2024-01-01T00:00:00Z
+
+
+def edge_events():
+    """Boundary shapes for the event-analytics family: exact session-gap
+    ties, duplicate timestamps inside one user, single-event users,
+    day-boundary spines, NULL value/event_type/props, decimal-heavy
+    values. Written as timestamp[us] naive (the post-r7 physical layout,
+    Spark TIMESTAMP_NTZ) — exercising Tables.events' normalization."""
+    rows = []
+    def ev(eid, uid, ts, et, val, props='{}'):
+        rows.append((eid, ts, uid, et, val, props))
+    # user 1: two sessions split by EXACTLY the 30-min gap (tie semantics)
+    ev(1, 1, BASE, 'view', 1.0)
+    ev(2, 1, BASE + 1800 * NS, 'click', 2.0)          # gap == threshold
+    ev(3, 1, BASE + 3601 * NS, 'purchase', 3.0)       # second gap > threshold
+    # user 2: duplicate ts — window tiebreaks must be pinned by event_id
+    ev(4, 2, BASE + 60 * NS, 'view', 1.5)
+    ev(5, 2, BASE + 60 * NS, 'click', 2.5)
+    ev(6, 2, BASE + 60 * NS, 'view', 0.5)
+    # user 3: single event (LAG/LEAD NULLs, funnel stage 1)
+    ev(7, 3, BASE + 120 * NS, 'view', 9.99)
+    # user 4: spans a UTC day boundary (gap-fill spine, suffix shards)
+    ev(8, 4, BASE + 86350 * NS, 'view', 1.25)
+    ev(9, 4, BASE + 86500 * NS, 'purchase', 100.01)   # lands on day 2
+    # user 5: NULL value, NULL event_type, NULL props
+    ev(10, 5, BASE + 200 * NS, 'view', None)
+    ev(11, 5, BASE + 260 * NS, None, 4.0)
+    ev(12, 5, BASE + 320 * NS, 'click', 5.0, None)
+    # user 6: decimal-heavy values (partial-sum order sensitivity)
+    for i in range(7):
+        ev(13 + i, 6, BASE + (400 + i) * NS, 'view', 0.1 + i * 0.01)
+    ev(20, 6, BASE + 500 * NS, 'click', 1e-9)
+    return rows
+
+
 def main(outdir):
     os.makedirs(outdir, exist_ok=True)
     tbl = pa.table({
@@ -96,6 +133,17 @@ def main(outdir):
     })
     pq.write_table(etbl, os.path.join(outdir, 'embeddings.parquet'))
     print(f'wrote {etbl.num_rows} embeddings to {outdir}/embeddings.parquet')
+    evs = edge_events()
+    vtbl = pa.table({
+        'event_id': pa.array([e[0] for e in evs], pa.int64()),
+        'ts': pa.array([e[1] // 1000 for e in evs], pa.timestamp('us')),
+        'user_id': pa.array([e[2] for e in evs], pa.int64()),
+        'event_type': pa.array([e[3] for e in evs], pa.string()),
+        'value': pa.array([e[4] for e in evs], pa.float64()),
+        'props': pa.array([e[5] for e in evs], pa.string()),
+    })
+    pq.write_table(vtbl, os.path.join(outdir, 'events.parquet'))
+    print(f'wrote {vtbl.num_rows} events to {outdir}/events.parquet')
 
 
 if __name__ == '__main__':
