@@ -277,6 +277,54 @@ object Similarity {
           .as("mean_d2"))
       .orderBy(col("cid"))
 
+  /** Cosine at or above which two same-cluster members are semantic
+    * duplicates. The synthetic label-cluster corpus tops out near 0.48
+    * within-cluster, so 0.40 keeps a small, meaningful dropped set; a
+    * production embedding corpus would sit near 0.95+ — the plan is
+    * threshold-agnostic. */
+  private val SemDedupTau = 0.4
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic deduplication"):
+   * cluster the corpus with k-means, then compare vectors PAIRWISE ONLY
+   * WITHIN each cluster and drop every vector that has a lower-id
+   * same-cluster neighbor at cosine ≥ τ (the paper keeps one
+   * representative per semantic-duplicate group; lowest id is the
+   * deterministic choice). Complements [[dedupEmbeddingCosine]]: that
+   * operator's candidate key is a global sign-LSH bucket, this one's is
+   * the semantic cluster — the two miss different duplicate types.
+   * Output is the per-cluster audit (members / dropped / kept).
+   *
+   * Scale: the cluster id bounds the quadratic — pair generation is an
+   * equi-join on `cid`, never all-pairs, and k grows with the corpus
+   * (SemDeDup runs web-scale with ~100k clusters) so per-cluster
+   * populations stay bounded; a skewed giant cluster would additionally
+   * salt on the sign-LSH bucket. The assignment scan is persisted once
+   * (released by the QueryCaches owner) and feeds the membership count
+   * and both join branches. Determinism: sims rounded to 6 dp before the
+   * threshold so a last-ulp tie can't flip an engine.
+   */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val m = kmeansAssigned(s, dir).select(col("vec_id"), col("v"), col("cid"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val a = m.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
+    val b = m.select(col("cid").as("cid_b"), col("vec_id").as("vb"), col("v").as("xb"))
+    val dropped = a.join(b, col("cid") === col("cid_b") && col("va") < col("vb"))
+      .filter(round(cosine(col("xa"), col("xb")), 6) >= SemDedupTau)
+      .select(col("cid"), col("vb"))
+      .distinct()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_dropped"))
+    m.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cid"))
+  }
+
   /**
    * Per-dimension moment pass over the embedding corpus — the calibration
    * scan behind whitening / PCA preprocessing and per-dimension
@@ -344,7 +392,8 @@ object Similarity {
     "embed_quantize" -> (embedQuantize _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "embed_kmeans_update" -> (embedKmeansUpdate _),
-    "embed_dim_stats" -> (embedDimStats _))
+    "embed_dim_stats" -> (embedDimStats _),
+    "dedup_semantic" -> (dedupSemantic _))
 
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
@@ -506,6 +555,42 @@ object Similarity {
         |SELECT cid, dim, COUNT(1) AS n,
         |  round(CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6) + 0.0 AS c_new
         |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+        |dots AS (
+        |  SELECT m.vec_id, cent.cid0,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+        |  FROM m, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cid0 AS cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+        |  FROM dots),
+        |am AS (SELECT a.cid, m.vec_id, m.embedding
+        |       FROM assign a JOIN m USING (vec_id) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT x.cid, y.vec_id AS vb,
+        |    SUM(x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE) AS d,
+        |    SUM(x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE) AS dx,
+        |    SUM(y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE) AS dy
+        |  FROM am x JOIN am y ON x.cid = y.cid AND x.vec_id < y.vec_id,
+        |  generate_series(1, 64) t(i)
+        |  GROUP BY x.cid, y.vec_id, x.vec_id),
+        |dropped AS (
+        |  SELECT cid, COUNT(1) AS n_dropped FROM (
+        |    SELECT DISTINCT cid, vb FROM pairs
+        |    WHERE round(d / (sqrt(dx) * sqrt(dy)), 6) >= 0.4)
+        |  GROUP BY cid)
+        |SELECT am.cid, COUNT(1) AS n_members,
+        |  COALESCE(MAX(dr.n_dropped), 0) AS n_dropped,
+        |  COUNT(1) - COALESCE(MAX(dr.n_dropped), 0) AS n_kept
+        |FROM am LEFT JOIN dropped dr ON am.cid = dr.cid
+        |GROUP BY am.cid ORDER BY am.cid""".stripMargin,
     "embed_dim_stats" ->
       """WITH x AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx

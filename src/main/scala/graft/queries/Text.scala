@@ -136,6 +136,70 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Stop-fingerprint cap: a winnow fingerprint present in more than this
+    * many documents is boilerplate (license headers, navigation chrome)
+    * and is excluded from pairing — the MOSS paper's "ignore matches in
+    * too many documents" rule. Also the scale guarantee: per-fingerprint
+    * join groups are bounded, so candidate pairs are ≤ cap · |fingerprints|
+    * regardless of corpus size. */
+  private val WinnowDfCap = 50
+  /** Minimum shared fingerprints for a pair to be reported. */
+  private val WinnowMinShared = 10
+  /** Minimum containment (shared / smaller doc's fingerprint count). */
+  private val WinnowMinContainment = 0.8
+
+  /**
+   * MOSS-style pairwise overlap detection on winnowing fingerprints
+   * (Schleimer, Wilkerson, Aiken 2003 §5): two documents are near-dups
+   * when they SHARE many selected fingerprints — unlike
+   * [[textWinnowFp]]'s per-doc digest, this reports the matching PAIRS
+   * with their containment score (shared / min fingerprint count), the
+   * local-similarity complement to the global-set measures in
+   * [[graft.queries.Dedup]] (MinHash/SimHash see bags of shingles; winnow
+   * overlap sees contiguous shared REGIONS, so it catches a short doc
+   * embedded verbatim in a long one that Jaccard dilutes away).
+   *
+   * Scale: the exploded (fp, doc) stream shuffles once on `fp` (the
+   * window reuses that partitioning for the self-join — no second
+   * exchange); the doc-frequency cap bounds every join group; pair
+   * aggregation shuffles only the surviving candidate stream. The
+   * fingerprint scan (the CPU-heavy kernel) is persisted and feeds the
+   * join branches + the per-doc counts, released by the QueryCaches
+   * owner. Containment is one int/int division rounded to 6 dp before
+   * thresholding, so cross-engine float ties can't flip membership.
+   */
+  def dedupWinnowOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val xf = docs(s, dir)
+      .repartition(parts, col("doc_id")) // spread the kernel (see dedupBowFp)
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnow_fp(col("text"), WinnowK, WinnowW)).as("fp"))
+      .withColumn("dfreq", count(lit(1)).over(wdf))
+      .filter(col("dfreq") <= WinnowDfCap)
+      .select(col("doc_id"), col("fp"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val nf = xf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = xf.select(col("fp"), col("doc_id").as("da"))
+      .join(xf.select(col("fp").as("fp_b"), col("doc_id").as("db")),
+        col("fp") === col("fp_b") && col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    pairs
+      .join(nf.select(col("doc_id").as("da"), col("n_fp").as("n_fp_a")), "da")
+      .join(nf.select(col("doc_id").as("db"), col("n_fp").as("n_fp_b")), "db")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")), 6))
+      .filter(col("containment") >= WinnowMinContainment)
+      .select(col("da"), col("db"), col("n_shared"), col("n_fp_a"), col("n_fp_b"),
+        col("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /**
    * PII/URL scrubbing (curation safety filter): redact email addresses
    * and URLs, report per-doc hit counts plus the scrubbed length. Pure
@@ -294,9 +358,10 @@ object Text {
    * only shuffle is the per-source count rollup (map-side combined).
    */
   /** The five rule predicates over a raw documents scan, in battery
-    * order — shared by the per-source audit and the quality-weighted
-    * sampler so the two can never disagree on a verdict. */
-  private def gopherPredicates: Seq[Column] = {
+    * order — shared by the per-source audit, the quality-weighted
+    * sampler, and the weak-supervision labeler in
+    * [[graft.workers.CorpusMl]], so none can disagree on a verdict. */
+  private[graft] def gopherPredicates: Seq[Column] = {
     val w = words(col("text"))
     val nWords = size(w).cast("long")
     val nChars = length(col("text")).cast("long")
@@ -405,6 +470,7 @@ object Text {
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_winnow_fp" -> (textWinnowFp _),
+    "dedup_winnow_overlap" -> (dedupWinnowOverlap _),
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
@@ -592,6 +658,39 @@ object Text {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM sel ORDER BY doc_id""".stripMargin,
+    "dedup_winnow_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 7),
+        |      i -> (CAST(ord(text[i]) AS BIGINT) * 27512614111
+        |          + CAST(ord(text[i+1]) AS BIGINT) * 887503681
+        |          + CAST(ord(text[i+2]) AS BIGINT) * 28629151
+        |          + CAST(ord(text[i+3]) AS BIGINT) * 923521
+        |          + CAST(ord(text[i+4]) AS BIGINT) * 29791
+        |          + CAST(ord(text[i+5]) AS BIGINT) * 961
+        |          + CAST(ord(text[i+6]) AS BIGINT) * 31
+        |          + CAST(ord(text[i+7]) AS BIGINT)) % 4294967296) AS gh
+        |  FROM documents WHERE length(text) >= 11),
+        |sel AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, len(gh) - 3),
+        |      j -> list_min(gh[j:j+3]))) AS fps
+        |  FROM g),
+        |x AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+        |df AS (SELECT fp, COUNT(1) AS dfreq FROM x GROUP BY fp),
+        |xf AS (SELECT x.doc_id, x.fp FROM x JOIN df USING (fp) WHERE dfreq <= 50),
+        |nf AS (SELECT doc_id, COUNT(1) AS n_fp FROM xf GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS n_shared
+        |  FROM xf a JOIN xf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT da, db, n_shared, x.n_fp AS n_fp_a, y.n_fp AS n_fp_b,
+        |    round(n_shared::DOUBLE / least(x.n_fp, y.n_fp), 6) AS containment
+        |  FROM pairs JOIN nf x ON x.doc_id = da JOIN nf y ON y.doc_id = db
+        |  WHERE n_shared >= 10)
+        |SELECT da, db, n_shared, n_fp_a, n_fp_b, containment
+        |FROM scored WHERE containment >= 0.8 ORDER BY da, db""".stripMargin,
     "dedup_bow_fp" ->
       """WITH fp AS (
         |  SELECT doc_id,

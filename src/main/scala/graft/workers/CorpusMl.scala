@@ -1,0 +1,77 @@
+package graft.workers
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based corpus quality scoring — the fastText-style classifier step
+ * of a web-corpus curation pipeline (the GPT-3 / CCNet recipe: label a
+ * seed set, train a cheap linear classifier over bag-of-words features,
+ * score every document, keep/sample by the model's quality probability).
+ * Labels come from weak supervision: a document is a positive example
+ * when it passes the full [[graft.queries.Text.gopherPredicates]] rule
+ * battery — the standard bootstrap when no curated seed corpus exists
+ * (heuristics label, the model generalizes and smooths, downstream
+ * sampling uses the calibrated probability instead of a hard rule edge).
+ *
+ * Mechanics: whitespace tokens (the curation family's shared tokenizer)
+ * → [[HashingTF]] term counts (the hashing trick keeps the feature space
+ * fixed-width with NO vocabulary collect — at 100 TB there is no
+ * driver-side dictionary to build or broadcast) → L2-regularized
+ * [[LogisticRegression]]. Training aggregates gradients with MLlib's
+ * treeAggregate (map-side partials, log-depth combine); scoring is a
+ * single stateless transform over the scan — embarrassingly parallel,
+ * no shuffle at all.
+ */
+object CorpusMl {
+
+  /** Feature width for the hashing trick (2^12 — collisions are part of
+    * the contract; fastText ships 2M buckets at web scale, the principle
+    * is identical). */
+  val QualityNumFeatures = 4096
+
+  /** Documents with the weak-supervision label: 1.0 when all five
+    * quality rules pass. The tokens column feeds the hashing featurizer;
+    * rule verdicts are exact integer arithmetic (see gopherPredicates). */
+  private[workers] def labeled(s: SparkSession, dir: String): DataFrame = {
+    val keep = graft.queries.Text.gopherPredicates.reduce(_ && _)
+    Workers.resolveTable(s, s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("tokens"),
+        when(keep, 1.0d).otherwise(0.0d).as("label"))
+  }
+
+  /** The (untrained) featurize+classify pipeline. */
+  private def pipeline(): Pipeline = {
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(QualityNumFeatures)
+    val lr = new LogisticRegression().setLabelCol("label")
+      .setMaxIter(50).setRegParam(1e-3)
+    new Pipeline().setStages(Array(tf, lr))
+  }
+
+  /** Fit the quality classifier on the rule-labeled corpus. */
+  def trainQualityClassifier(s: SparkSession, dir: String): PipelineModel =
+    pipeline().fit(labeled(s, dir))
+
+  /** Training-set AUC of a fitted model — the convergence check a
+    * curation pipeline gates on before trusting the scores. */
+  def evaluateQuality(s: SparkSession, dir: String, model: PipelineModel): Double =
+    new BinaryClassificationEvaluator().setLabelCol("label")
+      .setRawPredictionCol("rawPrediction")
+      .evaluate(model.transform(labeled(s, dir)))
+
+  /** Score every document: (doc_id, rule_label, quality_prob). The
+    * positive-class probability is the sampling weight downstream
+    * (mirrors Ml.Predictor's positive-class column convention). */
+  def scoreQuality(s: SparkSession, dir: String, model: PipelineModel): DataFrame =
+    model.transform(labeled(s, dir))
+      .select(col("doc_id"), col("label").as("rule_label"),
+        vector_to_array(col("probability")).getItem(1).as("quality_prob"))
+}

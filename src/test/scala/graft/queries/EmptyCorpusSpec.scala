@@ -38,6 +38,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "dedup_bow_fp", "dedup_jaccard_words", "dedup_jaccard_ngrams", "dedup_simhash",
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_incremental_md5",
     "dedup_components", "dedup_cluster_sizes", "dedup_embedding_cosine",
+    "dedup_semantic", "dedup_winnow_overlap",
     "sample_stratified", "sample_per_source_topn", "pipeline_curation",
     "curation_best_of_cluster", "contamination_check", "decontam_overlap",
     "shingle_except", "shingle_intersect", "corpus_report", "corpus_rollup",

@@ -1,0 +1,53 @@
+package graft.workers
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The weak-supervision quality classifier: rule-labeled training must
+  * converge to a model whose scores separate the rule classes (the gate a
+  * curation pipeline applies before trusting model-based sampling). */
+class CorpusMlSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("quality classifier learns the rule labels from hashed tokens (AUC)") {
+    val model = CorpusMl.trainQualityClassifier(spark, dir)
+    val auc = CorpusMl.evaluateQuality(spark, dir, model)
+    assert(auc > 0.85, s"training-set AUC $auc — hashed-BoW LR should separate rule classes")
+  }
+
+  test("scoring emits one calibrated probability per document") {
+    val model = CorpusMl.trainQualityClassifier(spark, dir)
+    val scored = CorpusMl.scoreQuality(spark, dir, model)
+    assert(scored.columns.toSeq == Seq("doc_id", "rule_label", "quality_prob"))
+    val rows = scored.collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall { r =>
+      val p = r.getDouble(2); p >= 0.0 && p <= 1.0
+    })
+    // probabilities must actually rank the classes, not just exist: the
+    // mean positive-class score should clearly exceed the negatives'
+    val (pos, neg) = rows.partition(_.getDouble(1) == 1.0)
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture corpus must contain both rule classes")
+    val mp = pos.map(_.getDouble(2)).sum / pos.length
+    val mn = neg.map(_.getDouble(2)).sum / neg.length
+    assert(mp > mn + 0.1, s"mean quality_prob pos=$mp neg=$mn")
+  }
+
+  test("labeling is NULL-safe: a NULL-text document is excluded, not a crash") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val d = tmpSfDir()
+    writeTable(d, "documents", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "the quick brown fox and the lazy dog of the north went to the in", "en", "web", 65L),
+        Row(2L, null, "en", "web", null))),
+      schema))
+    assert(CorpusMl.labeled(spark, d.toString).count() == 1)
+  }
+}
