@@ -306,13 +306,21 @@ object Similarity {
    * threshold so a last-ulp tie can't flip an engine.
    */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    val m = kmeansAssigned(s, dir).select(col("vec_id"), col("v"), col("cid"))
+    // norms ride along from the assignment scan: the pair stage then does
+    // ONE dot per candidate pair instead of three (dot + both self-dots),
+    // and the per-row ‖v‖ is computed once, not once per partner
+    val m = kmeansAssigned(s, dir)
+      .select(col("vec_id"), col("v"), col("cid"),
+        sqrt(dot(col("v"), col("v"))).as("nrm"))
       .persist()
       .transform { df => graft.core.QueryCaches.report(df); df }
-    val a = m.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
-    val b = m.select(col("cid").as("cid_b"), col("vec_id").as("vb"), col("v").as("xb"))
+    val a = m.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"),
+      col("nrm").as("na"))
+    val b = m.select(col("cid").as("cid_b"), col("vec_id").as("vb"),
+      col("v").as("xb"), col("nrm").as("nb"))
+    val denom = col("na") * col("nb")
     val dropped = a.join(b, col("cid") === col("cid_b") && col("va") < col("vb"))
-      .filter(round(cosine(col("xa"), col("xb")), 6) >= SemDedupTau)
+      .filter(round(when(denom > 0, dot(col("xa"), col("xb")) / denom), 6) >= SemDedupTau)
       .select(col("cid"), col("vb"))
       .distinct()
       .groupBy(col("cid"))
