@@ -37,15 +37,19 @@ object CorpusMl {
 
   /** Documents with the weak-supervision label: 1.0 when all five
     * quality rules pass. The tokens column feeds the hashing featurizer;
-    * rule verdicts are exact integer arithmetic (see gopherPredicates). */
-  private[workers] def labeled(s: SparkSession, dir: String): DataFrame = {
+    * rule verdicts are exact integer arithmetic (see gopherPredicates).
+    * Pure stateless column expressions, so the same projection serves
+    * batch relations and streaming micro-batches unchanged. */
+  private[workers] def labeledFrom(docs: DataFrame): DataFrame = {
     val keep = graft.queries.Text.gopherPredicates.reduce(_ && _)
-    Workers.resolveTable(s, s"$dir/documents.parquet")
-      .filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(col("text"), " "), w => w =!= "").as("tokens"),
         when(keep, 1.0d).otherwise(0.0d).as("label"))
   }
+
+  private[workers] def labeled(s: SparkSession, dir: String): DataFrame =
+    labeledFrom(Workers.resolveTable(s, s"$dir/documents.parquet"))
 
   /** The (untrained) featurize+classify pipeline. */
   private def pipeline(): Pipeline = {
@@ -71,7 +75,24 @@ object CorpusMl {
     * positive-class probability is the sampling weight downstream
     * (mirrors Ml.Predictor's positive-class column convention). */
   def scoreQuality(s: SparkSession, dir: String, model: PipelineModel): DataFrame =
-    model.transform(labeled(s, dir))
+    scored(labeledFrom(Workers.resolveTable(s, s"$dir/documents.parquet")), model)
+
+  /**
+   * Model scoring over a STREAMING documents relation (`readStream` of the
+   * same schema) — the online leg of the curation pipeline: freshly
+   * crawled documents get their quality probability as they arrive, so
+   * downstream keep/route decisions never wait for a batch rescore. The
+   * whole chain (rule label, hashed features, linear model) is stateless
+   * per-row expressions — no watermark, no state store, and every
+   * micro-batch scores with the SAME frozen model the batch pass trained,
+   * so online and offline scores can never disagree (asserted by the
+   * MemoryStream parity spec).
+   */
+  def scoreQualityStream(docsStream: DataFrame, model: PipelineModel): DataFrame =
+    scored(labeledFrom(docsStream), model)
+
+  private def scored(labeledDocs: DataFrame, model: PipelineModel): DataFrame =
+    model.transform(labeledDocs)
       .select(col("doc_id"), col("label").as("rule_label"),
         vector_to_array(col("probability")).getItem(1).as("quality_prob"))
 }

@@ -35,6 +35,29 @@ class CorpusMlSpec extends AnyFunSuite with SparkFixture {
     assert(mp > mn + 0.1, s"mean quality_prob pos=$mp neg=$mn")
   }
 
+  test("streaming scoring: micro-batches produce the batch scores exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val model = CorpusMl.trainQualityClassifier(spark, dir)
+    val batch = CorpusMl.scoreQuality(spark, dir, model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CorpusMl.scoreQualityStream(
+      in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("qscore").outputMode("append").start()
+    try {
+      val (first, rest) = docs.splitAt(docs.length / 2)
+      in.addData(first); q.processAllAvailable()
+      in.addData(rest); q.processAllAvailable()
+      val streamed = s.table("qscore")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(streamed == batch, "online scores must equal the frozen-model batch scores")
+    } finally q.stop()
+  }
+
   test("labeling is NULL-safe: a NULL-text document is excluded, not a crash") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
