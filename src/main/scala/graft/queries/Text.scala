@@ -200,6 +200,70 @@ object Text {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Result size for the BPE pair ranking. */
+  private val TopBpePairs = 40
+
+  /**
+   * BPE merge-pair statistics (Sennrich et al. 2016 §3.2 — the counting
+   * step of byte-pair-encoding tokenizer training): collapse the corpus
+   * to its word vocabulary with frequencies, then count every adjacent
+   * character pair weighted by word frequency. The top pair is the first
+   * merge a BPE trainer would perform; a trainer loops this scan, feeding
+   * merges back in. No intra-word position marker is applied (pairs are
+   * within-word only — word boundaries never merge by construction).
+   *
+   * Scale: the explode runs over the DISTINCT VOCABULARY, not the corpus
+   * — the first groupBy collapses 100 TB of text to |vocab| rows
+   * (map-side combined), and everything after is arithmetic on that
+   * collapsed relation. The pair rollup has ≤ |alphabet|² groups; top-K
+   * plans as TakeOrderedAndProject (per-partition K-heaps, no global
+   * sort). Ties at the K boundary break on the pair text.
+   */
+  def bpePairCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(TopBpePairs)
+
+  /** Fixed-length padding granularity (sequences pad up to the next
+    * multiple — the bucketed-batching shape dynamic-padding trainers use). */
+  private val PadBucket = 64L
+
+  /**
+   * Padding-waste audit for length-bucketed batching — the efficiency
+   * scan a training pipeline runs before choosing bucket boundaries:
+   * group documents by their padded length (next multiple of
+   * [[PadBucket]] tokens) and report, per bucket, the document count,
+   * real token count, padded token count, and the wasted fraction.
+   * Complements [[textPackChunks]] (greedy concat-packing): this audits
+   * the pad-to-bucket regime where documents are NOT concatenated.
+   *
+   * Scale: one per-row arithmetic projection over the scan into a
+   * groupBy with ≤ max_len/bucket groups — map-side combine collapses
+   * every task to a handful of rows; the shuffle is metadata-sized.
+   * Waste is one integer subtraction and one division rounded to 6 dp.
+   */
+  def packPaddingWaste(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(size(words(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", expr(s"((n_tok + ${PadBucket - 1}) DIV $PadBucket) * $PadBucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_tokens"))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        round((col("bucket") * col("n_docs") - col("real_tokens")).cast("double") /
+          (col("bucket") * col("n_docs")), 6).as("waste_frac"))
+      .orderBy(col("bucket"))
+
   /**
    * PII/URL scrubbing (curation safety filter): redact email addresses
    * and URLs, report per-doc hit counts plus the scrubbed length. Pure
@@ -471,6 +535,8 @@ object Text {
     "text_fingerprint" -> (textFingerprint _),
     "text_winnow_fp" -> (textWinnowFp _),
     "dedup_winnow_overlap" -> (dedupWinnowOverlap _),
+    "bpe_pair_counts" -> (bpePairCounts _),
+    "pack_padding_waste" -> (packPaddingWaste _),
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
@@ -658,6 +724,29 @@ object Text {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM sel ORDER BY doc_id""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |v AS (SELECT word, COUNT(1) AS freq FROM w GROUP BY word),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+        |    i -> word[i:i+1])) AS pair, freq
+        |  FROM v WHERE length(word) >= 2)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin,
+    "pack_padding_waste" ->
+      """WITH t AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT ((n_tok + 63) // 64) * 64 AS bucket, COUNT(1) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS real_tokens
+        |  FROM t WHERE n_tok > 0 GROUP BY 1)
+        |SELECT bucket, n_docs, real_tokens,
+        |  bucket * n_docs AS padded_tokens,
+        |  round((bucket * n_docs - real_tokens)::DOUBLE / (bucket * n_docs), 6) AS waste_frac
+        |FROM b ORDER BY bucket""".stripMargin,
     "dedup_winnow_overlap" ->
       """WITH g AS (
         |  SELECT doc_id,
