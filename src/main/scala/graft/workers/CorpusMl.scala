@@ -95,4 +95,45 @@ object CorpusMl {
     model.transform(labeledDocs)
       .select(col("doc_id"), col("label").as("rule_label"),
         vector_to_array(col("probability")).getItem(1).as("quality_prob"))
+
+  /** DAG worker: fit the quality classifier on a documents table and
+    * persist it (model.write.overwrite, same convention as Ml.Trainer) so
+    * a pipeline can chain train → score as two tasks on `success`. */
+  final class QualityTrainer(spark: SparkSession,
+      params: Map[String, graft.core.Spec.WorkerValue]) extends graft.core.Dag.Worker {
+    def execute(ctx: graft.core.Dag.WorkerContext): Unit = {
+      val table = Workers.str(params, "documents_table")
+      val modelUri = Workers.str(params, "model_uri")
+      require(table.nonEmpty && modelUri.nonEmpty,
+        "'documents_table' and 'model_uri' are required")
+      val data = labeledFrom(Workers.resolveTable(spark, table))
+      val model = pipeline().fit(data)
+      model.write.overwrite().save(modelUri)
+      val auc = new BinaryClassificationEvaluator().setLabelCol("label")
+        .setRawPredictionCol("rawPrediction").evaluate(model.transform(data))
+      ctx.log(f"Trained quality classifier on $table -> $modelUri (training AUC $auc%.4f)")
+    }
+  }
+
+  /** DAG worker: load a persisted quality model and write per-document
+    * scores to the destination table. */
+  final class QualityScorer(spark: SparkSession,
+      params: Map[String, graft.core.Spec.WorkerValue]) extends graft.core.Dag.Worker {
+    def execute(ctx: graft.core.Dag.WorkerContext): Unit = {
+      val table = Workers.str(params, "documents_table")
+      val modelUri = Workers.str(params, "model_uri")
+      val dest = Workers.str(params, "destination_table")
+      require(table.nonEmpty && modelUri.nonEmpty && dest.nonEmpty,
+        "'documents_table', 'model_uri' and 'destination_table' are required")
+      val model = PipelineModel.load(modelUri)
+      val out = scored(labeledFrom(Workers.resolveTable(spark, table)), model)
+      Workers.writeTable(out, dest, overwrite = Workers.bool(params, "overwrite", default = true))
+      ctx.log(s"Scored $table with $modelUri -> $dest")
+    }
+  }
+
+  def register(r: graft.core.Dag.Registry, spark: SparkSession): Unit = {
+    r.register("CorpusQualityTrainer")(p => new QualityTrainer(spark, p))
+    r.register("CorpusQualityScorer")(p => new QualityScorer(spark, p))
+  }
 }

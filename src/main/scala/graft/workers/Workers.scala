@@ -302,6 +302,7 @@ object Workers {
     Sinks.register(r, spark)
     Ml.register(r, spark)
     MlModelJobs.register(r, spark)
+    CorpusMl.register(r, spark)
     r
   }
 

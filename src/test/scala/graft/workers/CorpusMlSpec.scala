@@ -58,6 +58,34 @@ class CorpusMlSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("DAG workers: train persists the model, score writes the dest table") {
+    import graft.core.Spec.WorkerValue.S
+    val noCtx = new graft.core.Dag.WorkerContext {
+      def params: Map[String, graft.core.Spec.WorkerValue] = Map.empty
+      def generalSettings: Map[String, String] = Map.empty
+      def enqueue(wc: String, p: Map[String, graft.core.Spec.WorkerValue], d: Int): Unit = ()
+    }
+    val work = tmpSfDir()
+    val modelUri = s"$work/quality_model"
+    val dest = s"$work/quality_scores.parquet"
+    val registry = Workers.registry(spark)
+    registry.lookup("CorpusQualityTrainer").get(Map(
+      "documents_table" -> S(s"$dir/documents.parquet"),
+      "model_uri" -> S(modelUri))).execute(noCtx)
+    registry.lookup("CorpusQualityScorer").get(Map(
+      "documents_table" -> S(s"$dir/documents.parquet"),
+      "model_uri" -> S(modelUri),
+      "destination_table" -> S(dest))).execute(noCtx)
+    val written = spark.read.parquet(dest)
+    assert(written.columns.toSeq == Seq("doc_id", "rule_label", "quality_prob"))
+    // the persisted+reloaded model must produce the in-memory model's scores
+    val direct = CorpusMl.scoreQuality(spark, dir,
+      org.apache.spark.ml.PipelineModel.load(modelUri))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val fromTable = written.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(fromTable == direct)
+  }
+
   test("labeling is NULL-safe: a NULL-text document is excluded, not a crash") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
