@@ -244,6 +244,50 @@ object Corpus {
       .limit(TopTerms)
   }
 
+  /** Coverage targets (percent of total token mass). */
+  private val CoverageTargets = Seq(50L, 90L, 99L)
+
+  /**
+   * Vocabulary-coverage planning — the truncation curve a tokenizer
+   * designer reads before fixing a vocab size: for each target share of
+   * the corpus's total token mass, how many of the most-frequent word
+   * types are needed, and the exact mass they cover. A token type is
+   * needed for target T when the cumulative mass BEFORE it (descending
+   * frequency, token text as the deterministic tiebreak) is still under
+   * T% — the Zipf head/tail cut.
+   *
+   * Scale: the corpus collapses to its distinct vocabulary in one
+   * map-side-combined groupBy; the running mass over the
+   * frequency-ordered vocabulary is [[graft.operators.Quantiles]]'
+   * distributed exact prefix sum (range partition + metadata-sized
+   * offsets — no single-partition window); the target fan-out is a
+   * 3-row explode, not a join. All threshold tests are integer
+   * cross-multiplications (`(cum−cnt)·100 < T·total`), so no float
+   * boundary can flip a token in or out.
+   */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(explode(Text.words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    // total token mass: metadata-sized driver scalar (same convention as
+    // textTfidfTopk's corpus row count); tf is cached so the prefix-sum
+    // pass below reuses it rather than re-running the explode
+    val total = tf.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
+    graft.operators.Quantiles
+      .withRunningTotal(tf, Seq(col("cnt").desc, col("token").asc), "cnt", "cum")
+      .withColumn("target", explode(typedLit(CoverageTargets)))
+      .filter((col("cum") - col("cnt")) * 100 < col("target") * total)
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("tokens_needed"),
+        max(col("cum")).as("covered_tokens"))
+      .select(col("target"), col("tokens_needed"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / total, 6).as("coverage_frac"))
+      .orderBy(col("target"))
+  }
+
   // ---------------------------------------------------------------------
   // Benchmark decontamination by shingle overlap — decontam_overlap
   // ---------------------------------------------------------------------
@@ -609,6 +653,7 @@ object Corpus {
     "shuffle_order" -> (shuffleOrder _),
     "mix_weighted" -> (mixWeighted _),
     "text_tfidf_topk" -> (textTfidfTopk _),
+    "vocab_coverage" -> (vocabCoverage _),
     "decontam_overlap" -> (decontamOverlap _),
     "stats_length_pctl" -> (statsLengthPctl _),
     "sample_per_source_topn" -> (samplePerSourceTopn _),
@@ -694,6 +739,23 @@ object Corpus {
          |SELECT term, tf, df,
          |  tf * ((SELECT COUNT(1) FROM documents) - df) AS score
          |FROM a ORDER BY score DESC, term LIMIT $TopTerms""".stripMargin,
+    "vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, COUNT(1) AS cnt FROM w GROUP BY token),
+        |c AS (
+        |  SELECT token, cnt,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tf),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+        |t(target) AS (VALUES (CAST(50 AS BIGINT)), (90), (99))
+        |SELECT target, COUNT(1) AS tokens_needed,
+        |  CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+        |  round(CAST(MAX(cum) AS DOUBLE) / MAX(total), 6) AS coverage_frac
+        |FROM c, tot, t
+        |WHERE (cum - cnt) * 100 < target * total
+        |GROUP BY target ORDER BY target""".stripMargin,
     "decontam_overlap" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, list_filter(string_split(text, ' '), w -> w <> '') AS w
