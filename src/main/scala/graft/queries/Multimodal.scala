@@ -47,11 +47,33 @@ object Multimodal {
     BinaryBatch.frameSample(s, media(s, dir), "doc_id", "payload")
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /**
+   * Exact media dedup by payload checksum — the cheap first pass a media
+   * pipeline runs before any perceptual hashing: identical byte payloads
+   * collapse to one keeper regardless of filename/metadata. The output
+   * is the full collapse table (one row per DISTINCT payload with its
+   * keeper and copy count — the kept set a downstream join consumes),
+   * so the oracle checks every digest, not only the duplicated tail.
+   * Same plan shape as the text side's `dedup_bow_fp` but keyed on the
+   * md5 of the OPAQUE BINARY, so it works for any modality without
+   * decoding. Scale: one linear map-side-combined groupBy on the
+   * digest; the payload itself never shuffles.
+   */
+  def mmDedupHash(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("doc_id"), md5(col("payload")).as("content_md5"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
+        max(col("byte_len")).as("byte_len"))
+      .orderBy(col("content_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
     "mm_feature_agg" -> (mmFeatureAgg _),
     "mm_resize" -> (mmResize _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_dedup_hash" -> (mmDedupHash _))
 
   // The stub decoder is a pure byte function — DuckDB recomputes it over
   // the UTF-8 BYTES (strlen / hex(encode(text)) slicing), not characters:
@@ -62,6 +84,15 @@ object Multimodal {
   // NULL), resize → (NULL, NULL, 64, 64, 0), frame sample → no rows; NULL
   // payloads are excluded at the scan on both engines (media() filter).
   val oracle: Map[String, String] = Map(
+    "mm_dedup_hash" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(text) AS content_md5,
+        |    CAST(strlen(text) AS BIGINT) AS byte_len
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT content_md5, MIN(doc_id) AS keeper, COUNT(1) AS n_copies,
+        |  MAX(byte_len) AS byte_len
+        |FROM b GROUP BY content_md5
+        |ORDER BY content_md5""".stripMargin,
     "mm_decode" ->
       """WITH b AS (
         |  SELECT doc_id, strlen(text) AS bl, hex(encode(text)) AS hx

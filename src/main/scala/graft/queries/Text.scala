@@ -233,6 +233,39 @@ object Text {
       .orderBy(col("n").desc, col("pair"))
       .limit(TopBpePairs)
 
+  /** Sliding-window chunk size and stride (tokens). Overlap = size −
+    * stride keeps boundary context shared between adjacent chunks. */
+  private val ChunkWin = 32L
+  private val ChunkStride = 24L
+
+  /**
+   * Overlapping sliding-window chunking — the long-document split a
+   * training/RAG pipeline applies when documents exceed the context
+   * window (the tokenizer "overflow with stride" shape): windows of
+   * [[ChunkWin]] tokens start every [[ChunkStride]] tokens while the
+   * start is inside the document; the tail window is shorter. Emits the
+   * chunk table (doc, index, start offset, length) that downstream
+   * encoding reads. Complements [[textPackChunks]] (concat-packing of
+   * whole docs) and the segment dedup's fixed disjoint windows.
+   *
+   * Scale: one `sequence` explode over the scan — linear in emitted
+   * chunks, no shuffle before the ordered output; all arithmetic is
+   * integer, so both engines agree exactly.
+   */
+  def textChunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(words(col("text"))).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), nTok.as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_tok") - 1, lit(ChunkStride))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / ChunkStride).cast("long").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(ChunkWin), col("n_tok") - col("start_tok")).as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Fixed-length padding granularity (sequences pad up to the next
     * multiple — the bucketed-batching shape dynamic-padding trainers use). */
   private val PadBucket = 64L
@@ -537,6 +570,7 @@ object Text {
     "dedup_winnow_overlap" -> (dedupWinnowOverlap _),
     "bpe_pair_counts" -> (bpePairCounts _),
     "pack_padding_waste" -> (packPaddingWaste _),
+    "text_chunk_windows" -> (textChunkWindows _),
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
@@ -735,6 +769,17 @@ object Text {
         |  FROM v WHERE length(word) >= 2)
         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin,
+    "text_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok, unnest(generate_series(0, n_tok - 1, 24)) AS start_tok
+        |  FROM t WHERE n_tok > 0)
+        |SELECT doc_id, start_tok // 24 AS chunk_idx, start_tok,
+        |  least(32, n_tok - start_tok) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "pack_padding_waste" ->
       """WITH t AS (
         |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok

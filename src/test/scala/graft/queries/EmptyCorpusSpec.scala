@@ -35,6 +35,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "text_repetition", "text_winnow_fp", "text_ngram_counts", "text_pack_chunks",
     "text_seg_dedup", "text_tfidf_topk", "text_rarity_score", "text_script_ratio",
     "bpe_pair_counts", "pack_padding_waste", "vocab_coverage",
+    "text_chunk_windows", "mm_dedup_hash",
     "filter_gopher_rules", "sample_quality_weighted",
     "dedup_bow_fp", "dedup_jaccard_words", "dedup_jaccard_ngrams", "dedup_simhash",
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_incremental_md5",
