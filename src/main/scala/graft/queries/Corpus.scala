@@ -295,9 +295,9 @@ object Corpus {
   /** Tokens per decontamination shingle (GPT-3's appendix-C uses 13-gram
     * spans at web scale; 5 keeps the synthetic short-doc corpus
     * non-vacuous). */
-  private val DecontamShingle = 5
+  private[graft] val DecontamShingle = 5
   /** Overlap fraction at which a document is flagged contaminated. */
-  private val DecontamTau = 0.2
+  private[graft] val DecontamTau = 0.2
 
   /**
    * Held-out-benchmark decontamination: treat one source (`src0`) as the

@@ -206,6 +206,49 @@ object StreamingOps {
    * re-joins the static shingle sets by candidate doc id only — corpus
    * text never streams.
    */
+  /**
+   * Streaming benchmark decontamination — the online leg of
+   * [[graft.queries.Corpus.decontamOverlap]]: freshly crawled documents
+   * are scored against a STATIC benchmark shingle set as they arrive, so
+   * contaminated pages are flagged at ingest instead of at the next
+   * batch sweep. Same math as the batch twin (distinct benchmark
+   * 5-token shingles, per-doc hit fraction, τ verdict), asserted
+   * row-identical by the parity spec.
+   *
+   * Scale/state design: the benchmark set collapses to ONE static row
+   * holding the sorted distinct shingle array (benchmarks are tiny
+   * relative to the corpus — the batch twin already broadcasts this
+   * set), and the stream side is a stream-static cross join against
+   * that single row followed by a codegen'd sorted-intersect per
+   * document: completely STATELESS — no watermark, no state store,
+   * append-mode safe, nothing accumulates. The static subtree is cached
+   * via `onCache` so micro-batches don't recompute the benchmark scan.
+   */
+  def decontaminationStream(newDocs: DataFrame, benchDocs: DataFrame,
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
+    import graft.functions.GraftFunctions
+    import graft.queries.Corpus
+    val bench = benchDocs
+      .select(explode(GraftFunctions.shingle_set(col("text"),
+        Corpus.DecontamShingle)).as("sh"))
+      .distinct()
+      .agg(sort_array(collect_set(col("sh"))).as("bench_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onCache(bench)
+    val sha = GraftFunctions.shingle_set(col("text"), Corpus.DecontamShingle)
+    val nHit = GraftFunctions
+      .sorted_intersect_size(col("sha"), col("bench_sh")).cast("long")
+    newDocs
+      .select(col("doc_id"), sha.as("sha"))
+      .filter(size(col("sha")) > 0)
+      .crossJoin(bench)
+      .select(col("doc_id"), size(col("sha")).cast("long").as("n_sh"),
+        nHit.as("n_hit"))
+      .withColumn("overlap_frac",
+        col("n_hit").cast("double") / col("n_sh").cast("double"))
+      .withColumn("contaminated", col("overlap_frac") >= Corpus.DecontamTau)
+  }
+
   def incrementalDedupStream(newDocs: DataFrame, corpusDocs: DataFrame,
       lateness: String = "1 hour",
       onCache: DataFrame => Unit = _ => ()): DataFrame = {

@@ -194,4 +194,37 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
         s"stream result $got must equal the batch incremental result $expected")
     } finally q.stop()
   }
+
+  test("decontaminationStream: online verdicts equal the batch decontam scan") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch twin: bench = src0, train = the rest
+    val expected = graft.queries.Corpus.decontamOverlap(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    assert(expected.exists(_._5), "fixture sanity: some doc must be contaminated")
+    val docsTbl = s.read.parquet(s"$dir/documents.parquet")
+    val bench = docsTbl.filter($"source" === "src0")
+    val train = docsTbl.filter($"source" =!= "src0")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminationStream(in.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decontam").outputMode("append").start()
+    try {
+      val (a, b) = train.splitAt(train.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val got = s.table("decontam").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toSet
+      assert(got == expected,
+        "streaming decontamination must equal the batch scan row-for-row")
+    } finally {
+      q.stop()
+      s.catalog.clearCache()
+    }
+  }
 }
