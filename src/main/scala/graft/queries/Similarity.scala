@@ -392,6 +392,50 @@ object Similarity {
       .orderBy(col("cid"), col("dim"))
   }
 
+  /**
+   * Per-source embedding-drift audit — the distribution-shift scan an
+   * embedding pipeline runs when corpora from different sources share one
+   * encoder: compute the corpus's global centroid (per-dimension mean),
+   * then per source the count and mean cosine of its vectors to that
+   * centroid. A source whose mean cosine sits far from the others encodes
+   * systematically different content (or hit an encoder regression).
+   *
+   * Scale: the centroid is a MODEL PARAMETER — one posexplode →
+   * groupBy(dim) rollup (map-side combined to ≤dim rows per task),
+   * collected driver-side as 64 doubles and folded back as a constant, so
+   * the per-row cosine is pure codegen with no join against the centroid;
+   * the doc↔vector join is the same doc_id = vec_id equi-join the
+   * coverage audit uses. Determinism: centroid dims and per-row cosines
+   * rounded to 6 dp, per-source means via exact DECIMAL sums.
+   */
+  def embedSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val e = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val centroid: Array[Double] = e
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim"), round(col("x"), 6).as("rx"))
+      .groupBy(col("dim"))
+      .agg((round(sum(col("rx").cast(dec)).cast("double") / count(lit(1)), 6) + lit(0.0))
+        .as("c"))
+      .orderBy(col("dim"))
+      .collect().map(_.getDouble(1))
+    val srcs = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val decM = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+    srcs.join(e.filter(noModel(centroid.toSeq)), col("doc_id") === col("vec_id"))
+      .withColumn("cos",
+        round(cosine(col("v"),
+          typedLit(if (centroid.isEmpty) Array(0.0) else centroid)), 6))
+      .filter(col("cos").isNotNull) // zero-norm rows carry no direction
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("cos").cast(decM)).cast("double") / count(lit(1)), 6)
+          .as("mean_cos"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
@@ -401,7 +445,8 @@ object Similarity {
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "embed_kmeans_update" -> (embedKmeansUpdate _),
     "embed_dim_stats" -> (embedDimStats _),
-    "dedup_semantic" -> (dedupSemantic _))
+    "dedup_semantic" -> (dedupSemantic _),
+    "embed_source_drift" -> (embedSourceDrift _))
 
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
@@ -599,6 +644,28 @@ object Similarity {
         |  COUNT(1) - COALESCE(MAX(dr.n_dropped), 0) AS n_kept
         |FROM am LEFT JOIN dropped dr ON am.cid = dr.cid
         |GROUP BY am.cid ORDER BY am.cid""".stripMargin,
+    "embed_source_drift" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |cx AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    round(CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(30,8))) AS DOUBLE)
+        |      / COUNT(1), 6) + 0.0 AS c
+        |  FROM e, generate_series(1, 64) t(i) GROUP BY 1),
+        |cv AS (SELECT list(c ORDER BY dim) AS cv FROM cx),
+        |dots AS (
+        |  SELECT e.vec_id,
+        |    SUM(cv.cv[i] * e.embedding[i]::DOUBLE) AS d,
+        |    SUM(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv.cv[i] * cv.cv[i]) AS cc
+        |  FROM e, cv, generate_series(1, 64) t(i)
+        |  GROUP BY e.vec_id),
+        |r AS (
+        |  SELECT vec_id, round(d / (sqrt(vv) * sqrt(cc)), 6) AS cos
+        |  FROM dots WHERE sqrt(vv) * sqrt(cc) > 0)
+        |SELECT doc.source, COUNT(1) AS n_vectors,
+        |  round(CAST(SUM(CAST(cos AS DECIMAL(30,12))) AS DOUBLE) / COUNT(1), 6) AS mean_cos
+        |FROM r JOIN documents doc ON doc.doc_id = r.vec_id
+        |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
     "embed_dim_stats" ->
       """WITH x AS (
         |  SELECT CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx

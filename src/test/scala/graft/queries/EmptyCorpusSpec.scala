@@ -46,7 +46,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "shingle_except", "shingle_intersect", "corpus_report", "corpus_rollup",
     "corpus_pivot", "mix_weighted", "mix_temperature", "mix_token_budget",
     "mix_epochs", "shuffle_order", "stats_length_pctl", "stats_percent_rank",
-    "integrity_full_outer", "embed_quantize", "embed_dim_stats",
+    "integrity_full_outer", "embed_quantize", "embed_dim_stats", "embed_source_drift",
     "embed_kmeans_assign", "embed_kmeans_update",
     "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk")
 
