@@ -86,6 +86,32 @@ class CorpusMlSpec extends AnyFunSuite with SparkFixture {
     assert(fromTable == direct)
   }
 
+  test("train -> score runs as a two-job pipeline through the DAG scheduler") {
+    import graft.core.{Dag, Spec}
+    import graft.core.Spec.{JobSpec, ParamSpec, ParamType, PipelineSpec, StartConditionSpec}
+    val work = tmpSfDir()
+    val modelUri = s"$work/pipe_model"
+    val dest = s"$work/pipe_scores.parquet"
+    val pipe = PipelineSpec("quality-curation", jobs = Seq(
+      JobSpec("train", "Train quality model", "CorpusQualityTrainer", params = Seq(
+        ParamSpec("documents_table", ParamType.PString, s"$dir/documents.parquet"),
+        ParamSpec("model_uri", ParamType.PString, modelUri))),
+      JobSpec("score", "Score corpus", "CorpusQualityScorer", params = Seq(
+        ParamSpec("documents_table", ParamType.PString, s"$dir/documents.parquet"),
+        ParamSpec("model_uri", ParamType.PString, modelUri),
+        ParamSpec("destination_table", ParamType.PString, dest)),
+        startConditions = Seq(StartConditionSpec("train", Spec.Condition.Success)))))
+    val exec = Dag.newExecutor(2)
+    try {
+      val run = new Dag.PipelineRun(pipe, Workers.registry(spark), exec)
+      assert(run.start())
+      assert(run.awaitCompletion(300000) == Dag.PipelineStatus.Succeeded,
+        s"pipeline failed: ${run.failureMessages}")
+      val scoresDf = spark.read.parquet(dest)
+      assert(scoresDf.count() == spark.read.parquet(s"$dir/documents.parquet").count())
+    } finally exec.shutdown()
+  }
+
   test("labeling is NULL-safe: a NULL-text document is excluded, not a crash") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
