@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Bloom prefilter's contract: candidates are a SUPERSET of the exact
+  * hit set (no false negatives — a contaminated document can never slip
+  * past), the sketch stays sketch-sized, and an empty benchmark yields an
+  * empty candidate set instead of a crash. */
+class SketchesSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def shingles(df: org.apache.spark.sql.DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    df.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.shingle_set(col("text"), 5)).as("sh"))
+  }
+
+  test("bloom prefilter never drops a true benchmark hit") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = shingles(docs.filter(col("source") === "src0"))
+      .select(col("sh")).distinct()
+    val train = shingles(docs.filter(col("source") =!= "src0"))
+    val nBench = bench.count()
+    val (cand, bytes) = Sketches.bloomPrefilter(train, "sh", bench, "sh", nBench)
+    val exactHitRows = train.join(bench, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("sh"))
+    val exact = exactHitRows.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = cand.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(exact.subsetOf(got),
+      s"${(exact -- got).size} true hits lost — Bloom filters must have no false negatives")
+    // at fpp=1% the over-selection should be a sliver of the non-hit stream
+    val nonHits = train.count() - exactHitRows.count()
+    val falsePos = got.size - exact.size
+    assert(nonHits == 0 || falsePos.toDouble / nonHits < 0.05,
+      s"false-positive rate ${falsePos.toDouble / nonHits} far above the 1% design point")
+    // sketch-sized: ~10 bits/element at 1% — allow generous slack, but
+    // nothing near the string payload size
+    assert(bytes > 0 && bytes < 4L * nBench + 4096,
+      s"$bytes bytes for $nBench elements is not sketch-sized")
+  }
+
+  test("an empty benchmark yields zero candidates, not a crash") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = shingles(docs.limit(50))
+    val bench = shingles(docs.filter(lit(false))).select(col("sh"))
+    val (cand, bytes) = Sketches.bloomPrefilter(train, "sh", bench, "sh", 0L)
+    assert(cand.count() == 0 && bytes == 0L)
+  }
+}
