@@ -86,4 +86,22 @@ object Sketches {
         xxhash64(col(shingleCol)))
     (stream.filter(probe), if (bfBytes == null) 0L else bfBytes.length.toLong)
   }
+
+  /**
+   * Count-Min frequency sketch over a token stream — the one-pass
+   * heavy-hitter estimator for when the exact `groupBy(token)` count
+   * table itself is the bottleneck (e.g. a quick vocabulary probe over a
+   * raw 100 TB crawl before committing to the full rollup). Width/depth
+   * follow the standard ε/δ sizing: estimates NEVER underestimate, and
+   * overestimate by more than ε·N with probability at most 1−confidence.
+   * Built with Spark's distributed `stat.countMinSketch` (per-partition
+   * sketches merged pairwise — one pass, no shuffle of the token stream).
+   * The returned sketch is driver-held and mergeable across corpus
+   * shards; SketchesSpec pins the never-underestimate guarantee and the
+   * ε·N ceiling against the exact counts.
+   */
+  def countMinTokens(tokens: DataFrame, tokenCol: String,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    tokens.stat.countMinSketch(col(tokenCol), eps, confidence, seed)
 }

@@ -42,6 +42,25 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       s"$bytes bytes for $nBench elements is not sketch-sized")
   }
 
+  test("count-min estimates never underestimate and respect the eps ceiling") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tokens = docs.select(
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("token"))
+    val exact = tokens.groupBy("token").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = exact.map(_._2).sum
+    val eps = 0.001
+    val cms = Sketches.countMinTokens(tokens, "token", eps = eps)
+    val overs = exact.map { case (t, c) => cms.estimateCount(t) - c }
+    assert(overs.forall(_ >= 0), "count-min must never underestimate")
+    // ε·N ceiling holds per-item with prob ≥ confidence; across all items
+    // allow the standard small tail
+    val ceiling = (eps * n).toLong
+    val violators = overs.count(_ > ceiling)
+    assert(violators <= math.max(1, exact.length / 50),
+      s"$violators of ${exact.length} tokens exceed the eps*N=$ceiling overestimate bound")
+  }
+
   test("an empty benchmark yields zero candidates, not a crash") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val train = shingles(docs.limit(50))
