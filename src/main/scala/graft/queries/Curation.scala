@@ -287,22 +287,24 @@ object Curation {
    * Quality-based canonical selection: within each near-dup cluster keep
    * the doc a curation run actually wants — the longest one (word count,
    * doc_id as the deterministic tie-break) — rather than the min-id
-   * representative. One partitioned window over the components output;
-   * singletons are their own best doc.
+   * representative. The per-cluster argmax is ONE map-side-combinable
+   * hash aggregate (`max` of a (n_ws, −doc_id) struct — max picks the
+   * longest, ties the smallest id), not a partitioned row_number window:
+   * an aggregate needs no per-partition sort and collapses each map task
+   * to ≤|clusters| rows before the shuffle, where the window formulation
+   * sorted every cluster's full membership (and ran a second window for
+   * the member count). Singletons are their own best doc either way.
    */
   def curationBestOfCluster(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val comp = dedupComponentsCore(s, dir).select(col("doc_id"), col("comp_id"))
     val toks = load(s, dir, "documents")
       .select(col("doc_id"), size(Text.words(col("text"))).cast("long").as("n_ws"))
-    val w = Window.partitionBy(col("comp_id"))
-      .orderBy(col("n_ws").desc, col("doc_id").asc)
     comp.join(toks, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("comp_id"))))
-      .filter(col("rn") === 1)
-      .select(col("comp_id"), col("doc_id").as("best_doc"),
-        col("n_ws").as("best_n_words"), col("n_members"))
+      .groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_ws"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("comp_id"), (-col("b.nd")).as("best_doc"),
+        col("b.n_ws").as("best_n_words"), col("n_members"))
       .orderBy(col("comp_id"))
   }
 
