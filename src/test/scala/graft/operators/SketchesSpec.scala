@@ -61,6 +61,27 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       s"$violators of ${exact.length} tokens exceed the eps*N=$ceiling overestimate bound")
   }
 
+  test("approx_percentile ranks stay within the accuracy bound vs exact order statistics") {
+    // the sketch-quantile scale path next to the exact stats_length_pctl
+    // operator: percentile_approx guarantees the returned value's RANK is
+    // within n/accuracy of the target rank
+    val accuracy = 100
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars").isNotNull)
+    val sorted = docs.select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    val n = sorted.length
+    val approx = docs
+      .agg(expr(s"percentile_approx(n_chars, array(0.25, 0.5, 0.75, 0.9, 0.99), $accuracy)"))
+      .first().getSeq[Long](0)
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    ps.zip(approx).foreach { case (p, v) =>
+      val rank = sorted.count(_ <= v)
+      val target = p * n
+      assert(math.abs(rank - target) <= n.toDouble / accuracy + 1,
+        s"p=$p: approx value $v has rank $rank, target $target, bound ${n.toDouble / accuracy}")
+    }
+  }
+
   test("an empty benchmark yields zero candidates, not a crash") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val train = shingles(docs.limit(50))
