@@ -58,6 +58,84 @@ object Events {
       .orderBy(col("segment"))
   }
 
+  /**
+   * Weekly cohort retention — the activation/retention triangle every
+   * marketing-analytics stack reports (and the reference's GA-flavored
+   * domain lives on): users are cohorted by the ISO week of their FIRST
+   * event; for each (cohort week, week offset) the distinct active users.
+   *
+   * Scale: two shuffles on `user_id` (first-event rollup and the
+   * user-week distinct — both map-side combinable), an equi-join back on
+   * `user_id`, and a final ≤(weeks²) aggregation whose shuffle is
+   * metadata-sized. date_trunc('week') is ISO-Monday on both engines.
+   */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = date_trunc("week", timestamp_micros(epochUs()))
+    val firstW = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", timestamp_micros(min(epochUs())))).as("cohort_week"))
+    val active = ev(s, dir)
+      .select(col("user_id"), to_date(w).as("w"))
+      .distinct()
+    active.join(firstW, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(w, cohort_week) DIV 7 AS BIGINT)").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** RFM quintile count. */
+  private val RfmBuckets = 5
+
+  /**
+   * RFM segmentation — the classic CRM audience builder (recency /
+   * frequency / monetary): per user, days since last activity relative to
+   * the dataset's reference day (max event date — a metadata-sized driver
+   * scalar, the AQE-style statistics round-trip), event count, and exact
+   * DECIMAL spend; each metric scored into quintiles where 5 is best
+   * (most recent / most frequent / highest spend).
+   *
+   * Scale: the per-user rollup is one map-side-combined groupBy; each
+   * quintile is the DISTRIBUTED exact NTILE
+   * ([[graft.operators.Quantiles.withNtile]] — range partition + local
+   * ranks + metadata offsets, no single-partition window), three passes
+   * over the persisted per-user relation (released by the QueryCaches
+   * owner). NULL spends score as 0 on both engines.
+   */
+  def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val refDay = ev(s, dir).agg(max(epochUs())).first() match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getLong(0))
+    }
+    if (refDay.isEmpty) {
+      // empty events: schema-correct empty relation
+      return ev(s, dir).select(col("user_id"),
+        lit(0L).as("recency_days"), lit(0L).as("frequency"),
+        lit(0.0).as("monetary"), lit(0L).as("r_score"),
+        lit(0L).as("f_score"), lit(0L).as("m_score")).limit(0)
+    }
+    val refDate = to_date(timestamp_micros(lit(refDay.get)))
+    val perUser = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(refDate, to_date(timestamp_micros(max(epochUs())))).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        coalesce(dsum(col("value")), lit(0.0)).as("monetary"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val r = Quantiles.withNtile(perUser, RfmBuckets,
+      Seq(col("recency_days").desc, col("user_id")), "r_score")
+    val f = Quantiles.withNtile(r, RfmBuckets,
+      Seq(col("frequency").asc, col("user_id")), "f_score")
+    Quantiles.withNtile(f, RfmBuckets,
+      Seq(col("monetary").asc, col("user_id")), "m_score")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+      .orderBy(col("user_id"))
+  }
+
   /** Agg-then-window LAG/LEAD (model_bqml.sql:35-44): the boundary-smoothing
     * shape of the conversion-value calibration. */
   def q12LagLead(s: SparkSession, dir: String): DataFrame = {
@@ -268,6 +346,8 @@ object Events {
     "q10_first_event" -> (q10FirstEvent _),
     "q11_ntile" -> (q11Ntile _),
     "q12_lag_lead" -> (q12LagLead _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_rfm_segments" -> (qRfmSegments _),
     "q21_sessionize" -> (q21Sessionize _),
     "q24_json_props" -> (q24JsonProps _),
     "q25_hour_buckets" -> (q25HourBuckets _),
@@ -301,6 +381,34 @@ object Events {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |      FROM events)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH ref AS (SELECT CAST(MAX(ts) AS DATE) AS ref_day FROM events),
+        |per_user AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(MAX(ts) AS DATE), (SELECT ref_day FROM ref)) AS BIGINT)
+        |      AS recency_days,
+        |    COUNT(1) AS frequency,
+        |    COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS monetary
+        |  FROM events GROUP BY user_id),
+        |scored AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id) AS BIGINT) AS m_score
+        |  FROM per_user)
+        |SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score
+        |FROM scored ORDER BY user_id""".stripMargin,
     "q11_ntile" ->
       """WITH per_user AS (
         |  SELECT user_id,
