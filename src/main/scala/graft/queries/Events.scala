@@ -84,6 +84,51 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Lookback window for multi-touch attribution (7 days, in the ts
+    * column's nanosecond unit). */
+  private val AttribWindowNs = 7L * 86400L * 1000000000L
+
+  /**
+   * Linear multi-touch attribution — the credit model a marketing stack
+   * runs beyond last-click: every purchase's value is split EQUALLY
+   * across the user's view/click touchpoints in the preceding 7 days,
+   * and a conversion with no in-window touchpoint keeps full credit in a
+   * `direct` bucket. Output is the per-channel (touch type) credit
+   * rollup the budget-allocation report reads.
+   *
+   * Scale: the conversion↔touch pairing is a `user_id` equi-join with
+   * the time window as a residual predicate (bounded per user — never a
+   * cross join); the per-conversion touch count is a window over
+   * `conv_id` (same single shuffle), and the channel rollup is
+   * map-side-combined. Determinism: per-touch credit is one IEEE
+   * division rounded to 6 dp, summed as exact DECIMAL.
+   */
+  def qAttributionLinear(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir)
+    val conv = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("cts"), col("value"))
+    val touch = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tuid"), col("ts").as("tts"),
+        col("event_type").as("touch_type"))
+    // the time window is part of the JOIN condition, not a post-filter:
+    // a conversion whose touches are all outside the window must still
+    // surface as one unmatched (`direct`) row, not vanish
+    conv.join(touch,
+        col("user_id") === col("tuid") &&
+          col("tts") < col("cts") && col("tts") >= col("cts") - lit(AttribWindowNs),
+        "left")
+      .withColumn("n_touch", count(lit(1)).over(Window.partitionBy(col("conv_id"))))
+      .select(coalesce(col("touch_type"), lit("direct")).as("touch_type"),
+        round(col("value") / col("n_touch"), 6).as("credit"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("credit").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(30, 8))).cast("double"), 6).as("credited_value"))
+      .orderBy(col("touch_type"))
+  }
+
   /** RFM quintile count. */
   private val RfmBuckets = 5
 
@@ -348,6 +393,7 @@ object Events {
     "q12_lag_lead" -> (q12LagLead _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_rfm_segments" -> (qRfmSegments _),
+    "q_attribution_linear" -> (qAttributionLinear _),
     "q21_sessionize" -> (q21Sessionize _),
     "q24_json_props" -> (q24JsonProps _),
     "q25_hour_buckets" -> (q25HourBuckets _),
@@ -381,6 +427,24 @@ object Events {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_attribution_linear" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS cts, value
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |t AS (SELECT user_id AS tuid, ts AS tts, event_type AS touch_type
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.conv_id, c.value, t.touch_type
+        |  FROM conv c LEFT JOIN t ON c.user_id = t.tuid
+        |    AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+        |n AS (SELECT conv_id, COUNT(1) AS n_touch FROM j GROUP BY conv_id),
+        |cr AS (
+        |  SELECT COALESCE(j.touch_type, 'direct') AS touch_type,
+        |    round(j.value / n.n_touch, 6) AS credit
+        |  FROM j JOIN n USING (conv_id))
+        |SELECT touch_type, COUNT(1) AS n_touches,
+        |  round(CAST(SUM(CAST(credit AS DECIMAL(30,8))) AS DOUBLE), 6) AS credited_value
+        |FROM cr GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "q_cohort_retention" ->
       """WITH f AS (
         |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
