@@ -69,18 +69,55 @@ object Events {
    * `user_id`, and a final ≤(weeks²) aggregation whose shuffle is
    * metadata-sized. date_trunc('week') is ISO-Monday on both engines.
    */
-  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
-    val w = date_trunc("week", timestamp_micros(epochUs()))
-    val firstW = ev(s, dir)
+  /** Per-user cohort week (ISO week of the first event) — shared by the
+    * retention and LTV triangles so the two can never disagree. */
+  private def cohortWeeks(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
       .groupBy(col("user_id"))
       .agg(to_date(date_trunc("week", timestamp_micros(min(epochUs())))).as("cohort_week"))
+
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = date_trunc("week", timestamp_micros(epochUs()))
     val active = ev(s, dir)
       .select(col("user_id"), to_date(w).as("w"))
       .distinct()
-    active.join(firstW, "user_id")
+    active.join(cohortWeeks(s, dir), "user_id")
       .groupBy(col("cohort_week"),
         expr("CAST(datediff(w, cohort_week) DIV 7 AS BIGINT)").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /**
+   * Cohort LTV triangle — the revenue companion of [[qCohortRetention]]:
+   * per (cohort week, week offset), the exact-DECIMAL revenue that week
+   * and the cumulative revenue through it (the curve a lifetime-value
+   * model is fit to). Offsets with no activity are simply absent — the
+   * cumulative is over observed weeks.
+   *
+   * Scale: one user-keyed equi-join (events ⋈ cohort table), one
+   * map-side-combined rollup to ≤weeks² rows; the running total is a
+   * window over that POST-AGGREGATION metadata-sized relation (partition
+   * key = cohort week — a real partition spec, never a single global
+   * sort of raw events). Money stays DECIMAL until the final cast.
+   */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = date_trunc("week", timestamp_micros(epochUs()))
+    val rev = ev(s, dir)
+      .select(col("user_id"), to_date(w).as("w"), dec(col("value")).as("v"))
+      .join(cohortWeeks(s, dir), "user_id")
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(w, cohort_week) DIV 7 AS BIGINT)").as("week_offset"))
+      .agg(coalesce(sum(col("v")), lit(0).cast(org.apache.spark.sql.types
+        .DataTypes.createDecimalType(12, 2))).as("revd"))
+    val cum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .select(col("cohort_week"), col("week_offset"),
+        col("revd").cast("double").as("revenue"),
+        sum(col("revd")).over(cum).cast("double").as("cum_revenue"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
@@ -392,6 +429,7 @@ object Events {
     "q11_ntile" -> (q11Ntile _),
     "q12_lag_lead" -> (q12LagLead _),
     "q_cohort_retention" -> (qCohortRetention _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_attribution_linear" -> (qAttributionLinear _),
     "q21_sessionize" -> (q21Sessionize _),
@@ -456,6 +494,22 @@ object Events {
         |  COUNT(DISTINCT a.user_id) AS n_active
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |    COALESCE(SUM(CAST(e.value AS DECIMAL(12,2))), CAST(0 AS DECIMAL(12,2))) AS revd
+        |  FROM events e JOIN f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset,
+        |  CAST(revd AS DOUBLE) AS revenue,
+        |  CAST(SUM(revd) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+        |FROM r ORDER BY cohort_week, week_offset""".stripMargin,
     "q_rfm_segments" ->
       """WITH ref AS (SELECT CAST(MAX(ts) AS DATE) AS ref_day FROM events),
         |per_user AS (

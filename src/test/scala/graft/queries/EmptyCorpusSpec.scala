@@ -75,7 +75,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "q10_first_event", "q11_ntile", "q12_lag_lead", "q21_sessionize",
     "q24_json_props", "q25_hour_buckets", "q_asof_join", "q_asof_fwd",
     "q_funnel", "q_gap_fill", "q_range_frame", "q_cohort_retention", "q_rfm_segments",
-    "q_attribution_linear")
+    "q_attribution_linear", "q_cohort_ltv")
 
   test("event-analytics queries return (not throws) on an empty events table") {
     val dir = tmpSfDir()
