@@ -49,8 +49,11 @@ object Events {
     val perUser = ev(s, dir)
       .groupBy(col("user_id"))
       .agg(dsum(col("value")).as("user_total"))
+    // NULLS LAST explicitly: a user whose every event value is NULL sums
+    // to a NULL total, and Spark's ascending default (NULLS FIRST) would
+    // shift every bucket by one vs DuckDB's NULLS LAST
     graft.operators.Quantiles
-      .withNtile(perUser, 10, Seq(col("user_total"), col("user_id")), "segment")
+      .withNtile(perUser, 10, Seq(col("user_total").asc_nulls_last, col("user_id")), "segment")
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_users"),
         min(col("user_total")).as("lo"),

@@ -111,6 +111,26 @@ def edge_events():
     for i in range(7):
         ev(13 + i, 6, BASE + (400 + i) * NS, 'view', 0.1 + i * 0.01)
     ev(20, 6, BASE + 500 * NS, 'click', 1e-9)
+    D7 = 7 * 86400
+    # user 7: attribution lookback boundary — a touch EXACTLY 7 days
+    # before the purchase (included, >=), one inside, and one at the
+    # purchase instant itself (excluded, strict <)
+    ev(21, 7, BASE, 'view', 0.0)
+    ev(22, 7, BASE + 1 * NS, 'click', 0.0)
+    ev(23, 7, BASE + D7 * NS, 'purchase', 70.07)
+    ev(24, 7, BASE + D7 * NS, 'view', 0.0)
+    # user 8: purchase whose only touch is OUTSIDE the window — must
+    # surface in the attribution 'direct' bucket, not vanish
+    ev(25, 8, BASE, 'view', 1.0)
+    ev(26, 8, BASE + (D7 + 86400) * NS, 'purchase', 9.99)
+    # user 9: ISO-week boundary cohort — first event Sunday 23:59:59
+    # (cohort = the Monday-start week it closes), active again the next
+    # Monday at 00:00:00 → retention offset exactly 1
+    ev(27, 9, BASE + (6 * 86400 + 86399) * NS, 'view', 2.0)
+    ev(28, 9, BASE + D7 * NS, 'click', 2.5)
+    # user 10: only NULL spends — RFM monetary must score as 0, not NULL
+    ev(29, 10, BASE + 700 * NS, 'view', None)
+    ev(30, 10, BASE + 800 * NS, 'click', None)
     return rows
 
 
