@@ -69,7 +69,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       (children: Seq[Expression]) => WinnowFp(children(0),
         constInt(children(1), "winnow_fp", "k"),
-        constInt(children(2), "winnow_fp", "w"))))
+        constInt(children(2), "winnow_fp", "w"))),
+    (FunctionIdentifier("mask_intersect_bits"),
+      new ExpressionInfo(classOf[MaskIntersectBits].getName, "mask_intersect_bits"),
+      (children: Seq[Expression]) => MaskIntersectBits(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     if (!isRegistered(spark)) {
@@ -110,4 +113,8 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("winnow_fp", text, lit(k), lit(w))
   }
+
+  /** popcount(a & b) of two equal-length long-array bitmasks (requires register). */
+  def mask_intersect_bits(a: Column, b: Column): Column =
+    call_function("mask_intersect_bits", a, b)
 }

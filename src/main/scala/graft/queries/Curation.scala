@@ -210,10 +210,16 @@ object Curation {
       .join(comp.withColumnRenamed("doc_id", "rep"), "rep")
       .select(col("doc_id"), col("comp"))
     // identity completion: docs outside the pair universe (empty word
-    // sets) are their own singleton components
+    // sets) are their own singleton components.
+    // persisted (ownership via QueryCaches): two consumers — the size
+    // rollup and the final label join — would each re-run the membership
+    // expansion join and the documents scan; the relation is two longs per
+    // doc, metadata-sized relative to the corpus it summarizes
     val docComp = load(s, dir, "documents").select(col("doc_id"))
       .join(grouped, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(docComp)
     val sz = docComp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     docComp.join(sz, "comp")
       .select(col("doc_id"), col("comp").as("comp_id"), col("cluster_size"),

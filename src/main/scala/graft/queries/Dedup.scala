@@ -52,6 +52,14 @@ object Dedup {
   private val DenseVocabBits = 64
   private val DenseSetsCap = 65536L
 
+  /** Wide dense-domain ceiling: vocabularies up to 4096 tokens pack into
+    * ceil(V/64) longs per set. Past 64 tokens the single-long mask no
+    * longer fits, but a small vocabulary is exactly where PPJoin's prefix
+    * filter collapses (every token is ultra-frequent, so every prefix
+    * inverted-index posting list is huge) — the wide-mask path covers that
+    * gap with popcount-band blocking instead of a candidate shuffle. */
+  private val WideVocabBits = 4096
+
   /**
    * Exact word-set Jaccard over same-lang pairs (lang = blocking key).
    *
@@ -133,14 +141,16 @@ object Dedup {
     // them — treating them as mutual duplicates was both a divide-by-zero
     // (ANSI) and a semantic divergence
     val dw = docSets.filter(size(col("words")) > 0)
-    // Adaptive gate: probe whether the vocabulary fits the dense domain.
-    // Collects at most 65 tokens — metadata-sized at any corpus scale.
+    // Adaptive gate: probe whether the vocabulary fits a dense domain.
+    // Collects at most WideVocabBits+1 tokens — metadata-sized at any
+    // corpus scale (the distinct is dominated by the scan either path pays).
     val probe =
       if (probeDense)
         dw.select(explode(col("words")).as("w")).distinct()
-          .limit(DenseVocabBits + 1).collect().map(_.getString(0))
+          .limit(WideVocabBits + 1).collect().map(_.getString(0))
       else Array.empty[String]
     if (probeDense && probe.length <= DenseVocabBits) densePairs(dw, probe, onCache)
+    else if (probeDense && probe.length <= WideVocabBits) widePairs(dw, probe, onCache)
     else ppjoinPairs(dw, onCache)
   }
 
@@ -226,6 +236,84 @@ object Dedup {
         Seq("lang", "ka"))
       .join(mm.select(col("lang"), col("mask").as("kb"), col("members").as("mb")),
         Seq("lang", "kb"))
+      .select(col("ma"), col("mb"), col("inter"), col("jac"))
+    (pairs, g)
+  }
+
+  /** Wide dense-domain path (64 < vocabulary ≤ [[WideVocabBits]]): each
+    * set packs into ceil(V/64) longs. This band of vocabulary sizes is
+    * exactly where PPJoin collapses — with a few hundred tokens, every
+    * token's document frequency is a large fraction of the corpus, so the
+    * prefix inverted-index join materializes ~Σ df² candidate rows and
+    * then pays a distinct shuffle over them. Here NO candidate relation
+    * ever exists: the exact threshold runs inside a banded hash join over
+    * the collapsed unique-set universe.
+    *
+    * Pair-loop blocking: the PPJoin integer length filter
+    * (max(|A|,|B|)·num ≤ min(|A|,|B|)·den) becomes an EQUI key — the
+    * smaller-popcount side explodes its admissible partner cardinalities
+    * nb ∈ [na, ⌊na·den/num⌋] (≤ ⌈na/4⌉+1 values at t = 0.8) and the join
+    * runs on (lang, nb) against the broadcast universe, so each probe row
+    * only ever meets partners it could possibly match. The residual
+    * popcount check is a codegen [[graft.functions.MaskIntersectBits]]
+    * loop over ≤64 longs — no higher-order-function fallback in the hot
+    * path. Falls back to PPJoin when the collapsed universe exceeds
+    * [[DenseSetsCap]] (same contract as the 64-bit path). */
+  private def widePairs(dw: DataFrame, vocab: Array[String],
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): (DataFrame, DataFrame) = {
+    val sorted = vocab.sorted
+    val nSlots = (sorted.length + 63) / 64
+    val slotMap = typedLit(sorted.zipWithIndex.map { case (t, i) => t -> i / 64 }.toMap)
+    val bitMap = typedLit(sorted.zipWithIndex.map { case (t, i) => t -> (1L << (i % 64)) }.toMap)
+    // mask build: per slot, OR together the bit values of the doc's tokens
+    // that land in that slot. Interpreted higher-order fold, but it runs
+    // ONCE per document on the scan (O(slots·|words|) map lookups), not in
+    // the pair loop.
+    val maskExpr = transform(sequence(lit(0), lit(nSlots - 1)), i =>
+      aggregate(col("words"), lit(0L), (acc, w) =>
+        when(element_at(slotMap, w) === i, acc.bitwiseOR(element_at(bitMap, w)))
+          .otherwise(acc)))
+    // persisted: the collapsed universe feeds the cardinality probe, both
+    // join sides, and the member expansion (same contract as densePairs)
+    val g = dw
+      .groupBy(col("lang"), maskExpr.as("mask"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("nw",
+        aggregate(transform(col("mask"), m => bit_count(m).cast("long")), lit(0L), _ + _))
+      // total-order key for unordered-pair dedup; masks are distinct within
+      // (lang, mask) groups by construction, so the md5 is injective here
+      .withColumn("sid", md5(concat_ws(",", transform(col("mask"), _.cast("string")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (g.count() > DenseSetsCap) { g.unpersist(); return ppjoinPairs(dw, onCache) }
+    onCache(g)
+
+    val parts = dw.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(32)
+    // probe side explodes admissible partner popcounts; explicit
+    // repartition for the same reason as densePairs — the loop is
+    // CPU-bound and AQE would coalesce the byte-tiny input to one task
+    val a = g.select(col("lang"), col("sid").as("sa"), col("nw").as("na"),
+        col("mask").as("mka"))
+      .repartition(parts, col("sa"))
+      .withColumn("nb",
+        explode(sequence(col("na"), floor(col("na") * JacDen / JacNum).cast("long"))))
+    val b = g.select(col("lang"), col("sid").as("sb"), col("nw").as("nb"),
+      col("mask").as("mkb"))
+    val qual = a.join(broadcast(b), Seq("lang", "nb"))
+      // orientation dedup: unequal popcounts pair once by construction
+      // (only the smaller side explodes upward); equal popcounts keep one
+      .filter(col("na") < col("nb") || col("sa") < col("sb"))
+      .withColumn("inter", GraftFunctions.mask_intersect_bits(col("mka"), col("mkb")))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * JacDen >= col("uni") * JacNum)
+      .select(col("lang"), col("sa"), col("sb"), col("inter"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jac"))
+    val mm = g.select(col("lang"), col("sid"), col("members"))
+    val pairs = qual
+      .join(mm.select(col("lang"), col("sid").as("sa"), col("members").as("ma")),
+        Seq("lang", "sa"))
+      .join(mm.select(col("lang"), col("sid").as("sb"), col("members").as("mb")),
+        Seq("lang", "sb"))
       .select(col("ma"), col("mb"), col("inter"), col("jac"))
     (pairs, g)
   }

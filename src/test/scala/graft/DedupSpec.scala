@@ -73,6 +73,46 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!rows.contains((2L, 3L)) && !rows.contains((2L, 4L)))
   }
 
+  test("wide dense path (vocab 65..4096): brute-force parity + codegen popcount in plan") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 81 distinct words — past the 64-bit dense domain, inside the wide
+    // mask domain. Planted: exact dup (a,c), near-dup (a,b) at J=19/21,
+    // an unrelated doc, and a superset doc (J=20/80 with a — must NOT pair).
+    val w = (0 to 80).map(i => s"w$i")
+    val a = w.slice(0, 20).mkString(" ")
+    val b = (w.slice(0, 19) :+ w(80)).mkString(" ")
+    val d = w.slice(40, 60).mkString(" ")
+    val e = w.mkString(" ")
+    val rows = Seq(
+      (0L, a, "en", "s0", a.length.toLong),
+      (1L, b, "en", "s0", b.length.toLong),
+      (2L, a, "en", "s1", a.length.toLong),
+      (3L, d, "en", "s0", d.length.toLong),
+      (4L, e, "en", "s0", e.length.toLong),
+      (5L, a, "fr", "s0", a.length.toLong)) // same set, other lang: blocked
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val df = Dedup.dedupJaccardWords(spark, dir.toString)
+    assert(df.queryExecution.optimizedPlan.toString.contains("mask_intersect_bits"),
+      "vocab in 65..4096 must take the wide dense path (codegen popcount verify)")
+    val got = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+
+    // brute-force oracle over the fixture
+    val sets = rows.map { case (id, text, lang, _, _) =>
+      (id, lang, text.split("\\s+").map(_.toLowerCase).toSet)
+    }
+    val want = (for {
+      (ia, la, sa) <- sets; (ib, lb, sb) <- sets
+      if ia < ib && la == lb
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa | sb).size
+      if jac >= 0.8
+    } yield ((ia, ib), (inter.toLong, jac))).toMap
+    assert(got == want, s"wide-path pairs diverge from brute force:\n got=$got\n want=$want")
+  }
+
   test("dense path HINTS broadcast only for narrow (lang, mask) rows — never member arrays") {
     // the members arrays collectively hold every doc_id in the corpus; an
     // EXPLICIT broadcast() hint carrying them would ship the corpus's ids
