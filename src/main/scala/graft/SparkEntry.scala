@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Ga4.queries ++
       graft.queries.Wildcard.queries ++
       graft.queries.Ml.queries ++
-      graft.queries.Corpus.queries
+      graft.queries.Corpus.queries ++
+      graft.queries.TrainAudit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.Ga4.oracle ++
       graft.queries.Wildcard.oracle ++
       graft.queries.Ml.oracle ++
-      graft.queries.Corpus.oracle
+      graft.queries.Corpus.oracle ++
+      graft.queries.TrainAudit.oracle
 }

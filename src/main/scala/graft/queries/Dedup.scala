@@ -615,13 +615,72 @@ object Dedup {
     verifyPairs(base, cand, "new_doc", "old_doc")
   }
 
+  /** Exact-substring span gram width (tokens). The published exact
+    *-substring dedup pipeline (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better") marks 50-BPE-token repeats via a
+    * corpus suffix array; a distributed engine gets the same maximal
+    * repeated-span semantics from fixed-width gram fingerprints — every
+    * repeat of length ≥ k is a run of ≥ 1 duplicated k-grams, and merging
+    * overlapping duplicated gram starts per doc reconstructs the maximal
+    * span. k = 5 words keeps the guarantee meaningful on short synthetic
+    * docs; production would pin k to the tokenizer's repeat threshold. */
+  private val SpanGramTokens = 5
+
+  /**
+   * Duplicated-substring span detection — the exact-substring dedup audit:
+   * per document, the maximal token spans whose every k-gram occurs ≥ 2
+   * times in the corpus (counting all occurrences, same-doc repeats
+   * included), with per-doc span/coverage accounting.
+   *
+   * Scale design: NO suffix array and NO pairwise compare — one
+   * posexplode of md5 gram keys (linear in corpus tokens), one map-side
+   * -combinable frequency count over gram keys, one semi-join back, and a
+   * per-document gaps-and-islands window (partition = doc_id, bounded by
+   * doc length). Gram TEXT never shuffles — only its md5.
+   */
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanGramTokens
+    val toks = spreadDocs(s, dir)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val grams = toks.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), (col("n_tokens") - (k - 1)).cast("int")),
+          i => md5(array_join(slice(col("w"), i, lit(k)), " "))))
+          .as(Seq("off", "gk")))
+      .select(col("doc_id"), (col("off") + 1).as("pos"), col("gk"))
+    val dupKeys = grams.groupBy(col("gk")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gk"))
+    val hits = grams.join(dupKeys, Seq("gk"), "left_semi")
+    // gaps-and-islands per doc: a new span starts when the next duplicated
+    // gram begins past the previous gram's coverage (pos - prev > k)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("step",
+        when(col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("step")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("a"), (max(col("pos")) + (k - 1)).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("b") - col("a") + 1).cast("long").as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_words" -> (dedupJaccardWords _),
     "dedup_jaccard_ngrams" -> (dedupJaccardNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_lsh_md5" -> (dedupMinhashLshMd5 _),
-    "dedup_incremental_md5" -> (dedupIncrementalMd5 _))
+    "dedup_incremental_md5" -> (dedupIncrementalMd5 _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _))
 
   private[graft] def minhashAgreeMin: Int = (MinhashEstThreshold * MinhashPerms).toInt
 
@@ -733,6 +792,42 @@ object Dedup {
       |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |tc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
+         |g0 AS (
+         |  SELECT doc_id, w, unnest(generate_series(1, len(w) - ${SpanGramTokens - 1})) AS pos
+         |  FROM tc WHERE n_tokens >= $SpanGramTokens),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    md5(array_to_string(w[pos:pos + ${SpanGramTokens - 1}], ' ')) AS gk
+         |  FROM g0),
+         |dup AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM g WHERE gk IN (SELECT gk FROM dup)),
+         |st AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      + $SpanGramTokens THEN 1 ELSE 0 END AS step
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(step) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM st),
+         |sp AS (
+         |  SELECT doc_id, isl, min(pos) AS a, max(pos) + ${SpanGramTokens - 1} AS b
+         |  FROM isl GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(b - a + 1) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY 1)
+         |SELECT tc.doc_id, tc.n_tokens,
+         |  COALESCE(agg.n_spans, 0) AS n_spans,
+         |  COALESCE(agg.dup_tokens, 0) AS dup_tokens
+         |FROM tc LEFT JOIN agg ON tc.doc_id = agg.doc_id
+         |ORDER BY tc.doc_id""".stripMargin,
     "dedup_jaccard_ngrams" ->
       """WITH w0 AS (
         |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS words

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Training-pipeline audit + sampling operators (builder brief §beyond-the-
+ * reference): deterministic negative sampling for recommender-style
+ * training pairs, robust (median/MAD) length-outlier detection, temporal
+ * train/test split leakage audit, and a shuffle-key skew profile — the
+ * governance scans a 100 TB training-data build runs before committing a
+ * dataset.
+ *
+ * Everything is integer- or string-exact across engines: sampling uses the
+ * md5-bucket family (same as the ML split), robust stats use lower-median
+ * order statistics (no engine-defined percentile interpolation), ratios are
+ * integer cross-multiplications.
+ */
+object TrainAudit {
+
+  /** md5-mod-N bucket of an id — the cross-engine reproducible sampling
+    * hash (same family as [[Curation.md5Mod100]], local copy because that
+    * one is fixed at 100). */
+  private def md5Mod(c: Column, m: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % m
+
+  private def duckMd5Mod(c: String, m: Int): String =
+    s"CAST(CAST('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % $m"
+
+  // ---------------------------------------------------------------------
+  // ml_negative_sample — deterministic per-user negative items
+  // ---------------------------------------------------------------------
+
+  /** Candidate-pool bucket count: each customer probes |parts|/Buckets
+    * candidates. Sized so the probe set is ≥ 10× NegPerUser even after
+    * removing true interactions (documented oversample contract). */
+  private val NegBuckets = 50
+  private val NegPerUser = 3
+
+  /**
+   * Deterministic negative sampling for implicit-feedback training pairs:
+   * for every customer, [[NegPerUser]] parts they never ordered, chosen by
+   * a reproducible hash ranking — the (user, negative-item) generator of a
+   * recommender / two-tower training-data build.
+   *
+   * Scale design: NEVER a customers × items cross join. Each part lands in
+   * one of [[NegBuckets]] hash buckets; each customer probes exactly the
+   * bucket its own hash selects — one equi-join on the bucket id, linear
+   * in |customers|·|parts|/Buckets. True interactions leave via a
+   * left-anti join on (custkey, partkey); the per-user top-K is a
+   * rank-window over the ≤|parts|/Buckets candidate rows per user. The
+   * md5 priority makes the same negatives come out of every engine, every
+   * run — resumable training-data builds need the sample to be a pure
+   * function of the catalog.
+   */
+  def mlNegativeSample(s: SparkSession, dir: String): DataFrame = {
+    val parts = load(s, dir, "part")
+      .select(col("p_partkey"), md5Mod(col("p_partkey"), NegBuckets).as("bucket"))
+    val custs = load(s, dir, "customer")
+      .select(col("c_custkey"), md5Mod(col("c_custkey"), NegBuckets).as("bucket"))
+    val interactions = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("p_partkey"))
+      .distinct()
+    val cand = custs.join(parts, Seq("bucket"))
+      .join(interactions, Seq("c_custkey", "p_partkey"), "left_anti")
+    val pri = md5(concat(col("c_custkey").cast("string"), lit(":"),
+      col("p_partkey").cast("string")))
+    cand
+      .withColumn("neg_rank",
+        row_number().over(Window.partitionBy(col("c_custkey")).orderBy(pri)).cast("long"))
+      .filter(col("neg_rank") <= NegPerUser)
+      .select(col("c_custkey"), col("neg_rank"), col("p_partkey"))
+      .orderBy(col("c_custkey"), col("neg_rank"))
+  }
+
+  private def mlNegativeSampleSql: String =
+    s"""WITH p AS (
+       |  SELECT p_partkey, ${duckMd5Mod("p_partkey", NegBuckets)} AS bucket FROM part),
+       |c AS (
+       |  SELECT c_custkey, ${duckMd5Mod("c_custkey", NegBuckets)} AS bucket FROM customer),
+       |inter AS (
+       |  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |cand AS (
+       |  SELECT c.c_custkey, p.p_partkey
+       |  FROM c JOIN p ON c.bucket = p.bucket
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM inter i
+       |    WHERE i.c_custkey = c.c_custkey AND i.p_partkey = p.p_partkey)),
+       |ranked AS (
+       |  SELECT c_custkey, p_partkey,
+       |    CAST(row_number() OVER (PARTITION BY c_custkey
+       |      ORDER BY md5(CAST(c_custkey AS VARCHAR) || ':' ||
+       |                   CAST(p_partkey AS VARCHAR))) AS BIGINT) AS neg_rank
+       |  FROM cand)
+       |SELECT c_custkey, neg_rank, p_partkey FROM ranked
+       |WHERE neg_rank <= $NegPerUser
+       |ORDER BY c_custkey, neg_rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // stats_mad_outliers — robust per-source length outliers
+  // ---------------------------------------------------------------------
+
+  /** Outlier cut: |x − median| > MadK · MAD (the ~3σ-equivalent robust
+    * fence, kept integer so the comparison is engine-exact). */
+  private val MadK = 3L
+
+  /**
+   * Robust per-source length-outlier detection: lower-median and MAD
+   * (median absolute deviation) of `n_chars` per source, then the count of
+   * docs outside median ± [[MadK]]·MAD — the data-card "how many docs are
+   * length-anomalous" scan, immune to the heavy tails that wreck
+   * mean/stddev fences on web corpora.
+   *
+   * Exactness: lower median (value at rank ⌈n/2⌉) via order statistics —
+   * no percentile interpolation, every quantity stays an integer, so the
+   * outlier comparison cross-engines bit-exactly. Scale: windows partition
+   * on `source` — the established blocking-key contract
+   * ([[Corpus.statsPercentRank]] precedent); the two rank passes shuffle
+   * (source, n_chars) longs only, never text.
+   */
+  def statsMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+    // NULL-length docs are OUT of the order-statistics population on both
+    // engines (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST — a NULL in
+    // the ranked sequence shifts the median rank differently per engine;
+    // same contract as stats_length_pctl)
+    val lens = load(s, dir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars"))
+    // lower median per source: value at rank ceil(n/2), ties broken by the
+    // value order itself (rank over equal values picks the same value)
+    val med = lens
+      .withColumn("rk", row_number().over(bySrc.orderBy(col("n_chars"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .filter(col("rk") === ((col("n") + 1) / 2).cast("int"))
+      .select(col("source"), col("n_chars").as("med_len"))
+    val dev = lens.join(med, "source")
+      .withColumn("adev", abs(col("n_chars") - col("med_len")))
+    val mad = dev
+      .withColumn("rk", row_number().over(bySrc.orderBy(col("adev"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .filter(col("rk") === ((col("n") + 1) / 2).cast("int"))
+      .select(col("source"), col("adev").as("mad"))
+    dev.join(mad, "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("med_len")).as("med_len"),
+        first(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(MadK) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  private def statsMadOutliersSql: String =
+    s"""WITH lens AS (
+       |  SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL),
+       |med AS (
+       |  SELECT source, n_chars AS med_len FROM (
+       |    SELECT source, n_chars,
+       |      row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+       |      count(*) OVER (PARTITION BY source) AS n
+       |    FROM lens)
+       |  WHERE rk = (n + 1) // 2),
+       |dev AS (
+       |  SELECT lens.source, lens.n_chars, med.med_len,
+       |    abs(lens.n_chars - med.med_len) AS adev
+       |  FROM lens JOIN med ON lens.source = med.source),
+       |mad AS (
+       |  SELECT source, adev AS mad FROM (
+       |    SELECT source, adev,
+       |      row_number() OVER (PARTITION BY source ORDER BY adev) AS rk,
+       |      count(*) OVER (PARTITION BY source) AS n
+       |    FROM dev)
+       |  WHERE rk = (n + 1) // 2)
+       |SELECT dev.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(any_value(dev.med_len) AS BIGINT) AS med_len,
+       |  CAST(any_value(mad.mad) AS BIGINT) AS mad,
+       |  CAST(SUM(CASE WHEN dev.adev > $MadK * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM dev JOIN mad ON dev.source = mad.source
+       |GROUP BY dev.source
+       |ORDER BY dev.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ml_split_leakage — temporal split audit over events
+  // ---------------------------------------------------------------------
+
+  /** Temporal cutoff: events strictly before day 16 of the synthetic
+    * 30-day window (2024-01-01..2024-01-30) are "train", the rest "test"
+    * (the fixed boundary makes the audit reproducible; a production run
+    * passes its split date). */
+  private val SplitCutoff = "2024-01-16"
+
+  /** The cutoff as epoch MICROseconds — events expose `ts` as an epoch
+    * long ([[Tables.events]]), so the comparison runs on integers on both
+    * engines (`ts DIV 1000` == DuckDB `epoch_us(ts)`). */
+  private val SplitCutoffUs: Long =
+    java.time.LocalDate.parse(SplitCutoff).toEpochDay * 86400L * 1000000L
+
+  /**
+   * Train/test temporal-split leakage audit: per event type, how many
+   * users appear only before the cutoff (train-only), only after
+   * (test-only), or on BOTH sides — the rows a user-level temporal split
+   * must regroup before training, because a user straddling the boundary
+   * leaks future behavior into the training half.
+   *
+   * Scale: one (user, event_type) rollup with map-side-combined min/max
+   * timestamps, then a ≤|event_types| rollup — two shuffles, both
+   * combiner-collapsed; no window, no join.
+   */
+  def mlSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(SplitCutoffUs)
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("last_us") < cut, 1L).otherwise(0L)).as("n_train_only"),
+        sum(when(col("first_us") >= cut, 1L).otherwise(0L)).as("n_test_only"),
+        sum(when(col("first_us") < cut && col("last_us") >= cut, 1L).otherwise(0L))
+          .as("n_leaking"))
+      .orderBy(col("event_type"))
+  }
+
+  private def mlSplitLeakageSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, event_type,
+       |    min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(SUM(CASE WHEN last_us < $SplitCutoffUs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_train_only,
+       |  CAST(SUM(CASE WHEN first_us >= $SplitCutoffUs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_test_only,
+       |  CAST(SUM(CASE WHEN first_us < $SplitCutoffUs
+       |    AND last_us >= $SplitCutoffUs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_leaking
+       |FROM u GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // stats_key_skew — shuffle-key skew profile
+  // ---------------------------------------------------------------------
+
+  private val SkewTopK = 20
+
+  /**
+   * Shuffle-key skew profile over the events stream: the [[SkewTopK]]
+   * heaviest `user_id` keys with their event counts and corpus share in
+   * ppm (integer cross-multiplication — engine-exact) — the scan that
+   * decides whether a user-keyed join needs salting
+   * ([[graft.operators.SkewJoin]]) before it runs at 100 TB.
+   *
+   * Scale: one map-side-combined count per key, then TakeOrderedAndProject
+   * for the top-K (no global sort); the corpus total is a 1-row aggregate
+   * folded in as a driver scalar, the same metadata-sized round-trip as
+   * [[Corpus.corpusReport]].
+   */
+  def statsKeySkew(s: SparkSession, dir: String): DataFrame = {
+    val perKey = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val total = events(s, dir).count()
+    perKey
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(SkewTopK)
+      // single-group window over the ≤TopK surviving rows — deliberate
+      // (zeroPart keeps the partition spec honest; see Tables.zeroPart)
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(zeroPart(col("user_id")))
+          .orderBy(col("n_events").desc, col("user_id"))).cast("long"))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        (col("n_events") * 1000000L / lit(total)).cast("long").as("share_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  private def statsKeySkewSql: String =
+    s"""WITH k AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY user_id),
+       |t AS (SELECT count(*) AS total FROM events)
+       |SELECT
+       |  CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rank,
+       |  user_id, n_events,
+       |  CAST(n_events * 1000000 // t.total AS BIGINT) AS share_ppm
+       |FROM k, t
+       |ORDER BY n_events DESC, user_id
+       |LIMIT $SkewTopK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_negative_sample" -> (mlNegativeSample _),
+    "stats_mad_outliers" -> (statsMadOutliers _),
+    "ml_split_leakage" -> (mlSplitLeakage _),
+    "stats_key_skew" -> (statsKeySkew _))
+
+  val oracle: Map[String, String] = Map(
+    "ml_negative_sample" -> mlNegativeSampleSql,
+    "stats_mad_outliers" -> statsMadOutliersSql,
+    "ml_split_leakage" -> mlSplitLeakageSql,
+    "stats_key_skew" -> statsKeySkewSql)
+}
