@@ -673,6 +673,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * LSH recall audit — the sketch-governance scan: every exact 3-shingle
+   * Jaccard pair at J ≥ 0.8 (same-lang, the [[dedupJaccardNgrams]] ground
+   * truth) checked against the md5 MinHash+LSH detector's verified output,
+   * bucketed by integer similarity vigintile (⌊20·J⌋ = 16..20). A pair the
+   * sketch misses is a band-collision failure or a bucket-cap drop — the
+   * number a 100 TB dedup run must watch before trusting LSH as its only
+   * candidate generator.
+   *
+   * Scale: both sides are the existing scale pipelines (PPJoin exact,
+   * band-bucket LSH); the audit itself adds one (da, db) equi-join over
+   * pair sets and a ≤5-group rollup. Runs both sub-pipelines — an audit
+   * op's documented cost, not a hot-path one.
+   */
+  def dedupLshAudit(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = spreadDocs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        GraftFunctions.shingle_set(col("text"), 3).as("words"))
+    val exact = jaccardPairs(base, probeDense = false)
+    val lsh = dedupMinhashLshMd5(s, dir).select(col("da"), col("db"), lit(1L).as("hit"))
+    exact
+      .join(lsh, Seq("da", "db"), "left_outer")
+      // floor(20·J): J is the same IEEE double on both engines (identical
+      // int inputs, one correctly-rounded division), so the bucket edge
+      // falls identically even when 20·J rounds just under an integer
+      .withColumn("bucket", floor(col("jac") * 20).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_detected"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_missed"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_words" -> (dedupJaccardWords _),
     "dedup_jaccard_ngrams" -> (dedupJaccardNgrams _),
@@ -680,7 +714,8 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_lsh_md5" -> (dedupMinhashLshMd5 _),
     "dedup_incremental_md5" -> (dedupIncrementalMd5 _),
-    "dedup_substring_spans" -> (dedupSubstringSpans _))
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
+    "dedup_lsh_audit" -> (dedupLshAudit _))
 
   private[graft] def minhashAgreeMin: Int = (MinhashEstThreshold * MinhashPerms).toInt
 
@@ -722,6 +757,50 @@ object Dedup {
        |    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM banded)
        |  WHERE bsz <= $MaxBucketSize)""".stripMargin
   }
+
+  /** DuckDB mirror of [[dedupLshAudit]]: exact ngram pairs (reusing the
+    * shared block's `sh` shingle sets + lang from documents) LEFT JOIN the
+    * verified LSH pairs, rolled up by similarity vigintile. */
+  private def dedupLshAuditOracle: String =
+    s"""WITH $minhashMd5SharedCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM pruned x JOIN pruned y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashPerms),
+       |    i -> x.mh[i] = y.mh[i])) >= $minhashAgreeMin),
+       |lshp AS (
+       |  SELECT da, db FROM (
+       |    SELECT da, db,
+       |      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
+       |      CAST(len(a.shingles) + len(b.shingles) AS DOUBLE) AS szsum
+       |    FROM cand
+       |    JOIN sh a ON cand.da = a.doc_id
+       |    JOIN sh b ON cand.db = b.doc_id)
+       |  WHERE inter / (szsum - inter) >= 0.5),
+       |shl AS (
+       |  SELECT sh.doc_id, d.lang, sh.shingles
+       |  FROM sh JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+       |  WHERE len(sh.shingles) > 0),
+       |exx AS (SELECT doc_id, lang, unnest(shingles) AS w FROM shl),
+       |excnt AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nw FROM shl),
+       |expairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS inter
+       |  FROM exx a JOIN exx b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT da, db,
+       |    inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE AS jac
+       |  FROM expairs
+       |  JOIN excnt ca ON da = ca.doc_id
+       |  JOIN excnt cb ON db = cb.doc_id
+       |  WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8)
+       |SELECT CAST(floor(e.jac * 20) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN l.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |  CAST(SUM(CASE WHEN l.da IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+       |FROM exact e LEFT JOIN lshp l ON e.da = l.da AND e.db = l.db
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB mirror of the md5-keyed LSH pipeline. */
   private def minhashLshMd5Oracle: String =
@@ -853,6 +932,7 @@ object Dedup {
         |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8
         |ORDER BY da, db""".stripMargin,
     "dedup_jaccard_words" -> (jaccardWordsPairsSql + "\nORDER BY da, db"),
+    "dedup_lsh_audit" -> dedupLshAuditOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle,
     "dedup_incremental_md5" -> dedupIncrementalMd5Oracle)

@@ -26,17 +26,22 @@ object TrainAudit {
   private def md5Mod(c: Column, m: Int): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % m
 
-  private def duckMd5Mod(c: String, m: Int): String =
+  private def duckMd5ModExpr(c: String, m: String): String =
     s"CAST(CAST('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % $m"
 
   // ---------------------------------------------------------------------
   // ml_negative_sample — deterministic per-user negative items
   // ---------------------------------------------------------------------
 
-  /** Candidate-pool bucket count: each customer probes |parts|/Buckets
-    * candidates. Sized so the probe set is ≥ 10× NegPerUser even after
-    * removing true interactions (documented oversample contract). */
-  private val NegBuckets = 50
+  /** Target probe-bucket size: the bucket COUNT is derived from the
+    * catalog (⌈|parts| / NegBucketSize⌉, a metadata-sized count action),
+    * so each customer probes ~NegBucketSize candidates NO MATTER how big
+    * the item catalog grows — a fixed bucket count would make the probe
+    * join a 1/B-scaled cross join (|C|·|P|/B rows, quadratic in scale;
+    * measured 28× at a 10× tile before this sizing). ≥ 20× NegPerUser so
+    * the top-K survives removing true interactions (documented oversample
+    * contract). */
+  private val NegBucketSize = 64L
   private val NegPerUser = 3
 
   /**
@@ -46,20 +51,24 @@ object TrainAudit {
    * recommender / two-tower training-data build.
    *
    * Scale design: NEVER a customers × items cross join. Each part lands in
-   * one of [[NegBuckets]] hash buckets; each customer probes exactly the
-   * bucket its own hash selects — one equi-join on the bucket id, linear
-   * in |customers|·|parts|/Buckets. True interactions leave via a
+   * one of ⌈|parts| / [[NegBucketSize]]⌉ hash buckets (bucket count grows
+   * WITH the catalog — a metadata-sized count action — so the per-user
+   * probe set stays ~[[NegBucketSize]] rows at any scale); each customer
+   * probes exactly the bucket its own hash selects — one equi-join on the
+   * bucket id, linear in |customers|. True interactions leave via a
    * left-anti join on (custkey, partkey); the per-user top-K is a
-   * rank-window over the ≤|parts|/Buckets candidate rows per user. The
+   * rank-window over the ~NegBucketSize candidate rows per user. The
    * md5 priority makes the same negatives come out of every engine, every
    * run — resumable training-data builds need the sample to be a pure
    * function of the catalog.
    */
   def mlNegativeSample(s: SparkSession, dir: String): DataFrame = {
+    val nParts = load(s, dir, "part").count()
+    val nBuckets = math.max(1L, (nParts + NegBucketSize - 1) / NegBucketSize).toInt
     val parts = load(s, dir, "part")
-      .select(col("p_partkey"), md5Mod(col("p_partkey"), NegBuckets).as("bucket"))
+      .select(col("p_partkey"), md5Mod(col("p_partkey"), nBuckets).as("bucket"))
     val custs = load(s, dir, "customer")
-      .select(col("c_custkey"), md5Mod(col("c_custkey"), NegBuckets).as("bucket"))
+      .select(col("c_custkey"), md5Mod(col("c_custkey"), nBuckets).as("bucket"))
     val interactions = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -77,11 +86,18 @@ object TrainAudit {
       .orderBy(col("c_custkey"), col("neg_rank"))
   }
 
+  /** The oracle derives the bucket count with the same ⌈|parts|/size⌉
+    * formula (scalar subquery), so both engines probe identical buckets. */
   private def mlNegativeSampleSql: String =
-    s"""WITH p AS (
-       |  SELECT p_partkey, ${duckMd5Mod("p_partkey", NegBuckets)} AS bucket FROM part),
+    s"""WITH nb AS (
+       |  SELECT GREATEST(1, (count(*) + ${NegBucketSize - 1}) // $NegBucketSize) AS b
+       |  FROM part),
+       |p AS (
+       |  SELECT p_partkey, ${duckMd5ModExpr("p_partkey", "nb.b")} AS bucket
+       |  FROM part, nb),
        |c AS (
-       |  SELECT c_custkey, ${duckMd5Mod("c_custkey", NegBuckets)} AS bucket FROM customer),
+       |  SELECT c_custkey, ${duckMd5ModExpr("c_custkey", "nb.b")} AS bucket
+       |  FROM customer, nb),
        |inter AS (
        |  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

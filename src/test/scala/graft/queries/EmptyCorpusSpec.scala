@@ -40,7 +40,8 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "dedup_bow_fp", "dedup_jaccard_words", "dedup_jaccard_ngrams", "dedup_simhash",
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_incremental_md5",
     "dedup_components", "dedup_cluster_sizes", "dedup_embedding_cosine",
-    "dedup_semantic", "dedup_winnow_overlap",
+    "dedup_semantic", "dedup_winnow_overlap", "dedup_substring_spans",
+    "dedup_lsh_audit", "stats_mad_outliers",
     "sample_stratified", "sample_per_source_topn", "pipeline_curation",
     "curation_best_of_cluster", "contamination_check", "decontam_overlap",
     "shingle_except", "shingle_intersect", "corpus_report", "corpus_rollup",
@@ -75,7 +76,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "q10_first_event", "q11_ntile", "q12_lag_lead", "q21_sessionize",
     "q24_json_props", "q25_hour_buckets", "q_asof_join", "q_asof_fwd",
     "q_funnel", "q_gap_fill", "q_range_frame", "q_cohort_retention", "q_rfm_segments",
-    "q_attribution_linear", "q_cohort_ltv")
+    "q_attribution_linear", "q_cohort_ltv", "ml_split_leakage", "stats_key_skew")
 
   test("event-analytics queries return (not throws) on an empty events table") {
     val dir = tmpSfDir()
