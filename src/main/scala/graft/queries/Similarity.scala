@@ -436,6 +436,48 @@ object Similarity {
       .orderBy(col("source"))
   }
 
+  /**
+   * kNN label-agreement eval — the embedding-quality scan a training
+   * pipeline runs before trusting a new encoder: each labelled query
+   * vector (vec_id < 10 convention) takes its 5 nearest labelled
+   * candidates by cosine and predicts the majority label (ties → smaller
+   * label id); the output row says whether the prediction matches the
+   * query's own label. A collapsing encoder (everything similar to
+   * everything) scores near chance here long before downstream training
+   * notices. Unlabelled rows are outside the eval — they can neither vote
+   * nor be scored.
+   *
+   * Scale: identical shape to [[simBruteforceTopk]] (broadcast query
+   * constants, exact baseline; `sim_ivf_topk` is the scale path for the
+   * candidate sweep); the vote rollup adds ≤|queries|·k rows.
+   */
+  def simKnnAccuracy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("true_label"))
+    val c = e.filter(col("vec_id") >= 10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val votes = c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy(col("qid"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .groupBy(col("qid"), col("true_label"))
+      // majority with smaller-label tiebreak: max of (votes, -label)
+      .agg(max(struct(col("n_votes"), (-col("label")).as("nl"))).as("b"))
+      .select(col("qid"), col("true_label"), (-col("b.nl")).as("pred_label"),
+        col("b.n_votes").as("n_votes"),
+        (col("true_label") === -col("b.nl")).as("correct"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
@@ -446,9 +488,43 @@ object Similarity {
     "embed_kmeans_update" -> (embedKmeansUpdate _),
     "embed_dim_stats" -> (embedDimStats _),
     "dedup_semantic" -> (dedupSemantic _),
-    "embed_source_drift" -> (embedSourceDrift _))
+    "embed_source_drift" -> (embedSourceDrift _),
+    "sim_knn_accuracy" -> (simKnnAccuracy _))
 
   val oracle: Map[String, String] = Map(
+    "sim_knn_accuracy" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv, CAST(label AS BIGINT) AS true_label
+        |  FROM embeddings
+        |  WHERE vec_id < 10 AND embedding IS NOT NULL AND label IS NOT NULL),
+        |c AS (
+        |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+        |  FROM embeddings
+        |  WHERE vec_id >= 10 AND embedding IS NOT NULL AND label IS NOT NULL),
+        |el AS (
+        |  SELECT qid, true_label, c.vec_id AS neighbor, c.label,
+        |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS d,
+        |    SUM(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS cc
+        |  FROM q, c, generate_series(1, 64) t(i)
+        |  GROUP BY qid, true_label, c.vec_id, c.label),
+        |ranked AS (
+        |  SELECT qid, true_label, label,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
+        |  FROM el),
+        |votes AS (
+        |  SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM ranked WHERE rnk <= 5
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT qid, true_label, label AS pred_label, n_votes,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY n_votes DESC, label ASC) AS vr
+        |  FROM votes)
+        |SELECT qid, true_label, pred_label, n_votes,
+        |  true_label = pred_label AS correct
+        |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL),

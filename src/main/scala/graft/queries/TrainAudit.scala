@@ -309,15 +309,67 @@ object TrainAudit {
        |ORDER BY n_events DESC, user_id
        |LIMIT $SkewTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // seq_transition_matrix — behavior-sequence Markov transitions
+  // ---------------------------------------------------------------------
+
+  /**
+   * Event-type transition matrix — the first-order Markov statistics a
+   * behavior-sequence model (session-based recommendation, churn LSTM
+   * pretraining) is sanity-checked against: for every ordered pair of
+   * event types, how often one follows the other inside a user's
+   * timeline, with the within-row share in ppm (integer
+   * cross-multiplication — engine-exact).
+   *
+   * Scale: the successor is a `lead` window partitioned by `user_id` (a
+   * real blocking key, bounded per-user history); transitions collapse to
+   * ≤|types|² rows in one map-side-combined rollup, and the row-share
+   * window runs over that POST-AGGREGATION metadata-sized relation.
+   * Ordering ties break on `event_id` — same total order both engines.
+   */
+  def seqTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    trans
+      .withColumn("row_total", sum(col("n_transitions")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions") * 1000000L / col("row_total")).cast("long").as("share_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private def seqTransitionMatrixSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT event_type AS from_type, to_type,
+      |    CAST(count(*) AS BIGINT) AS n_transitions
+      |  FROM seq WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |  CAST(n_transitions * 1000000 //
+      |    SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS share_ppm
+      |FROM trans
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_negative_sample" -> (mlNegativeSample _),
     "stats_mad_outliers" -> (statsMadOutliers _),
     "ml_split_leakage" -> (mlSplitLeakage _),
-    "stats_key_skew" -> (statsKeySkew _))
+    "stats_key_skew" -> (statsKeySkew _),
+    "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
     "ml_negative_sample" -> mlNegativeSampleSql,
     "stats_mad_outliers" -> statsMadOutliersSql,
     "ml_split_leakage" -> mlSplitLeakageSql,
-    "stats_key_skew" -> statsKeySkewSql)
+    "stats_key_skew" -> statsKeySkewSql,
+    "seq_transition_matrix" -> seqTransitionMatrixSql)
 }

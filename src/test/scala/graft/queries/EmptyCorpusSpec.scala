@@ -49,7 +49,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "mix_epochs", "shuffle_order", "stats_length_pctl", "stats_percent_rank",
     "integrity_full_outer", "embed_quantize", "embed_dim_stats", "embed_source_drift",
     "embed_kmeans_assign", "embed_kmeans_update",
-    "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk")
+    "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk", "sim_knn_accuracy")
 
   test("every corpus-family query returns (not throws) on fully empty tables") {
     val dir = emptyDir()
@@ -76,7 +76,8 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "q10_first_event", "q11_ntile", "q12_lag_lead", "q21_sessionize",
     "q24_json_props", "q25_hour_buckets", "q_asof_join", "q_asof_fwd",
     "q_funnel", "q_gap_fill", "q_range_frame", "q_cohort_retention", "q_rfm_segments",
-    "q_attribution_linear", "q_cohort_ltv", "ml_split_leakage", "stats_key_skew")
+    "q_attribution_linear", "q_cohort_ltv", "ml_split_leakage", "stats_key_skew",
+    "seq_transition_matrix")
 
   test("event-analytics queries return (not throws) on an empty events table") {
     val dir = tmpSfDir()
