@@ -26,7 +26,10 @@ class PlanHygieneSpec extends AnyFunSuite with SparkFixture {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private val crossJoinAllowed = Set("sim_bruteforce_topk")
+  // sim_knn_accuracy shares sim_bruteforce_topk's documented broadcast
+  // query⨯candidate contract (the eval runs over the same exact baseline;
+  // sim_ivf_topk remains the scale path for the candidate sweep)
+  private val crossJoinAllowed = Set("sim_bruteforce_topk", "sim_knn_accuracy")
 
   private def collectPlan(p: LogicalPlan): Seq[LogicalPlan] =
     (p +: p.children.flatMap(collectPlan)) ++ p.subqueries.flatMap(collectPlan)
