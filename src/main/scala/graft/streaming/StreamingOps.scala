@@ -164,6 +164,66 @@ object StreamingOps {
         col("conv_ts"), col("conv_value"))
   }
 
+  /** One event on the sequence stream (adds the `event_id` ordering
+    * tiebreak the batch twin uses). */
+  case class SeqEvent(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+
+  /** One confirmed transition emitted by [[transitionStream]]. */
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Per-user buffer: (ts_us, event_id, event_type), kept sorted. After
+    * draining, exactly ONE event remains (the predecessor of the next
+    * arrival); the unsealed tail is bounded by the lateness horizon. */
+  case class SeqBuf(events: Seq[(Long, Long, String)])
+
+  /**
+   * Streaming behavior-transition extraction — the unbounded twin of
+   * [[graft.queries.TrainAudit.seqTransitionMatrix]]: consecutive
+   * event-type pairs per user timeline, emitted exactly when the
+   * watermark GUARANTEES no admissible event can still land between the
+   * two (successor's event-time ms below the watermark) — so the emitted
+   * pair stream aggregates to precisely the batch matrix over the
+   * non-late events, whatever the arrival order.
+   *
+   * State per user: one retained predecessor event plus the unsealed
+   * tail (bounded by lateness ÷ event spacing) — nothing accumulates
+   * over an unbounded run. Pending pairs between already-received events
+   * seal via an event-time timeout, not by waiting for the user's next
+   * event.
+   */
+  def transitionStream(events: Dataset[SeqEvent],
+      lateness: String = "10 minutes"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqBuf, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SeqEvent], state: GroupState[SeqBuf]) =>
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+          val incoming = rows.map(e => (micros(e.ts), e.event_id, e.event_type)).toList
+          var buf = (state.getOption.map(_.events.toList).getOrElse(Nil) ++ incoming)
+            .sortBy(t => (t._1, t._2))
+          val wm = state.getCurrentWatermarkMs()
+          // successor sealed ⇔ floor(ts_us/1000) < wm: any event that could
+          // still sort between predecessor and successor has ts ≤ the
+          // successor's, hence event-time ms < wm — inadmissible, dropped
+          // by the watermark before it reaches this group
+          def sealedSucc(e: (Long, Long, String)): Boolean =
+            Math.floorDiv(e._1, 1000L) < wm
+          val out = scala.collection.mutable.ListBuffer.empty[Transition]
+          while (buf.lengthCompare(2) >= 0 && sealedSucc(buf(1))) {
+            out += Transition(uid, buf.head._3, buf(1)._3)
+            buf = buf.tail
+          }
+          state.update(SeqBuf(buf))
+          if (buf.lengthCompare(2) >= 0)
+            state.setTimeoutTimestamp(Math.floorDiv(buf(1)._1, 1000L) + 1)
+          out.iterator
+      }
+  }
+
   /**
    * Streaming exact dedup (dedup_bow_fp unbounded): first occurrence of
    * each content fingerprint passes, repeats within the watermark horizon

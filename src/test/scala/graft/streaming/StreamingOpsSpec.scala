@@ -195,6 +195,46 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("transitionStream: sealed pairs aggregate to the batch transition matrix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.queries.TrainAudit.seqTransitionMatrix(s, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(expected.nonEmpty, "fixture sanity: the events table must yield transitions")
+    val evs = graft.queries.Tables.events(s, dir)
+      .select($"user_id", expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        $"event_id", $"event_type")
+      .as[SeqEvent].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[SeqEvent]
+    val q = transitionStream(in.toDF().as[SeqEvent]).writeStream
+      .format("memory").queryName("trans").outputMode("append").start()
+    try {
+      // two time-split batches, each internally SHUFFLED — intra-batch
+      // arrival order must not matter; the split itself is time-ordered
+      // because events the watermark has already passed are dropped by
+      // Spark (the contract is parity over the non-late events)
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val (a, b) = sorted.splitAt(evs.length / 2)
+      in.addData(a.sortBy(_.event_id % 7)); q.processAllAvailable()
+      in.addData(b.sortBy(_.event_id % 7)); q.processAllAvailable()
+      // sentinel a day ahead seals every real pair; second sentinel batch
+      // so the advanced watermark takes effect in the state function
+      val far = new Timestamp(maxTs + 86400000L)
+      in.addData(SeqEvent(999999L, far, 1L, "view")); q.processAllAvailable()
+      in.addData(SeqEvent(999999L, new Timestamp(maxTs + 86460000L), 2L, "view"))
+      q.processAllAvailable()
+      val got = s.table("trans")
+        .filter($"user_id" =!= 999999L)
+        .groupBy($"from_type", $"to_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == expected,
+        "streaming sealed transitions must aggregate to the batch matrix")
+    } finally q.stop()
+  }
+
   test("decontaminationStream: online verdicts equal the batch decontam scan") {
     val s = spark
     import s.implicits._
