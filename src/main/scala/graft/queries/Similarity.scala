@@ -478,7 +478,64 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /**
+   * Contrastive training-pair mining — the data-prep pass that turns a
+   * labelled embedding corpus into (anchor, positive, hard-negative)
+   * triplets for metric-learning / contrastive fine-tuning: for every
+   * labelled member vector, the positive is its most-similar SAME-label
+   * neighbour inside its k-means cluster, the hard negative its
+   * most-similar DIFFERENT-label neighbour there (the classic
+   * "closest wrong class" choice that makes triplet losses informative),
+   * and the margin `pos_sim − neg_sim` is the difficulty score a
+   * curriculum sampler reads. Anchors with no same-label (or no
+   * other-label) cluster partner keep a NULL on that side — visible,
+   * not silently dropped.
+   *
+   * Scale: the candidate pool is the k-means cell, so pair generation is
+   * the same cid-bounded equi-join as [[dedupSemantic]] (never
+   * all-pairs; k grows with the corpus). Both argmaxes collapse in ONE
+   * map-side-combinable hash aggregate over the pair stream — conditional
+   * `max(struct(sim, −id))` per side, no windows, one shuffle on the
+   * anchor id. Determinism: sims rounded to 6 dp before the argmax, id
+   * as the tiebreak; norms ride along from the assignment scan so the
+   * pair stage does one dot per pair.
+   */
+  def embedPairMining(s: SparkSession, dir: String): DataFrame = {
+    val labels = load(s, dir, "embeddings")
+      .filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val m = kmeansAssigned(s, dir)
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("cid"), col("label"),
+        sqrt(dot(col("v"), col("v"))).as("nrm"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val a = m.select(col("cid"), col("vec_id").as("anchor_id"),
+      col("v").as("xa"), col("nrm").as("na"), col("label"))
+    val b = m.select(col("cid").as("cid_b"), col("vec_id").as("vb"),
+      col("v").as("xb"), col("nrm").as("nb"), col("label").as("lb"))
+    val denom = col("na") * col("nb")
+    val pairs = a.join(b,
+        col("cid") === col("cid_b") && col("anchor_id") =!= col("vb"))
+      .withColumn("sim", round(when(denom > 0,
+        dot(col("xa"), col("xb")) / denom), 6))
+      .filter(col("sim").isNotNull)
+    pairs
+      .groupBy(col("anchor_id"), col("label"))
+      .agg(
+        max(when(col("label") === col("lb"),
+          struct(col("sim"), (-col("vb")).as("nid")))).as("p"),
+        max(when(col("label") =!= col("lb"),
+          struct(col("sim"), (-col("vb")).as("nid")))).as("n"))
+      .select(col("anchor_id"), col("label"),
+        (-col("p.nid")).as("pos_id"), col("p.sim").as("pos_sim"),
+        (-col("n.nid")).as("neg_id"), col("n.sim").as("neg_sim"),
+        round(col("p.sim") - col("n.sim"), 6).as("margin"))
+      .orderBy(col("anchor_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pair_mining" -> (embedPairMining _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -492,6 +549,55 @@ object Similarity {
     "sim_knn_accuracy" -> (simKnnAccuracy _))
 
   val oracle: Map[String, String] = Map(
+    "embed_pair_mining" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |m0 AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+        |dots AS (
+        |  SELECT m0.vec_id, cent.cid0,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+        |  FROM m0, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cid0 AS cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+        |  FROM dots),
+        |am AS (
+        |  SELECT a.cid, m0.vec_id, m0.embedding, CAST(l.label AS BIGINT) AS label
+        |  FROM assign a JOIN m0 USING (vec_id)
+        |  JOIN embeddings l ON l.vec_id = m0.vec_id AND l.label IS NOT NULL
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT x.vec_id AS anchor_id, x.label, y.vec_id AS vb, y.label AS lb,
+        |    round(CASE WHEN sqrt(SUM(x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))
+        |                  * sqrt(SUM(y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) > 0
+        |      THEN SUM(x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)
+        |           / (sqrt(SUM(x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))
+        |            * sqrt(SUM(y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))) END, 6) AS sim
+        |  FROM am x JOIN am y ON x.cid = y.cid AND x.vec_id <> y.vec_id,
+        |  generate_series(1, 64) t(i)
+        |  GROUP BY x.vec_id, x.label, y.vec_id, y.label),
+        |pv AS (SELECT * FROM pairs WHERE sim IS NOT NULL),
+        |base AS (SELECT DISTINCT anchor_id, label FROM pv),
+        |pos AS (
+        |  SELECT anchor_id, vb, sim,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vb ASC) AS rn
+        |  FROM pv WHERE label = lb),
+        |neg AS (
+        |  SELECT anchor_id, vb, sim,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vb ASC) AS rn
+        |  FROM pv WHERE label <> lb)
+        |SELECT base.anchor_id, base.label,
+        |  p.vb AS pos_id, p.sim AS pos_sim,
+        |  n.vb AS neg_id, n.sim AS neg_sim,
+        |  round(p.sim - n.sim, 6) AS margin
+        |FROM base
+        |LEFT JOIN pos p ON p.anchor_id = base.anchor_id AND p.rn = 1
+        |LEFT JOIN neg n ON n.anchor_id = base.anchor_id AND n.rn = 1
+        |ORDER BY base.anchor_id""".stripMargin,
     "sim_knn_accuracy" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv, CAST(label AS BIGINT) AS true_label

@@ -553,7 +553,71 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Add-one smoothing pseudo-count for the bigram LM (Laplace α=1). */
+  private val LmAlpha = 1.0
+
+  /**
+   * Corpus-trained bigram language-model scoring — the CCNet/Gopher-style
+   * perplexity quality filter: train an add-one-smoothed bigram LM on the
+   * corpus itself, then score every document by its average per-bigram
+   * negative log-likelihood (cross-entropy, nats/bigram — the monotone
+   * equivalent of perplexity without a second transcendental op). Low
+   * NLL ⇒ the document looks like the corpus; high NLL flags
+   * outlier/garbled text the quality battery's integer rules miss.
+   *
+   * p(w2|w1) = (c(w1,w2)+α) / (c(w1,·)+α·V), V = corpus vocabulary size.
+   *
+   * Scale: the model is two corpus-level aggregates — bigram counts from
+   * ONE token-pair explode (map-side-combined groupBy, bounded by
+   * distinct bigrams), and history counts RE-AGGREGATED from the bigram
+   * table (vocab-bounded, no second corpus scan). V is a metadata-sized
+   * driver scalar (the AQE-statistics round-trip, same convention as
+   * [[textTfidfTopk]]'s corpus count). Scoring is a second linear
+   * explode joined to the two count tables on their grouping keys (AQE
+   * broadcasts the vocab-sized history table when it fits). Nothing
+   * O(corpus) is ever cached.
+   *
+   * Determinism: the conditional probability is one IEEE division of
+   * exactly-representable integers; each bigram's −ln(p) is rounded to
+   * 6 dp and summed as exact DECIMAL (order-independent), so the only
+   * cross-engine exposure is `ln`'s final ulp landing exactly on a
+   * rounding boundary — the same envelope the attribution credit model
+   * accepts for its per-touch division.
+   */
+  def textLmNll(s: SparkSession, dir: String): DataFrame = {
+    val withWs = docs(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    // vocabulary size over ALL tokens (single-token docs included): the
+    // smoothing denominator must not depend on which docs emit bigrams
+    val vocab = withWs
+      .select(explode(col("ws")).as("t"))
+      .agg(countDistinct(col("t"))).first().getLong(0)
+    def bigrams = withWs
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // history counts: re-aggregate the bigram table — identical integers
+    // to grouping the pair stream by w1, without re-scanning the corpus
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val nllTerm = round(-log((col("cb") + lit(LmAlpha)) /
+      (col("cu") + lit(LmAlpha * vocab))), 6)
+      .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6))
+    bigrams
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .select(col("doc_id"), nllTerm.as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_nll" -> (textLmNll _),
     "sample_quality_weighted" -> (sampleQualityWeighted _),
     "text_script_ratio" -> (textScriptRatio _),
     "text_rarity_score" -> (textRarityScore _),
@@ -574,6 +638,30 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "text_lm_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT COUNT(DISTINCT tok) AS vocab
+        |  FROM (SELECT unnest(ws) AS tok FROM t)),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+        |  FROM t WHERE len(ws) >= 2),
+        |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+        |cb AS (SELECT w1, w2, COUNT(1) AS cb FROM b GROUP BY w1, w2),
+        |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY w1)
+        |SELECT b.doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(-ln((cb + 1.0) / (cu + 1.0 * vocab)), 6)
+        |    AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 6) AS nll
+        |FROM b
+        |JOIN cb USING (w1, w2)
+        |JOIN cu USING (w1)
+        |CROSS JOIN v
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "sample_quality_weighted" ->
       s"""WITH f AS (
         |  SELECT doc_id, source,
