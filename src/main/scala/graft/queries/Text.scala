@@ -616,7 +616,43 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary size for the truncated-vocab tokenization audit. */
+  private val TokVocabSize = 1000
+
+  /**
+   * Truncated-vocabulary tokenization audit — the fertility measurement a
+   * tokenizer designer runs after [[Corpus.vocabCoverage]] picks a cut:
+   * fix the vocabulary to the top-[[TokVocabSize]] corpus words
+   * (frequency-ranked, word text as the deterministic boundary tiebreak)
+   * and count, per document, the tokens it would emit when every
+   * out-of-vocabulary word falls back to character-level pieces (the
+   * WordPiece/byte-fallback degradation mode). `n_tokens / n_words` is
+   * the fertility; `n_oov` localizes which documents blow the budget.
+   *
+   * Scale: the vocabulary is a corpus-level top-K over the word-count
+   * aggregate (map-side-combined, vocab-bounded rows into a TakeOrdered);
+   * scoring is one explode joined to that ≤[[TokVocabSize]]-row relation
+   * — explicitly broadcast — then a per-doc integer aggregate. All
+   * arithmetic is integer, so both engines agree exactly.
+   */
+  def tokVocabTokens(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val vocab = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(TokVocabSize)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    w.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("in_vocab").isNotNull, 1L)
+          .otherwise(length(col("word")).cast("long"))).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok_vocab_tokens" -> (tokVocabTokens _),
     "text_lm_nll" -> (textLmNll _),
     "sample_quality_weighted" -> (sampleQualityWeighted _),
     "text_script_ratio" -> (textScriptRatio _),
@@ -638,6 +674,19 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "tok_vocab_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |v AS (
+        |  SELECT word FROM (
+        |    SELECT word, COUNT(1) AS c FROM w GROUP BY word
+        |    ORDER BY c DESC, word LIMIT 1000))
+        |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE length(w.word) END) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM w LEFT JOIN v ON w.word = v.word
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lm_nll" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
