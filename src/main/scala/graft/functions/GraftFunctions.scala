@@ -72,7 +72,11 @@ object GraftFunctions {
         constInt(children(2), "winnow_fp", "w"))),
     (FunctionIdentifier("mask_intersect_bits"),
       new ExpressionInfo(classOf[MaskIntersectBits].getName, "mask_intersect_bits"),
-      (children: Seq[Expression]) => MaskIntersectBits(children(0), children(1))))
+      (children: Seq[Expression]) => MaskIntersectBits(children(0), children(1))),
+    (FunctionIdentifier("greedy_pair_count"),
+      new ExpressionInfo(classOf[GreedyPairCount].getName, "greedy_pair_count"),
+      (children: Seq[Expression]) => GreedyPairCount(children(0),
+        constLongs(children(1), "greedy_pair_count", "pairs"))))
 
   def register(spark: SparkSession): Unit = {
     if (!isRegistered(spark)) {
@@ -117,4 +121,10 @@ object GraftFunctions {
   /** popcount(a & b) of two equal-length long-array bitmasks (requires register). */
   def mask_intersect_bits(a: Column, b: Column): Column =
     call_function("mask_intersect_bits", a, b)
+
+  /** Greedy 2-cp-piece subword count under an encoded merge table (requires register). */
+  def greedy_pair_count(word: Column, pairs: Seq[Long]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function("greedy_pair_count", word, typedLit(pairs.toArray))
+  }
 }

@@ -651,7 +651,80 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Word-vocabulary and merge-table sizes for the subword tokenizer. */
+  private val SubwordTopWords = 300
+  private val SubwordTopPairs = 200
+
+  /**
+   * Greedy subword tokenization under a corpus-learned merge table — the
+   * next fidelity step after [[tokVocabTokens]]'s character fallback: the
+   * tokenizer keeps the top-[[SubwordTopWords]] words whole, and segments
+   * every OOV word greedily left-to-right against the
+   * top-[[SubwordTopPairs]] two-character pieces (the [[bpePairCounts]]
+   * statistic — i.e. the first BPE merge generation), falling back to
+   * single code points. Emits the per-document piece count, OOV count,
+   * and the pair/char piece split (`n_pair = len − pieces`,
+   * `n_char = 2·pieces − len` — every piece is 1 or 2 cps). Counts are
+   * BMP-exact on both engines (same envelope as [[textScriptRatio]]).
+   *
+   * Scale: the corpus collapses ONCE to its distinct vocabulary
+   * (map-side-combined, persisted — vocab-bounded, released by the query
+   * owner); word vocab and merge table are top-Ks over it; the merge
+   * table is a metadata-sized driver constant folded into
+   * [[graft.functions.GreedyPairCount]] — a codegen'd per-row loop, so
+   * the iterative segmentation runs once per DISTINCT word, not per
+   * occurrence. Scoring joins the exploded corpus to the ≤vocab-row
+   * piece relation (explicitly broadcast) and aggregates integers.
+   */
+  def tokSubwordPieces(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val wc = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val topW = wc.orderBy(col("c").desc, col("word")).limit(SubwordTopWords)
+      .select(col("word"))
+    // merge table: pair statistics over the distinct vocabulary weighted
+    // by word frequency (the bpe_pair_counts aggregate), top-K collected
+    // as MODEL PARAMETERS (metadata-sized by construction)
+    val pairs: Seq[Long] = wc.filter(length(col("word")) >= 2)
+      .select(col("c").as("freq"), explode(
+        expr("transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(SubwordTopPairs)
+      .collect()
+      .map { r =>
+        val cps = r.getString(0).codePoints.toArray
+        graft.functions.GreedyPairCount.key(cps(0), cps(1))
+      }.toSeq
+    // per-distinct-word piece table: in-vocab words are one piece; OOV
+    // words run the greedy codegen loop once each
+    val perWord = wc.join(topW, Seq("word"), "left_semi")
+      .select(col("word"), lit(1L).as("n_pieces"), lit(1L).as("in_vocab"))
+      .unionByName(
+        wc.join(topW, Seq("word"), "left_anti")
+          .select(col("word"),
+            graft.functions.GraftFunctions.greedy_pair_count(col("word"), pairs)
+              .as("n_pieces"),
+            lit(0L).as("in_vocab")))
+    w.join(broadcast(perWord), Seq("word"))
+      .select(col("doc_id"), col("n_pieces"), col("in_vocab"),
+        length(col("word")).cast("long").as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(lit(1L) - col("in_vocab")).as("n_oov"),
+        sum(when(col("in_vocab") === 1L, 0L)
+          .otherwise(col("len") - col("n_pieces"))).as("n_pair_pieces"),
+        sum(when(col("in_vocab") === 1L, 0L)
+          .otherwise(lit(2L) * col("n_pieces") - col("len"))).as("n_char_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok_subword_pieces" -> (tokSubwordPieces _),
     "tok_vocab_tokens" -> (tokVocabTokens _),
     "text_lm_nll" -> (textLmNll _),
     "sample_quality_weighted" -> (sampleQualityWeighted _),
@@ -674,6 +747,45 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "tok_subword_pieces" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, COUNT(1) AS c FROM w GROUP BY word),
+        |tv AS (SELECT word FROM wc ORDER BY c DESC, word LIMIT 300),
+        |pc AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+        |      SELECT c AS freq,
+        |        unnest(list_transform(generate_series(1, length(word) - 1),
+        |          i -> word[i:i+1])) AS pair
+        |      FROM wc WHERE length(word) >= 2)
+        |    GROUP BY pair ORDER BY n DESC, pair LIMIT 200)),
+        |ov AS (
+        |  SELECT wc.word, length(wc.word) AS len FROM wc
+        |  LEFT JOIN tv ON wc.word = tv.word WHERE tv.word IS NULL),
+        |seg AS (
+        |  SELECT word, 1 AS pos, 0 AS n FROM ov
+        |  UNION ALL
+        |  SELECT s.word,
+        |    CASE WHEN p.pair IS NOT NULL THEN s.pos + 2 ELSE s.pos + 1 END AS pos,
+        |    s.n + 1 AS n
+        |  FROM seg s
+        |  JOIN ov o ON s.word = o.word
+        |  LEFT JOIN pc p ON s.pos + 1 <= o.len AND substr(s.word, s.pos, 2) = p.pair
+        |  WHERE s.pos <= o.len),
+        |pieces AS (SELECT word, CAST(MAX(n) AS BIGINT) AS n_pieces FROM seg GROUP BY word)
+        |SELECT w.doc_id, CAST(COUNT(1) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 1 ELSE p.n_pieces END) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(CASE WHEN tv.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 0
+        |    ELSE length(w.word) - p.n_pieces END) AS BIGINT) AS n_pair_pieces,
+        |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 0
+        |    ELSE 2 * p.n_pieces - length(w.word) END) AS BIGINT) AS n_char_pieces
+        |FROM w
+        |LEFT JOIN tv ON w.word = tv.word
+        |LEFT JOIN pieces p ON w.word = p.word
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "tok_vocab_tokens" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

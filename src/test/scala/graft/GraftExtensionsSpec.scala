@@ -35,7 +35,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
           |  sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS isz,
           |  dot_f64(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
           |  affine_minhash(array(7L, 11L), array(3L, 5L), array(1L, 2L)) AS mh,
-          |  winnow_fp('abcdefgh', 3, 2) AS wf
+          |  winnow_fp('abcdefgh', 3, 2) AS wf,
+          |  greedy_pair_count('abab', array(203423842L)) AS gp
           |""".stripMargin + "FROM range(1)").collect().head
 
       // same value the golden-tested kernel produces (FarmHashSpec vectors)
@@ -47,6 +48,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       // min(7*3+1, 11*3+1)=22; min(7*5+2, 11*5+2)=37
       assert(row.getSeq[Long](4) == Seq(22L, 37L))
       assert(row.getSeq[Long](5).nonEmpty)
+      // key('a','b') = (97 << 21) | 98 = 203423842; 'abab' -> ab|ab
+      assert(row.getLong(6) == 2L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -138,4 +138,51 @@ class KernelExpressionsSpec extends AnyFunSuite with SparkFixture {
     // exact equality: identical fold order means identical rounding
     assert(df.filter(col("mine") =!= col("ref")).count() == 0)
   }
+
+  test("greedy_pair_count equals a reference greedy scan on random strings") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(13)
+    val alpha = "abcd"
+    // merge table: a random half of the 16 possible pairs
+    val pairs = (for { x <- alpha; y <- alpha if rng.nextBoolean() }
+      yield GreedyPairCount.key(x.toInt, y.toInt)).toSeq
+    val keySet = pairs.toSet
+    def refCount(s: String): Long = {
+      var i = 0; var n = 0L
+      while (i < s.length) {
+        if (i + 1 < s.length && keySet.contains(GreedyPairCount.key(s(i), s(i + 1)))) i += 2
+        else i += 1
+        n += 1
+      }
+      n
+    }
+    val rows = (1 to 500).map { i =>
+      val len = rng.nextInt(40)
+      val s = (0 until len).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      (i.toLong, s, refCount(s))
+    }
+    val df = rows.toDF("id", "s", "ref")
+      .withColumn("mine", GraftFunctions.greedy_pair_count(col("s"), pairs))
+    assert(df.filter(col("mine") =!= col("ref")).count() == 0)
+  }
+
+  test("greedy_pair_count: golden cases, empty string, null propagation") {
+    GraftFunctions.register(spark)
+    val ab = GreedyPairCount.key('a'.toInt, 'b'.toInt)
+    val r = spark.sql(
+      s"""SELECT greedy_pair_count('abab', array(${ab}L)) AS two,
+         |       greedy_pair_count('aab', array(${ab}L)) AS aab,
+         |       greedy_pair_count('aba', array(${ab}L)) AS aba,
+         |       greedy_pair_count('', array(${ab}L)) AS empty,
+         |       greedy_pair_count('abab', CAST(array() AS ARRAY<BIGINT>)) AS nopair,
+         |       greedy_pair_count(CAST(NULL AS STRING), array(${ab}L)) AS nul
+         |""".stripMargin).collect().head
+    assert(r.getLong(0) == 2L) // ab|ab
+    assert(r.getLong(1) == 2L) // a|ab (greedy takes ab at pos 2)
+    assert(r.getLong(2) == 2L) // ab|a
+    assert(r.getLong(3) == 0L)
+    assert(r.getLong(4) == 4L) // no merges -> one piece per cp
+    assert(r.isNullAt(5))
+  }
 }
