@@ -723,7 +723,66 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling") — the domain-targeting
+   * pass that upweights raw-corpus documents resembling a target domain:
+   * train one add-one-smoothed bigram LM on the TARGET slice (here the
+   * `lang = 'en'` documents — the label the fixtures keep stable) and one
+   * on the whole corpus, and score every document by
+   * `log w = Σ_bigram [ln p_target − ln p_raw]`. Positive `log w` ⇒ the
+   * doc looks more target-like than corpus-average; `target_like` is the
+   * resampling predicate. Shares [[textLmNll]]'s model conventions
+   * (shared vocabulary V in both smoothing denominators, so weights are
+   * comparable across docs).
+   *
+   * Scale: same shape as [[textLmNll]] — two count aggregates (the
+   * target one over the filtered slice), history counts re-aggregated
+   * from the bigram tables, V a metadata-sized driver scalar, scoring
+   * one linear explode joined to the count relations; absent target
+   * counts coalesce to 0 (pure smoothing mass), so the left joins never
+   * drop a bigram. Per-bigram terms rounded then summed as exact
+   * DECIMAL.
+   */
+  def dsirScore(s: SparkSession, dir: String): DataFrame = {
+    val withWs = docs(s, dir)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+    val vocab = withWs
+      .select(explode(col("ws")).as("t"))
+      .agg(countDistinct(col("t"))).first().getLong(0)
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biAll = bigrams(withWs)
+    val cbG = biAll.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val cuG = cbG.groupBy(col("w1")).agg(sum(col("cbg")).as("cug"))
+    val cbT = bigrams(withWs.filter(col("lang") === "en"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbt"))
+    val cuT = cbT.groupBy(col("w1")).agg(sum(col("cbt")).as("cut"))
+    val term = round(
+      log((coalesce(col("cbt"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("cut"), lit(0L)) + lit(1.0 * vocab))) -
+      log((col("cbg") + lit(1.0)) / (col("cug") + lit(1.0 * vocab))), 6)
+      .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6))
+    biAll
+      .join(cbG, Seq("w1", "w2"))
+      .join(cuG, Seq("w1"))
+      .join(cbT, Seq("w1", "w2"), "left")
+      .join(cuT, Seq("w1"), "left")
+      .select(col("doc_id"), term.as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")).cast("double"), 6).as("log_w"))
+      .withColumn("target_like", col("log_w") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_score" -> (dsirScore _),
     "tok_subword_pieces" -> (tokSubwordPieces _),
     "tok_vocab_tokens" -> (tokVocabTokens _),
     "text_lm_nll" -> (textLmNll _),
@@ -747,6 +806,40 @@ object Text {
     "dedup_bow_fp" -> (dedupBowFp _))
 
   val oracle: Map[String, String] = Map(
+    "dsir_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT COUNT(DISTINCT tok) AS vocab
+        |  FROM (SELECT unnest(ws) AS tok FROM t)),
+        |b AS (
+        |  SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(generate_series(1, len(ws) - 1),
+        |        i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+        |    FROM t WHERE len(ws) >= 2)),
+        |cbg AS (SELECT w1, w2, COUNT(1) AS cbg FROM b GROUP BY w1, w2),
+        |cug AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cug FROM cbg GROUP BY w1),
+        |cbt AS (SELECT w1, w2, COUNT(1) AS cbt FROM b WHERE lang = 'en' GROUP BY w1, w2),
+        |cut AS (SELECT w1, CAST(SUM(cbt) AS BIGINT) AS cut FROM cbt GROUP BY w1)
+        |SELECT b.doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(
+        |    ln((COALESCE(cbt, 0) + 1.0) / (COALESCE(cut, 0) + 1.0 * vocab))
+        |    - ln((cbg + 1.0) / (cug + 1.0 * vocab)), 6)
+        |    AS DECIMAL(20,6))) AS DOUBLE), 6) AS log_w,
+        |  round(CAST(SUM(CAST(round(
+        |    ln((COALESCE(cbt, 0) + 1.0) / (COALESCE(cut, 0) + 1.0 * vocab))
+        |    - ln((cbg + 1.0) / (cug + 1.0 * vocab)), 6)
+        |    AS DECIMAL(20,6))) AS DOUBLE), 6) > 0.0 AS target_like
+        |FROM b
+        |JOIN cbg USING (w1, w2)
+        |JOIN cug USING (w1)
+        |LEFT JOIN cbt USING (w1, w2)
+        |LEFT JOIN cut USING (w1)
+        |CROSS JOIN v
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "tok_subword_pieces" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
