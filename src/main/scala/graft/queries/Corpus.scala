@@ -644,11 +644,53 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /**
+   * Per-source lexical drift — KL(source ‖ corpus) over unigram
+   * distributions: for each source, Σ_w p_s(w)·ln(p_s(w)/p_c(w)), the
+   * text-side complement of the embedding-space
+   * [[Similarity.embedSourceDrift]]. A source whose vocabulary usage
+   * diverges from the corpus (boilerplate farms, non-prose dumps, wrong
+   * split) surfaces with a high KL long before any downstream eval — the
+   * mixture designer reads this next to `mix_weighted`'s shares.
+   *
+   * Scale: the corpus collapses ONCE to (source, word) counts
+   * (map-side-combined, persisted — |sources|·vocab-bounded, released by
+   * the query owner); corpus-level word counts and per-source totals are
+   * RE-AGGREGATES of that relation (no second corpus scan). The scoring
+   * join shuffles the collapsed relation on `word`, never the corpus;
+   * per-source totals broadcast. Probabilities are IEEE divisions of
+   * exact integer counts computed in the same op order on both engines
+   * (integer cross-products would overflow at 100 TB token counts);
+   * per-term values rounded then summed as exact DECIMAL.
+   */
+  def textSourceKl(s: SparkSession, dir: String): DataFrame = {
+    val sw = docs(s, dir)
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cs"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val wc = sw.groupBy(col("word")).agg(sum(col("cs")).as("c"))
+    val ns = sw.groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_tokens"), count(lit(1)).as("n_vocab"))
+    val nTotal = sw.agg(coalesce(sum(col("cs")), lit(0L))).first().getLong(0)
+    val ps = col("cs").cast("double") / col("n_tokens").cast("double")
+    val pc = col("c").cast("double") / lit(nTotal.toDouble)
+    val term = round(ps * log(ps / pc), 8)
+      .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8))
+    sw.join(wc, Seq("word"))
+      .join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"), term.as("term"))
+      .groupBy(col("source"), col("n_tokens"), col("n_vocab"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract registration
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_kl" -> (textSourceKl _),
     "text_seg_dedup" -> (textSegDedup _),
     "shuffle_order" -> (shuffleOrder _),
     "mix_weighted" -> (mixWeighted _),
@@ -690,6 +732,29 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_source_kl" ->
+      """WITH sw AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |c0 AS (SELECT source, word, COUNT(1) AS cs FROM sw GROUP BY source, word),
+        |wc AS (SELECT word, CAST(SUM(cs) AS BIGINT) AS c FROM c0 GROUP BY word),
+        |ns AS (
+        |  SELECT source, CAST(SUM(cs) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(1) AS BIGINT) AS n_vocab
+        |  FROM c0 GROUP BY source),
+        |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS n FROM c0)
+        |SELECT c0.source, ns.n_tokens, ns.n_vocab,
+        |  round(CAST(SUM(CAST(round(
+        |    (CAST(cs AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      * ln((CAST(cs AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |          / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 8)
+        |    AS DECIMAL(20,8))) AS DOUBLE), 6) AS kl
+        |FROM c0
+        |JOIN wc USING (word)
+        |JOIN ns USING (source)
+        |CROSS JOIN tot
+        |GROUP BY c0.source, ns.n_tokens, ns.n_vocab
+        |ORDER BY c0.source""".stripMargin,
     "text_seg_dedup" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -781,7 +781,39 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * LM-vs-rules calibration — the agreement audit run before swapping the
+   * integer rule battery for the learned perplexity filter: NTILE the
+   * corpus into deciles of [[textLmNll]]'s cross-entropy and report each
+   * decile's mean Gopher-rule pass count. A monotone falling curve says
+   * the LM ranks documents the way the rules do (cheap sanity before a
+   * threshold cut); a flat one says the LM learned something else.
+   *
+   * Scale: the per-doc NLL table is corpus-row-bounded; the decile
+   * assignment is the DISTRIBUTED exact NTILE ([[graft.operators
+   * .Quantiles]] — range partition + metadata-sized offsets, never a
+   * single-partition window); the rule battery is pure per-row codegen
+   * joined on `doc_id`. Means are exact integer/DECIMAL sums divided
+   * once per output row.
+   */
+  def qualityNllCalibration(s: SparkSession, dir: String): DataFrame = {
+    val qw = gopherPredicates.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+    val rules = docs(s, dir).select(col("doc_id"), qw.as("rules_passed"))
+    val joined = textLmNll(s, dir).join(rules, Seq("doc_id"))
+    graft.operators.Quantiles
+      .withNtile(joined, 10, Seq(col("nll").asc, col("doc_id")), "nll_decile")
+      .groupBy(col("nll_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("nll").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(20, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"),
+        round(sum(col("rules_passed")).cast("double") / count(lit(1)), 6)
+          .as("mean_rules"))
+      .orderBy(col("nll_decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_nll_calibration" -> (qualityNllCalibration _),
     "dsir_score" -> (dsirScore _),
     "tok_subword_pieces" -> (tokSubwordPieces _),
     "tok_vocab_tokens" -> (tokVocabTokens _),
@@ -805,7 +837,62 @@ object Text {
     "text_chunk_windows" -> (textChunkWindows _),
     "dedup_bow_fp" -> (dedupBowFp _))
 
+  /** The text_lm_nll oracle body — shared verbatim by the calibration
+    * oracle, which embeds it as a CTE so the two contracts can't drift. */
+  private val LmNllSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |v AS (
+      |  SELECT COUNT(DISTINCT tok) AS vocab
+      |  FROM (SELECT unnest(ws) AS tok FROM t)),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws) - 1),
+      |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+      |  FROM t WHERE len(ws) >= 2),
+      |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+      |cb AS (SELECT w1, w2, COUNT(1) AS cb FROM b GROUP BY w1, w2),
+      |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY w1)
+      |SELECT b.doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+      |  round(CAST(SUM(CAST(round(-ln((cb + 1.0) / (cu + 1.0 * vocab)), 6)
+      |    AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 6) AS nll
+      |FROM b
+      |JOIN cb USING (w1, w2)
+      |JOIN cu USING (w1)
+      |CROSS JOIN v
+      |GROUP BY b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "quality_nll_calibration" ->
+      s"""WITH lm AS ($LmNllSql),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST((CASE WHEN n_words >= 50 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 3 * n_words <= word_chars AND word_chars <= 10 * n_words THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 10 * sym_chars <= n_chars THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 5 * digit_chars <= n_chars THEN 1 ELSE 0 END) AS BIGINT) AS rules_passed
+        |  FROM f),
+        |seg AS (
+        |  SELECT lm.nll, r.rules_passed,
+        |    CAST(ntile(10) OVER (ORDER BY lm.nll, lm.doc_id) AS BIGINT) AS nll_decile
+        |  FROM lm JOIN r USING (doc_id))
+        |SELECT nll_decile, COUNT(1) AS n_docs,
+        |  round(CAST(SUM(CAST(nll AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 6) AS mean_nll,
+        |  round(CAST(SUM(rules_passed) AS DOUBLE) / COUNT(1), 6) AS mean_rules
+        |FROM seg GROUP BY nll_decile ORDER BY nll_decile""".stripMargin,
     "dsir_score" ->
       """WITH t AS (
         |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -892,30 +979,7 @@ object Text {
         |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         |FROM w LEFT JOIN v ON w.word = v.word
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "text_lm_nll" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |v AS (
-        |  SELECT COUNT(DISTINCT tok) AS vocab
-        |  FROM (SELECT unnest(ws) AS tok FROM t)),
-        |bi AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(generate_series(1, len(ws) - 1),
-        |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
-        |  FROM t WHERE len(ws) >= 2),
-        |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
-        |cb AS (SELECT w1, w2, COUNT(1) AS cb FROM b GROUP BY w1, w2),
-        |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY w1)
-        |SELECT b.doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
-        |  round(CAST(SUM(CAST(round(-ln((cb + 1.0) / (cu + 1.0 * vocab)), 6)
-        |    AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 6) AS nll
-        |FROM b
-        |JOIN cb USING (w1, w2)
-        |JOIN cu USING (w1)
-        |CROSS JOIN v
-        |GROUP BY b.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
+    "text_lm_nll" -> LmNllSql,
     "sample_quality_weighted" ->
       s"""WITH f AS (
         |  SELECT doc_id, source,
