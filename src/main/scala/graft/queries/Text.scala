@@ -19,7 +19,7 @@ object Text {
   /** Non-empty whitespace tokens — THE tokenizer every fingerprint/count
     * in the curation family shares (one spelling, one parity contract with
     * the DuckDB `list_filter(string_split(...))` oracle side). */
-  private[queries] def words(c: Column): Column =
+  private[graft] def words(c: Column): Column =
     filter(split(c, " "), w => w =!= "")
 
   /** Token counting: whitespace tokens + a BPE-ish regex token count. */
@@ -556,6 +556,43 @@ object Text {
   /** Add-one smoothing pseudo-count for the bigram LM (Laplace α=1). */
   private val LmAlpha = 1.0
 
+  /** Adjacent-token pair explode over a relation carrying a `ws` token
+    * array: keeps every other column, drops `ws`, emits one (w1, w2) row
+    * per bigram. Shared by the batch LM operators and the streaming
+    * scorer so the pair definition can't drift. */
+  private[graft] def explodeBigrams(df: DataFrame): DataFrame = df
+    .filter(size(col("ws")) >= 2)
+    .select(col("*"), explode(expr(
+      "transform(sequence(1, size(ws) - 1), " +
+        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+      .as("p"))
+    .withColumn("w1", col("p.w1")).withColumn("w2", col("p.w2"))
+    .drop("p", "ws")
+
+  /** Bigram-LM model tables from a pair stream: bigram counts (one
+    * map-side-combined groupBy) and history counts RE-AGGREGATED from the
+    * bigram table — no second corpus scan. */
+  private[graft] def lmCounts(bi: DataFrame): (DataFrame, DataFrame) = {
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    (cb, cu)
+  }
+
+  /** Corpus vocabulary size — the smoothing denominator's metadata-sized
+    * driver scalar (AQE-statistics round-trip convention). */
+  private[graft] def lmVocabSize(withWs: DataFrame): Long = withWs
+    .select(explode(col("ws")).as("t"))
+    .agg(countDistinct(col("t"))).first().getLong(0)
+
+  /** One bigram's −ln p(w2|w1) under add-one smoothing, rounded then cast
+    * to exact DECIMAL for order-independent summation. Unseen counts
+    * (left-join NULLs on a stream of fresh documents) coalesce to pure
+    * smoothing mass. */
+  private[graft] def lmTerm(vocab: Long): Column =
+    round(-log((coalesce(col("cb"), lit(0L)) + lit(LmAlpha)) /
+      (coalesce(col("cu"), lit(0L)) + lit(LmAlpha * vocab))), 6)
+      .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6))
+
   /**
    * Corpus-trained bigram language-model scoring — the CCNet/Gopher-style
    * perplexity quality filter: train an add-one-smoothed bigram LM on the
@@ -589,27 +626,13 @@ object Text {
       .select(col("doc_id"), words(col("text")).as("ws"))
     // vocabulary size over ALL tokens (single-token docs included): the
     // smoothing denominator must not depend on which docs emit bigrams
-    val vocab = withWs
-      .select(explode(col("ws")).as("t"))
-      .agg(countDistinct(col("t"))).first().getLong(0)
-    def bigrams = withWs
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
-        .as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    // history counts: re-aggregate the bigram table — identical integers
-    // to grouping the pair stream by w1, without re-scanning the corpus
-    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
-    val nllTerm = round(-log((col("cb") + lit(LmAlpha)) /
-      (col("cu") + lit(LmAlpha * vocab))), 6)
-      .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6))
+    val vocab = lmVocabSize(withWs)
+    def bigrams = explodeBigrams(withWs)
+    val (cb, cu) = lmCounts(bigrams)
     bigrams
       .join(cb, Seq("w1", "w2"))
       .join(cu, Seq("w1"))
-      .select(col("doc_id"), nllTerm.as("term"))
+      .select(col("doc_id"), lmTerm(vocab).as("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("term")).cast("double") / count(lit(1)), 6).as("nll"))
@@ -747,16 +770,9 @@ object Text {
   def dsirScore(s: SparkSession, dir: String): DataFrame = {
     val withWs = docs(s, dir)
       .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
-    val vocab = withWs
-      .select(explode(col("ws")).as("t"))
-      .agg(countDistinct(col("t"))).first().getLong(0)
-    def bigrams(df: DataFrame): DataFrame = df
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
-        .as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val vocab = lmVocabSize(withWs.select(col("doc_id"), col("ws")))
+    def bigrams(df: DataFrame): DataFrame =
+      explodeBigrams(df).select(col("doc_id"), col("w1"), col("w2"))
     val biAll = bigrams(withWs)
     val cbG = biAll.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
     val cuG = cbG.groupBy(col("w1")).agg(sum(col("cbg")).as("cug"))

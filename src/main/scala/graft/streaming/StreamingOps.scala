@@ -309,6 +309,54 @@ object StreamingOps {
       .withColumn("contaminated", col("overlap_frac") >= Corpus.DecontamTau)
   }
 
+  /**
+   * Streaming LM quality scoring — the online leg of
+   * [[graft.queries.Text.textLmNll]]: freshly ingested documents are
+   * scored against the FROZEN corpus bigram LM as they arrive, so
+   * garbled/outlier pages carry their cross-entropy from ingest instead
+   * of waiting for the next batch sweep (the same frozen-model contract
+   * as the fastText-style quality scorer's streaming leg). Bigrams the
+   * model never saw score as pure smoothing mass — `lmTerm`'s
+   * coalesce-0 path, which the batch twin's inner joins make a no-op.
+   *
+   * Scale/state design: the model is the two static count tables
+   * (distinct-bigram-bounded, cached via `onCache`) and the vocabulary
+   * scalar; the stream side is a per-doc bigram explode into a
+   * stream-static LEFT join — the only state is the append-mode
+   * per-document aggregate, sealed (emitted once, exactly once) when
+   * the watermark passes the document's ingest timestamp. Per-bigram
+   * terms are rounded then summed as exact DECIMAL, so the streamed
+   * figure is bit-identical to the batch twin's regardless of
+   * micro-batch partitioning.
+   */
+  def lmScoreStream(newDocs: DataFrame, corpusDocs: DataFrame,
+      lateness: String = "1 hour",
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
+    import graft.queries.Text
+    val corpusWs = corpusDocs
+      .select(col("doc_id"), Text.words(col("text")).as("ws"))
+    val vocab = Text.lmVocabSize(corpusWs)
+    val (cb0, cu0) = Text.lmCounts(Text.explodeBigrams(corpusWs))
+    def cached(df: DataFrame): DataFrame = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      onCache(c)
+      c
+    }
+    val cb = cached(cb0)
+    val cu = cached(cu0)
+    val scored = newDocs
+      .select(col("doc_id"), col("ingest_ts"), Text.words(col("text")).as("ws"))
+      .withWatermark("ingest_ts", lateness)
+    Text.explodeBigrams(scored)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .select(col("doc_id"), col("ingest_ts"), Text.lmTerm(vocab).as("term"))
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("nll"))
+      .drop("ingest_ts")
+  }
+
   def incrementalDedupStream(newDocs: DataFrame, corpusDocs: DataFrame,
       lateness: String = "1 hour",
       onCache: DataFrame => Unit = _ => ()): DataFrame = {

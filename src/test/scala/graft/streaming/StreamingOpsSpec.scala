@@ -235,6 +235,54 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("lmScoreStream: frozen-model online scores equal the batch LM scan") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch twin: the self-trained corpus LM (stream-side coalesce-0
+    // smoothing is a no-op when every scored bigram is in the model)
+    val expected = graft.queries.Text.textLmNll(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(expected.nonEmpty, "fixture sanity: some doc must have bigrams")
+    val docsTbl = s.read.parquet(s"$dir/documents.parquet")
+    val rows = docsTbl.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.lmScoreStream(
+        in.toDF().toDF("doc_id", "text", "ingest_ts"), docsTbl)
+      .writeStream.format("memory").queryName("lmscore").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.map { case (id, t) => (id, t, ts(0)) })
+      q.processAllAvailable()
+      in.addData(b.map { case (id, t) => (id, t, ts(0)) })
+      q.processAllAvailable()
+      // nothing sealed yet: the watermark hasn't passed ts(0)
+      assert(s.table("lmscore").count() == 0)
+      // sentinel docs must carry a bigram: Catalyst pushes the
+      // size(ws) >= 2 filter BELOW the event-time watermark node, so a
+      // single-token row would be dropped before the watermark stats see
+      // its timestamp and the watermark would never advance. The
+      // sentinels' own groups are excluded from the comparison (the
+      // second seals the first; the second itself stays open).
+      in.addData(Seq((-1L, "sentinel doc", ts(600))))
+      q.processAllAvailable()
+      in.addData(Seq((-2L, "sentinel doc", ts(1200))))
+      q.processAllAvailable()
+      val got = s.table("lmscore").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 >= 0)
+        .toSet
+      assert(got == expected,
+        "streamed LM scores must equal the batch scan bit-for-bit")
+    } finally {
+      q.stop()
+      s.catalog.clearCache()
+    }
+  }
+
   test("decontaminationStream: online verdicts equal the batch decontam scan") {
     val s = spark
     import s.implicits._
