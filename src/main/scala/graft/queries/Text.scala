@@ -828,7 +828,41 @@ object Text {
       .orderBy(col("nll_decile"))
   }
 
+  /** Pair-bin capacity (tokens) for the complement-pairing packer. */
+  private val PairBinCap = 128L
+
+  /**
+   * Complement pairing — the classic 2-per-bin greedy packer a training
+   * pipeline applies when whole documents must not split across context
+   * windows (the alternative to [[textPackChunks]]' concat-and-split):
+   * rank in-cap documents by token count descending and pair rank r with
+   * rank N+1−r (longest with shortest), so every bin holds the longest
+   * unplaced doc plus the best complement the sorted order offers. Emits
+   * the per-bin fill audit (`fits` = the pair actually fit) that decides
+   * between this layout and the padding-waste of one-doc-per-bin
+   * ([[packPaddingWaste]]).
+   *
+   * Scale: ranking is the DISTRIBUTED exact global rank (range partition
+   * + metadata-sized offsets — never a single-partition window), which
+   * also carries the total row count; the bin rollup is one
+   * map-side-combined groupBy on bin id. All arithmetic integer.
+   */
+  def packPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 1L && col("n_tok") <= PairBinCap)
+    graft.operators.Quantiles
+      .withGlobalRank(toks, Seq(col("n_tok").desc, col("doc_id")), "r", "n_total")
+      .withColumn("bin_id", least(col("r"), col("n_total") + 1L - col("r")))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("fill_tokens"))
+      .withColumn("fits", col("fill_tokens") <= PairBinCap)
+      .orderBy(col("bin_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_pairs" -> (packPairs _),
     "quality_nll_calibration" -> (qualityNllCalibration _),
     "dsir_score" -> (dsirScore _),
     "tok_subword_pieces" -> (tokSubwordPieces _),
@@ -881,6 +915,22 @@ object Text {
       |ORDER BY b.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pack_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_tok FROM t WHERE n_tok BETWEEN 1 AND 128),
+        |r AS (
+        |  SELECT n_tok,
+        |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r,
+        |    COUNT(1) OVER () AS n_total
+        |  FROM f)
+        |SELECT least(r, n_total + 1 - r) AS bin_id,
+        |  CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS fill_tokens,
+        |  CAST(SUM(n_tok) AS BIGINT) <= 128 AS fits
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "quality_nll_calibration" ->
       s"""WITH lm AS ($LmNllSql),
         |f AS (
