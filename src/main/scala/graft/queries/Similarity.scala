@@ -534,7 +534,47 @@ object Similarity {
       .orderBy(col("anchor_id"))
   }
 
+  /**
+   * IVF recall audit — the sketch-governance scan for the vector side
+   * (the embedding analog of [[Dedup.dedupLshAudit]]): the exact cosine
+   * top-5 for every IVF query (same query/candidate universe as
+   * [[simIvfTopk]]) checked against what the nprobe=2 IVF search
+   * returned. A missed neighbor lives in a cell the probe didn't visit —
+   * the number that decides nprobe before a 100 TB corpus trusts IVF as
+   * its only candidate generator.
+   *
+   * Scale: ground truth is the documented brute-force exactness baseline
+   * (broadcast query constants — the audit's cost, not the hot path);
+   * the audit itself is one (qid, neighbor) equi-join and a ≤|Q| rollup.
+   */
+  def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") <= 17)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 18)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val truth = c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    val ivf = simIvfTopk(s, dir)
+      .select(col("qid"), col("neighbor"), lit(1L).as("hit"))
+    truth
+      .join(ivf, Seq("qid", "neighbor"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_true"), 6))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_recall" -> (simIvfRecall _),
     "embed_pair_mining" -> (embedPairMining _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
@@ -547,6 +587,52 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _),
     "embed_source_drift" -> (embedSourceDrift _),
     "sim_knn_accuracy" -> (simKnnAccuracy _))
+
+  /** The sim_ivf_topk oracle body — shared verbatim by the recall audit,
+    * which embeds it as a CTE so the two contracts can't drift. */
+  private val IvfTopkSql =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+      |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id BETWEEN 8 AND 17),
+      |c AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 18),
+      |cdots AS (
+      |  SELECT c.vec_id, cent.cid0, SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS d
+      |  FROM c, cent, generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, cid0 AS cid FROM (
+      |    SELECT vec_id, cid0,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid0) AS rn
+      |    FROM cdots)
+      |  WHERE rn = 1),
+      |qdots AS (
+      |  SELECT qid, cent.cid0, SUM(cv[i]::DOUBLE * qv[i]::DOUBLE) AS d
+      |  FROM q, cent, generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT qid, cid0 AS cid FROM (
+      |    SELECT qid, cid0,
+      |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid0) AS rn
+      |    FROM qdots)
+      |  WHERE rn <= 2),
+      |pairs AS (
+      |  SELECT p.qid, a.vec_id AS neighbor,
+      |    SUM(q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE) AS d,
+      |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS qq,
+      |    SUM(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE) AS cc
+      |  FROM probes p
+      |  JOIN assign a USING (cid)
+      |  JOIN q ON p.qid = q.qid
+      |  JOIN c ON a.vec_id = c.vec_id,
+      |  generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT qid, neighbor, d / (sqrt(qq) * sqrt(cc)) AS sim,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
+      |  FROM pairs)
+      |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, round(sim, 6) AS sim
+      |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "embed_pair_mining" ->
@@ -659,49 +745,33 @@ object Similarity {
         |    CAST(SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << CAST(aid AS INT) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM dots GROUP BY vec_id)
         |SELECT bucket, COUNT(1) AS n FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "sim_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
-        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id BETWEEN 8 AND 17),
-        |c AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 18),
-        |cdots AS (
-        |  SELECT c.vec_id, cent.cid0, SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS d
-        |  FROM c, cent, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2),
-        |assign AS (
-        |  SELECT vec_id, cid0 AS cid FROM (
-        |    SELECT vec_id, cid0,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid0) AS rn
-        |    FROM cdots)
-        |  WHERE rn = 1),
-        |qdots AS (
-        |  SELECT qid, cent.cid0, SUM(cv[i]::DOUBLE * qv[i]::DOUBLE) AS d
-        |  FROM q, cent, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2),
-        |probes AS (
-        |  SELECT qid, cid0 AS cid FROM (
-        |    SELECT qid, cid0,
-        |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid0) AS rn
-        |    FROM qdots)
-        |  WHERE rn <= 2),
-        |pairs AS (
-        |  SELECT p.qid, a.vec_id AS neighbor,
-        |    SUM(q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE) AS d,
-        |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS qq,
-        |    SUM(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE) AS cc
-        |  FROM probes p
-        |  JOIN assign a USING (cid)
-        |  JOIN q ON p.qid = q.qid
-        |  JOIN c ON a.vec_id = c.vec_id,
-        |  generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT qid, neighbor, d / (sqrt(qq) * sqrt(cc)) AS sim,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
-        |  FROM pairs)
-        |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, round(sim, 6) AS sim
-        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim_ivf_topk" -> IvfTopkSql,
+    "sim_ivf_recall" ->
+      s"""WITH ivf AS ($IvfTopkSql),
+        |e2 AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |q2 AS (SELECT vec_id AS qid, embedding AS qv FROM e2 WHERE vec_id BETWEEN 8 AND 17),
+        |c2 AS (SELECT vec_id, embedding FROM e2 WHERE vec_id >= 18),
+        |el2 AS (
+        |  SELECT qid, c2.vec_id AS neighbor,
+        |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS d,
+        |    SUM(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS cc
+        |  FROM q2, c2, generate_series(1, 64) t(i)
+        |  GROUP BY qid, c2.vec_id),
+        |truth AS (
+        |  SELECT qid, neighbor FROM (
+        |    SELECT qid, neighbor,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
+        |    FROM el2)
+        |  WHERE rnk <= 5)
+        |SELECT truth.qid, CAST(COUNT(1) AS BIGINT) AS n_true,
+        |  CAST(SUM(CASE WHEN ivf.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |  round(CAST(SUM(CASE WHEN ivf.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(1), 6) AS recall
+        |FROM truth
+        |LEFT JOIN ivf ON truth.qid = ivf.qid AND truth.neighbor = ivf.neighbor
+        |GROUP BY truth.qid ORDER BY truth.qid""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),

@@ -29,7 +29,9 @@ class PlanHygieneSpec extends AnyFunSuite with SparkFixture {
   // sim_knn_accuracy shares sim_bruteforce_topk's documented broadcast
   // query⨯candidate contract (the eval runs over the same exact baseline;
   // sim_ivf_topk remains the scale path for the candidate sweep)
-  private val crossJoinAllowed = Set("sim_bruteforce_topk", "sim_knn_accuracy")
+  // sim_ivf_recall's ground-truth side is the same documented baseline
+  private val crossJoinAllowed =
+    Set("sim_bruteforce_topk", "sim_knn_accuracy", "sim_ivf_recall")
 
   private def collectPlan(p: LogicalPlan): Seq[LogicalPlan] =
     (p +: p.children.flatMap(collectPlan)) ++ p.subqueries.flatMap(collectPlan)
