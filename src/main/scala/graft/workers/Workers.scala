@@ -303,6 +303,7 @@ object Workers {
     Ml.register(r, spark)
     MlModelJobs.register(r, spark)
     CorpusMl.register(r, spark)
+    CorpusLm.register(r, spark)
     r
   }
 
