@@ -861,7 +861,66 @@ object Text {
       .orderBy(col("bin_id"))
   }
 
+  /**
+   * The model-era curation funnel — [[Curation.pipelineCuration]]'s
+   * successor with the learned stages wired in: rule battery → exact
+   * bag-of-words dedup (keep-first) → bigram-LM cross-entropy cut (keep
+   * the best-scoring 90% of the deduped survivors — an exact
+   * order-statistic threshold, not an approximate percentile) →
+   * deterministic 50% hash sample. Emits the per-source survivor count
+   * at every stage — the funnel report a curation run publishes before
+   * anyone trains on its output.
+   *
+   * Scale: per-doc flags are computed in ONE pass over the scan (rules
+   * and fingerprint are codegen expressions); the keeper set is one
+   * groupBy(fp); the LM cut ranks ONLY the deduped survivors with the
+   * distributed exact rank, its threshold an integer
+   * cross-multiplication (`r·10 ≤ n·9`) so no float boundary can flip a
+   * document; the flagged relation is narrow (id + source + booleans),
+   * persisted once (query-owned), and the five stage rollups are cheap
+   * re-aggregates of it.
+   */
+  def pipelineCurationLm(s: SparkSession, dir: String): DataFrame = {
+    val rulesPass = gopherPredicates.reduce(_ && _)
+    val f0 = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        rulesPass.as("p_rules"), bowFp(s, col("text")).as("fp"))
+    val keepers = f0.filter(col("p_rules"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_keeper"))
+    val f1 = f0.join(keepers, Seq("doc_id"), "left")
+      .join(textLmNll(s, dir).select(col("doc_id"), col("nll")), Seq("doc_id"), "left")
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val d2n = f1
+      .filter(col("p_rules") && col("is_keeper").isNotNull && col("nll").isNotNull)
+      .select(col("doc_id"), col("nll"))
+    val lmKeep = graft.operators.Quantiles
+      .withGlobalRank(d2n, Seq(col("nll").asc, col("doc_id")), "r", "n_total")
+      .filter(col("r") * 10L <= col("n_total") * 9L)
+      .select(col("doc_id"), lit(1L).as("p_lm"))
+    val f2 = f1.join(lmKeep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("p_rules"),
+        (col("p_rules") && col("is_keeper").isNotNull).as("p_dedup"),
+        col("p_lm").isNotNull.as("p_lm"),
+        (Curation.md5Mod100(col("doc_id")) < 50L).as("p_sample"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    def stage(name: String, cond: Column): DataFrame = f2
+      .filter(cond)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(lit(name).as("stage"), col("source"), col("n_docs"))
+    stage("1_raw", lit(true))
+      .unionByName(stage("2_rules", col("p_rules")))
+      .unionByName(stage("3_dedup", col("p_dedup")))
+      .unionByName(stage("4_lm", col("p_dedup") && col("p_lm")))
+      .unionByName(stage("5_sample",
+        col("p_dedup") && col("p_lm") && col("p_sample")))
+      .orderBy(col("stage"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curation_lm" -> (pipelineCurationLm _),
     "pack_pairs" -> (packPairs _),
     "quality_nll_calibration" -> (qualityNllCalibration _),
     "dsir_score" -> (dsirScore _),
@@ -915,6 +974,48 @@ object Text {
       |ORDER BY b.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_curation_lm" ->
+      s"""WITH lm AS ($LmNllSql),
+        |fr AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |fl AS (
+        |  SELECT doc_id, source, fp,
+        |    (n_words >= 50 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        |     AND 10 * sym_chars <= n_chars AND n_stop >= 2
+        |     AND 5 * digit_chars <= n_chars) AS p_rules
+        |  FROM fr),
+        |k AS (SELECT fp, min(doc_id) AS kid FROM fl WHERE p_rules GROUP BY fp),
+        |d2 AS (SELECT fl.doc_id, fl.source FROM fl JOIN k ON fl.doc_id = k.kid WHERE fl.p_rules),
+        |d2n AS (SELECT d2.doc_id, d2.source, lm.nll FROM d2 JOIN lm ON d2.doc_id = lm.doc_id),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY nll, doc_id) AS r,
+        |    COUNT(1) OVER () AS n
+        |  FROM d2n),
+        |d3 AS (SELECT doc_id, source FROM r WHERE r * 10 <= n * 9),
+        |d4 AS (SELECT doc_id, source FROM d3
+        |       WHERE ${Curation.duckMd5Mod100("doc_id")} < 50)
+        |SELECT * FROM (
+        |  SELECT '1_raw' AS stage, source, CAST(COUNT(1) AS BIGINT) AS n_docs
+        |  FROM fl GROUP BY source
+        |  UNION ALL SELECT '2_rules', source, CAST(COUNT(1) AS BIGINT)
+        |  FROM fl WHERE p_rules GROUP BY source
+        |  UNION ALL SELECT '3_dedup', source, CAST(COUNT(1) AS BIGINT)
+        |  FROM d2 GROUP BY source
+        |  UNION ALL SELECT '4_lm', source, CAST(COUNT(1) AS BIGINT)
+        |  FROM d3 GROUP BY source
+        |  UNION ALL SELECT '5_sample', source, CAST(COUNT(1) AS BIGINT)
+        |  FROM d4 GROUP BY source)
+        |ORDER BY stage, source""".stripMargin,
     "pack_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,
