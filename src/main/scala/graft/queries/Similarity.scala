@@ -573,7 +573,43 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Variance floor for the whitening divisor (guards a constant dim). */
+  private val WhitenEps = 1e-6
+
+  /**
+   * Whitening application — the feature-preprocessing step that consumes
+   * [[embedDimStats]]' calibration scan: every vector re-expressed as
+   * `(x − mean) / √(var + ε)` per dimension, the standardization an
+   * embedding pipeline applies before quantization ranges or isotropic
+   * similarity search. The moment pass and the apply pass are the exact
+   * same math — the oracle embeds the dim-stats aggregate, so the two
+   * contracts cannot drift.
+   *
+   * Scale: the moments are 64 rows — MODEL PARAMETERS, collected once
+   * (the AQE-statistics round-trip) and folded into a pure per-row
+   * codegen transform; the apply pass is stateless scan-local work with
+   * no shuffle before the ordered output. Determinism: elements rounded
+   * to 6 dp (the stats' population convention), one IEEE
+   * subtract/divide/√ chain per element on identical inputs, output
+   * rounded and −0.0-canonicalized.
+   */
+  def embedWhitenApply(s: SparkSession, dir: String): DataFrame = {
+    val stats = embedDimStats(s, dir).orderBy(col("dim")).collect()
+    val means = stats.map(_.getDouble(2)).toSeq
+    val vars = stats.map(_.getDouble(3)).toSeq
+    val mlit = typedLit(means)
+    val vlit = typedLit(vars)
+    val y = transform(sequence(lit(1), lit(means.length)), i =>
+      round((round(element_at(dArr(col("embedding")), i), 6) - element_at(mlit, i)) /
+        sqrt(element_at(vlit, i) + lit(WhitenEps)), 6) + lit(0.0))
+    load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && noModel(means))
+      .select(col("vec_id"), y.as("whitened"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_whiten_apply" -> (embedWhitenApply _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "embed_pair_mining" -> (embedPairMining _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
@@ -587,6 +623,23 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _),
     "embed_source_drift" -> (embedSourceDrift _),
     "sim_knn_accuracy" -> (simKnnAccuracy _))
+
+  /** The embed_dim_stats oracle body — shared verbatim by the whitening
+    * apply oracle, which embeds it as a CTE so the moment math can't
+    * drift between the calibration scan and the apply pass. */
+  private val DimStatsSql =
+    """WITH x AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx
+      |  FROM embeddings, generate_series(1, 64) t(i)
+      |  WHERE embedding IS NOT NULL),
+      |agg AS (
+      |  SELECT dim, COUNT(1) AS n,
+      |    CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(rx * rx AS DECIMAL(38,14))) AS DOUBLE) AS sq
+      |  FROM x GROUP BY dim)
+      |SELECT dim, n, round(s / n, 6) + 0.0 AS mean,
+      |  round(sq / n - (s / n) * (s / n), 6) + 0.0 AS var
+      |FROM agg ORDER BY dim""".stripMargin
 
   /** The sim_ivf_topk oracle body — shared verbatim by the recall audit,
     * which embeds it as a CTE so the two contracts can't drift. */
@@ -918,17 +971,16 @@ object Similarity {
         |  round(CAST(SUM(CAST(cos AS DECIMAL(30,12))) AS DOUBLE) / COUNT(1), 6) AS mean_cos
         |FROM r JOIN documents doc ON doc.doc_id = r.vec_id
         |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
-    "embed_dim_stats" ->
-      """WITH x AS (
-        |  SELECT CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx
-        |  FROM embeddings, generate_series(1, 64) t(i)
-        |  WHERE embedding IS NOT NULL),
-        |agg AS (
-        |  SELECT dim, COUNT(1) AS n,
-        |    CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) AS s,
-        |    CAST(SUM(CAST(rx * rx AS DECIMAL(38,14))) AS DOUBLE) AS sq
-        |  FROM x GROUP BY dim)
-        |SELECT dim, n, round(s / n, 6) + 0.0 AS mean,
-        |  round(sq / n - (s / n) * (s / n), 6) + 0.0 AS var
-        |FROM agg ORDER BY dim""".stripMargin)
+    "embed_dim_stats" -> DimStatsSql,
+    "embed_whiten_apply" ->
+      s"""WITH st0 AS ($DimStatsSql),
+        |el AS (
+        |  SELECT e.vec_id, t.i AS i,
+        |    round((round(e.embedding[t.i]::DOUBLE, 6) - st0.mean)
+        |      / sqrt(st0.var + 1e-6), 6) + 0.0 AS y
+        |  FROM embeddings e, generate_series(1, 64) t(i)
+        |  JOIN st0 ON st0.dim = t.i - 1
+        |  WHERE e.embedding IS NOT NULL)
+        |SELECT vec_id, list(y ORDER BY i) AS whitened
+        |FROM el GROUP BY vec_id ORDER BY vec_id""".stripMargin)
 }

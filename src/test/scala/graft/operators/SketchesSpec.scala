@@ -82,6 +82,32 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx_count_distinct stays inside the rsd envelope vs exact distincts") {
+    // the HLL++ scale path next to the exact per-source countDistinct: at
+    // 100 TB the exact per-key distinct is a full shuffle on the key —
+    // the sketch answers the same cardinality question in one map-side
+    // pass. The guarantee pinned here: relative error within 3× the
+    // requested rsd (3σ of the HLL estimator) for every source, and the
+    // estimate is deterministic (same data → same sketch → same figure).
+    val rsd = 0.05
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tokens = docs.select(col("source"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("token"))
+    val exact = tokens.groupBy("source").agg(countDistinct(col("token")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def approxRun() = tokens.groupBy("source")
+      .agg(approx_count_distinct(col("token"), rsd).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val approx = approxRun()
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, n) =>
+      val est = approx(src)
+      assert(math.abs(est - n).toDouble / n <= 3 * rsd,
+        s"source $src: HLL estimate $est vs exact $n breaks the 3*rsd envelope")
+    }
+    assert(approxRun() == approx, "HLL sketches must be deterministic on identical data")
+  }
+
   test("an empty benchmark yields zero candidates, not a crash") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val train = shingles(docs.limit(50))
