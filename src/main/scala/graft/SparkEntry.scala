@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Wildcard.queries ++
       graft.queries.Ml.queries ++
       graft.queries.Corpus.queries ++
-      graft.queries.TrainAudit.queries
+      graft.queries.TrainAudit.queries ++
+      graft.queries.Governance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.Wildcard.oracle ++
       graft.queries.Ml.oracle ++
       graft.queries.Corpus.oracle ++
-      graft.queries.TrainAudit.oracle
+      graft.queries.TrainAudit.oracle ++
+      graft.queries.Governance.oracle
 }

@@ -32,7 +32,7 @@ object Corpus {
   /** Tokens per segment. The synthetic corpus has no newlines, so the
     * "line" unit is a fixed token window; on real data the split would be
     * `split(text, '\n')` and everything downstream is unchanged. */
-  private val SegTokens = 8
+  private[queries] val SegTokens = 8
 
   /**
    * Corpus-wide segment dedup with reassembly: split every document into
@@ -723,7 +723,7 @@ object Corpus {
 
   /** DuckDB spelling of the ShingleSet kernel (same short-doc and blank
     * contract as dedup_jaccard_ngrams' oracle). */
-  private def duckShingles(n: Int): String = {
+  private[queries] def duckShingles(n: Int): String = {
     val cat = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
     s"""CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
        |    WHEN len(w) < $n THEN [array_to_string(w, ' ')]

@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.functions.GraftFunctions
+
+/**
+ * Corpus-governance operators (builder brief §dedup/§text-analysis, beyond
+ * the reference's own surface): the curation steps a 100 TB pretraining
+ * pipeline runs to AUDIT and GATE a corpus before training, complementing
+ * the per-document dedup/quality families in [[Dedup]]/[[Text]]/[[Corpus]]:
+ *
+ *  - normalized exact dedup (the CCNet normalize-then-hash first pass),
+ *  - boilerplate-segment removal (drop segments whose corpus document
+ *    frequency crosses a threshold — license headers, navigation chrome),
+ *  - a pairwise source-overlap matrix (estimated shared-content audit
+ *    between corpus slices, linear in distinct shingles — never a
+ *    doc×doc or row×row self-join),
+ *  - per-source n-gram diversity (type/token and distinct-bigram ratios,
+ *    the standard corpus-diversity report),
+ *  - an exact-count stratified train/val/test split (rank-based quotas per
+ *    stratum, without per-stratum single-partition windows).
+ *
+ * Every operator is scan → (explode) → hash-keyed shuffle → agg with
+ * map-side partial aggregation; the hot-key hazards (a mega-duplicated
+ * document, a boilerplate segment in millions of docs) are handled by
+ * aggregating BEFORE joining, never by windowing over the hot key.
+ */
+object Governance {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+
+  // ---------------------------------------------------------------------
+  // Normalized exact dedup (CCNet-style) — dedup_norm_exact
+  // ---------------------------------------------------------------------
+
+  /**
+   * CCNet-shape normalization: lowercase, digit runs → '0', strip
+   * punctuation/symbols to spaces, collapse whitespace, trim. Identical
+   * regex semantics in Spark (Java regex) and the DuckDB oracle (RE2) for
+   * these patterns — character classes over ASCII letters/digits only.
+   */
+  private[queries] def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(c), "[0-9]+", "0"),
+        "[^a-z0 ]", " "),
+      " +", " "))
+
+  /**
+   * Normalized exact dedup — the first pass of every web-corpus pipeline
+   * (CCNet §3.1 runs exactly this shape: normalize, hash, drop non-first
+   * duplicates). Emits one row per document: the normalization fingerprint,
+   * its cluster size, and the keep-first verdict (the lowest doc_id in the
+   * cluster is canonical).
+   *
+   * Scale shape: ONE groupBy on the fingerprint (map-side partial
+   * aggregation collapses duplicate keys before the shuffle — a document
+   * duplicated a million times contributes one row per map partition, not
+   * a million-row hot window partition), then an equi-join of the per-key
+   * verdict (1 row per distinct fingerprint) back to the docs. AQE's
+   * skew-join split covers the residual probe-side skew.
+   *
+   * Contract edges: NULL text (failed extraction) and docs that normalize
+   * to '' (whitespace/punctuation-only) are NOT clustered — each keeps
+   * itself with a NULL fingerprint and cluster_n = 1; there is no content
+   * to compare, and at corpus scale the ''-cluster would otherwise be the
+   * single hottest key in the job.
+   */
+  def dedupNormExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"),
+        when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
+          .as("norm_fp"))
+    val clusters = d.filter(col("norm_fp").isNotNull)
+      .groupBy(col("norm_fp"))
+      .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("cluster_n"))
+    d.join(clusters, Seq("norm_fp"), "left")
+      .select(col("doc_id"), col("norm_fp"),
+        coalesce(col("cluster_n"), lit(1L)).as("cluster_n"),
+        coalesce(col("doc_id") === col("canon_id"), lit(true)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Boilerplate-segment removal — text_boilerplate
+  // ---------------------------------------------------------------------
+
+  /** A segment is boilerplate when it appears in at least this many
+    * DISTINCT documents (the C4/RefinedWeb "repeated line" gate). */
+  private[queries] val BoilerDf = 3
+
+  /**
+   * Boilerplate filter: split documents into [[Corpus.SegTokens]]-token
+   * segments (the same segment unit as `text_seg_dedup`), measure each
+   * segment's corpus-wide document frequency, drop EVERY occurrence of
+   * segments with df ≥ [[BoilerDf]] (unlike seg-dedup's keep-first — a
+   * license header is noise in its first document too), and reassemble.
+   *
+   * Scale shape: one explode; document frequency via distinct(seg, doc_id)
+   * → groupBy(seg) — both partial-aggregated map-side, so a segment in
+   * millions of documents costs one row per map partition per stage; the
+   * df relation (1 row per distinct segment) joins back on the segment
+   * equi-key; one groupBy(doc_id) reassembles. No windows over the
+   * segment key at all.
+   */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val nSeg = floor((size(col("w")) + (Corpus.SegTokens - 1)) / Corpus.SegTokens).cast("int")
+    val segs = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(col("w"), i * Corpus.SegTokens + 1, lit(Corpus.SegTokens)), " ")))
+        .as(Seq("seg_no", "seg")))
+    val boiler = segs.select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf)
+    segs.join(boiler, Seq("seg"), "left")
+      .withColumn("is_boiler", col("df").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("is_boiler"),
+            struct(col("seg_no"), col("seg"))))),
+          e => e.getField("seg")), " ").as("joined"))
+      .select(col("doc_id"), col("n_segs"), col("n_boiler"),
+        when(col("n_segs") > col("n_boiler"), col("joined")).as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Pairwise source-overlap matrix — corpus_source_overlap
+  // ---------------------------------------------------------------------
+
+  /**
+   * Shared-content audit between corpus slices: for every pair of sources
+   * with any overlap, the number of distinct [[Corpus.DecontamShingle]]-gram
+   * shingles each side contributes and their Jaccard similarity — the
+   * corpus-level "how much of slice A is also in slice B" governance
+   * report (run before mixing a new crawl into an existing corpus).
+   *
+   * Scale shape: the inverted layout — distinct (source, shingle) →
+   * groupBy(shingle) with a collect_set(source) BOUNDED by the source
+   * count (a corpus has tens of slices, not millions), then pair
+   * expansion per shingle and one count aggregate per pair. Linear in
+   * distinct shingles; the oracle's equivalent self-join on the shingle
+   * key would square the hot-shingle row counts, the collect_set path
+   * never does. Per-source totals (|sources| rows) broadcast-join onto
+   * the pair counts. Pairs with zero overlap are omitted (emitting them
+   * would need a source×source cross join for no audit value).
+   */
+  def corpusSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = docs(s, dir)
+      .select(col("source"),
+        explode(GraftFunctions.shingle_set(col("text"), Corpus.DecontamShingle)).as("sh"))
+      .distinct()
+    val perSrc = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.groupBy(col("sh"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(perSrc.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_sh", "n_a")), Seq("src_a"))
+      .join(broadcast(perSrc.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_sh", "n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-source n-gram diversity — text_distinct_ngrams
+  // ---------------------------------------------------------------------
+
+  /**
+   * Corpus-diversity report per source: token count, vocabulary size
+   * (type/token ratio) and total vs distinct bigram counts (the
+   * distinct-n-gram ratio used to audit templated/machine-generated
+   * slices — low bigram diversity at high volume is the signature of
+   * boilerplate farms).
+   *
+   * Scale shape: two explode → distinct → groupBy pipelines (tokens,
+   * bigrams) joined on the source key at the end — deliberately NOT one
+   * multi-count-distinct aggregate (Catalyst plans that via Expand,
+   * multiplying the exploded relation once per distinct column); every
+   * stage here partial-aggregates map-side. The final join is |sources|
+   * rows on each side.
+   */
+  def textDistinctNgrams(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("source"), Text.words(col("text")).as("w"))
+    val toks = base.select(col("source"), explode(col("w")).as("t"))
+    val tokTotals = toks.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+    val tokTypes = toks.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val bigrams = base
+      .select(col("source"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(0), size(col("w")) - 2),
+            i => concat(element_at(col("w"), i + 1), lit(" "),
+              element_at(col("w"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+    val biTotals = bigrams.groupBy(col("source")).agg(count(lit(1)).as("n_bigrams"))
+    val biTypes = bigrams.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_bigram_types"))
+    tokTotals.join(tokTypes, Seq("source"))
+      .join(biTotals, Seq("source"), "left")
+      .join(biTypes, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_bigram_types"), lit(0L)).as("n_bigram_types"),
+        when(col("n_bigrams") > 0,
+          round(col("n_bigram_types").cast("double") / col("n_bigrams").cast("double"), 6))
+          .as("bigram_diversity"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact-count stratified split — split_stratified_exact
+  // ---------------------------------------------------------------------
+
+  /** Train/val split points in tenths: rank ≤ 8/10·n → train,
+    * ≤ 9/10·n → val, else test. Integer-exact on both engines. */
+  private val TrainTenths = 8
+  private val ValTenths = 9
+
+  /**
+   * Exact-count stratified train/val/test split: within each source
+   * stratum, documents are ordered by md5(doc_id) (deterministic,
+   * content-independent) and the first ⌊0.8·n⌋ become train, the next
+   * tenth val, the rest test — EXACT quotas per stratum, unlike the
+   * hash-mod split (`q_hash_split`/`sample_stratified`) whose per-stratum
+   * counts are binomial draws around the rate.
+   *
+   * Scale shape: the per-stratum rank deliberately avoids
+   * `row_number() OVER (PARTITION BY source ORDER BY skey)` — for a corpus
+   * whose largest source is half the data that window is a single
+   *-partition scale-killer. Instead the md5 key's first two hex chars
+   * (256 buckets, a PREFIX of the sort key, so bucket-then-key ordering
+   * equals key ordering) sub-partition each stratum: local ranks come from
+   * a (source, bucket)-partitioned window, bucket base offsets from a
+   * (sources×256)-row aggregate — metadata-sized, windowed and
+   * broadcast-joined back. Net: one hash shuffle of the docs, one tiny
+   * aggregate, zero hot partitions.
+   */
+  def splitStratifiedExact(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", substring(col("skey"), 1, 2))
+    val cnts = keyed.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c"))
+    val offs = cnts
+      .withColumn("off",
+        coalesce(sum(col("c")).over(Window.partitionBy(col("source"))
+          .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("bkt"), col("off"), col("n_src"))
+    val local = row_number().over(
+      Window.partitionBy(col("source"), col("bkt")).orderBy(col("skey"), col("doc_id")))
+    keyed
+      .join(broadcast(offs), Seq("source", "bkt"))
+      .withColumn("rk", col("off") + local)
+      .select(col("doc_id"), col("source"), col("rk"), col("n_src"),
+        when(col("rk") * 10 <= col("n_src") * TrainTenths, "train")
+          .when(col("rk") * 10 <= col("n_src") * ValTenths, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Registration
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_norm_exact" -> (dedupNormExact _),
+    "text_boilerplate" -> (textBoilerplate _),
+    "corpus_source_overlap" -> (corpusSourceOverlap _),
+    "text_distinct_ngrams" -> (textDistinctNgrams _),
+    "split_stratified_exact" -> (splitStratifiedExact _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_norm_exact" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(regexp_replace(regexp_replace(regexp_replace(
+        |        lower(text), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
+        |        ' +', ' ', 'g'))) > 0
+        |      THEN md5(trim(regexp_replace(regexp_replace(regexp_replace(
+        |        lower(text), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
+        |        ' +', ' ', 'g')))
+        |      END AS norm_fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT norm_fp, MIN(doc_id) AS canon_id, COUNT(1) AS cluster_n
+        |  FROM n WHERE norm_fp IS NOT NULL GROUP BY norm_fp)
+        |SELECT n.doc_id, n.norm_fp,
+        |  COALESCE(c.cluster_n, 1) AS cluster_n,
+        |  COALESCE(n.doc_id = c.canon_id, TRUE) AS keep
+        |FROM n LEFT JOIN c USING (norm_fp)
+        |ORDER BY n.doc_id""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, (len(w) + ${Corpus.SegTokens - 1}) // ${Corpus.SegTokens})) - 1 AS seg_no,
+         |    unnest(list_transform(generate_series(1, (len(w) + ${Corpus.SegTokens - 1}) // ${Corpus.SegTokens}),
+         |      i -> array_to_string(w[(i-1)*${Corpus.SegTokens} + 1 : i*${Corpus.SegTokens}], ' '))) AS seg
+         |  FROM t WHERE len(w) > 0),
+         |f AS (
+         |  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY seg
+         |  HAVING COUNT(DISTINCT doc_id) >= $BoilerDf),
+         |k AS (
+         |  SELECT s.doc_id, s.seg_no, s.seg, f.df IS NOT NULL AS is_boiler
+         |  FROM s LEFT JOIN f USING (seg))
+         |SELECT doc_id,
+         |  COUNT(1) AS n_segs,
+         |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE NOT is_boiler) AS new_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_source_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT DISTINCT source, unnest(${Corpus.duckShingles(Corpus.DecontamShingle)}) AS sh
+         |  FROM t),
+         |ps AS (SELECT source, COUNT(1) AS n_sh FROM sh GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(1) AS n_inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT src_a, src_b, pa.n_sh AS n_a, pb.n_sh AS n_b, n_inter,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(pa.n_sh + pb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN ps pa ON pa.source = src_a
+         |JOIN ps pb ON pb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+    "text_distinct_ngrams" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS w
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(w) AS t FROM t),
+        |tt AS (SELECT source, COUNT(1) AS n_tokens FROM tok GROUP BY source),
+        |ty AS (SELECT source, COUNT(1) AS n_types FROM (SELECT DISTINCT source, t FROM tok) GROUP BY source),
+        |bg AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS b
+        |  FROM t),
+        |bt AS (SELECT source, COUNT(1) AS n_bigrams FROM bg GROUP BY source),
+        |by AS (SELECT source, COUNT(1) AS n_bigram_types FROM (SELECT DISTINCT source, b FROM bg) GROUP BY source)
+        |SELECT tt.source, tt.n_tokens, ty.n_types,
+        |  round(CAST(ty.n_types AS DOUBLE) / CAST(tt.n_tokens AS DOUBLE), 6) AS type_token_ratio,
+        |  COALESCE(bt.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(by.n_bigram_types, 0) AS n_bigram_types,
+        |  CASE WHEN bt.n_bigrams > 0
+        |    THEN round(CAST(by.n_bigram_types AS DOUBLE) / CAST(bt.n_bigrams AS DOUBLE), 6)
+        |    END AS bigram_diversity
+        |FROM tt JOIN ty USING (source)
+        |LEFT JOIN bt USING (source)
+        |LEFT JOIN by USING (source)
+        |ORDER BY tt.source""".stripMargin,
+    "split_stratified_exact" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS skey
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) AS rk,
+         |    CAST(COUNT(1) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |  FROM r)
+         |SELECT doc_id, source, rk, n_src,
+         |  CASE WHEN rk * 10 <= n_src * $TrainTenths THEN 'train'
+         |       WHEN rk * 10 <= n_src * $ValTenths THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM p ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic cases for the corpus-governance family that the driver
+  * fixtures can't pin down: normalization collapse classes (case, digits,
+  * punctuation, whitespace), all-occurrence boilerplate removal vs
+  * keep-first seg-dedup, overlap-matrix Jaccard arithmetic, and the
+  * exact-quota contract of the stratified split. */
+class GovernanceSpec extends AnyFunSuite with SparkFixture {
+
+  // ---------------------------------------------------------------- norm
+
+  private def normDir(): String = {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      // docs 0–3 are one normalization class: case, digit runs, punctuation
+      (0L, "Hello World 2024", "en", "web"),
+      (1L, "hello world 7", "en", "cc"),
+      (2L, "HELLO, world... 123456", "en", "web"),
+      (3L, "hello   world   0", "en", "books"),
+      (4L, "hello worlds 0", "en", "web"),   // different content — own class
+      (5L, "!!! ...", "en", "web"),          // normalizes to '' — not clustered
+      (6L, "???", "en", "cc"),               // normalizes to '' — not clustered
+      (7L, null.asInstanceOf[String], "en", "web")) // failed extraction
+      .map { case (id, t, l, s) =>
+        (id, t, l, s, Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir.toString
+  }
+
+  test("dedupNormExact clusters case/digit/punct variants, keeps the lowest doc_id") {
+    val rows = Governance.dedupNormExact(spark, normDir()).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val fp0 = rows(0L)._1
+    assert(fp0.nonEmpty, "a normalizable doc gets a fingerprint")
+    (1L to 3L).foreach { id =>
+      assert(rows(id)._1 == fp0, s"doc $id normalizes into doc 0's class")
+    }
+    assert(rows(0L) == ((fp0, 4L, true)), "lowest doc_id is canonical")
+    (1L to 3L).foreach(id => assert(!rows(id)._3, s"doc $id is a duplicate"))
+    assert(rows(4L)._1 != fp0 && rows(4L)._2 == 1L && rows(4L)._3,
+      "different content stays its own cluster")
+    Seq(5L, 6L, 7L).foreach { id =>
+      assert(rows(id) == ((None, 1L, true)),
+        s"doc $id (empty-norm or NULL) is unclustered with NULL fp")
+    }
+  }
+
+  // ---------------------------------------------------------- boilerplate
+
+  private val segA = "a b c d e f g h" // appears in 3 docs → boilerplate
+  private val segB = "i j k l m n o p" // appears in 2 docs → kept
+  private val segC = "q r s t u v w x" // unique
+
+  private def boilerDir(): String = {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, s"$segA $segB", "en", "s0"),
+      (1L, s"$segA $segC", "en", "s0"),
+      (2L, s"$segA $segB", "en", "s1"),
+      (3L, segA, "en", "s1")) // entirely boilerplate → NULL text
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir.toString
+  }
+
+  test("textBoilerplate drops EVERY occurrence of a df>=3 segment, keeps df<3") {
+    val rows = Governance.textBoilerplate(spark, boilerDir()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows(0L) == ((2L, 1L, segB)), "doc 0 loses the boilerplate, keeps segB")
+    assert(rows(1L) == ((2L, 1L, segC)), "doc 1 loses the boilerplate, keeps segC")
+    assert(rows(2L) == ((2L, 1L, segB)), "doc 2 keeps its df=2 segment — unlike keep-first dedup")
+    assert(rows(3L) == ((1L, 1L, null)), "an all-boilerplate doc reassembles to NULL")
+  }
+
+  // ------------------------------------------------------- overlap matrix
+
+  test("corpusSourceOverlap computes Jaccard over distinct shingles per source pair") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 5-token docs → one DecontamShingle(=5)-gram each; srcX ∩ srcY = {d1},
+    // srcX has {d1, d2}, srcY has {d1}; srcZ shares nothing.
+    val d1 = "alpha beta gamma delta epsilon"
+    val d2 = "one two three four five"
+    val d3 = "zeta eta theta iota kappa"
+    val rows = Seq(
+      (0L, d1, "en", "srcX"), (1L, d2, "en", "srcX"),
+      (2L, d1, "en", "srcY"), (3L, d1, "en", "srcY"), // dup within source — distinct shingles
+      (4L, d3, "en", "srcZ"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.corpusSourceOverlap(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet == Set(("srcX", "srcY")), "only overlapping pairs appear")
+    assert(out(("srcX", "srcY")) == ((2L, 1L, 1L, 0.5)),
+      "|X|=2, |Y|=1, inter=1 → Jaccard 1/(2+1-1) = 0.5")
+  }
+
+  // -------------------------------------------------------- exact split
+
+  test("splitStratifiedExact hits exact 80/10/10 quotas per stratum and is deterministic") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // two strata: 20 docs in s0, 10 in s1
+    val rows = (0L until 30L).map { id =>
+      val src = if (id < 20) "s0" else "s1"
+      (id, s"doc $id body", "en", src, 10L)
+    }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.splitStratifiedExact(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.length == 30)
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("s0").count(_._5 == "train") == 16 &&
+      bySrc("s0").count(_._5 == "val") == 2 && bySrc("s0").count(_._5 == "test") == 2,
+      "20-doc stratum splits exactly 16/2/2")
+    assert(bySrc("s1").count(_._5 == "train") == 8 &&
+      bySrc("s1").count(_._5 == "val") == 1 && bySrc("s1").count(_._5 == "test") == 1,
+      "10-doc stratum splits exactly 8/1/1")
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length), "ranks are a per-stratum permutation")
+    }
+    val again = Governance.splitStratifiedExact(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    assert(out.map(r => (r._1, r._5)).sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "the split is reproducible across runs")
+  }
+
+  // ---------------------------------------------------------- diversity
+
+  test("textDistinctNgrams reports type/token and bigram-diversity ratios") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, "a b a b", "en", "rep"),   // 4 tokens, 2 types; bigrams: ab, ba, ab → 3 total, 2 distinct
+      (1L, "x", "en", "tiny"))        // 1 token, no bigrams
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.textDistinctNgrams(spark, dir.toString).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("rep") == ((4L, 2L, 0.5, 3L, 2L)))
+    assert(out("tiny")._1 == 1L && out("tiny")._4 == 0L, "a 1-token source has zero bigrams")
+  }
+}
