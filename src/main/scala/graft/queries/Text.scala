@@ -233,6 +233,124 @@ object Text {
       .orderBy(col("n").desc, col("pair"))
       .limit(TopBpePairs)
 
+  /** Merge rounds for the iterative BPE trainer. */
+  private val BpeRounds = 8
+
+  /** Symbol delimiter for the trainer's string representation — U+001F
+    * (unit separator), assumed absent from corpus tokens (a control char
+    * no text pipeline emits; a corpus that could contain it would swap in
+    * any other absent code point). */
+  private val BpeSep = "\u001f"
+
+  /**
+   * Iterative BPE training (Sennrich et al. 2016 §3.2, the full loop) —
+   * [[bpePairCounts]] is one generation of the statistic; this runs the
+   * actual trainer for [[BpeRounds]] merges, each round counting adjacent
+   * SYMBOL pairs (symbols grow as merges apply — "es"+"t"→"est" emerges
+   * here, which no single-generation count can see), picking the argmax
+   * (count desc, then pair text — deterministic), and applying it
+   * corpus-wide before the next count. Output is the learned merge
+   * table: (round, left_sym, right_sym, merged, n).
+   *
+   * Scale shape — the reason BPE training is feasible at 100 TB: the
+   * corpus collapses ONCE to its word-frequency dictionary (map-side
+   * combined, vocab-bounded); every round then runs on the DICTIONARY,
+   * never the corpus. Each word is held as a delimiter-wrapped symbol
+   * string (`⟨US⟩sym⟨US⟩` per symbol), so applying a merge is a plain
+   * non-overlapping left-to-right `replace` — exactly BPE's greedy
+   * order, with the wrap guaranteeing matches never share characters
+   * (`[a,a,a,a]` + merge(a,a) → `[aa,aa]`, not `[aa,a,a]`). The argmax
+   * collect per round is ONE row — the model parameter being learned —
+   * and each round's dictionary is re-persisted and the previous
+   * released, so the lineage stays one round deep.
+   */
+  def bpeTrainMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val wc = docs(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var cur = wc.select(col("freq"),
+        regexp_replace(col("word"), "(.)", BpeSep + "$1" + BpeSep).as("repr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(cur)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeRounds && !exhausted) {
+      val syms = cur.select(col("freq"),
+          split(trim(col("repr"), BpeSep), BpeSep + BpeSep).as("sy"))
+        .filter(size(col("sy")) >= 2)
+      val top = syms
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS pa, sy[i+1] AS pb))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pa, pb, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, pa, pb, pa + pb, n))
+        val find = BpeSep + pa + BpeSep + BpeSep + pb + BpeSep
+        val repl = BpeSep + pa + pb + BpeSep
+        val next = cur.withColumn("repr",
+            org.apache.spark.sql.functions.replace(col("repr"), lit(find), lit(repl)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        graft.core.QueryCaches.report(next)
+        next.count() // materialize before dropping the parent round's cache
+        cur.unpersist(false)
+        cur = next
+        round += 1
+      }
+    }
+    cur.unpersist(false)
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "n")
+      .orderBy(col("round"))
+  }
+
+  /** The [[bpeTrainMerges]] oracle — [[BpeRounds]] chained CTE stages,
+    * builder-generated: stage r counts symbol pairs of the round-(r−1)
+    * dictionary, picks the same (n desc, pair asc) argmax, and applies
+    * the identical delimiter-wrapped `replace`. The LEFT JOIN ON TRUE
+    * keeps the dictionary flowing when a round finds no pairs (the
+    * stage's merge row simply doesn't exist — matching the Spark loop's
+    * early stop). */
+  private def bpeTrainSql: String = {
+    val S = BpeSep
+    val stages = (1 to BpeRounds).map { r =>
+      s"""sy$r AS (
+         |  SELECT freq, string_split(trim(repr, '$S'), '$S$S') AS sy FROM w${r - 1}),
+         |c$r AS (
+         |  SELECT pa, pb, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i])) AS pa,
+         |      unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i+1])) AS pb
+         |    FROM sy$r WHERE len(sy) >= 2)
+         |  GROUP BY pa, pb),
+         |m$r AS (SELECT pa, pb, n FROM c$r ORDER BY n DESC, pa, pb LIMIT 1),
+         |w$r AS (
+         |  SELECT freq, CASE WHEN m.pa IS NULL THEN repr
+         |    ELSE replace(repr, '$S' || m.pa || '$S$S' || m.pb || '$S',
+         |                 '$S' || m.pa || m.pb || '$S') END AS repr
+         |  FROM w${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pa AS left_sym, pb AS right_sym, pa || pb AS merged, n FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT word, COUNT(1) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |    FROM documents) GROUP BY word),
+       |w0 AS (
+       |  SELECT freq, regexp_replace(word, '(.)', '$S\\1$S', 'g') AS repr FROM wc),
+       |$stages
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   /** Sliding-window chunk size and stride (tokens). Overlap = size −
     * stride keeps boundary context shared between adjacent chunks. */
   private val ChunkWin = 32L
@@ -942,6 +1060,7 @@ object Text {
     "text_winnow_fp" -> (textWinnowFp _),
     "dedup_winnow_overlap" -> (dedupWinnowOverlap _),
     "bpe_pair_counts" -> (bpePairCounts _),
+    "bpe_train_merges" -> (bpeTrainMerges _),
     "pack_padding_waste" -> (packPaddingWaste _),
     "text_chunk_windows" -> (textChunkWindows _),
     "dedup_bow_fp" -> (dedupBowFp _))
@@ -1331,6 +1450,7 @@ object Text {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM sel ORDER BY doc_id""".stripMargin,
+    "bpe_train_merges" -> bpeTrainSql,
     "bpe_pair_counts" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

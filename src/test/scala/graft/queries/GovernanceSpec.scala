@@ -135,6 +135,32 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       "the split is reproducible across runs")
   }
 
+  // ---------------------------------------------------------- BPE trainer
+
+  test("bpeTrainMerges learns iterative merges with greedy overlap and stops when exhausted") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // hand-computable dictionary: ab×5, abc×3, aaa×2
+    //  r1: (a,b)=8 beats (a,a)=4, (b,c)=3          → ab
+    //  r2: (a,a)=4 beats (ab,c)=3                  → aa, and greedy overlap
+    //      turns [a,a,a] into [aa,a] (NOT [aa,a,a])
+    //  r3: (ab,c)=3 — a SECOND-GENERATION merge consuming r1's symbol → abc
+    //  r4: (aa,a)=2 → aaa; then no pairs remain — early stop at 4 < 8 rows
+    val rows = Seq(
+      (0L, "ab ab ab ab ab", "en", "s0"),
+      (1L, "abc abc abc", "en", "s0"),
+      (2L, "aaa aaa", "en", "s1"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Text.bpeTrainMerges(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "a", "a", "aa", 4L),
+      (3L, "ab", "c", "abc", 3L),
+      (4L, "aa", "a", "aaa", 2L)))
+  }
+
   // ---------------------------------------------------------- diversity
 
   test("textDistinctNgrams reports type/token and bigram-diversity ratios") {
