@@ -43,7 +43,7 @@ object Governance {
    * regex semantics in Spark (Java regex) and the DuckDB oracle (RE2) for
    * these patterns — character classes over ASCII letters/digits only.
    */
-  private[queries] def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(lower(c), "[0-9]+", "0"),
@@ -132,6 +132,45 @@ object Governance {
       .select(col("doc_id"), col("n_segs"), col("n_boiler"),
         when(col("n_segs") > col("n_boiler"), col("joined")).as("new_text"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Dedup-method agreement audit — dedup_method_agreement
+  // ---------------------------------------------------------------------
+
+  /**
+   * Cross-method dedup governance: per source, how many documents the
+   * normalized-exact pass ([[dedupNormExact]]'s key) and the bag-of-words
+   * pass (`dedup_bow_fp`'s key) each flag as non-first duplicates, and
+   * their agreement (both / either). The table that decides which dedup
+   * gate a corpus actually needs — high `bow − both` means permuted
+   * copies the exact pass misses; high `both` means plain mirroring.
+   *
+   * Scale shape: ONE scan computes both keys; each method is the same
+   * groupBy-collapse → equi-join-back as [[dedupNormExact]] (combiner-
+   * collapsed, no hot-key windows); the rollup is ≤|sources| groups.
+   */
+  def dedupMethodAgreement(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
+          .as("nk"),
+        Text.bowFp(s, col("text")).as("bk"))
+    val nc = d.filter(col("nk").isNotNull).groupBy(col("nk"))
+      .agg(min(col("doc_id")).as("n_canon"))
+    val bc = d.filter(col("bk").isNotNull).groupBy(col("bk"))
+      .agg(min(col("doc_id")).as("b_canon"))
+    d.join(nc, Seq("nk"), "left").join(bc, Seq("bk"), "left")
+      .select(col("source"),
+        (col("nk").isNotNull && col("doc_id") =!= col("n_canon")).as("dn"),
+        (col("bk").isNotNull && col("doc_id") =!= col("b_canon")).as("db"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dn"), 1L).otherwise(0L)).as("n_dup_norm"),
+        sum(when(col("db"), 1L).otherwise(0L)).as("n_dup_bow"),
+        sum(when(col("dn") && col("db"), 1L).otherwise(0L)).as("n_dup_both"),
+        sum(when(col("dn") || col("db"), 1L).otherwise(0L)).as("n_dup_either"))
+      .orderBy(col("source"))
   }
 
   // ---------------------------------------------------------------------
@@ -290,6 +329,7 @@ object Governance {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_norm_exact" -> (dedupNormExact _),
+    "dedup_method_agreement" -> (dedupMethodAgreement _),
     "text_boilerplate" -> (textBoilerplate _),
     "corpus_source_overlap" -> (corpusSourceOverlap _),
     "text_distinct_ngrams" -> (textDistinctNgrams _),
@@ -315,6 +355,34 @@ object Governance {
         |  COALESCE(n.doc_id = c.canon_id, TRUE) AS keep
         |FROM n LEFT JOIN c USING (norm_fp)
         |ORDER BY n.doc_id""".stripMargin,
+    "dedup_method_agreement" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(trim(regexp_replace(regexp_replace(regexp_replace(
+        |        lower(text), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
+        |        ' +', ' ', 'g'))) > 0
+        |      THEN md5(trim(regexp_replace(regexp_replace(regexp_replace(
+        |        lower(text), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
+        |        ' +', ' ', 'g')))
+        |      END AS nk,
+        |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+        |      THEN md5(array_to_string(list_sort(list_distinct(
+        |        list_filter(string_split(text, ' '), w -> w <> ''))), ' '))
+        |      END AS bk
+        |  FROM documents),
+        |nc AS (SELECT nk, MIN(doc_id) AS n_canon FROM k WHERE nk IS NOT NULL GROUP BY nk),
+        |bc AS (SELECT bk, MIN(doc_id) AS b_canon FROM k WHERE bk IS NOT NULL GROUP BY bk),
+        |f AS (
+        |  SELECT source,
+        |    (k.nk IS NOT NULL AND k.doc_id <> nc.n_canon) AS dn,
+        |    (k.bk IS NOT NULL AND k.doc_id <> bc.b_canon) AS db
+        |  FROM k LEFT JOIN nc USING (nk) LEFT JOIN bc USING (bk))
+        |SELECT source, COUNT(1) AS n_docs,
+        |  CAST(SUM(CASE WHEN dn THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_norm,
+        |  CAST(SUM(CASE WHEN db THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_bow,
+        |  CAST(SUM(CASE WHEN dn AND db THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_both,
+        |  CAST(SUM(CASE WHEN dn OR db THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_either
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "text_boilerplate" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -244,6 +244,29 @@ object StreamingOps {
   }
 
   /**
+   * Streaming NORMALIZED exact dedup (dedup_norm_exact unbounded): the
+   * CCNet normalize-then-hash first pass applied at ingest — the same
+   * [[graft.queries.Governance.normText]] normalization as the batch twin,
+   * so a case/digit/punctuation variant of an already-seen page is dropped
+   * inside the watermark horizon. The batch contract's edge carries over:
+   * NULL-text and empty-normalization documents are NEVER deduped against
+   * each other (their state key falls back to the doc_id, unique by
+   * construction — `dropDuplicatesWithinWatermark` would otherwise treat
+   * every NULL key as one duplicate class and silently drop all failed
+   * extractions after the first).
+   */
+  def dedupNormalizedStream(docs: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    val norm = graft.queries.Governance.normText(col("text"))
+    docs
+      .withColumn("norm_fp", when(length(norm) > 0, md5(norm)))
+      .withColumn("__dk",
+        coalesce(col("norm_fp"), concat(lit("id:"), col("doc_id").cast("string"))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("__dk")
+      .drop("__dk")
+  }
+
+  /**
    * Streaming incremental NEAR-dup check (dedup_incremental_md5
    * unbounded): an arriving document stream `(doc_id, text, ingest_ts)`
    * is probed against the STATIC corpus band index through a

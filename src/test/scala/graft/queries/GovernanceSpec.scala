@@ -135,6 +135,28 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       "the split is reproducible across runs")
   }
 
+  // ------------------------------------------------- method agreement
+
+  test("dedupMethodAgreement separates norm-only, bow-only, and both-method duplicates") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, "the quick brown fox", "en", "s0"),  // canonical under both
+      (1L, "the quick brown fox", "en", "s0"),  // exact copy → both methods flag
+      (2L, "The QUICK brown fox!", "en", "s0"), // case/punct variant → norm flags, bow does NOT (case-sensitive words)
+      (3L, "fox brown quick the", "en", "s0"),  // permutation → bow flags, norm does NOT
+      (4L, "something else", "en", "s1"))       // unique
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.dedupMethodAgreement(spark, dir.toString).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("s0") == ((4L, 2L, 2L, 1L, 3L)),
+      "norm flags {1,2}, bow flags {1,3}, both {1}, either {1,2,3}")
+    assert(out("s1") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   // ---------------------------------------------------------- BPE trainer
 
   test("bpeTrainMerges learns iterative merges with greedy overlap and stops when exhausted") {

@@ -155,6 +155,31 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dedupNormalizedStream: variants collapse, NULL/empty-norm docs all pass") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = dedupNormalizedStream(docs).writeStream
+      .format("memory").queryName("norm_deduped").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "Hello World 2024"),
+        (2L, ts(1), "hello world 7"),      // same normalization class as 1
+        (3L, ts(2), "HELLO, world... 9"),  // same class again
+        (4L, ts(3), "hello worlds"),       // different content
+        (5L, ts(4), "!!!"),                // empty-norm — must pass
+        (6L, ts(5), "???"),                // empty-norm — must ALSO pass
+        (7L, ts(6), null.asInstanceOf[String])) // NULL text — must pass
+      q.processAllAvailable()
+      val ids = s.table("norm_deduped").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids.count(Set(1L, 2L, 3L)) == 1, "exactly one of the variant class survives")
+      assert(Seq(4L, 5L, 6L, 7L).forall(ids.contains),
+        "distinct content and every NULL/empty-norm doc pass through")
+    } finally q.stop()
+  }
+
   test("incrementalDedupStream: stream-static probe matches the batch incremental check") {
     val s = spark
     import s.implicits._
