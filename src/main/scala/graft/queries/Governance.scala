@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 import graft.functions.GraftFunctions
 
@@ -324,6 +325,59 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Zipf power-law fit — corpus_zipf_fit
+  // ---------------------------------------------------------------------
+
+  /** Vocabulary head used for the log-log fit (the power-law regime;
+    * the tail bends away from Zipf in every natural corpus). */
+  private val ZipfTopK = 1000
+
+  /**
+   * Zipf's-law audit: least-squares fit of ln(freq) against ln(rank)
+   * over the top-[[ZipfTopK]] vocabulary — the corpus-statistics
+   * governance scan that detects machine-generated or templated slices
+   * (natural language sits near slope −1; a flat slope at high volume is
+   * the signature of synthetic filler). Emits the head size, slope,
+   * intercept, and R² of the fit.
+   *
+   * Scale shape: the corpus collapses ONCE to term frequencies
+   * (map-side combined); the head is a TakeOrderedAndProject top-K, and
+   * the rank window runs over that ≤[[ZipfTopK]]-row relation — a
+   * deliberate bounded single-group window ([[Tables.zeroPart]] key).
+   * Determinism: ln terms (and their products) rounded to 8 dp and
+   * summed as exact DECIMAL — the [[Corpus.textSourceKl]] convention —
+   * then the closed-form slope/intercept/R² derive from those exact
+   * sums with identical IEEE arithmetic on both engines.
+   */
+  def corpusZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(explode(Text.words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(ZipfTopK)
+    val ranked = tf.withColumn("rk",
+      row_number().over(Window.partitionBy(zeroPart(col("token")))
+        .orderBy(col("freq").desc, col("token"))).cast("long"))
+    val x = round(log(col("rk").cast("double")), 8)
+    val y = round(log(col("freq").cast("double")), 8)
+    val d8 = DecimalType(28, 8)
+    def dsum8(c: org.apache.spark.sql.Column) = sum(c.cast(d8)).cast("double")
+    val agg = ranked.select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum8(col("x")).as("sx"), dsum8(col("y")).as("sy"),
+        dsum8(round(col("x") * col("x"), 8)).as("sxx"),
+        dsum8(round(col("y") * col("y"), 8)).as("syy"),
+        dsum8(round(col("x") * col("y"), 8)).as("sxy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    agg.select(col("n").cast("long").as("n_head"),
+      round(when(dxx > 0, cov / dxx), 6).as("slope"),
+      round(when(dxx > 0, (col("sy") - (cov / dxx) * col("sx")) / col("n")), 6)
+        .as("intercept"),
+      round(when(dxx > 0 && dyy > 0, (cov * cov) / (dxx * dyy)), 6).as("r2"))
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
 
@@ -333,6 +387,7 @@ object Governance {
     "text_boilerplate" -> (textBoilerplate _),
     "corpus_source_overlap" -> (corpusSourceOverlap _),
     "text_distinct_ngrams" -> (textDistinctNgrams _),
+    "corpus_zipf_fit" -> (corpusZipfFit _),
     "split_stratified_exact" -> (splitStratifiedExact _))
 
   val oracle: Map[String, String] = Map(
@@ -448,6 +503,37 @@ object Governance {
         |LEFT JOIN bt USING (source)
         |LEFT JOIN by USING (source)
         |ORDER BY tt.source""".stripMargin,
+    "corpus_zipf_fit" ->
+      s"""WITH tf AS (
+         |  SELECT token, COUNT(1) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |    FROM documents) GROUP BY token
+         |  ORDER BY freq DESC, token LIMIT $ZipfTopK),
+         |r AS (
+         |  SELECT freq,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rk
+         |  FROM tf),
+         |xy AS (
+         |  SELECT round(ln(CAST(rk AS DOUBLE)), 8) AS x,
+         |    round(ln(CAST(freq AS DOUBLE)), 8) AS y
+         |  FROM r),
+         |a AS (
+         |  SELECT CAST(COUNT(1) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(round(x*x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(round(y*y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(round(x*y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+         |  FROM xy)
+         |SELECT CAST(n AS BIGINT) AS n_head,
+         |  round(CASE WHEN n*sxx - sx*sx > 0
+         |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+         |  round(CASE WHEN n*sxx - sx*sx > 0
+         |    THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END, 6) AS intercept,
+         |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |    THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+         |         / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+         |FROM a""".stripMargin,
     "split_stratified_exact" ->
       s"""WITH r AS (
          |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS skey

@@ -183,6 +183,37 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       (4L, "aa", "a", "aaa", 2L)))
   }
 
+  // ---------------------------------------------------------- Zipf fit
+
+  test("corpusZipfFit recovers slope -1 with r2=1 on an exact power-law corpus") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // freq(rank r) = 12/r at ranks 1..4 — exactly ln f = ln 12 − ln r, so
+    // the least-squares fit must return slope −1, intercept ln 12, R² 1
+    // (up to the 8-dp term rounding).
+    val freqs = Seq("w1" -> 12, "w2" -> 6, "w3" -> 4, "w4" -> 3)
+    val text = freqs.flatMap { case (w, f) => Seq.fill(f)(w) }.mkString(" ")
+    writeTable(dir, "documents",
+      Seq((0L, text, "en", "s0", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Governance.corpusZipfFit(spark, dir.toString).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-5, s"slope ${r.getDouble(1)} should be -1")
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-5, "intercept should be ln 12")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6, "R^2 should be 1")
+  }
+
+  test("corpusZipfFit yields NULL fit terms on a degenerate single-token corpus") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    writeTable(dir, "documents",
+      Seq((0L, "only only only", "en", "s0", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Governance.corpusZipfFit(spark, dir.toString).collect().head
+    assert(r.getLong(0) == 1L && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+      "a 1-point fit has no defined slope — NULL, not a division error")
+  }
+
   // ---------------------------------------------------------- diversity
 
   test("textDistinctNgrams reports type/token and bigram-diversity ratios") {
