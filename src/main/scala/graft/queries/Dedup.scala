@@ -554,7 +554,12 @@ object Dedup {
       .withColumn("inter",
         GraftFunctions.sorted_intersect_size(col("sha"), col("shb")).cast("double"))
       .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
-      .withColumn("jac", col("inter") / col("uni"))
+      // two zero-shingle docs (empty/whitespace text) can reach here from
+      // the UNFILTERED bucket stage of the precision audit (the agreement
+      // prefilter shields the production pipelines — an empty minhash
+      // array agrees on zero slots); NULL never passes the threshold,
+      // matching DuckDB's x/0 → NULL
+      .withColumn("jac", when(col("uni") > 0, col("inter") / col("uni")))
       .filter(col("jac") >= 0.5)
       .select(col(da), col(db), round(col("jac"), 6).as("jac"))
     if (sort) scored.orderBy(col(da), col(db)) else scored
@@ -707,7 +712,55 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * LSH PRECISION audit — the complement of [[dedupLshAudit]] (which
+   * measures recall: exact pairs the index missed). This measures what
+   * the index PROPOSES: of the distinct candidate pairs the capped band
+   * buckets emit (`1_bucket`), and of those surviving the
+   * minhash-agreement prefilter (`2_agree`), what fraction verify at the
+   * exact-Jaccard threshold. The two-stage funnel prices the pipeline's
+   * knobs: low bucket precision says band count is too permissive
+   * (wasted exact-verify work — the dominant cost at 100 TB); verified
+   * pairs present at `1_bucket` but absent at `2_agree` say the
+   * prefilter threshold is cutting true positives.
+   *
+   * Scale shape: the SAME narrow band join as the production pipeline
+   * (bucket-capped before pair expansion); exact verification runs ONCE
+   * over the bucket-stage superset (persisted, released by the query
+   * owner) and the per-stage rollup joins that single verdict relation —
+   * never a second shingle join.
+   */
+  def dedupLshPrecision(s: SparkSession, dir: String): DataFrame = {
+    val (base, pruned0) = bandedFor(s, dir, md5Hash32, md5BandKey)
+    // a zero-shingle doc has NO signature — without this both engines
+    // invent a degenerate shared bucket for empty documents (Spark:
+    // md5 of an empty concat; DuckDB: a NULL key) and disagree on it
+    val pruned = pruned0.filter(size(col("mh")) > 0)
+    val left = pruned.select(col("band"), col("key"), col("doc_id").as("da"), col("mh").as("mha"))
+    val right = pruned.select(col("band").as("band_r"), col("key").as("key_r"),
+      col("doc_id").as("db"), col("mh").as("mhb"))
+    val cand = left.join(right,
+        col("band") === col("band_r") && col("key") === col("key_r") && col("da") < col("db"))
+      .select(col("da"), col("db"), (mhAgree >= lit(minhashAgreeMin)).as("agrees"))
+      .dropDuplicates("da", "db")
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val verdict = verifyPairs(base, cand.select(col("da"), col("db")), "da", "db", sort = false)
+      .select(col("da"), col("db"), lit(1L).as("ok"))
+    val staged = cand.select(lit("1_bucket").as("stage"), col("da"), col("db"))
+      .unionByName(cand.filter(col("agrees"))
+        .select(lit("2_agree").as("stage"), col("da"), col("db")))
+    staged.join(verdict, Seq("da", "db"), "left")
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ok").isNotNull, 1L).otherwise(0L)).as("n_verified"))
+      .withColumn("precision",
+        round(col("n_verified").cast("double") / col("n_pairs").cast("double"), 6))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_precision" -> (dedupLshPrecision _),
     "dedup_jaccard_words" -> (dedupJaccardWords _),
     "dedup_jaccard_ngrams" -> (dedupJaccardNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -803,6 +856,36 @@ object Dedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB mirror of the md5-keyed LSH pipeline. */
+  /** DuckDB mirror of the two-stage precision funnel. */
+  private def dedupLshPrecisionOracle: String =
+    s"""WITH $minhashMd5SharedCtes,
+       |prz AS (SELECT * FROM pruned WHERE mh[1] IS NOT NULL),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+       |    len(list_filter(generate_series(1, $MinhashPerms),
+       |      i -> x.mh[i] = y.mh[i])) >= $minhashAgreeMin AS agrees
+       |  FROM prz x JOIN prz y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |v AS (
+       |  SELECT da, db FROM (
+       |    SELECT da, db,
+       |      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
+       |      CAST(len(a.shingles) + len(b.shingles) AS DOUBLE) AS szsum
+       |    FROM cand
+       |    JOIN sh a ON cand.da = a.doc_id
+       |    JOIN sh b ON cand.db = b.doc_id)
+       |  WHERE inter / (szsum - inter) >= 0.5),
+       |staged AS (
+       |  SELECT '1_bucket' AS stage, da, db FROM cand
+       |  UNION ALL
+       |  SELECT '2_agree' AS stage, da, db FROM cand WHERE agrees)
+       |SELECT stage, COUNT(1) AS n_pairs,
+       |  CAST(SUM(CASE WHEN v.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       |  round(CAST(SUM(CASE WHEN v.da IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(1) AS DOUBLE), 6) AS precision
+       |FROM staged LEFT JOIN v USING (da, db)
+       |GROUP BY stage ORDER BY stage""".stripMargin
+
   private def minhashLshMd5Oracle: String =
     s"""WITH $minhashMd5SharedCtes,
        |cand AS (
@@ -933,6 +1016,7 @@ object Dedup {
         |ORDER BY da, db""".stripMargin,
     "dedup_jaccard_words" -> (jaccardWordsPairsSql + "\nORDER BY da, db"),
     "dedup_lsh_audit" -> dedupLshAuditOracle,
+    "dedup_lsh_precision" -> dedupLshPrecisionOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle,
     "dedup_incremental_md5" -> dedupIncrementalMd5Oracle)

@@ -183,6 +183,27 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       (4L, "aa", "a", "aaa", 2L)))
   }
 
+  // --------------------------------------------------- LSH precision
+
+  test("dedupLshPrecision prices the candidate funnel: exact dup verifies at both stages") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows = Seq(
+      (0L, base, "en", "s0"),
+      (1L, base, "en", "s1"),                                  // exact copy — J = 1
+      (2L, "completely unrelated words about cooking pasta tonight", "en", "s0"),
+      (3L, "", "en", "s0"), (4L, "   ", "en", "s1"))           // zero-shingle docs — no signature
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.queries.Dedup.dedupLshPrecision(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("1_bucket", "2_agree"))
+    assert(out("1_bucket") == ((1L, 1L, 1.0)),
+      "only the (0,1) pair is proposed — empty docs never form a bucket pair")
+    assert(out("2_agree") == ((1L, 1L, 1.0)), "the exact dup survives the agreement prefilter")
+  }
+
   // ---------------------------------------------------------- Zipf fit
 
   test("corpusZipfFit recovers slope -1 with r2=1 on an exact power-law corpus") {
