@@ -378,6 +378,58 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Two-sample KS drift — stats_ks_drift
+  // ---------------------------------------------------------------------
+
+  /**
+   * Exact two-sample Kolmogorov–Smirnov drift per source: for every
+   * source, D = sup |F_src(x) − F_rest(x)| over the document-length
+   * distribution — the distribution-shift gate a pipeline runs before
+   * admitting a new crawl slice (complements [[Corpus.textSourceKl]]'s
+   * lexical drift with a shape test, and `embed_source_drift`'s
+   * embedding-space view). Exact, not a sampled approximation.
+   *
+   * Scale shape: lengths collapse to (source, value) counts
+   * (combiner-friendly; the relation is bounded by |sources|·|distinct
+   * lengths|, NOT corpus rows). The evaluation grid — every source at
+   * every corpus-distinct value, where the sup must be attained — comes
+   * from exploding a DRIVER-CONSTANT source list over the value spine
+   * (sources are model parameters like k-means centroids; no cross
+   * join in the plan). Cumulatives are windows over the bounded
+   * collapsed relations (the global one a deliberate [[Tables.zeroPart]]
+   * single group of |distinct lengths| rows). Determinism: each CDF term
+   * is one integer/integer division — bit-identical IEEE on both
+   * engines — so the max and the 6-dp rounding agree exactly.
+   */
+  def statsKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val lens = docs(s, dir).select(col("source"), col("n_chars").as("v"))
+      .filter(col("v").isNotNull)
+    val sources: Seq[String] = lens.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    val nTot: Long = lens.count()
+    val sv = lens.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val g = sv.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum", sum(col("cv")).over(
+        Window.partitionBy(zeroPart(col("v"))).orderBy(col("v"))))
+    val grid = g.select(col("v"), col("cum"), explode(typedLit(sources)).as("source"))
+    val cs = grid.join(sv, Seq("source", "v"), "left")
+      .withColumn("cs", sum(coalesce(col("c"), lit(0L))).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+    val ns = sv.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    cs.join(broadcast(ns), Seq("source"))
+      .filter(col("n_src") < nTot) // a sole source has no "rest" sample
+      .withColumn("d", abs(
+        col("cs").cast("double") / col("n_src").cast("double") -
+          (col("cum") - col("cs")).cast("double") /
+            (lit(nTot) - col("n_src")).cast("double")))
+      .groupBy(col("source"), col("n_src"))
+      .agg(round(max(col("d")), 6).as("ks_d"))
+      .select(col("source"), col("n_src"), (lit(nTot) - col("n_src")).as("n_rest"),
+        col("ks_d"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
 
@@ -388,6 +440,7 @@ object Governance {
     "corpus_source_overlap" -> (corpusSourceOverlap _),
     "text_distinct_ngrams" -> (textDistinctNgrams _),
     "corpus_zipf_fit" -> (corpusZipfFit _),
+    "stats_ks_drift" -> (statsKsDrift _),
     "split_stratified_exact" -> (splitStratifiedExact _))
 
   val oracle: Map[String, String] = Map(
@@ -503,6 +556,28 @@ object Governance {
         |LEFT JOIN bt USING (source)
         |LEFT JOIN by USING (source)
         |ORDER BY tt.source""".stripMargin,
+    "stats_ks_drift" ->
+      """WITH l AS (
+        |  SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |sv AS (SELECT source, v, COUNT(1) AS c FROM l GROUP BY source, v),
+        |g AS (
+        |  SELECT v, SUM(cv) OVER (ORDER BY v) AS cum FROM (
+        |    SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM sv GROUP BY v)),
+        |srcs AS (SELECT DISTINCT source FROM l),
+        |grid AS (SELECT s.source, g.v, g.cum FROM srcs s CROSS JOIN g),
+        |cs AS (
+        |  SELECT source, v, cum,
+        |    SUM(COALESCE(sv.c, 0)) OVER (PARTITION BY grid.source ORDER BY v) AS cs
+        |  FROM grid LEFT JOIN sv USING (source, v)),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM sv GROUP BY source),
+        |tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM l)
+        |SELECT cs.source, ns.n_src, n - ns.n_src AS n_rest,
+        |  round(MAX(abs(CAST(cs AS DOUBLE) / CAST(n_src AS DOUBLE)
+        |    - CAST(cum - cs AS DOUBLE) / CAST(n - n_src AS DOUBLE))), 6) AS ks_d
+        |FROM cs JOIN ns USING (source) CROSS JOIN tot
+        |WHERE ns.n_src < n
+        |GROUP BY cs.source, ns.n_src, n_rest
+        |ORDER BY cs.source""".stripMargin,
     "corpus_zipf_fit" ->
       s"""WITH tf AS (
          |  SELECT token, COUNT(1) AS freq FROM (

@@ -183,6 +183,31 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       (4L, "aa", "a", "aaa", 2L)))
   }
 
+  // ------------------------------------------------------- KS drift
+
+  test("statsKsDrift computes the exact two-sample KS statistic per source") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // sA lengths {1,2,3,4}; sB lengths {3,4,5,6}.
+    // For sA vs rest(=sB): F_A − F_B is largest at x=2: 2/4 − 0/4 = 0.5.
+    val rows = (Seq(1L, 2L, 3L, 4L).map(("sA", _)) ++ Seq(3L, 4L, 5L, 6L).map(("sB", _)))
+      .zipWithIndex.map { case ((src, len), i) => (i.toLong, s"doc $i", "en", src, len) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.statsKsDrift(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("sA") == ((4L, 4L, 0.5)) && out("sB") == ((4L, 4L, 0.5)),
+      "both sources drift from each other with D = 0.5")
+  }
+
+  test("statsKsDrift is empty for a single-source corpus (no rest sample)") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    writeTable(dir, "documents",
+      Seq((0L, "a", "en", "only", 5L), (1L, "b", "en", "only", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(Governance.statsKsDrift(spark, dir.toString).collect().isEmpty)
+  }
+
   // --------------------------------------------------- LSH precision
 
   test("dedupLshPrecision prices the candidate funnel: exact dup verifies at both stages") {
