@@ -72,10 +72,16 @@ object Governance {
    * single hottest key in the job.
    */
   def dedupNormExact(s: SparkSession, dir: String): DataFrame = {
+    // persist the keyed projection: it feeds both the cluster aggregate
+    // and the join probe, and re-running it would re-execute the
+    // three-pass regex normalization over the full corpus per consumer
+    // (released by the query owner — QueryCaches)
     val d = docs(s, dir)
       .select(col("doc_id"),
         when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
           .as("norm_fp"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
     val clusters = d.filter(col("norm_fp").isNotNull)
       .groupBy(col("norm_fp"))
       .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("cluster_n"))
@@ -157,6 +163,9 @@ object Governance {
         when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
           .as("nk"),
         Text.bowFp(s, col("text")).as("bk"))
+      // three consumers (two method collapses + the probe) — one scan
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
     val nc = d.filter(col("nk").isNotNull).groupBy(col("nk"))
       .agg(min(col("doc_id")).as("n_canon"))
     val bc = d.filter(col("bk").isNotNull).groupBy(col("bk"))
