@@ -387,6 +387,46 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Curriculum ordering — curriculum_order
+  // ---------------------------------------------------------------------
+
+  /** Difficulty bands and output shards for the curriculum plan. */
+  private val CurriculumBands = 10
+  private val CurriculumShards = 8
+
+  /**
+   * Length-curriculum training order — the classic easy-first schedule:
+   * documents are banded into [[CurriculumBands]] difficulty deciles by
+   * token count (short→long, the standard length curriculum), then
+   * given a global training position that walks the bands in order while
+   * SHUFFLING inside each band (md5 order — difficulty should rise over
+   * training, but examples within a band must not arrive in a
+   * data-systematic order), plus the round-robin shard assignment the
+   * training files are written under.
+   *
+   * Scale shape: two [[graft.operators.Quantiles]] passes — the decile
+   * from a distributed exact NTILE over (n_tok, doc_id), the position
+   * from a distributed global rank over (band, md5) — each a
+   * range-partition + metadata-sized offset collect, never a
+   * single-partition window. Zero-token and NULL-text documents are
+   * excluded (nothing to train on).
+   */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), size(Text.words(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val banded = graft.operators.Quantiles.withNtile(
+      base, CurriculumBands, Seq(col("n_tok"), col("doc_id")), "band")
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+    graft.operators.Quantiles.withGlobalRank(
+        banded, Seq(col("band"), col("skey"), col("doc_id")), "pos", "__tot")
+      .drop("__tot", "skey")
+      .select(col("pos"), col("doc_id"), col("n_tok"), col("band"),
+        ((col("pos") - 1) % CurriculumShards).as("shard_id"))
+      .orderBy(col("pos"))
+  }
+
+  // ---------------------------------------------------------------------
   // Two-sample KS drift — stats_ks_drift
   // ---------------------------------------------------------------------
 
@@ -450,6 +490,7 @@ object Governance {
     "text_distinct_ngrams" -> (textDistinctNgrams _),
     "corpus_zipf_fit" -> (corpusZipfFit _),
     "stats_ks_drift" -> (statsKsDrift _),
+    "curriculum_order" -> (curriculumOrder _),
     "split_stratified_exact" -> (splitStratifiedExact _))
 
   val oracle: Map[String, String] = Map(
@@ -565,6 +606,23 @@ object Governance {
         |LEFT JOIN bt USING (source)
         |LEFT JOIN by USING (source)
         |ORDER BY tt.source""".stripMargin,
+    "curriculum_order" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0),
+         |nt AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(NTILE($CurriculumBands) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS band
+         |  FROM b),
+         |p AS (
+         |  SELECT doc_id, n_tok, band,
+         |    CAST(ROW_NUMBER() OVER (
+         |      ORDER BY band, md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+         |  FROM nt)
+         |SELECT pos, doc_id, n_tok, band, (pos - 1) % $CurriculumShards AS shard_id
+         |FROM p ORDER BY pos""".stripMargin,
     "stats_ks_drift" ->
       """WITH l AS (
         |  SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),

@@ -183,6 +183,31 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       (4L, "aa", "a", "aaa", 2L)))
   }
 
+  // ------------------------------------------------- curriculum order
+
+  test("curriculumOrder walks difficulty bands easy-first with intra-band shuffle") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 20 docs, lengths 1..20 tokens → deciles of 2 docs each
+    val rows = (1 to 20).map { i =>
+      val t = Seq.fill(i)("w").mkString(" ")
+      (i.toLong, t, "en", "s0", t.length.toLong)
+    } :+ (99L, "", "en", "s0", 0L) // empty doc — excluded
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.curriculumOrder(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 20, "the empty doc is excluded")
+    assert(out.map(_._1).toSeq == (1L to 20L), "pos is a 1..N permutation in band order")
+    // bands are non-decreasing along the curriculum and sized 2 each
+    assert(out.sortBy(_._1).map(_._4).toSeq == out.sortBy(_._1).map(_._4).sorted.toSeq)
+    assert(out.groupBy(_._4).forall(_._2.length == 2))
+    // within a band, difficulty (n_tok) respects the band, position is md5-shuffled
+    out.groupBy(_._4).foreach { case (band, rs) =>
+      rs.foreach { r => assert((r._3 + 1) / 2 == band, s"n_tok ${r._3} in band $band") }
+    }
+    assert(out.forall(r => r._5 == (r._1 - 1) % 8), "shards are round-robin in curriculum order")
+  }
+
   // ------------------------------------------------------- KS drift
 
   test("statsKsDrift computes the exact two-sample KS statistic per source") {
