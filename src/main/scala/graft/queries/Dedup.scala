@@ -759,7 +759,67 @@ object Dedup {
       .orderBy(col("stage"))
   }
 
+  /**
+   * The composed multi-method dedup funnel with REASON attribution — the
+   * end-to-end shape a production pipeline actually runs (CCNet /
+   * RefinedWeb stage order): cheap normalized-EXACT dedup first
+   * ([[Governance.normText]] key, keep-lowest-id), then MinHash+LSH
+   * NEAR-dup detection among the exact-stage SURVIVORS ONLY (running the
+   * expensive candidate join on already-deduped data is the point of the
+   * ordering), dropping the higher id of every verified pair whose lower
+   * id survived. Every document gets a reason — `exact`, `near`, or
+   * `kept` — and the output is the per-source funnel account a data card
+   * reports. The near rule is the single-pass pair rule (not transitive
+   * closure — `dedup_components` owns that); deterministic by id order.
+   *
+   * Scale shape: stage 1 is one combiner-collapsed groupBy + join-back;
+   * stage 2 filters the banded relation to survivors with a left-semi
+   * join BEFORE the pair join, so candidate work shrinks with stage-1's
+   * kill rate; one verify pass; the rollup is ≤|sources| groups. The
+   * keyed scan persists once (query-owner released) and feeds stage 1,
+   * the survivor filter, and the final attribution.
+   */
+  def pipelineDedupReasons(s: SparkSession, dir: String): DataFrame = {
+    val keyed = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(length(Governance.normText(col("text"))) > 0,
+          md5(Governance.normText(col("text")))).as("nk"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val canon = keyed.filter(col("nk").isNotNull)
+      .groupBy(col("nk")).agg(min(col("doc_id")).as("canon_id"))
+    val staged = keyed.join(canon, Seq("nk"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("doc_id") =!= col("canon_id"), lit(false)).as("exact_drop"))
+    val survivors = staged.filter(!col("exact_drop")).select(col("doc_id"))
+    val (base, pruned0) = bandedFor(s, dir, md5Hash32, md5BandKey)
+    val pruned = pruned0.join(survivors, Seq("doc_id"), "left_semi")
+    val left = pruned.select(col("band"), col("key"), col("doc_id").as("da"), col("mh").as("mha"))
+    val right = pruned.select(col("band").as("band_r"), col("key").as("key_r"),
+      col("doc_id").as("db"), col("mh").as("mhb"))
+    val cand = left.join(right,
+        col("band") === col("band_r") && col("key") === col("key_r") && col("da") < col("db"))
+      .filter(mhAgree >= lit(minhashAgreeMin))
+      .select(col("da"), col("db"))
+      .dropDuplicates("da", "db")
+    val nearDropped = verifyPairs(base, cand, "da", "db", sort = false)
+      .select(col("db").as("doc_id")).distinct()
+      .withColumn("near_drop", lit(true))
+    staged.join(nearDropped, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("exact_drop"), "exact")
+          .when(col("near_drop").isNotNull, "near")
+          .otherwise("kept").as("reason"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("reason") === "exact", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("reason") === "near", 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("reason") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dedup_reasons" -> (pipelineDedupReasons _),
     "dedup_lsh_precision" -> (dedupLshPrecision _),
     "dedup_jaccard_words" -> (dedupJaccardWords _),
     "dedup_jaccard_ngrams" -> (dedupJaccardNgrams _),
@@ -856,6 +916,48 @@ object Dedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB mirror of the md5-keyed LSH pipeline. */
+  /** DuckDB mirror of the reason-attributed dedup funnel. */
+  private def pipelineDedupReasonsOracle: String =
+    s"""WITH $minhashMd5SharedCtes,
+       |nstage AS (
+       |  SELECT doc_id, source, ${Governance.duckNormFp("text")} AS nk
+       |  FROM documents),
+       |ncanon AS (
+       |  SELECT nk, MIN(doc_id) AS canon_id FROM nstage
+       |  WHERE nk IS NOT NULL GROUP BY nk),
+       |stg AS (
+       |  SELECT n.doc_id, n.source,
+       |    COALESCE(n.doc_id <> c.canon_id, FALSE) AS exact_drop
+       |  FROM nstage n LEFT JOIN ncanon c USING (nk)),
+       |surv AS (SELECT doc_id FROM stg WHERE NOT exact_drop),
+       |przs AS (SELECT p.* FROM pruned p JOIN surv USING (doc_id)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM przs x JOIN przs y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashPerms),
+       |    i -> x.mh[i] = y.mh[i])) >= $minhashAgreeMin),
+       |near AS (
+       |  SELECT DISTINCT db AS doc_id FROM (
+       |    SELECT da, db,
+       |      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
+       |      CAST(len(a.shingles) + len(b.shingles) AS DOUBLE) AS szsum
+       |    FROM cand
+       |    JOIN sh a ON cand.da = a.doc_id
+       |    JOIN sh b ON cand.db = b.doc_id)
+       |  WHERE inter / (szsum - inter) >= 0.5),
+       |r AS (
+       |  SELECT stg.source,
+       |    CASE WHEN exact_drop THEN 'exact'
+       |         WHEN near.doc_id IS NOT NULL THEN 'near'
+       |         ELSE 'kept' END AS reason
+       |  FROM stg LEFT JOIN near USING (doc_id))
+       |SELECT source, COUNT(1) AS n_docs,
+       |  CAST(SUM(CASE WHEN reason = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN reason = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |  CAST(SUM(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   /** DuckDB mirror of the two-stage precision funnel. */
   private def dedupLshPrecisionOracle: String =
     s"""WITH $minhashMd5SharedCtes,
@@ -1017,6 +1119,7 @@ object Dedup {
     "dedup_jaccard_words" -> (jaccardWordsPairsSql + "\nORDER BY da, db"),
     "dedup_lsh_audit" -> dedupLshAuditOracle,
     "dedup_lsh_precision" -> dedupLshPrecisionOracle,
+    "pipeline_dedup_reasons" -> pipelineDedupReasonsOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle,
     "dedup_incremental_md5" -> dedupIncrementalMd5Oracle)

@@ -493,6 +493,17 @@ object Governance {
     "curriculum_order" -> (curriculumOrder _),
     "split_stratified_exact" -> (splitStratifiedExact _))
 
+  /** The DuckDB spelling of [[normText]] → md5 (NULL for empty-norm/NULL
+    * text) — ONE string shared by every oracle that keys on it. */
+  private[queries] def duckNormFp(c: String): String =
+    s"""CASE WHEN len(trim(regexp_replace(regexp_replace(regexp_replace(
+       |        lower($c), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
+       |        ' +', ' ', 'g'))) > 0
+       |      THEN md5(trim(regexp_replace(regexp_replace(regexp_replace(
+       |        lower($c), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
+       |        ' +', ' ', 'g')))
+       |      END""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_norm_exact" ->
       """WITH n AS (

@@ -183,6 +183,27 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       (4L, "aa", "a", "aaa", 2L)))
   }
 
+  // -------------------------------------------------- dedup funnel
+
+  test("pipelineDedupReasons attributes exact-stage drops before near-stage drops") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val base = "spark makes big data processing fast scalable reliable for everyone working daily"
+    val near = "spark makes big data processing fast scalable reliable for everyone working nightly"
+    val rows = Seq(
+      (0L, base, "en", "s0"),
+      (1L, base.toUpperCase, "en", "s0"),  // case variant → EXACT stage drops it
+      (2L, near, "en", "s1"),              // near-dup of 0 → NEAR stage drops it
+      (3L, "totally different content about cooking pasta sauce", "en", "s1"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.queries.Dedup.pipelineDedupReasons(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("s0") == ((2L, 1L, 0L, 1L)), "doc 1 drops at the exact stage — never reaches near")
+    assert(out("s1") == ((2L, 0L, 1L, 1L)), "doc 2 drops at the near stage, doc 3 is kept")
+  }
+
   // ------------------------------------------------- curriculum order
 
   test("curriculumOrder walks difficulty bands easy-first with intra-band shuffle") {
