@@ -277,6 +277,56 @@ object Similarity {
           .as("mean_d2"))
       .orderBy(col("cid"))
 
+  /** PQ subspace count: 64-dim vectors → 8 subspaces × 8 dims. */
+  private val PqM = 8
+
+  /**
+   * Product-quantization code assignment (Jégou et al. 2011) — the
+   * compression step that makes billion-vector ANN affordable: each
+   * vector splits into [[PqM]] subspaces and every subspace is encoded
+   * as the id of its nearest sub-centroid, turning 64 floats into 8
+   * byte-sized codes (32× smaller; at 100 TB the codes fit in memory
+   * where the raw vectors never would, and distance queries scan codes
+   * against per-query lookup tables). Sub-centroids are the anchor
+   * vectors' slices (vec_id 0..7 — externally-trained model parameters,
+   * the [[simIvfTopk]] convention). Emits (vec_id, subspace, code,
+   * sq_err) — the per-subspace reconstruction error is the audit a
+   * pipeline reads to size M before committing to a codebook.
+   *
+   * Scale: sub-centroids are driver-constant codegen expressions (no
+   * join, no shuffle — the argmin is a per-row `array_max` over
+   * [[PqM]]·8 literal-dot terms); the only ordering cost is the output
+   * sort. Determinism: unrounded argmin with the smaller-code tiebreak,
+   * 6-dp-rounded error output, −0.0 canonicalized — the
+   * [[kmeansAssigned]] contract per subspace.
+   */
+  def embedPqAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = anchorVecs(s, dir)
+    val sub = cents.headOption.map(_.length).getOrElse(64) / PqM
+    val members = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull && noModel(cents))
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val perSub = (0 until PqM).map { m =>
+      val vs = slice(col("v"), m * sub + 1, sub)
+      val best =
+        if (cents.isEmpty) struct(lit(0.0).as("nd"), lit(0).as("nj"))
+        else array_max(array(cents.zipWithIndex.map { case (c, j) =>
+          val cs = typedLit(c.slice(m * sub, (m + 1) * sub))
+          val d2 = dot(vs, vs) - lit(2.0) * dot(vs, cs) + dot(cs, cs)
+          struct((-d2).as("nd"), lit(-j).as("nj"))
+        }: _*))
+      struct(lit(m.toLong).as("m"),
+        (-best.getField("nj")).cast("long").as("code"),
+        (round(-best.getField("nd"), 6) + lit(0.0)).as("err"))
+    }
+    members
+      .select(col("vec_id"), explode(array(perSub: _*)).as("p"))
+      .select(col("vec_id"), col("p.m").as("subspace"),
+        col("p.code").as("code"), col("p.err").as("sq_err"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
   /** Cosine at or above which two same-cluster members are semantic
     * duplicates. The synthetic label-cluster corpus tops out near 0.48
     * within-cluster, so 0.40 keeps a small, meaningful dropped set; a
@@ -618,6 +668,7 @@ object Similarity {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "embed_quantize" -> (embedQuantize _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
+    "embed_pq_assign" -> (embedPqAssign _),
     "embed_kmeans_update" -> (embedKmeansUpdate _),
     "embed_dim_stats" -> (embedDimStats _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -870,6 +921,24 @@ object Similarity {
         |SELECT m.vec_id, m.dim, round(m.maxabs, 6) AS maxabs,
         |  a.n_zero, a.n_sat, a.sq_err
         |FROM m LEFT JOIN a USING (vec_id) ORDER BY m.vec_id""".stripMargin,
+    "embed_pq_assign" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+        |dots AS (
+        |  SELECT m.vec_id, cent.cid0, CAST((i - 1) // 8 AS BIGINT) AS sub,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+        |  FROM m, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2, 3),
+        |assign AS (
+        |  SELECT vec_id, sub, cid0, round(vv - 2 * vc + cc, 6) + 0.0 AS rd2,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+        |  FROM dots)
+        |SELECT vec_id, sub AS subspace, CAST(cid0 AS BIGINT) AS code, rd2 AS sq_err
+        |FROM assign WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
     "embed_kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),

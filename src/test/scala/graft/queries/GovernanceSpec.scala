@@ -183,6 +183,35 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       (4L, "aa", "a", "aaa", 2L)))
   }
 
+  // ---------------------------------------------------- PQ codes
+
+  test("embedPqAssign encodes each subspace independently with smaller-code ties") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def vec(hot: Int*): Array[Float] = {
+      val v = Array.fill(64)(0f); hot.foreach(v(_) = 1f); v
+    }
+    // centroid 0 is hot in subspace 0 (dim 0), centroid 1 in subspace 1
+    // (dim 8); member 8 = c0+c1 must take code 0 in subspace 0 and code 1
+    // in subspace 1 — no single whole-vector centroid matches it
+    val rows = Seq(
+      (0L, vec(0), 0), (1L, vec(8), 0),
+      (8L, vec(0, 8), 1), (9L, vec(), 1)) // 9 = zero vector (failed encoder)
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    writeTable(dir, "documents",
+      Seq((0L, "x", "en", "s0", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Similarity.embedPqAssign(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((8L, 0L)) == ((0L, 0.0)), "subspace 0 → centroid 0's slice, zero error")
+    assert(out((8L, 1L)) == ((1L, 0.0)), "subspace 1 → centroid 1's slice, zero error")
+    (2L to 7L).foreach { m =>
+      assert(out((8L, m)) == ((0L, 0.0)), s"all-zero subspace $m ties to the smaller code")
+    }
+    assert(out((9L, 0L)) == ((1L, 0.0)),
+      "zero vector matches c1's all-zero subspace-0 slice exactly (c0 would cost its norm)")
+    assert(out.keys.count(_._1 == 9L) == 8, "every member emits one row per subspace")
+  }
+
   // -------------------------------------------------- dedup funnel
 
   test("pipelineDedupReasons attributes exact-stage drops before near-stage drops") {
