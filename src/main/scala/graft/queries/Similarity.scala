@@ -327,6 +327,76 @@ object Similarity {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
+  /**
+   * PQ asymmetric-distance (ADC) top-5 search — the query path over
+   * [[embedPqAssign]]'s codes: each query precomputes an 8×8 lookup
+   * table (subspace × sub-centroid → partial squared distance), and a
+   * candidate's distance ESTIMATE is just 8 table lookups summed —
+   * no float vector is touched at query time, which is the whole PQ
+   * bargain (codes in memory, raw vectors cold). Query/candidate
+   * universe follows [[simIvfTopk]] (queries 8..17, candidates ≥ 18).
+   *
+   * Scale: query LUTs are driver constants (|Q|·M·8 rounded doubles —
+   * model-parameter-sized, the [[anchorVecs]] convention); the scan
+   * computes candidate codes + all query estimates as pure codegen
+   * expressions — no join — and only the per-qid top-5 ranking
+   * shuffles (|Q|-bounded partitions, the IVF convention). Estimate
+   * terms are 6-dp-rounded in the LUT and summed as exact DECIMAL so
+   * both engines rank identical numbers.
+   */
+  def simPqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = anchorVecs(s, dir)
+    val sub = cents.headOption.map(_.length).getOrElse(64) / PqM
+    val queries10: Seq[(Long, Array[Double])] = load(s, dir, "embeddings")
+      .filter(col("vec_id").between(8, 17) && col("embedding").isNotNull && noModel(cents))
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    // lut(q)(m)(j): ‖q_m − c_j,m‖² rounded to 6 dp, index-ordered fold
+    def lut(q: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(PqM) { m =>
+        cents.map { c =>
+          var acc = 0.0
+          var i = m * sub
+          while (i < (m + 1) * sub) { val d = q(i) - c(i); acc += d * d; i += 1 }
+          BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toArray
+      }
+    val codeCols = (0 until PqM).map { m =>
+      val vs = slice(col("v"), m * sub + 1, sub)
+      if (cents.isEmpty) lit(0)
+      else array_max(array(cents.zipWithIndex.map { case (c, j) =>
+        val cs = typedLit(c.slice(m * sub, (m + 1) * sub))
+        val d2 = dot(vs, vs) - lit(2.0) * dot(vs, cs) + dot(cs, cs)
+        struct((-d2).as("nd"), lit(-j).as("nj"))
+      }: _*)).getField("nj") * lit(-1)
+    }
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
+    val ests = queries10.map { case (qid, q) =>
+      val l = lut(q)
+      val est = (0 until PqM).map { m =>
+        element_at(typedLit(l(m)), codeCols(m) + 1).cast(dec6)
+      }.reduce(_ + _)
+      struct(lit(qid).as("qid"), est.cast("double").as("est"))
+    }
+    val cands = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 18 && col("embedding").isNotNull &&
+        noModel(cents) && lit(queries10.nonEmpty))
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("est"), col("vec_id"))
+    cands
+      .select(col("vec_id"), explode(
+        if (ests.isEmpty) array(struct(lit(0L).as("qid"), lit(0.0).as("est")))
+        else array(ests: _*)).as("e"))
+      .select(col("vec_id"), col("e.qid").as("qid"), col("e.est").as("est"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("est").as("est_d2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Cosine at or above which two same-cluster members are semantic
     * duplicates. The synthetic label-cluster corpus tops out near 0.48
     * within-cluster, so 0.40 keeps a small, meaningful dropped set; a
@@ -669,6 +739,7 @@ object Similarity {
     "embed_quantize" -> (embedQuantize _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "embed_pq_assign" -> (embedPqAssign _),
+    "sim_pq_adc_topk" -> (simPqAdcTopk _),
     "embed_kmeans_update" -> (embedKmeansUpdate _),
     "embed_dim_stats" -> (embedDimStats _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -921,6 +992,40 @@ object Similarity {
         |SELECT m.vec_id, m.dim, round(m.maxabs, 6) AS maxabs,
         |  a.n_zero, a.n_sat, a.sq_err
         |FROM m LEFT JOIN a USING (vec_id) ORDER BY m.vec_id""".stripMargin,
+    "sim_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id BETWEEN 8 AND 17),
+        |c AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 18),
+        |dots AS (
+        |  SELECT c.vec_id, cent.cid0, CAST((i - 1) // 8 AS BIGINT) AS sub,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+        |  FROM c, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, sub, cid0 AS code FROM (
+        |    SELECT vec_id, sub, cid0,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.qid, cent.cid0 AS code, CAST((i - 1) // 8 AS BIGINT) AS sub,
+        |    round(SUM((qv[i]::DOUBLE - cv[i]::DOUBLE) * (qv[i]::DOUBLE - cv[i]::DOUBLE)), 6) AS d
+        |  FROM q, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT codes.vec_id, lut.qid,
+        |    CAST(SUM(CAST(d AS DECIMAL(20,6))) AS DOUBLE) AS est
+        |  FROM codes JOIN lut USING (sub, code)
+        |  GROUP BY codes.vec_id, lut.qid),
+        |r AS (
+        |  SELECT qid, vec_id, est,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY est, vec_id) AS BIGINT) AS rank
+        |  FROM est)
+        |SELECT qid, rank, vec_id AS neighbor, est AS est_d2
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "embed_pq_assign" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),

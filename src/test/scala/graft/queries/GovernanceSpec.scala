@@ -212,6 +212,31 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     assert(out.keys.count(_._1 == 9L) == 8, "every member emits one row per subspace")
   }
 
+  test("simPqAdcTopk ranks candidates by summed LUT distances over their codes") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def vec(hot: Int*): Array[Float] = {
+      val v = Array.fill(64)(0f); hot.foreach(v(_) = 1f); v
+    }
+    // centroid j is hot exactly in its own subspace (dim 8j); query = e0;
+    // candidates sit exactly ON centroids 0..3 → est(c0)=0, est(c_k)=1 for
+    // k>0 (one unit of query mass in subspace 0 — wait, c0 matches it;
+    // the others pay their own subspace's unit) — ties break by vec_id.
+    val cents = (0 until 8).map(j => (j.toLong, vec(8 * j), 0))
+    val query = Seq((8L, vec(0), 1))
+    val cands = (0 until 4).map(k => (18L + k, vec(8 * k), 1))
+    writeTable(dir, "embeddings", (cents ++ query ++ cands).toDF("vec_id", "embedding", "label"))
+    writeTable(dir, "documents",
+      Seq((0L, "x", "en", "s0", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Similarity.simPqAdcTopk(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (8L, 1L, 18L, 0.0),   // exact code match — zero estimated distance
+      (8L, 2L, 19L, 2.0),   // pays its own subspace's unit + the query's unmatched unit
+      (8L, 3L, 20L, 2.0),
+      (8L, 4L, 21L, 2.0)))
+  }
+
   // -------------------------------------------------- dedup funnel
 
   test("pipelineDedupReasons attributes exact-stage drops before near-stage drops") {
