@@ -397,6 +397,46 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /**
+   * PQ recall audit — [[simIvfRecall]]'s twin for the compression side:
+   * the exact squared-L2 top-5 per query checked against what
+   * [[simPqAdcTopk]]'s 8-byte codes returned. A missed neighbor was
+   * ranked out by quantization error — the number that decides M (and
+   * whether to re-rank ADC shortlists with raw vectors) before a
+   * 100 TB corpus trusts PQ codes as its only ranking signal.
+   *
+   * Scale: ground truth is the documented broadcast-query brute-force
+   * baseline (the audit's cost, not the hot path); the audit itself is
+   * one (qid, neighbor) equi-join and a ≤|Q| rollup.
+   */
+  def simPqRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") <= 17)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 18)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val truth = c.crossJoin(broadcast(q))
+      .withColumn("d2",
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("qv"), col("v")) +
+          dot(col("qv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    val adc = simPqAdcTopk(s, dir)
+      .select(col("qid"), col("neighbor"), lit(1L).as("hit"))
+    truth
+      .join(adc, Seq("qid", "neighbor"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_true"), 6))
+      .orderBy(col("qid"))
+  }
+
   /** Cosine at or above which two same-cluster members are semantic
     * duplicates. The synthetic label-cluster corpus tops out near 0.48
     * within-cluster, so 0.40 keeps a small, meaningful dropped set; a
@@ -740,11 +780,47 @@ object Similarity {
     "embed_kmeans_assign" -> (embedKmeansAssign _),
     "embed_pq_assign" -> (embedPqAssign _),
     "sim_pq_adc_topk" -> (simPqAdcTopk _),
+    "sim_pq_recall" -> (simPqRecall _),
     "embed_kmeans_update" -> (embedKmeansUpdate _),
     "embed_dim_stats" -> (embedDimStats _),
     "dedup_semantic" -> (dedupSemantic _),
     "embed_source_drift" -> (embedSourceDrift _),
     "sim_knn_accuracy" -> (simKnnAccuracy _))
+
+  /** The sim_pq_adc_topk oracle body — shared verbatim by the PQ recall
+    * audit, which embeds it so the code/LUT contracts can't drift. */
+  private val PqAdcCtes =
+    """e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+      |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id BETWEEN 8 AND 17),
+      |c AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 18),
+      |dots AS (
+      |  SELECT c.vec_id, cent.cid0, CAST((i - 1) // 8 AS BIGINT) AS sub,
+      |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+      |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+      |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+      |  FROM c, cent, generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, cid0 AS code FROM (
+      |    SELECT vec_id, sub, cid0,
+      |      row_number() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+      |    FROM dots) WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.qid, cent.cid0 AS code, CAST((i - 1) // 8 AS BIGINT) AS sub,
+      |    round(SUM((qv[i]::DOUBLE - cv[i]::DOUBLE) * (qv[i]::DOUBLE - cv[i]::DOUBLE)), 6) AS d
+      |  FROM q, cent, generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2, 3),
+      |est AS (
+      |  SELECT codes.vec_id, lut.qid,
+      |    CAST(SUM(CAST(d AS DECIMAL(20,6))) AS DOUBLE) AS est
+      |  FROM codes JOIN lut USING (sub, code)
+      |  GROUP BY codes.vec_id, lut.qid),
+      |r AS (
+      |  SELECT qid, vec_id, est,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY est, vec_id) AS BIGINT) AS rank
+      |  FROM est)""".stripMargin
 
   /** The embed_dim_stats oracle body — shared verbatim by the whitening
     * apply oracle, which embeds it as a CTE so the moment math can't
@@ -993,39 +1069,31 @@ object Similarity {
         |  a.n_zero, a.n_sat, a.sq_err
         |FROM m LEFT JOIN a USING (vec_id) ORDER BY m.vec_id""".stripMargin,
     "sim_pq_adc_topk" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
-        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id BETWEEN 8 AND 17),
-        |c AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 18),
-        |dots AS (
-        |  SELECT c.vec_id, cent.cid0, CAST((i - 1) // 8 AS BIGINT) AS sub,
-        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
-        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
-        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
-        |  FROM c, cent, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2, 3),
-        |codes AS (
-        |  SELECT vec_id, sub, cid0 AS code FROM (
-        |    SELECT vec_id, sub, cid0,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
-        |    FROM dots) WHERE rn = 1),
-        |lut AS (
-        |  SELECT q.qid, cent.cid0 AS code, CAST((i - 1) // 8 AS BIGINT) AS sub,
-        |    round(SUM((qv[i]::DOUBLE - cv[i]::DOUBLE) * (qv[i]::DOUBLE - cv[i]::DOUBLE)), 6) AS d
-        |  FROM q, cent, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2, 3),
-        |est AS (
-        |  SELECT codes.vec_id, lut.qid,
-        |    CAST(SUM(CAST(d AS DECIMAL(20,6))) AS DOUBLE) AS est
-        |  FROM codes JOIN lut USING (sub, code)
-        |  GROUP BY codes.vec_id, lut.qid),
-        |r AS (
-        |  SELECT qid, vec_id, est,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY est, vec_id) AS BIGINT) AS rank
-        |  FROM est)
-        |SELECT qid, rank, vec_id AS neighbor, est AS est_d2
-        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+      s"""WITH $PqAdcCtes
+         |SELECT qid, rank, vec_id AS neighbor, est AS est_d2
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim_pq_recall" ->
+      s"""WITH $PqAdcCtes,
+         |td AS (
+         |  SELECT c.vec_id, q.qid,
+         |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+         |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS vq,
+         |    SUM(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq
+         |  FROM c, q, generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY vv - 2 * vq + qq ASC, vec_id) AS trn
+         |    FROM td) WHERE trn <= 5),
+         |adc AS (SELECT qid, vec_id FROM r WHERE rank <= 5)
+         |SELECT truth.qid, COUNT(1) AS n_true,
+         |  CAST(SUM(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  round(CAST(SUM(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(1) AS DOUBLE), 6) AS recall
+         |FROM truth LEFT JOIN adc USING (qid, vec_id)
+         |GROUP BY truth.qid ORDER BY truth.qid""".stripMargin,
     "embed_pq_assign" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),

@@ -31,7 +31,8 @@ class PlanHygieneSpec extends AnyFunSuite with SparkFixture {
   // sim_ivf_topk remains the scale path for the candidate sweep)
   // sim_ivf_recall's ground-truth side is the same documented baseline
   private val crossJoinAllowed =
-    Set("sim_bruteforce_topk", "sim_knn_accuracy", "sim_ivf_recall")
+    Set("sim_bruteforce_topk", "sim_knn_accuracy", "sim_ivf_recall",
+      "sim_pq_recall")
 
   private def collectPlan(p: LogicalPlan): Seq[LogicalPlan] =
     (p +: p.children.flatMap(collectPlan)) ++ p.subqueries.flatMap(collectPlan)
