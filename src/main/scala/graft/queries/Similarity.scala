@@ -344,7 +344,15 @@ object Similarity {
    * terms are 6-dp-rounded in the LUT and summed as exact DECIMAL so
    * both engines rank identical numbers.
    */
-  def simPqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+  def simPqAdcTopk(s: SparkSession, dir: String): DataFrame =
+    pqAdcRanked(s, dir)
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("est").as("est_d2"))
+      .orderBy(col("qid"), col("rank"))
+
+  /** The ADC core: every (query, candidate) estimate with its per-query
+    * rank — topk cuts at 5, the re-ranker takes a deeper shortlist. */
+  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = anchorVecs(s, dir)
     val sub = cents.headOption.map(_.length).getOrElse(64) / PqM
@@ -392,8 +400,47 @@ object Similarity {
         else array(ests: _*)).as("e"))
       .select(col("vec_id"), col("e.qid").as("qid"), col("e.est").as("est"))
       .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** ADC shortlist depth for the exact re-rank pass. */
+  private val PqShortlist = 20
+
+  /**
+   * PQ shortlist re-ranking — the standard production answer to
+   * [[simPqRecall]]'s quantization loss: ADC codes produce a cheap
+   * top-[[PqShortlist]] shortlist per query (codes only, no vectors),
+   * and ONLY those candidates are re-ranked by exact squared L2 against
+   * the raw vectors to give the final top-5. At 100 TB the raw-vector
+   * fetch is |Q|·shortlist random reads instead of a corpus scan — the
+   * two-tier fidelity/cost trade every deployed PQ system runs.
+   *
+   * Scale: the shortlist join is a (qid-bounded) equi-join on vec_id;
+   * query vectors ride along as a driver-constant literal map (the
+   * [[anchorVecs]] convention), so the exact pass is per-row codegen.
+   */
+  def simPqRerankTopk(s: SparkSession, dir: String): DataFrame = {
+    val short = pqAdcRanked(s, dir).filter(col("rank") <= PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    val cands = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 18 && col("embedding").isNotNull)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val queries10 = load(s, dir, "embeddings")
+      .filter(col("vec_id").between(8, 17) && col("embedding").isNotNull)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qv =
+      if (queries10.isEmpty) typedLit(Map(0L -> Array(0.0)))
+      else typedLit(queries10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    short.join(cands, "vec_id")
+      .withColumn("d2",
+        dot(col("v"), col("v")) -
+          lit(2.0) * dot(element_at(qv, col("qid")), col("v")) +
+          dot(element_at(qv, col("qid")), element_at(qv, col("qid"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("est").as("est_d2"))
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        (round(col("d2"), 6) + lit(0.0)).as("d2"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -781,6 +828,7 @@ object Similarity {
     "embed_pq_assign" -> (embedPqAssign _),
     "sim_pq_adc_topk" -> (simPqAdcTopk _),
     "sim_pq_recall" -> (simPqRecall _),
+    "sim_pq_rerank_topk" -> (simPqRerankTopk _),
     "embed_kmeans_update" -> (embedKmeansUpdate _),
     "embed_dim_stats" -> (embedDimStats _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1072,6 +1120,25 @@ object Similarity {
       s"""WITH $PqAdcCtes
          |SELECT qid, rank, vec_id AS neighbor, est AS est_d2
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim_pq_rerank_topk" ->
+      s"""WITH $PqAdcCtes,
+         |short AS (SELECT qid, vec_id FROM r WHERE rank <= $PqShortlist),
+         |sd AS (
+         |  SELECT s.qid, s.vec_id,
+         |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+         |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS vq,
+         |    SUM(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq
+         |  FROM short s
+         |  JOIN c ON c.vec_id = s.vec_id
+         |  JOIN q ON q.qid = s.qid, generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2),
+         |rr AS (
+         |  SELECT qid, vec_id, round(vv - 2 * vq + qq, 6) + 0.0 AS d2,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY vv - 2 * vq + qq ASC, vec_id) AS BIGINT) AS rank
+         |  FROM sd)
+         |SELECT qid, rank, vec_id AS neighbor, d2
+         |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim_pq_recall" ->
       s"""WITH $PqAdcCtes,
          |td AS (

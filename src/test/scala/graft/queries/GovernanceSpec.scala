@@ -237,6 +237,34 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       (8L, 4L, 21L, 2.0)))
   }
 
+  test("simPqRerankTopk fixes ADC quantization ties with exact distances") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def vecf(hot: Map[Int, Float]): Array[Float] = {
+      val v = Array.fill(64)(0f); hot.foreach { case (i, x) => v(i) = x }; v
+    }
+    val cents = (0 until 8).map(j => (j.toLong, vecf(Map(8 * j -> 1f)), 0))
+    val query = Seq((8L, vecf(Map(0 -> 1f)), 1))
+    // both 18 and 19 quantize to ADC estimate 0 (codes hide their error);
+    // exact distances differ: d²(q,19)=0.09 < d²(q,18)=0.16 — only the
+    // re-rank pass can order them correctly
+    val cands = Seq(
+      (18L, vecf(Map(0 -> 1f, 8 -> 0.4f)), 1),
+      (19L, vecf(Map(0 -> 0.7f)), 1),
+      (20L, vecf(Map(8 -> 1f)), 1))
+    writeTable(dir, "embeddings", (cents ++ query ++ cands).toDF("vec_id", "embedding", "label"))
+    writeTable(dir, "documents",
+      Seq((0L, "x", "en", "s0", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val adc = Similarity.simPqAdcTopk(spark, dir.toString).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(adc.take(2).toSeq == Seq((1L, 18L), (2L, 19L)),
+      "ADC ties 18/19 at estimate 0 and falls back to id order")
+    val rr = Similarity.simPqRerankTopk(spark, dir.toString).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rr.toSeq == Seq((1L, 19L, 0.09), (2L, 18L, 0.16), (3L, 20L, 2.0)),
+      "the exact pass reorders the tied pair by true distance")
+  }
+
   // -------------------------------------------------- dedup funnel
 
   test("pipelineDedupReasons attributes exact-stage drops before near-stage drops") {
