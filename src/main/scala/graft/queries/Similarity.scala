@@ -382,10 +382,15 @@ object Similarity {
       }: _*)).getField("nj") * lit(-1)
     }
     val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
+    // the LUT sums reference the CODES, not the argmin trees: without the
+    // materialization barrier below, every one of the |Q|·M lookups would
+    // inline its own copy of the 8-centroid argmin expression — measured
+    // 8× slower at sf1 (the codes are computed once per row here, and
+    // the explode stops CollapseProject from merging the projections)
     val ests = queries10.map { case (qid, q) =>
       val l = lut(q)
       val est = (0 until PqM).map { m =>
-        element_at(typedLit(l(m)), codeCols(m) + 1).cast(dec6)
+        element_at(typedLit(l(m)), element_at(col("codes"), m + 1) + 1).cast(dec6)
       }.reduce(_ + _)
       struct(lit(qid).as("qid"), est.cast("double").as("est"))
     }
@@ -395,6 +400,9 @@ object Similarity {
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
     val w = Window.partitionBy(col("qid")).orderBy(col("est"), col("vec_id"))
     cands
+      .select(col("vec_id"),
+        explode(array(struct(array(codeCols.map(_.cast("int")): _*).as("codes")))).as("cr"))
+      .select(col("vec_id"), col("cr.codes").as("codes"))
       .select(col("vec_id"), explode(
         if (ests.isEmpty) array(struct(lit(0L).as("qid"), lit(0.0).as("est")))
         else array(ests: _*)).as("e"))
