@@ -410,6 +410,56 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /**
+   * IVF-PQ residual encoding (the FAISS IVFPQ composition): each member
+   * vector is first assigned to its coarse cell ([[kmeansAssigned]]),
+   * then the RESIDUAL v − centroid is PQ-encoded per subspace — with a
+   * residual-TRAINED codebook the smaller residual norms quantize far
+   * more precisely than [[embedPqAssign]] on raw vectors. The fixture
+   * reuses the anchor-slice codebook (untrained on residuals), and the
+   * per-vector `sq_err` output is precisely the audit that exposes it:
+   * at sf0.01 the residual errors total 750 vs raw PQ's 478 — the
+   * "retrain the codebook on residuals before shipping" signal, which
+   * is what this audit column exists to catch. Emits (vec_id, cid,
+   * subspace, code, sq_err) — the inverted-list entry an IVFPQ index
+   * stores per vector.
+   *
+   * Scale: the cell assignment and the residual subtraction are per-row
+   * codegen over driver constants (centroids ride in a literal map —
+   * no join); the residual materializes ONCE behind the same explode
+   * barrier as [[pqAdcRanked]] before the 8 argmins read it.
+   */
+  def embedIvfPqAssign(s: SparkSession, dir: String): DataFrame = {
+    val cents = anchorVecs(s, dir)
+    val sub = cents.headOption.map(_.length).getOrElse(64) / PqM
+    val cmap =
+      if (cents.isEmpty) typedLit(Map(0L -> Array(0.0)))
+      else typedLit(cents.indices.map(j => j.toLong -> cents(j)).toMap)
+    val withRes = kmeansAssigned(s, dir)
+      .select(col("vec_id"), col("cid"),
+        explode(array(struct(zip_with(col("v"), element_at(cmap, col("cid")),
+          (a, b) => a - b).as("r")))).as("rr"))
+      .select(col("vec_id"), col("cid"), col("rr.r").as("r"))
+    val perSub = (0 until PqM).map { m =>
+      val rs = slice(col("r"), m * sub + 1, sub)
+      val best =
+        if (cents.isEmpty) struct(lit(0.0).as("nd"), lit(0).as("nj"))
+        else array_max(array(cents.zipWithIndex.map { case (c, j) =>
+          val cs = typedLit(c.slice(m * sub, (m + 1) * sub))
+          val d2 = dot(rs, rs) - lit(2.0) * dot(rs, cs) + dot(cs, cs)
+          struct((-d2).as("nd"), lit(-j).as("nj"))
+        }: _*))
+      struct(lit(m.toLong).as("m"),
+        (-best.getField("nj")).cast("long").as("code"),
+        (round(-best.getField("nd"), 6) + lit(0.0)).as("err"))
+    }
+    withRes
+      .select(col("vec_id"), col("cid"), explode(array(perSub: _*)).as("p"))
+      .select(col("vec_id"), col("cid"), col("p.m").as("subspace"),
+        col("p.code").as("code"), col("p.err").as("sq_err"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
   /** ADC shortlist depth for the exact re-rank pass. */
   private val PqShortlist = 20
 
@@ -837,6 +887,7 @@ object Similarity {
     "sim_pq_adc_topk" -> (simPqAdcTopk _),
     "sim_pq_recall" -> (simPqRecall _),
     "sim_pq_rerank_topk" -> (simPqRerankTopk _),
+    "embed_ivfpq_assign" -> (embedIvfPqAssign _),
     "embed_kmeans_update" -> (embedKmeansUpdate _),
     "embed_dim_stats" -> (embedDimStats _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1128,6 +1179,43 @@ object Similarity {
       s"""WITH $PqAdcCtes
          |SELECT qid, rank, vec_id AS neighbor, est AS est_d2
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "embed_ivfpq_assign" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+        |adots AS (
+        |  SELECT m.vec_id, cent.cid0,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+        |  FROM m, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |assign0 AS (
+        |  SELECT vec_id, cid0 AS cid FROM (
+        |    SELECT vec_id, cid0,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+        |    FROM adots) WHERE rn = 1),
+        |av AS (
+        |  SELECT m.vec_id, assign0.cid, m.embedding, cent.cv AS acv
+        |  FROM m JOIN assign0 USING (vec_id)
+        |  JOIN cent ON cent.cid0 = assign0.cid),
+        |rdots AS (
+        |  SELECT av.vec_id, av.cid, cb.cid0, CAST((i - 1) // 8 AS BIGINT) AS sub,
+        |    SUM((embedding[i]::DOUBLE - acv[i]::DOUBLE)
+        |      * (embedding[i]::DOUBLE - acv[i]::DOUBLE)) AS rr,
+        |    SUM(cb.cv[i]::DOUBLE * (embedding[i]::DOUBLE - acv[i]::DOUBLE)) AS rc,
+        |    SUM(cb.cv[i]::DOUBLE * cb.cv[i]::DOUBLE) AS cc
+        |  FROM av, cent cb, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT vec_id, cid, sub AS subspace, CAST(cid0 AS BIGINT) AS code,
+        |  round(rr - 2 * rc + cc, 6) + 0.0 AS sq_err
+        |FROM (
+        |  SELECT vec_id, cid, sub, cid0, rr, rc, cc,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY rr - 2 * rc + cc ASC, cid0) AS rn
+        |  FROM rdots) WHERE rn = 1
+        |ORDER BY vec_id, subspace""".stripMargin,
     "sim_pq_rerank_topk" ->
       s"""WITH $PqAdcCtes,
          |short AS (SELECT qid, vec_id FROM r WHERE rank <= $PqShortlist),

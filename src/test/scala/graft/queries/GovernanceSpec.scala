@@ -265,6 +265,31 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       "the exact pass reorders the tied pair by true distance")
   }
 
+  test("embedIvfPqAssign encodes residuals — exact where raw PQ pays quantization error") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def vecf(hot: Map[Int, Float]): Array[Float] = {
+      val v = Array.fill(64)(0f); hot.foreach { case (i, x) => v(i) = x }; v
+    }
+    val cents = (0 until 8).map(j => (j.toLong, vecf(Map(8 * j -> 1f)), 0))
+    // member 8 = 2·e0: nearest cell c0, residual = e0 — exactly a
+    // sub-centroid slice, so IVFPQ reconstructs it with ZERO error while
+    // raw PQ (embed_pq_assign) pays (2−1)² = 1 in subspace 0
+    val member = Seq((8L, vecf(Map(0 -> 2f)), 1))
+    writeTable(dir, "embeddings", (cents ++ member).toDF("vec_id", "embedding", "label"))
+    writeTable(dir, "documents",
+      Seq((0L, "x", "en", "s0", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val raw = Similarity.embedPqAssign(spark, dir.toString).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(raw(0L) == ((0L, 1.0)), "raw PQ: code 0 with one unit of quantization error")
+    val ivfpq = Similarity.embedIvfPqAssign(spark, dir.toString).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(ivfpq.forall(_._1 == 0L), "coarse cell is c0")
+    val bySub = ivfpq.map(t => t._2 -> ((t._3, t._4))).toMap
+    assert(bySub(0L) == ((0L, 0.0)), "residual e0 IS sub-centroid 0's slice — zero error")
+    (1L to 7L).foreach(m => assert(bySub(m)._2 == 0.0, s"zero residual in subspace $m"))
+  }
+
   // -------------------------------------------------- dedup funnel
 
   test("pipelineDedupReasons attributes exact-stage drops before near-stage drops") {
