@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.Ml.queries ++
       graft.queries.Corpus.queries ++
       graft.queries.TrainAudit.queries ++
-      graft.queries.Governance.queries
+      graft.queries.Governance.queries ++
+      graft.queries.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.Ml.oracle ++
       graft.queries.Corpus.oracle ++
       graft.queries.TrainAudit.oracle ++
-      graft.queries.Governance.oracle
+      graft.queries.Governance.oracle ++
+      graft.queries.Retrieval.oracle
 }

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic cases for the retrieval family: BM25's closed form on a
+  * fixture small enough to verify each factor by hand (df/idf per term,
+  * the length-normalized saturation, the Σ-of-rounded-terms contract,
+  * and exclusion of no-hit / empty / NULL documents). */
+class RetrievalSpec extends AnyFunSuite with SparkFixture {
+
+  private def bm25Dir(): String = {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, "vector vector hash x", "en", "s0"),          // dl=4, hits vector×2, hash×1
+      (1L, "stream y y y y y y y", "en", "s0"),          // dl=8, hits stream×1
+      (2L, "x y z", "en", "s1"),                         // dl=3, no query hits
+      (3L, "vector", "en", "s1"),                        // dl=1, hits vector×1
+      (4L, "", "en", "s1"),                              // empty — not a document
+      (5L, null.asInstanceOf[String], "en", "s1"))       // failed extraction
+      .map { case (id, t, l, s) =>
+        (id, t, l, s, Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir.toString
+  }
+
+  test("textBm25Topk scores match the closed form; no-hit/empty/NULL docs excluded") {
+    // corpus: N=4 scoring docs (0,1,2,3), total tokens 4+8+3+1=16, avgdl=4.0
+    // df: vector=2 (docs 0,3), hash=1 (doc 0), stream=1 (doc 1)
+    val idfVector = math.log(1.0 + (4.0 - 2.0 + 0.5) / (2.0 + 0.5)) // ln 2
+    val idfHash = math.log(1.0 + (4.0 - 1.0 + 0.5) / (1.0 + 0.5))   // ln(10/3)
+    def sat(tf: Double, dl: Double): Double =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 4.0)))
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+    val rows = Retrieval.textBm25Topk(spark, bm25Dir()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    val ids = rows.map(_._1)
+    assert(!ids.contains(2L) && !ids.contains(4L) && !ids.contains(5L),
+      "documents with no query hits (or no tokens) never appear")
+
+    val byId = rows.toMap
+    // doc 0: dl=4 is exactly avgdl, so the hash term's saturation is
+    //        tf·2.2/(tf+1.2) with tf=1 → exactly 1.0 → ts = idf(hash)
+    assert(byId(0L)._1 == 4L && byId(0L)._2 == 2L)
+    val exp0 = (r6(idfVector * sat(2.0, 4.0)) + r6(idfHash)).toDouble
+    assert(byId(0L)._3 == exp0, s"doc 0 score ${byId(0L)._3} != $exp0")
+    // doc 1: a long doc is length-penalized (dl=2·avgdl)
+    val exp1 = r6(idfHash * sat(1.0, 8.0)).toDouble
+    assert(byId(1L) == ((8L, 1L, exp1)))
+    // doc 3: a short doc is length-boosted (dl=avgdl/4)
+    val exp3 = r6(idfVector * sat(1.0, 1.0)).toDouble
+    assert(byId(3L) == ((1L, 1L, exp3)))
+    // ranking: two hits beat one; the rows arrive score-descending
+    assert(ids.head == 0L)
+    assert(rows.map(_._2._3).sorted.reverse.toSeq == rows.map(_._2._3).toSeq)
+  }
+}
