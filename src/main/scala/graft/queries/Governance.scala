@@ -479,6 +479,95 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Per-source Gini concentration — stats_gini
+  // ---------------------------------------------------------------------
+
+  /**
+   * Gini concentration of document length per source — the inequality
+   * audit a data card publishes: G ≈ 0 means a source's character mass is
+   * spread evenly across its documents, G → 1 means a few giant documents
+   * carry the slice (a scrape-artifact signature: concatenated dumps,
+   * runaway boilerplate). Exact, via the grouped rank identity
+   * `G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n` where TWICE the rank sum for a
+   * tied value group (v, c) ending at cumulative count F is
+   * `v·(2·c·F − c·(c−1))` — no per-row ranking, and with the ×2 folded in
+   * there is no division anywhere before the closed form.
+   *
+   * Scale shape: lengths collapse to (source, value) counts first (the
+   * [[statsKsDrift]] layout — bounded by |sources|·|distinct lengths|,
+   * combiner-friendly); the cumulative count is a window over that
+   * bounded collapsed relation; per-group terms stay integral (LONG terms
+   * — |v·2·c·F| needs n_src·max_len ≲ 3e9·√-headroom, documented — summed
+   * as exact DECIMAL(38,0)), so the only floats are the two final
+   * divisions — single IEEE ops, bit-identical cross-engine, 6 dp.
+   */
+  def statsGini(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val sv = docs(s, dir)
+      .select(col("source"), col("n_chars").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = sv.withColumn("f",
+      sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("v"))))
+    cum.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum((col("c") * col("v")).cast(d38)).as("mass"),
+        sum((col("v") * (lit(2L) * col("c") * col("f") -
+          col("c") * (col("c") - 1))).cast(d38)).as("rank2"))
+      .select(col("source"), col("n_docs"),
+        col("mass").cast("long").as("total_chars"),
+        round(when(col("mass") > 0,
+          col("rank2").cast("double") /
+            (col("n_docs").cast("double") * col("mass").cast("double")) -
+            (col("n_docs") + 1).cast("double") / col("n_docs").cast("double")),
+          6).as("gini"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Dedup-cluster-aware split — split_group_aware
+  // ---------------------------------------------------------------------
+
+  /** Group-level split rates (percent of md5 bucket space). */
+  private val GroupTrainPct = 80L
+  private val GroupValPct = 90L
+
+  /**
+   * Leakage-safe train/val/test split: the split unit is the NORMALIZED-
+   * DEDUP CLUSTER ([[dedupNormExact]]'s key), not the document — every
+   * member of a duplicate class lands in the same split, so a near-copy
+   * of a training document can never sit in the test set (the
+   * decontamination-by-construction rule every serious eval pipeline
+   * enforces; a doc-level hash split leaks duplicated content across the
+   * boundary at exactly the duplication rate).
+   *
+   * Scale shape: the same ONE groupBy-collapse + equi-join-back as
+   * [[dedupNormExact]]; the split verdict is a scan-local md5-mod test on
+   * the cluster's canonical id (group-constant by construction — no
+   * second shuffle, no window). NULL-text / empty-norm docs are singleton
+   * groups keyed by their own doc_id.
+   */
+  def splitGroupAware(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
+          .as("norm_fp"))
+    val clusters = d.filter(col("norm_fp").isNotNull)
+      .groupBy(col("norm_fp"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gn"))
+    val bucket = Curation.md5Mod100(col("group_id"))
+    d.join(clusters, Seq("norm_fp"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("gid"), col("doc_id")).as("group_id"),
+        coalesce(col("gn"), lit(1L)).as("group_n"))
+      .withColumn("split",
+        when(bucket < GroupTrainPct, "train")
+          .when(bucket < GroupValPct, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
 
@@ -491,7 +580,9 @@ object Governance {
     "corpus_zipf_fit" -> (corpusZipfFit _),
     "stats_ks_drift" -> (statsKsDrift _),
     "curriculum_order" -> (curriculumOrder _),
-    "split_stratified_exact" -> (splitStratifiedExact _))
+    "split_stratified_exact" -> (splitStratifiedExact _),
+    "stats_gini" -> (statsGini _),
+    "split_group_aware" -> (splitGroupAware _))
 
   /** The DuckDB spelling of [[normText]] → md5 (NULL for empty-norm/NULL
     * text) — ONE string shared by every oracle that keys on it. */
@@ -687,6 +778,43 @@ object Governance {
          |    THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
          |         / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
          |FROM a""".stripMargin,
+    "stats_gini" ->
+      """WITH l AS (
+        |  SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |sv AS (SELECT source, v, CAST(COUNT(1) AS BIGINT) AS c FROM l GROUP BY source, v),
+        |cf AS (
+        |  SELECT source, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS f
+        |  FROM sv),
+        |a AS (
+        |  SELECT source,
+        |    CAST(SUM(c) AS BIGINT) AS n_docs,
+        |    CAST(SUM(c * v) AS BIGINT) AS total_chars,
+        |    SUM(CAST(v * (2 * c * f - c * (c - 1)) AS DECIMAL(38,0))) AS rank2
+        |  FROM cf GROUP BY source)
+        |SELECT source, n_docs, total_chars,
+        |  round(CASE WHEN total_chars > 0 THEN
+        |    CAST(rank2 AS DOUBLE)
+        |      / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+        |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) END, 6) AS gini
+        |FROM a ORDER BY source""".stripMargin,
+    "split_group_aware" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, source, ${duckNormFp("text")} AS norm_fp
+         |  FROM documents),
+         |c AS (
+         |  SELECT norm_fp, MIN(doc_id) AS gid, CAST(COUNT(1) AS BIGINT) AS gn
+         |  FROM n WHERE norm_fp IS NOT NULL GROUP BY norm_fp),
+         |g AS (
+         |  SELECT n.doc_id, n.source,
+         |    COALESCE(c.gid, n.doc_id) AS group_id,
+         |    COALESCE(c.gn, 1) AS group_n
+         |  FROM n LEFT JOIN c USING (norm_fp))
+         |SELECT doc_id, source, group_id, group_n,
+         |  CASE WHEN CAST(CAST('0x' || substring(md5(CAST(group_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 < $GroupTrainPct THEN 'train'
+         |       WHEN CAST(CAST('0x' || substring(md5(CAST(group_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 < $GroupValPct THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin,
     "split_stratified_exact" ->
       s"""WITH r AS (
          |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS skey

@@ -430,4 +430,56 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     assert(out("rep") == ((4L, 2L, 0.5, 3L, 2L)))
     assert(out("tiny")._1 == 1L && out("tiny")._4 == 0L, "a 1-token source has zero bigrams")
   }
+
+  // ---------------------------------------------------------------- gini
+
+  test("statsGini: equal lengths → 0, [1,3] → 0.25, singleton → 0, ties collapse") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, "eq", 5L), (1L, "eq", 5L), (2L, "eq", 5L),     // perfectly even
+      (3L, "uneq", 1L), (4L, "uneq", 3L),                  // G = |1-3|·2/(2·n²·μ) = 0.25
+      (5L, "single", 7L),                                  // n=1 → 0 by convention
+      (6L, "skew", 1L), (7L, "skew", 1L), (8L, "skew", 98L)) // near-total concentration
+      .map { case (id, s, n) => (id, "x", "en", s, n) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.statsGini(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("eq") == ((3L, 15L, 0.0)))
+    assert(out("uneq") == ((2L, 4L, 0.25)))
+    assert(out("single") == ((1L, 7L, 0.0)))
+    // skew: sorted [1,1,98]; 2Σi·x = 2(1·1+2·1+3·98) = 594;
+    // G = 594/(3·100) − 4/3 = 1.98 − 1.333333… = 0.646667
+    assert(out("skew") == ((3L, 100L, 0.646667)))
+  }
+
+  // ------------------------------------------------------ group split
+
+  test("splitGroupAware keeps every member of a duplicate class in one split") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (10L, "Hello World 1", "en", "web"),   // one normalization class…
+      (11L, "hello world 2", "en", "cc"),    // …split must not separate them
+      (12L, "HELLO world 999", "en", "books"),
+      (13L, "something else entirely", "en", "web"),
+      (14L, null.asInstanceOf[String], "en", "web"),  // singleton group = own id
+      (15L, "...", "en", "web"))                       // empty-norm singleton
+      .map { case (id, t, l, s) =>
+        (id, t, l, s, Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.splitGroupAware(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val g10 = out(10L)
+    assert(g10._1 == 10L && g10._2 == 3L, "lowest member id is the group key")
+    Seq(11L, 12L).foreach { id =>
+      assert(out(id) == g10, s"doc $id shares doc 10's group AND split")
+    }
+    Seq(13L, 14L, 15L).foreach { id =>
+      assert(out(id)._1 == id && out(id)._2 == 1L, s"doc $id is a singleton group")
+    }
+    val buckets = Set("train", "val", "test")
+    assert(out.values.forall(v => buckets.contains(v._3)))
+  }
 }
