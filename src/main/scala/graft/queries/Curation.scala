@@ -349,8 +349,46 @@ object Curation {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Sample size for the weighted-without-replacement draw. */
+  private val WeightedK = 100
+
+  /**
+   * Exact-k weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+   * A-ES, Inf. Proc. Letters 2006) — the draw a mixture builder runs when
+   * it needs EXACTLY k documents with inclusion probability ∝ weight
+   * (here character mass), not a Bernoulli thinning whose output size is
+   * a binomial draw ([[Text.sampleQualityWeighted]]'s shape): each item
+   * gets the key `ln(u)/w` for a per-item uniform u, and the k largest
+   * keys ARE a weighted sample without replacement. u derives
+   * deterministically from md5(doc_id) (the reproducible-sampling
+   * convention — same rows survive on every engine, run and partitioning).
+   *
+   * Scale shape: the key is a pure scan-local expression (zero shuffle,
+   * zero state); the k-largest cut is a TakeOrderedAndProject (per-
+   * partition partial top-k, merge at the driver — never a global sort).
+   * Determinism: u = (h+1)/2^32 ∈ (0,1] from the first 8 md5 hex chars
+   * (u=0 impossible, so ln is total); selection orders on the UNROUNDED
+   * key — one ln and two divisions, identical IEEE ops both engines —
+   * with doc_id tiebreak; the reported key rounds at 6 dp.
+   */
+  def sampleWeightedK(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val key = log((h + lit(1L)).cast("double") / lit(4294967296.0)) /
+      col("w").cast("double")
+    load(s, dir, "documents")
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("w"))
+      .withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(WeightedK)
+      .select(col("doc_id"), col("source"), col("w"),
+        (round(col("es_key"), 6) + lit(0.0)).as("es_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
+    "sample_weighted_k" -> (sampleWeightedK _),
     "sample_stratified" -> (sampleStratified _),
     "pipeline_curation" -> (pipelineCuration _),
     "curation_best_of_cluster" -> (curationBestOfCluster _),
@@ -400,6 +438,16 @@ object Curation {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${duckMd5Mod100("doc_id")} < $duckRate
          |ORDER BY doc_id""".stripMargin,
+    "sample_weighted_k" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) AS h
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         |SELECT doc_id, source, w,
+         |  round(ln(CAST(h + 1 AS DOUBLE) / 4294967296.0) / CAST(w AS DOUBLE), 6) + 0.0 AS es_key
+         |FROM b
+         |ORDER BY ln(CAST(h + 1 AS DOUBLE) / 4294967296.0) / CAST(w AS DOUBLE) DESC, doc_id
+         |LIMIT $WeightedK""".stripMargin,
     "curation_best_of_cluster" ->
       s"""WITH RECURSIVE $duckComp,
          |toks AS (

@@ -873,7 +873,58 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Topic terms reported per cluster. */
+  private val TopicsPerCell = 5
+
+  /**
+   * Semantic-cluster topic profiling — the "what is each cluster about"
+   * table a curation team reads next to [[dedupSemantic]] /
+   * [[embedPairMining]]: for every k-means cell, the [[TopicsPerCell]]
+   * most DISTINCTIVE terms of its member documents, ranked by lift —
+   * the cell's term share over the corpus term share ((cnt/n_cell) /
+   * (cnt_corpus/n_total)). Raw counts would rank stopwords first in
+   * every cell; lift surfaces what separates a cell from the rest.
+   *
+   * Scale shape: member docs join their cluster id on the doc_id=vec_id
+   * equi-key; tokens collapse to (cid, term) counts (map-side combined);
+   * the per-cell totals re-aggregate from THAT collapsed relation (≤k
+   * rows, broadcast back) and corpus term counts re-aggregate the same
+   * relation (never a second corpus scan), joining back on the term
+   * equi-key under AQE. The rank window partitions by cid over the
+   * collapsed per-cell vocabulary — bounded because k grows with the
+   * corpus (the [[dedupSemantic]] scale-knob convention). Determinism:
+   * lift ranks on the unrounded double (identical IEEE quotient both
+   * engines) with (cnt desc, term) tiebreaks; output rounds at 6 dp.
+   */
+  def clusterTopics(s: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssigned(s, dir).select(col("vec_id"), col("cid"))
+    val toks = load(s, dir, "documents")
+      .join(assigned, col("doc_id") === col("vec_id"))
+      .select(col("cid"), explode(Text.words(col("text"))).as("term"))
+    val cellTerm = toks.groupBy(col("cid"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val cellTot = cellTerm.groupBy(col("cid")).agg(sum(col("cnt")).as("n_cell"))
+    val corpTerm = cellTerm.groupBy(col("term")).agg(sum(col("cnt")).as("cnt_corpus"))
+    val nTotal = cellTot.agg(coalesce(sum(col("n_cell")), lit(0L))).first().getLong(0)
+    val lift = (col("cnt").cast("double") / col("n_cell").cast("double")) /
+      (col("cnt_corpus").cast("double") / lit(nTotal.toDouble))
+    cellTerm
+      .join(broadcast(cellTot), Seq("cid"))
+      .join(corpTerm, Seq("term"))
+      .withColumn("lift", lift)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("lift").desc, col("cnt").desc, col("term"))))
+      .filter(col("rk") <= TopicsPerCell)
+      .select(col("cid"), col("rk").cast("long").as("rk"), col("term"),
+        col("cnt"), round(col("lift"), 6).as("lift"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_topics" -> (clusterTopics _),
     "embed_whiten_apply" -> (embedWhitenApply _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "embed_pair_mining" -> (embedPairMining _),
@@ -1275,6 +1326,43 @@ object Similarity {
         |  FROM dots)
         |SELECT vec_id, sub AS subspace, CAST(cid0 AS BIGINT) AS code, rd2 AS sq_err
         |FROM assign WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+    "cluster_topics" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+         |dots AS (
+         |  SELECT m.vec_id, cent.cid0,
+         |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+         |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+         |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+         |  FROM m, cent, generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, cid0 AS cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+         |  FROM dots),
+         |t AS (
+         |  SELECT a.cid,
+         |    unnest(list_filter(string_split(d.text, ' '), w -> w <> '')) AS term
+         |  FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+         |  WHERE a.rn = 1),
+         |ct AS (SELECT cid, term, CAST(COUNT(1) AS BIGINT) AS cnt FROM t GROUP BY cid, term),
+         |tot AS (SELECT cid, CAST(SUM(cnt) AS BIGINT) AS n_cell FROM ct GROUP BY cid),
+         |corp AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS cnt_corpus FROM ct GROUP BY term),
+         |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM ct),
+         |r AS (
+         |  SELECT ct.cid, ct.term, ct.cnt,
+         |    (CAST(ct.cnt AS DOUBLE) / CAST(tot.n_cell AS DOUBLE))
+         |      / (CAST(corp.cnt_corpus AS DOUBLE) / CAST(nt.n_total AS DOUBLE)) AS lift
+         |  FROM ct JOIN tot USING (cid) JOIN corp USING (term) CROSS JOIN nt),
+         |k AS (
+         |  SELECT cid, term, cnt, lift,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY lift DESC, cnt DESC, term) AS BIGINT) AS rk
+         |  FROM r)
+         |SELECT cid, rk, term, cnt, round(lift, 6) AS lift
+         |FROM k WHERE rk <= $TopicsPerCell ORDER BY cid, rk""".stripMargin,
     "embed_kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),

@@ -173,4 +173,47 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
         "mean must never surface as -0.0")
     }
   }
+
+  test("clusterTopics ranks by lift: the cell-distinctive term beats the global stopword") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def unit(axis: Int): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(axis) = 1.0f; v
+    }
+    val cents = (0L until 8L).map(i => (i, unit((i % 4).toInt), 0))
+    val members = Seq((8L, unit(0), 0), (9L, unit(1), 1))
+    writeTable(dir, "embeddings", (cents ++ members).toDF("vec_id", "embedding", "label"))
+    val docRows = Seq(
+      (8L, "common alpha alpha", "en", "s0"),
+      (9L, "common beta beta", "en", "s0"),
+      (99L, "orphan text no vector", "en", "s0")) // no embedding → excluded
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", docRows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Similarity.clusterTopics(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    // member 8 sits on centroid 0 (tie with 4 broken low), member 9 on centroid 1.
+    // corpus (clustered docs only): common=2, alpha=2, beta=2, n_total=6.
+    // cell 0: alpha lift = (2/3)/(2/6) = 2.0, common lift = (1/3)/(2/6) = 1.0.
+    assert(out.filter(_._1 == 0L).map(t => (t._2, t._3, t._4, t._5)).toSeq ==
+      Seq((1L, "alpha", 2L, 2.0), (2L, "common", 1L, 1.0)))
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5)).toSeq ==
+      Seq((1L, "beta", 2L, 2.0), (2L, "common", 1L, 1.0)))
+    assert(!out.exists(_._3 == "orphan"), "docs without a vector contribute nothing")
+  }
+
+  test("sampleWeightedK: heaviest weight dominates; k past n returns everything") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // One doc with overwhelming mass: es_key = ln(u)/w → ≈0 (the best
+    // possible key) while unit-weight docs sit at ln(u) ≤ ln(u_max) < 0.
+    val rows = (0L until 20L).map(i => (i, "x", "en", "s0", 1L)) :+
+      (20L, "x", "en", "s0", 1000000000000L)
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.sampleWeightedK(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 21, "k=100 > n=21 keeps every weighted doc")
+    assert(out.head._1 == 20L && out.head._3 == 0.0,
+      "the giant-weight doc's key rounds to 0 — first out of the draw")
+    assert(out.tail.forall(_._3 < 0.0), "unit-weight keys are strictly negative")
+  }
 }
