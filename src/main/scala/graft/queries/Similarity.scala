@@ -873,6 +873,106 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * Semantic decontamination — the paraphrase-level complement of
+   * [[Corpus]]'s shingle-overlap `decontam_overlap`: a training document
+   * is flagged when its EMBEDDING sits within [[CosineDupThreshold]]
+   * cosine of any benchmark document, catching reworded benchmark
+   * leakage that exact n-gram matching can never see (the GPT-4-era
+   * contamination concern). The benchmark slice is data-derived (the
+   * minimum source, the `shingle_except` convention) so the query can't
+   * go vacuous; output is the per-training-doc verdict (hit count +
+   * max similarity) a decontamination gate consumes.
+   *
+   * Scale shape: candidates meet the benchmark through the sign-LSH
+   * bucket equi-join ([[dedupEmbeddingCosine]]'s candidate generator) —
+   * never corpus × benchmark; the benchmark side is broadcast (benchmark
+   * suites are thousands of rows, not corpus-scale — the one honest
+   * small side in this family); the verdict is one map-side-combinable
+   * groupBy over the surviving pairs. Determinism: sims rounded at 6 dp
+   * before MAX; the unrounded value only gates the ≥ τ filter with the
+   * same IEEE ops both engines.
+   */
+  def decontamSemantic(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val anchors = anchorVecs(s, dir)
+    val m = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull && noModel(anchors))
+      .select(col("vec_id"), dArr(col("embedding")).as("v"),
+        bucketExpr(dArr(col("embedding")), anchors).as("bucket"))
+      .join(load(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+    // benchmark slice key: metadata-sized driver scalar (1-row aggregate)
+    val bs = m.agg(min(col("source"))).first().getString(0)
+    val bsLit = Option(bs).map(lit).getOrElse(lit(null).cast("string"))
+    val bench = m.filter(col("source") === bsLit)
+      .select(col("bucket").as("bucket_b"), col("vec_id").as("bid"), col("v").as("bv"))
+    val corp = m.filter(col("source") =!= bsLit)
+      .select(col("bucket"), col("vec_id").as("did"), col("v").as("cv"))
+    corp.join(broadcast(bench), col("bucket") === col("bucket_b"))
+      .withColumn("sim", cosine(col("cv"), col("bv")))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("sim") >= CosineDupThreshold, 1L).otherwise(0L))
+          .as("n_bench_hits"),
+        max(round(col("sim"), 6)).as("max_sim"))
+      .select(col("did").as("doc_id"), col("n_cands"), col("n_bench_hits"),
+        col("max_sim"), (col("n_bench_hits") > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Random-projection output dimensionality (64 → 16, 4× cheaper). */
+  private val RpK = 16
+  private val RpDim = 64
+
+  /** The ±1 projection matrix — a fixed model parameter derived
+    * deterministically from md5 (Achlioptas 2003 shows ±1 entries satisfy
+    * the JL guarantee; no float randomness needed). Row-major [RpK][RpDim];
+    * the SAME Scala value renders into the Spark literal and the oracle
+    * SQL, so the two engines cannot disagree on the matrix. */
+  private[queries] lazy val rpSigns: Seq[Seq[Double]] =
+    (0 until RpK).map { r =>
+      (0 until RpDim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$r:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  /**
+   * Johnson–Lindenstrauss random projection (±1/Achlioptas entries),
+   * 64 → [[RpK]] dims — the preprocessing step that makes 100 TB-scale
+   * similarity affordable: downstream LSH/clustering run on a 4×-smaller
+   * vector whose pairwise geometry is preserved in expectation
+   * (E‖Pv‖² = k·‖v‖²). Emits the projected vector plus the per-vector
+   * norm-distortion audit (‖Pv‖²/k over ‖v‖², −1) a pipeline reads
+   * before committing the projected index.
+   *
+   * Scale shape: the matrix is a driver-constant literal (model
+   * parameter, the anchorVecs convention) — the projection is [[RpK]]
+   * codegen dot kernels per row, no join, no shuffle, nothing but the
+   * output sort. Determinism: each component is an index-ordered
+   * [[graft.functions.DotF64]] fold rounded at 6 dp (−0.0 canonicalized);
+   * the audit derives from the ROUNDED components so both engines feed
+   * identical inputs into the closed form.
+   */
+  def embedRpProject(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sl = typedLit(rpSigns)
+    val v = dArr(col("embedding"))
+    val proj = array((1 to RpK).map(r =>
+      round(dot(v, element_at(sl, lit(r))), 6) + lit(0.0)): _*)
+    load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), proj.as("proj"), round(dot(v, v), 6).as("n2"))
+      .select(col("vec_id"), col("proj"), col("n2"),
+        (round(aggregate(col("proj"), lit(0.0), (a, e) => a + e * e) /
+          lit(RpK.toDouble), 6) + lit(0.0)).as("n2p"))
+      .withColumn("distortion",
+        round(when(col("n2") > 0, col("n2p") / col("n2") - lit(1.0)), 6) + lit(0.0))
+      .orderBy(col("vec_id"))
+  }
+
   /** Topic terms reported per cluster. */
   private val TopicsPerCell = 5
 
@@ -924,6 +1024,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_rp_project" -> (embedRpProject _),
+    "decontam_semantic" -> (decontamSemantic _),
     "cluster_topics" -> (clusterTopics _),
     "embed_whiten_apply" -> (embedWhitenApply _),
     "sim_ivf_recall" -> (simIvfRecall _),
@@ -1326,6 +1428,67 @@ object Similarity {
         |  FROM dots)
         |SELECT vec_id, sub AS subspace, CAST(cid0 AS BIGINT) AS code, rd2 AS sq_err
         |FROM assign WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+    "decontam_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+        |m AS (
+        |  SELECT v.vec_id, v.embedding, d.source
+        |  FROM v JOIN documents d ON d.doc_id = v.vec_id),
+        |bsrc AS (SELECT MIN(source) AS bs FROM m),
+        |dots AS (
+        |  SELECT m.vec_id, a.aid, SUM(av[i]::DOUBLE * embedding[i]::DOUBLE) AS dt
+        |  FROM m, a, generate_series(1, 64) t(i)
+        |  GROUP BY m.vec_id, a.aid),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN dt > 0 THEN CAST(1 AS BIGINT) << CAST(aid AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |be AS (
+        |  SELECT m.vec_id, b.bucket, m.embedding, m.source
+        |  FROM buckets b JOIN m USING (vec_id)),
+        |pairs AS (
+        |  SELECT c.vec_id AS did,
+        |    SUM(c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE) AS d,
+        |    SUM(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE) AS dx,
+        |    SUM(q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE) AS dy
+        |  FROM be c JOIN be q ON c.bucket = q.bucket, bsrc,
+        |  generate_series(1, 64) t(i)
+        |  WHERE q.source = bs AND c.source <> bs
+        |  GROUP BY c.vec_id, q.vec_id),
+        |agg AS (
+        |  SELECT did AS doc_id, CAST(COUNT(1) AS BIGINT) AS n_cands,
+        |    CAST(SUM(CASE WHEN d / (sqrt(dx) * sqrt(dy)) >= 0.35
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bench_hits,
+        |    MAX(round(d / (sqrt(dx) * sqrt(dy)), 6)) AS max_sim
+        |  FROM pairs GROUP BY did)
+        |SELECT doc_id, n_cands, n_bench_hits, max_sim,
+        |  n_bench_hits > 0 AS contaminated
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "embed_rp_project" -> {
+      val matRows = rpSigns.zipWithIndex.map { case (row, r) =>
+        s"(${r + 1}, [${row.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}])"
+      }.mkString(",\n|    ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+         |s(r, sv) AS (VALUES
+         |    $matRows),
+         |p AS (
+         |  SELECT e.vec_id, s.r,
+         |    round(SUM(sv[i] * embedding[i]::DOUBLE), 6) + 0.0 AS pr
+         |  FROM e, s, generate_series(1, $RpDim) t(i)
+         |  GROUP BY e.vec_id, s.r),
+         |n AS (
+         |  SELECT vec_id,
+         |    round(SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE), 6) AS n2
+         |  FROM e, generate_series(1, $RpDim) t(i) GROUP BY vec_id),
+         |agg AS (
+         |  SELECT vec_id, list(pr ORDER BY r) AS proj,
+         |    round(SUM(pr * pr) / ${RpK.toDouble}, 6) + 0.0 AS n2p
+         |  FROM p GROUP BY vec_id)
+         |SELECT a.vec_id, a.proj, n.n2, a.n2p,
+         |  round(CASE WHEN n.n2 > 0 THEN a.n2p / n.n2 - 1.0 END, 6) + 0.0 AS distortion
+         |FROM agg a JOIN n USING (vec_id) ORDER BY a.vec_id""".stripMargin
+    },
     "cluster_topics" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
          |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),

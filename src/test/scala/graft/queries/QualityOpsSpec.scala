@@ -201,6 +201,49 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     assert(!out.exists(_._3 == "orphan"), "docs without a vector contribute nothing")
   }
 
+  test("embedRpProject: unit vector picks its sign column exactly; zero vector has NULL distortion") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val z = Array.fill(64)(0.0f)
+    writeTable(dir, "embeddings",
+      Seq((0L, e1, 0), (1L, z, 0)).toDF("vec_id", "embedding", "label"))
+    val out = Similarity.embedRpProject(spark, dir.toString).collect()
+    val r0 = out.find(_.getLong(0) == 0L).get
+    // P·e₁ is the matrix's first column: each component is ±1 exactly
+    assert(r0.getSeq[Double](1) == Similarity.rpSigns.map(_.head),
+      "projection of a basis vector reads off the sign column")
+    assert(r0.getDouble(2) == 1.0 && r0.getDouble(3) == 1.0 && r0.getDouble(4) == 0.0,
+      "‖e₁‖²=1, Σ(±1)²/16=1 → zero distortion for a basis vector")
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getSeq[Double](1).forall(_ == 0.0) && r1.getDouble(2) == 0.0 &&
+      r1.isNullAt(4), "the zero vector projects to zero with NULL distortion")
+  }
+
+  test("decontamSemantic flags a paraphrase-identical doc; opposite-bucket docs are never candidates") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def unit(axis: Int): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(axis) = 1.0f; v
+    }
+    val cents = (0L until 8L).map(i => (i, unit((i % 4).toInt), 0))
+    val members = Seq(
+      (8L, Array(1.0f, 1.0f, 0.0f, 0.0f), 0),   // benchmark doc
+      (9L, Array(1.0f, 1.0f, 0.0f, 0.0f), 0),   // identical training doc — contaminated
+      (10L, Array(-1.0f, -1.0f, 0.0f, 0.0f), 0)) // opposite LSH bucket — never met
+    writeTable(dir, "embeddings", (cents ++ members).toDF("vec_id", "embedding", "label"))
+    val docRows = Seq(
+      (8L, "benchmark question", "en", "aaa_bench"), // min source = the benchmark slice
+      (9L, "training copy", "en", "zzz"),
+      (10L, "unrelated", "en", "zzz"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", docRows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Similarity.decontamSemantic(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((9L, 1L, 1L, 1.0, true)),
+      "only the bucket-collided identical doc appears — flagged at cosine 1.0")
+  }
+
   test("sampleWeightedK: heaviest weight dominates; k past n returns everything") {
     import spark.implicits._
     val dir = tmpSfDir()
