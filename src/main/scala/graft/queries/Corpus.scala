@@ -709,7 +709,70 @@ object Corpus {
     "corpus_pivot" -> (corpusPivot _),
     "stats_percent_rank" -> (statsPercentRank _),
     "mix_temperature" -> (mixTemperature _),
-    "mix_epochs" -> (mixEpochs _))
+    "mix_epochs" -> (mixEpochs _),
+    "mix_anneal" -> (mixAnneal _),
+    "corpus_cube" -> (corpusCube _))
+
+  /** Two-phase training budget (chars): 9/10 pretrain, 1/10 anneal. */
+  private val PretrainBudgetChars = 900000L
+  private val AnnealBudgetChars = 100000L
+
+  /**
+   * Two-phase mixture schedule — the pretrain + anneal (cooldown) split
+   * modern recipes run (MiniCPM, Llama-3 style): the PRETRAIN budget
+   * allocates by the [[mixEpochs]] √-mass weights (breadth), while the
+   * ANNEAL budget allocates by each source's QUALITY mass — the
+   * characters of documents passing the full Gopher-rule battery
+   * ([[Text.gopherPredicates]]) — upweighting clean slices exactly when
+   * the learning rate decays. Emits the per-source plan for both phases.
+   *
+   * Scale shape: ONE scan computes availability and quality mass (the
+   * battery is pure codegen predicates), collapsed to ≤|sources| rows;
+   * phase totals are metadata-sized driver scalars; allocations are
+   * integer `budget·w DIV W` cross-multiplications — engine-exact, no
+   * float shares anywhere.
+   */
+  def mixAnneal(s: SparkSession, dir: String): DataFrame = {
+    val keep = Text.gopherPredicates.reduce(_ && _)
+    val nc = coalesce(col("n_chars"), lit(0L))
+    val counts = docs(s, dir)
+      .select(col("source"), nc.as("nc"),
+        when(keep, nc).otherwise(lit(0L)).as("pc"))
+      .groupBy(col("source"))
+      .agg(sum(col("nc")).cast("long").as("avail_chars"),
+        sum(col("pc")).cast("long").as("pass_chars"))
+      .withColumn("w_pre",
+        floor(sqrt(col("avail_chars").cast("double"))).cast("long"))
+    val row = counts
+      .agg(coalesce(sum(col("w_pre")), lit(0L)).cast("long"),
+        coalesce(sum(col("pass_chars")), lit(0L)).cast("long")).first()
+    val (tw, tp) = (row.getLong(0), row.getLong(1))
+    val pre =
+      if (tw > 0) expr(s"${PretrainBudgetChars}L * w_pre DIV ${tw}L") else lit(0L)
+    val ann =
+      if (tp > 0) expr(s"${AnnealBudgetChars}L * pass_chars DIV ${tp}L") else lit(0L)
+    counts
+      .withColumn("target_pretrain", pre)
+      .withColumn("target_anneal", ann)
+      .withColumn("target_total", col("target_pretrain") + col("target_anneal"))
+      .orderBy(col("source"))
+  }
+
+  /**
+   * Full CUBE composition report — completes the grouping-sets surface
+   * next to [[corpusRollup]] (hierarchical) and [[corpusPivot]] (wide):
+   * all four (lang, source) grouping sets with the SQL-standard
+   * GROUPING() bitmap, the shape BI layers ask of a corpus data card.
+   * Catalyst lowers CUBE to one Expand + a single hash aggregate — all
+   * grouping sets share ONE shuffle.
+   */
+  def corpusCube(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .cube(col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lvl"), col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
   /** DuckDB spelling of the mixture rate config. */
   private val duckRate: String = {
@@ -899,6 +962,48 @@ object Corpus {
          |SELECT source, COUNT(1) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM c WHERE cum_tok <= $TokenBudget
          |GROUP BY source ORDER BY source""".stripMargin,
+    "mix_anneal" ->
+      s"""WITH f AS (
+         |  SELECT source, COALESCE(n_chars, 0) AS nc,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+         |    CAST(length(text) AS BIGINT) AS tn,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym_chars,
+         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, nc,
+         |    (n_words >= 50 AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+         |     AND 10 * sym_chars <= tn AND n_stop >= 2 AND 5 * digit_chars <= tn) AS keep
+         |  FROM f),
+         |c AS (
+         |  SELECT source, CAST(SUM(nc) AS BIGINT) AS avail_chars,
+         |    CAST(SUM(CASE WHEN keep THEN nc ELSE 0 END) AS BIGINT) AS pass_chars
+         |  FROM p GROUP BY source),
+         |w AS (
+         |  SELECT source, avail_chars, pass_chars,
+         |    CAST(floor(sqrt(CAST(avail_chars AS DOUBLE))) AS BIGINT) AS w_pre
+         |  FROM c),
+         |t AS (
+         |  SELECT CAST(COALESCE(SUM(w_pre), 0) AS BIGINT) AS tw,
+         |    CAST(COALESCE(SUM(pass_chars), 0) AS BIGINT) AS tp FROM w),
+         |a AS (
+         |  SELECT source, avail_chars, pass_chars, w_pre,
+         |    CASE WHEN tw > 0 THEN $PretrainBudgetChars * w_pre // tw ELSE 0 END AS target_pretrain,
+         |    CASE WHEN tp > 0 THEN $AnnealBudgetChars * pass_chars // tp ELSE 0 END AS target_anneal
+         |  FROM w CROSS JOIN t)
+         |SELECT source, avail_chars, pass_chars, w_pre,
+         |  target_pretrain, target_anneal,
+         |  target_pretrain + target_anneal AS target_total
+         |FROM a ORDER BY source""".stripMargin,
+    "corpus_cube" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS lvl,
+        |  COUNT(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "corpus_rollup" ->
       """SELECT lang, source,
         |  CAST(GROUPING(lang, source) AS BIGINT) AS lvl,

@@ -173,4 +173,24 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L).getLong(3) == 1 && out(2L).getLong(4) == 2,
       "mixed vector counts one zero and two saturated dims")
   }
+
+  test("mixAnneal: pretrain splits by sqrt mass, anneal goes only to rule-passing mass") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // s0's doc passes the full Gopher battery (50 words incl. 2 stopwords,
+    // 4-char mean length, no symbols/digits); s1's doc fails word count.
+    val pass = (Seq.fill(48)("word") ++ Seq("the", "of")).mkString(" ")
+    val rows = Seq(
+      (0L, pass, "en", "s0", 400L),
+      (1L, "too short the of", "en", "s1", 100L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.mixAnneal(spark, dir.toString).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // w_pre: √400=20, √100=10 → pretrain 900000·20/30, 900000·10/30;
+    // anneal mass: only s0's 400 chars pass → s0 takes the whole 100000.
+    assert(out("s0") == ((400L, 400L, 20L, 600000L, 100000L, 700000L)))
+    assert(out("s1") == ((100L, 0L, 10L, 300000L, 0L, 300000L)))
+  }
 }
