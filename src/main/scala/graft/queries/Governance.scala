@@ -479,6 +479,86 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Heaps' law vocabulary-growth fit — stats_heaps_fit
+  // ---------------------------------------------------------------------
+
+  /** Vocabulary-growth checkpoints (corpus tenths). */
+  private val HeapsCheckpoints = 10
+
+  /**
+   * Heaps'-law audit — the vocabulary-growth curve V(n) ≈ K·n^β a
+   * tokenizer designer reads next to [[corpusZipfFit]]: how fast does
+   * the vocabulary still grow as the corpus streams past (β ≈ 0.4–0.6
+   * for natural language; β near 0 means the corpus has gone
+   * closed-vocabulary — templated/synthetic — and a bigger vocab buys
+   * nothing). Emits V at each corpus tenth plus the log-log
+   * least-squares fit (β, intercept, R²) over the non-degenerate
+   * checkpoints.
+   *
+   * Scale shape: the global token position comes from [[graft.operators
+   * .Quantiles]]' distributed exact prefix sum over per-doc token counts
+   * (range partition + metadata offsets — no single-partition window);
+   * each DISTINCT token collapses to its first-occurrence position (one
+   * map-side-combined groupBy), then to its earliest checkpoint index by
+   * an integer ceiling division — so the curve is a ≤10-row cumulative
+   * window (a deliberate [[Tables.zeroPart]] single group), and the fit
+   * follows the [[corpusZipfFit]] determinism recipe (8-dp ln terms,
+   * exact DECIMAL sums, closed form).
+   */
+  def statsHeapsFit(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("n_tok", size(col("w")).cast("long"))
+    val off = graft.operators.Quantiles
+      .withRunningTotal(base, Seq(col("doc_id").asc), "n_tok", "cum")
+      .withColumn("off", col("cum") - col("n_tok"))
+    val nTotal = base.agg(coalesce(sum(col("n_tok")), lit(0L)))
+      .first().getLong(0)
+    val firstPos = off
+      .select(col("off"), posexplode(col("w")).as(Seq("i", "token")))
+      .select(col("token"), (col("off") + col("i") + 1).as("pos"))
+      .groupBy(col("token")).agg(min(col("pos")).as("fp"))
+    // earliest checkpoint containing fp: ceil(fp·10/N), integer-exact
+    val buckets = firstPos
+      .select(expr(s"(fp * $HeapsCheckpoints + ${nTotal}L - 1) DIV ${nTotal}L").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val spine = s.range(1, HeapsCheckpoints + 1).toDF("k")
+      .select(col("k"),
+        expr(s"(${nTotal}L * k) DIV ${HeapsCheckpoints}L").as("cp_tokens"))
+    val curve = spine.join(buckets, Seq("k"), "left")
+      .withColumn("vocab", sum(coalesce(col("c"), lit(0L))).over(
+        Window.partitionBy(zeroPart(col("k"))).orderBy(col("k"))))
+      .select(col("k"), col("cp_tokens"), col("vocab"))
+    // the fit rides the same ≤10-row relation as whole-partition window
+    // sums (no join back, no cross join): every row carries the identical
+    // closed-form (β, intercept, R²) derived from the exact DECIMAL sums
+    val d8 = DecimalType(28, 8)
+    val w = Window.partitionBy(zeroPart(col("k")))
+    val ok = col("cp_tokens") > 0 && col("vocab") > 0
+    val x = when(ok, round(log(col("cp_tokens").cast("double")), 8))
+    val y = when(ok, round(log(col("vocab").cast("double")), 8))
+    def wsum8(c: org.apache.spark.sql.Column) =
+      coalesce(sum(c.cast(d8)).over(w).cast("double"), lit(0.0))
+    val fitted = curve
+      .withColumn("xx", x).withColumn("yy", y)
+      .withColumn("n", sum(when(ok, 1L).otherwise(0L)).over(w).cast("double"))
+      .withColumn("sx", wsum8(col("xx"))).withColumn("sy", wsum8(col("yy")))
+      .withColumn("sxx", wsum8(round(col("xx") * col("xx"), 8)))
+      .withColumn("syy", wsum8(round(col("yy") * col("yy"), 8)))
+      .withColumn("sxy", wsum8(round(col("xx") * col("yy"), 8)))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    fitted.select(col("k"), col("cp_tokens"), col("vocab"),
+      round(when(dxx > 0, cov / dxx), 6).as("beta"),
+      round(when(dxx > 0, (col("sy") - (cov / dxx) * col("sx")) / col("n")), 6)
+        .as("intercept"),
+      round(when(dxx > 0 && dyy > 0, (cov * cov) / (dxx * dyy)), 6).as("r2"))
+      .orderBy(col("k"))
+  }
+
+  // ---------------------------------------------------------------------
   // Per-source Gini concentration — stats_gini
   // ---------------------------------------------------------------------
 
@@ -582,6 +662,7 @@ object Governance {
     "curriculum_order" -> (curriculumOrder _),
     "split_stratified_exact" -> (splitStratifiedExact _),
     "stats_gini" -> (statsGini _),
+    "stats_heaps_fit" -> (statsHeapsFit _),
     "split_group_aware" -> (splitGroupAware _))
 
   /** The DuckDB spelling of [[normText]] → md5 (NULL for empty-norm/NULL
@@ -798,6 +879,53 @@ object Governance {
         |      / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
         |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) END, 6) AS gini
         |FROM a ORDER BY source""".stripMargin,
+    "stats_heaps_fit" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tok FROM t WHERE len(w) > 0),
+         |o AS (
+         |  SELECT doc_id, w, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS off
+         |  FROM b),
+         |tk AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(w)),
+         |    i -> struct_pack(pos := off + i, tok := w[i]))) AS p
+         |  FROM o),
+         |f AS (SELECT p.tok AS token, CAST(MIN(p.pos) AS BIGINT) AS fp FROM tk GROUP BY p.tok),
+         |tot AS (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n FROM b),
+         |bk AS (SELECT (fp * $HeapsCheckpoints + n - 1) // n AS k FROM f CROSS JOIN tot),
+         |vc AS (SELECT k, CAST(COUNT(1) AS BIGINT) AS c FROM bk GROUP BY k),
+         |curve AS (
+         |  SELECT gs.k, (n * gs.k) // $HeapsCheckpoints AS cp_tokens,
+         |    CAST(SUM(COALESCE(vc.c, 0)) OVER (ORDER BY gs.k) AS BIGINT) AS vocab
+         |  FROM generate_series(1, $HeapsCheckpoints) gs(k)
+         |  CROSS JOIN tot LEFT JOIN vc ON vc.k = gs.k),
+         |xy AS (
+         |  SELECT k, cp_tokens, vocab,
+         |    CASE WHEN cp_tokens > 0 AND vocab > 0
+         |      THEN round(ln(CAST(cp_tokens AS DOUBLE)), 8) END AS x,
+         |    CASE WHEN cp_tokens > 0 AND vocab > 0
+         |      THEN round(ln(CAST(vocab AS DOUBLE)), 8) END AS y
+         |  FROM curve),
+         |ws AS (
+         |  SELECT k, cp_tokens, vocab,
+         |    CAST(SUM(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) OVER () AS DOUBLE) AS n,
+         |    COALESCE(CAST(SUM(CAST(x AS DECIMAL(28,8))) OVER () AS DOUBLE), 0.0) AS sx,
+         |    COALESCE(CAST(SUM(CAST(y AS DECIMAL(28,8))) OVER () AS DOUBLE), 0.0) AS sy,
+         |    COALESCE(CAST(SUM(CAST(round(x*x, 8) AS DECIMAL(28,8))) OVER () AS DOUBLE), 0.0) AS sxx,
+         |    COALESCE(CAST(SUM(CAST(round(y*y, 8) AS DECIMAL(28,8))) OVER () AS DOUBLE), 0.0) AS syy,
+         |    COALESCE(CAST(SUM(CAST(round(x*y, 8) AS DECIMAL(28,8))) OVER () AS DOUBLE), 0.0) AS sxy
+         |  FROM xy)
+         |SELECT k, cp_tokens, vocab,
+         |  round(CASE WHEN n*sxx - sx*sx > 0
+         |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS beta,
+         |  round(CASE WHEN n*sxx - sx*sx > 0
+         |    THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END, 6) AS intercept,
+         |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |    THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+         |         / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+         |FROM ws ORDER BY k""".stripMargin,
     "split_group_aware" ->
       s"""WITH n AS (
          |  SELECT doc_id, source, ${duckNormFp("text")} AS norm_fp

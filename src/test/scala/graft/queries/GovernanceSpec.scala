@@ -453,6 +453,39 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     assert(out("skew") == ((3L, 100L, 0.646667)))
   }
 
+  // ----------------------------------------------------------- heaps
+
+  test("statsHeapsFit: vocabulary-growth curve is exact; growing vocab fits β > 0") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 10 tokens total → checkpoints at 1..10. First occurrences:
+    // 'a'@1, then five new types at positions 6..10.
+    val rows = Seq(
+      (0L, "a a a a a", "en", "s0", 9L),
+      (1L, "b c d e f", "en", "s0", 9L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.statsHeapsFit(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      (1L to 10L).map(k => (k, k, if (k <= 5) 1L else k - 4L)).toSeq,
+      "V(n) steps up exactly at each new type's first-occurrence checkpoint")
+    val betas = out.map(_._4).distinct
+    assert(betas.length == 1 && betas.head > 0.0,
+      "an open vocabulary fits a positive Heaps exponent, identical on every row")
+    assert(out.head._5 > 0.0 && out.head._5 <= 1.0, "R² is a valid fit quality")
+  }
+
+  test("statsHeapsFit: a closed-vocabulary corpus fits β = 0") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq((0L, "a a a a a a a a a a", "en", "s0", 19L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.statsHeapsFit(spark, dir.toString).collect()
+    assert(out.forall(_.getLong(2) == 1L), "the single type appears in the first tenth")
+    assert(out.forall(_.getDouble(3) == 0.0), "flat V(n) → zero exponent")
+    assert(out.forall(_.isNullAt(5)), "zero y-variance leaves R² undefined, not 0/0")
+  }
+
   // ------------------------------------------------------ group split
 
   test("splitGroupAware keeps every member of a duplicate class in one split") {
