@@ -479,6 +479,49 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Crawl-over-crawl novelty — corpus_novelty
+  // ---------------------------------------------------------------------
+
+  /**
+   * Marginal-novelty audit — "how much NEW content does each crawl batch
+   * add": treating sources in their natural (lexicographic) order as
+   * arrival batches, each source reports how many of its distinct
+   * [[Corpus.DecontamShingle]]-gram shingles were never seen in any
+   * earlier source. The diminishing-returns curve every web-corpus team
+   * watches (CommonCrawl snapshots overlap ~50–70% crawl-over-crawl) —
+   * the number that decides whether ingesting the next snapshot is worth
+   * the compute. Complements [[corpusSourceOverlap]]'s symmetric matrix
+   * with the ordered incremental view.
+   *
+   * Scale shape: the corpus collapses ONCE to distinct (source, shingle)
+   * rows; the first-seeing source per shingle is a map-side-combined
+   * `min(source)` groupBy (1 row per distinct shingle — the hottest
+   * shingle contributes one row per map partition, never a window);
+   * verdicts join back on the shingle equi-key under AQE and roll up to
+   * ≤|sources| rows.
+   */
+  def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = docs(s, dir)
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions
+          .shingle_set(col("text"), Corpus.DecontamShingle)).as("sh"))
+      .distinct()
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val firstSrc = sh.groupBy(col("sh")).agg(min(col("source")).as("first_src"))
+    sh.join(firstSrc, Seq("sh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_src") === col("source"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("novelty_ratio"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
   // Heaps' law vocabulary-growth fit — stats_heaps_fit
   // ---------------------------------------------------------------------
 
@@ -663,6 +706,7 @@ object Governance {
     "split_stratified_exact" -> (splitStratifiedExact _),
     "stats_gini" -> (statsGini _),
     "stats_heaps_fit" -> (statsHeapsFit _),
+    "corpus_novelty" -> (corpusNovelty _),
     "split_group_aware" -> (splitGroupAware _))
 
   /** The DuckDB spelling of [[normText]] → md5 (NULL for empty-norm/NULL
@@ -879,6 +923,20 @@ object Governance {
         |      / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
         |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) END, 6) AS gini
         |FROM a ORDER BY source""".stripMargin,
+    "corpus_novelty" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT DISTINCT source, unnest(${Corpus.duckShingles(Corpus.DecontamShingle)}) AS sh
+         |  FROM t),
+         |f AS (SELECT sh, MIN(source) AS first_src FROM sh GROUP BY sh)
+         |SELECT source, CAST(COUNT(1) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN first_src = source THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(SUM(CASE WHEN first_src = source THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(1) AS DOUBLE), 6) AS novelty_ratio
+         |FROM sh JOIN f USING (sh)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "stats_heaps_fit" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -22,7 +22,7 @@ import Tables._
  */
 object Similarity {
 
-  private def dArr(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def dArr(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Index-ordered dot product — codegen'd expression
     * ([[graft.functions.DotF64]]); the higher-order
@@ -36,7 +36,7 @@ object Similarity {
     * embedding must not crash the scan under ANSI division — and NULL
     * similarity never passes a threshold filter, matching DuckDB's x/0
     * semantics). */
-  private def cosine(a: Column, b: Column): Column = {
+  private[graft] def cosine(a: Column, b: Column): Column = {
     val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
     when(denom > 0, dot(a, b) / denom)
   }
@@ -67,7 +67,12 @@ object Similarity {
     * chain per reference — which executed TWICE in the self-join
     * operators (Spark re-executes un-materialized subtrees per branch). */
   private def anchorVecs(s: SparkSession, dir: String): Seq[Array[Double]] =
-    load(s, dir, "embeddings")
+    anchorVecsOf(load(s, dir, "embeddings"))
+
+  /** Same collect from an already-loaded embeddings relation (the
+    * streaming twin's static side). */
+  private[graft] def anchorVecsOf(emb: DataFrame): Seq[Array[Double]] =
+    emb
       .filter(col("vec_id") < 8 && col("embedding").isNotNull)
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
       .orderBy(col("vec_id"))
@@ -80,7 +85,7 @@ object Similarity {
     * collect on an empty/filtered-out slice) — consumers pair this with a
     * [[noModel]] guard so the query returns zero rows instead of throwing
     * from expression construction. */
-  private def bucketExpr(v: Column, anchors: Seq[Array[Double]]): Column =
+  private[graft] def bucketExpr(v: Column, anchors: Seq[Array[Double]]): Column =
     if (anchors.isEmpty) lit(null).cast("long")
     else anchors.zipWithIndex.map { case (a, j) =>
       when(dot(v, typedLit(a)) > 0, lit(1L << j)).otherwise(lit(0L))
@@ -88,7 +93,7 @@ object Similarity {
 
   /** Constant-false filter when the model-parameter collect came back
     * empty: keeps the plan/schema intact, folds to an empty relation. */
-  private def noModel(params: Seq[_]): Column = lit(params.nonEmpty)
+  private[graft] def noModel(params: Seq[_]): Column = lit(params.nonEmpty)
 
   /** Sign-LSH bucketing: 8 anchor vectors (vec_id 0..7, driver constants)
     * give an 8-bit bucket per vector; the bucket histogram is the
@@ -159,7 +164,7 @@ object Similarity {
 
   /** Near-dup threshold for the synthetic label-cluster embeddings; real
     * dedup corpora would sit near 0.95 — the plan is threshold-agnostic. */
-  private val CosineDupThreshold = 0.35
+  private[graft] val CosineDupThreshold = 0.35
 
   /**
    * Embedding-cosine near-dup pairs (builder brief §dedup): sign-LSH

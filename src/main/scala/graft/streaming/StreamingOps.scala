@@ -380,6 +380,62 @@ object StreamingOps {
       .drop("ingest_ts")
   }
 
+  /**
+   * Streaming semantic decontamination — the online leg of
+   * [[graft.queries.Similarity.decontamSemantic]]: freshly embedded
+   * documents are checked against the STATIC benchmark-vector index as
+   * they arrive, so a paraphrased benchmark leak is flagged at ingest
+   * rather than at the next batch sweep. Same candidate generator
+   * (sign-LSH bucket equi-join) and the same per-doc verdict columns as
+   * the batch twin, asserted row-identical by the parity spec.
+   *
+   * Scale/state design: the anchors are driver constants (model
+   * parameters) so the stream-side bucket is a pure per-row expression;
+   * the static side collapses to the benchmark slice only (bucket, id,
+   * vector — benchmark suites are tiny, cached via `onCache`); the
+   * stream-static INNER equi-join keeps no join state, and the only
+   * state is the append-mode per-document aggregate sealed when the
+   * watermark passes the document's ingest timestamp. Sims round at
+   * 6 dp before MAX — the batch contract.
+   */
+  def semanticDecontamStream(newVecs: DataFrame, staticEmb: DataFrame,
+      staticDocs: DataFrame, lateness: String = "1 hour",
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
+    import graft.queries.Similarity
+    val anchors = Similarity.anchorVecsOf(staticEmb)
+    val m = staticEmb
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull &&
+        Similarity.noModel(anchors))
+      .select(col("vec_id"), Similarity.dArr(col("embedding")).as("v"),
+        Similarity.bucketExpr(Similarity.dArr(col("embedding")), anchors)
+          .as("bucket"))
+      .join(staticDocs.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+    val bs = m.agg(min(col("source"))).first().getString(0)
+    val bsLit = Option(bs).map(lit).getOrElse(lit(null).cast("string"))
+    val bench = m.filter(col("source") === bsLit)
+      .select(col("bucket").as("bucket_b"), col("vec_id").as("bid"),
+        col("v").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onCache(bench)
+    newVecs
+      .filter(col("embedding").isNotNull && Similarity.noModel(anchors))
+      .select(col("doc_id"), col("ingest_ts"),
+        Similarity.dArr(col("embedding")).as("cv"),
+        Similarity.bucketExpr(Similarity.dArr(col("embedding")), anchors)
+          .as("bucket"))
+      .withWatermark("ingest_ts", lateness)
+      .join(bench, col("bucket") === col("bucket_b"))
+      .withColumn("sim", Similarity.cosine(col("cv"), col("bv")))
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("sim") >= Similarity.CosineDupThreshold, 1L).otherwise(0L))
+          .as("n_bench_hits"),
+        max(round(col("sim"), 6)).as("max_sim"))
+      .select(col("doc_id"), col("n_cands"), col("n_bench_hits"),
+        col("max_sim"), (col("n_bench_hits") > 0).as("contaminated"))
+  }
+
   def incrementalDedupStream(newDocs: DataFrame, corpusDocs: DataFrame,
       lateness: String = "1 hour",
       onCache: DataFrame => Unit = _ => ()): DataFrame = {

@@ -453,6 +453,26 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     assert(out("skew") == ((3L, 100L, 0.646667)))
   }
 
+  // ---------------------------------------------------------- novelty
+
+  test("corpusNovelty: the first source owns shared shingles; later batches report the overlap") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 5-token docs → one whole-doc shingle each (DecontamShingle = 5).
+    val shared = "alpha beta gamma delta epsilon"
+    val rows = Seq(
+      (0L, shared, "en", "batch_a"),                       // a's shingle
+      (1L, "one two three four five", "en", "batch_a"),    // a-only
+      (2L, shared, "en", "batch_b"),                       // seen in a → not novel
+      (3L, "six seven eight nine ten", "en", "batch_b"))   // b-novel
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.corpusNovelty(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("batch_a") == ((2L, 2L, 1.0)), "the first batch is all novel")
+    assert(out("batch_b") == ((2L, 1L, 0.5)), "the repeat shingle counts against batch_b")
+  }
+
   // ----------------------------------------------------------- heaps
 
   test("statsHeapsFit: vocabulary-growth curve is exact; growing vocab fits β > 0") {

@@ -340,4 +340,53 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
       s.catalog.clearCache()
     }
   }
+
+  test("semanticDecontamStream: online verdicts equal the batch embedding-cosine gate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.queries.Similarity.decontamSemantic(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    assert(expected.nonEmpty, "fixture sanity: some doc must share a bucket with the benchmark")
+    val embTbl = s.read.parquet(s"$dir/embeddings.parquet")
+    val docsTbl = s.read.parquet(s"$dir/documents.parquet")
+    val benchSrc = docsTbl.agg(min($"source")).as[String].head()
+    // the stream: every non-benchmark member vector, replayed in two batches
+    val train = embTbl.filter($"vec_id" >= 8 && $"embedding".isNotNull)
+      .join(docsTbl.filter($"source" =!= benchSrc).select($"doc_id"),
+        $"vec_id" === $"doc_id")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingOps.semanticDecontamStream(
+        in.toDF().toDF("doc_id", "embedding", "ingest_ts"), embTbl, docsTbl)
+      .writeStream.format("memory").queryName("semdecontam").outputMode("append").start()
+    try {
+      val (a, b) = train.splitAt(train.length / 2)
+      in.addData(a.map { case (id, v) => (id, v, ts(0)) })
+      q.processAllAvailable()
+      in.addData(b.map { case (id, v) => (id, v, ts(0)) })
+      q.processAllAvailable()
+      assert(s.table("semdecontam").count() == 0,
+        "nothing seals before the watermark passes the ingest timestamps")
+      // sentinels advance the watermark (valid embeddings so the rows
+      // survive the pre-watermark filters; their own groups stay open or
+      // are excluded from the comparison)
+      in.addData(Seq((-1L, Array.fill(64)(0.5f), ts(600))))
+      q.processAllAvailable()
+      in.addData(Seq((-2L, Array.fill(64)(0.5f), ts(1200))))
+      q.processAllAvailable()
+      val got = s.table("semdecontam").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .filter(_._1 >= 0)
+        .toSet
+      assert(got == expected,
+        "streamed semantic-decontamination verdicts must equal the batch twin")
+    } finally {
+      q.stop()
+      s.catalog.clearCache()
+    }
+  }
 }
