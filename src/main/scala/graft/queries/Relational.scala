@@ -171,6 +171,33 @@ object Relational {
       .orderBy(col("cnt").desc, col("o_custkey").asc)
       .limit(10)
 
+  /**
+   * Correlated scalar subquery, decorrelated (the TPC-H Q17 shape):
+   * lineitems whose quantity is below 0.2× their PART's average — the
+   * `x < (SELECT 0.2*AVG(...) WHERE inner.key = outer.key)` idiom the
+   * BQ SQL surface supports, expressed the way Catalyst should run it:
+   * ONE per-part collapse (map-side combined) equi-joined back, never a
+   * per-row re-aggregation. Rolled up per brand (the Q17 report).
+   *
+   * Determinism: the threshold is the integer-style cross-multiplication
+   * `5·qty·cnt < Σqty` over exact DECIMALs — no float average, no
+   * boundary ulp; the revenue division by 7.0 happens once per output
+   * row on the exact DECIMAL sum.
+   */
+  def q27CorrScalar(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+    val per = l.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+    l.join(per, Seq("l_partkey"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("cnt") < col("sq"))
+      .join(broadcast(load(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        round(dsum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Scalar string functions (SURVEY §2.3): LOWER, SUBSTR, LENGTH, REGEXP. */
   def q18ScalarString(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "part")
@@ -242,6 +269,7 @@ object Relational {
     "q14_cond_agg" -> (q14CondAgg _),
     "q15_string_agg" -> (q15StringAgg _),
     "q16_topk" -> (q16TopK _),
+    "q27_corr_scalar" -> (q27CorrScalar _),
     "q18_scalar_string" -> (q18ScalarString _),
     "q19_date_funcs" -> (q19DateFuncs _),
     "q20_scripting" -> (q20Scripting _),
@@ -338,6 +366,20 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey
         |ORDER BY cnt DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q27_corr_scalar" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+        |    CAST(COUNT(1) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_brand, CAST(COUNT(1) AS BIGINT) AS n_small,
+        |  round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+        |    AS avg_yearly
+        |FROM lineitem l
+        |JOIN per USING (l_partkey)
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
     "q18_scalar_string" ->
       """SELECT p_partkey,
         |  lower(p_name) AS name_lower,
