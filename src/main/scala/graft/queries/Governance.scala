@@ -479,6 +479,56 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Term burstiness — stats_burstiness
+  // ---------------------------------------------------------------------
+
+  /** Head size for the burstiness report. */
+  private val BurstTopK = 50
+
+  /**
+   * Term-burstiness audit (Church & Gale 1995): for each of the
+   * [[BurstTopK]] most frequent terms, the mean within-document rate
+   * (tf/df — how hard the term repeats where it appears) and the
+   * variance-to-mean ratio of its per-document counts over the whole
+   * corpus (VMR = 1 for a Poisson "background" word; VMR ≫ 1 is the
+   * bursty/topical — or spam-repeated — signature). The term-granular
+   * complement of [[Corpus.textDistinctNgrams]]' per-source diversity:
+   * it names WHICH terms a template farm is stamping out.
+   *
+   * Scale shape: tokens collapse per (term, doc) first (the explode's
+   * combiner), then per term (Σtf, Σtf², df — three map-side-combined
+   * sums); the head cut is a TakeOrderedAndProject; the corpus doc count
+   * is a metadata-sized driver scalar. Determinism: the sums are exact
+   * integers in DECIMAL; μ, E[x²] and the closed-form VMR are the same
+   * IEEE ops both engines, rounded at 6 dp.
+   */
+  def statsBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val nDocs = base.count()
+    val perDoc = base
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val perTerm = perDoc.groupBy(col("term"))
+      .agg(sum(col("tf")).as("tf_total"),
+        count(lit(1)).as("df"),
+        sum((col("tf") * col("tf")).cast(d38)).cast("long").as("sq"))
+      .orderBy(col("tf_total").desc, col("term"))
+      .limit(BurstTopK)
+    val mu = col("tf_total").cast("double") / lit(nDocs.toDouble)
+    val e2 = col("sq").cast("double") / lit(nDocs.toDouble)
+    val vmr = (e2 - mu * mu) / mu
+    perTerm.select(col("term"), col("tf_total"), col("df"),
+      round(col("tf_total").cast("double") / col("df").cast("double"), 6)
+        .as("burst_rate"),
+      round(vmr, 6).as("vmr"))
+      .orderBy(col("tf_total").desc, col("term"))
+  }
+
+  // ---------------------------------------------------------------------
   // Crawl-over-crawl novelty — corpus_novelty
   // ---------------------------------------------------------------------
 
@@ -707,6 +757,7 @@ object Governance {
     "stats_gini" -> (statsGini _),
     "stats_heaps_fit" -> (statsHeapsFit _),
     "corpus_novelty" -> (corpusNovelty _),
+    "stats_burstiness" -> (statsBurstiness _),
     "split_group_aware" -> (splitGroupAware _))
 
   /** The DuckDB spelling of [[normText]] → md5 (NULL for empty-norm/NULL
@@ -923,6 +974,30 @@ object Governance {
         |      / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
         |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) END, 6) AS gini
         |FROM a ORDER BY source""".stripMargin,
+    "stats_burstiness" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |b AS (SELECT doc_id, w FROM t WHERE len(w) > 0),
+         |n AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_docs FROM b),
+         |pd AS (
+         |  SELECT term, doc_id, CAST(COUNT(1) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS term FROM b)
+         |  GROUP BY term, doc_id),
+         |pt AS (
+         |  SELECT term, CAST(SUM(tf) AS BIGINT) AS tf_total,
+         |    CAST(COUNT(1) AS BIGINT) AS df,
+         |    CAST(SUM(CAST(tf * tf AS DECIMAL(38,0))) AS BIGINT) AS sq
+         |  FROM pd GROUP BY term
+         |  ORDER BY tf_total DESC, term LIMIT $BurstTopK)
+         |SELECT term, tf_total, df,
+         |  round(CAST(tf_total AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burst_rate,
+         |  round((CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |      - (CAST(tf_total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |        * (CAST(tf_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+         |    / (CAST(tf_total AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS vmr
+         |FROM pt CROSS JOIN n
+         |ORDER BY tf_total DESC, term""".stripMargin,
     "corpus_novelty" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -453,6 +453,29 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     assert(out("skew") == ((3L, 100L, 0.646667)))
   }
 
+  // -------------------------------------------------------- burstiness
+
+  test("statsBurstiness: a Poisson-ish background word sits at VMR ≈ spread, a bursty word ≫") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 'bg' appears once in each of 4 docs (tf = [1,1,1,1] → VMR = 0);
+    // 'burst' appears 4 times in ONE doc (tf = [4,0,0,0] over N=4 docs).
+    val rows = Seq(
+      (0L, "bg burst burst burst burst", "en", "s0"),
+      (1L, "bg x", "en", "s0"),
+      (2L, "bg x", "en", "s0"),
+      (3L, "bg x", "en", "s0"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.statsBurstiness(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // bg: μ = 1, E[x²] = 1 → VMR = 0 (deterministic, below Poisson — every doc exactly once)
+    assert(out("bg") == ((4L, 4L, 1.0, 0.0)))
+    // burst: μ = 1, E[x²] = 16/4 = 4 → VMR = (4 − 1)/1 = 3; burst_rate = 4/1
+    assert(out("burst") == ((4L, 1L, 4.0, 3.0)))
+  }
+
   // ---------------------------------------------------------- novelty
 
   test("corpusNovelty: the first source owns shared shingles; later batches report the overlap") {
