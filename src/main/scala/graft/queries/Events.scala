@@ -425,7 +425,46 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Rolling-distinct window for the stickiness denominator (days). */
+  private val StickyWindowDays = 7
+
+  /**
+   * DAU/WAU stickiness — the product-analytics engagement ratio: per
+   * day, distinct active users that day over distinct users in the
+   * trailing [[StickyWindowDays]]-day window. The classic "how much of
+   * the weekly audience shows up daily" report.
+   *
+   * Scale shape: rolling COUNT(DISTINCT) has no sliding-window form, so
+   * the plan collapses events to distinct (user, day) FIRST (one
+   * map-side-combined distinct — bounded by users × days, not events)
+   * and then fans each row out to the ≤7 future days it keeps the user
+   * "weekly-active" for — a bounded explode of the COLLAPSED relation,
+   * never of the event stream — followed by a second distinct + count.
+   * Output days are restricted to observed activity days (inner join
+   * with the DAU side). All integer counts; one rounded division.
+   */
+  def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = ev(s, dir)
+      .select(col("user_id"), to_date(timestamp_micros(epochUs())).as("day"))
+      .distinct()
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(transform(sequence(lit(0), lit(StickyWindowDays - 1)),
+          i => date_add(col("day"), i))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stickiness" -> (qStickiness _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_fwd" -> (qAsofFwd _),
     "q10_first_event" -> (q10FirstEvent _),
@@ -443,6 +482,20 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_stickiness" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         |dau AS (SELECT day, CAST(COUNT(1) AS BIGINT) AS dau FROM ud GROUP BY day),
+         |wx AS (
+         |  SELECT DISTINCT user_id,
+         |    unnest(list_transform(generate_series(0, ${StickyWindowDays - 1}),
+         |      i -> day + CAST(i AS INTEGER))) AS day
+         |  FROM ud),
+         |wau AS (SELECT day, CAST(COUNT(1) AS BIGINT) AS wau FROM wx GROUP BY day)
+         |SELECT day, dau, wau,
+         |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+         |FROM dau JOIN wau USING (day)
+         |ORDER BY day""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -106,4 +106,27 @@ class EventsSpec extends AnyFunSuite with SparkFixture {
       assert(df.count() > 0)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("qStickiness: trailing-window WAU counts each user once; only active days emit") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val day = 24 * 60L
+    val rows = Seq(
+      // day 0: users 1 and 2; day 1: user 1 again (twice — distinct per day);
+      // day 9 (outside day-1's window): user 3 alone, users 1/2 aged out
+      (1L, 1L, tsNs(0 * day + 1), "view", 1.0),
+      (2L, 2L, tsNs(0 * day + 2), "view", 1.0),
+      (3L, 1L, tsNs(1 * day + 1), "view", 1.0),
+      (4L, 1L, tsNs(1 * day + 2), "click", 1.0),
+      (5L, 3L, tsNs(9 * day + 1), "view", 1.0))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}")))
+    val out = Events.qStickiness(spark, dir.toString).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day0: DAU 2, WAU 2 → 1.0; day1: DAU 1 (dup events collapse), WAU 2
+    // (user 2 still weekly-active) → 0.5; day9: DAU 1, WAU 1 → 1.0.
+    assert(out.toSeq == Seq((2L, 2L, 1.0), (1L, 2L, 0.5), (1L, 1L, 1.0)),
+      "WAU must be the trailing 7-day distinct-user count, not a sum of DAUs")
+  }
 }
