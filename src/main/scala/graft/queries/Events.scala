@@ -463,8 +463,38 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Paths reported by the path-mining scan. */
+  private val PathTopK = 20
+
+  /**
+   * Top-K 3-step behavior paths — the "what do users actually do"
+   * product-analytics mine: every consecutive (event, next, next²)
+   * triple per user in time order, counted corpus-wide, top
+   * [[PathTopK]]. The sequence-pattern complement of
+   * `seq_transition_matrix`'s first-order pairs.
+   *
+   * Scale shape: the two LEADs share ONE user-partitioned sort (high-
+   * cardinality key — no hot partition; same window family as
+   * q10/q12/q21); triples collapse in a map-side-combined groupBy and
+   * the cut is a TakeOrderedAndProject. Ties break on the path string.
+   */
+  def qUserPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stickiness" -> (qStickiness _),
+    "q_user_paths" -> (qUserPaths _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_fwd" -> (qAsofFwd _),
     "q10_first_event" -> (q10FirstEvent _),
@@ -482,6 +512,16 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_user_paths" ->
+      s"""WITH t AS (
+         |  SELECT event_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+         |  FROM events)
+         |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+         |  CAST(COUNT(1) AS BIGINT) AS n
+         |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         |GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin,
     "q_stickiness" ->
       s"""WITH ud AS (
          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -198,6 +198,45 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /**
+   * Market-basket brand affinity (association lift): for every pair of
+   * part brands co-occurring in an order, `lift = P(a,b)/(P(a)·P(b))`
+   * over the order universe — the retail cross-sell report, and the
+   * co-occurrence join shape (entity pairs within a bounded group) that
+   * recurs across domains.
+   *
+   * Scale shape: lineitems collapse to DISTINCT (order, brand) first —
+   * the pair join runs on the collapsed relation keyed by the order
+   * (bounded by order size, never all-pairs across orders); brand
+   * marginals are a ≤|brands| broadcast; the order count is a
+   * metadata-sized driver scalar. Lift is one double expression from
+   * exact integer counts, rounded at 6 dp.
+   */
+  def q28BasketLift(s: SparkSession, dir: String): DataFrame = {
+    val ob = load(s, dir, "lineitem")
+      .join(broadcast(load(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct()
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val nOrders = ob.select(col("l_orderkey")).distinct().count()
+    val marg = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_m"))
+    val a = ob.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+    val b = ob.select(col("l_orderkey").as("ok_b"), col("p_brand").as("brand_b"))
+    a.join(b, col("l_orderkey") === col("ok_b") && col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("p_brand").as("brand_a"), col("n_m").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(marg.select(col("p_brand").as("brand_b"), col("n_m").as("n_b"))),
+        Seq("brand_b"))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab").cast("double") * lit(nOrders.toDouble)) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
   /** Scalar string functions (SURVEY §2.3): LOWER, SUBSTR, LENGTH, REGEXP. */
   def q18ScalarString(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "part")
@@ -270,6 +309,7 @@ object Relational {
     "q15_string_agg" -> (q15StringAgg _),
     "q16_topk" -> (q16TopK _),
     "q27_corr_scalar" -> (q27CorrScalar _),
+    "q28_basket_lift" -> (q28BasketLift _),
     "q18_scalar_string" -> (q18ScalarString _),
     "q19_date_funcs" -> (q19DateFuncs _),
     "q20_scripting" -> (q20Scripting _),
@@ -380,6 +420,26 @@ object Relational {
         |JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    "q28_basket_lift" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l.l_orderkey, p.p_brand
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+        |m AS (SELECT p_brand, CAST(COUNT(1) AS BIGINT) AS n_m FROM ob GROUP BY p_brand),
+        |pr AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    CAST(COUNT(1) AS BIGINT) AS n_ab
+        |  FROM ob a JOIN ob b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, ma.n_m AS n_a, mb.n_m AS n_b,
+        |  round((CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+        |    / (CAST(ma.n_m AS DOUBLE) * CAST(mb.n_m AS DOUBLE)), 6) AS lift
+        |FROM pr
+        |JOIN m ma ON ma.p_brand = brand_a
+        |JOIN m mb ON mb.p_brand = brand_b
+        |CROSS JOIN n
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "q18_scalar_string" ->
       """SELECT p_partkey,
         |  lower(p_name) AS name_lower,
