@@ -479,6 +479,46 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Per-source unigram entropy — stats_entropy
+  // ---------------------------------------------------------------------
+
+  /**
+   * Per-source unigram Shannon entropy (nats) with its normalized form
+   * H/ln|V| — the absolute-information complement of
+   * [[Corpus.textSourceKl]]'s relative drift: a slice whose entropy sits
+   * far below its vocabulary's capacity is template-stamped filler even
+   * when its vocabulary LOOKS healthy. The data-card diversity number
+   * next to type/token ratios.
+   *
+   * Scale shape: one explode collapsed to (source, word) counts
+   * (map-side combined), per-source totals re-aggregated from that
+   * relation and broadcast back — never a second corpus scan.
+   * Determinism: the textSourceKl recipe — 8-dp-rounded p·ln p terms
+   * summed as exact DECIMAL; the normalization is one division of the
+   * rounded sum, 6 dp.
+   */
+  def statsEntropy(s: SparkSession, dir: String): DataFrame = {
+    val sw = docs(s, dir)
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cs"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val ns = sw.groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_tokens"), count(lit(1)).as("n_vocab"))
+    val ps = col("cs").cast("double") / col("n_tokens").cast("double")
+    val term = round(-(ps * log(ps)), 8)
+      .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8))
+    sw.join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"), term.as("term"))
+      .groupBy(col("source"), col("n_tokens"), col("n_vocab"))
+      .agg((round(sum(col("term")).cast("double"), 6) + lit(0.0)).as("entropy"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"), col("entropy"),
+        round(when(col("n_vocab") > 1,
+          col("entropy") / log(col("n_vocab").cast("double"))), 6).as("efficiency"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
   // Term burstiness — stats_burstiness
   // ---------------------------------------------------------------------
 
@@ -758,6 +798,7 @@ object Governance {
     "stats_heaps_fit" -> (statsHeapsFit _),
     "corpus_novelty" -> (corpusNovelty _),
     "stats_burstiness" -> (statsBurstiness _),
+    "stats_entropy" -> (statsEntropy _),
     "split_group_aware" -> (splitGroupAware _))
 
   /** The DuckDB spelling of [[normText]] → md5 (NULL for empty-norm/NULL
@@ -974,6 +1015,27 @@ object Governance {
         |      / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
         |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) END, 6) AS gini
         |FROM a ORDER BY source""".stripMargin,
+    "stats_entropy" ->
+      """WITH sw AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |c0 AS (SELECT source, word, CAST(COUNT(1) AS BIGINT) AS cs FROM sw GROUP BY source, word),
+        |ns AS (
+        |  SELECT source, CAST(SUM(cs) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(1) AS BIGINT) AS n_vocab
+        |  FROM c0 GROUP BY source),
+        |h AS (
+        |  SELECT c0.source, ns.n_tokens, ns.n_vocab,
+        |    round(CAST(SUM(CAST(round(
+        |      -((CAST(cs AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |        * ln(CAST(cs AS DOUBLE) / CAST(n_tokens AS DOUBLE))), 8)
+        |      AS DECIMAL(20,8))) AS DOUBLE), 6) + 0.0 AS entropy
+        |  FROM c0 JOIN ns USING (source)
+        |  GROUP BY c0.source, ns.n_tokens, ns.n_vocab)
+        |SELECT source, n_tokens, n_vocab, entropy,
+        |  round(CASE WHEN n_vocab > 1
+        |    THEN entropy / ln(CAST(n_vocab AS DOUBLE)) END, 6) AS efficiency
+        |FROM h ORDER BY source""".stripMargin,
     "stats_burstiness" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -926,6 +926,72 @@ object Similarity {
       .orderBy(col("doc_id"))
   }
 
+  /** Power-iteration rounds for the top-component estimate. */
+  private val PcaIters = 3
+
+  /**
+   * Top principal component by distributed power iteration — the PCA
+   * primitive behind embedding compression, de-biasing (dominant-
+   * direction removal, Mu & Viswanath 2018) and drift diagnosis: three
+   * rounds of `v ← normalize(Σᵢ xᶜᵢ (xᶜᵢ·v))` over the mean-centered
+   * corpus, starting from the exact unit vector (1/8,…,1/8). Emits the
+   * 64 loadings plus the eigenvalue estimate λ = ‖Cv‖ (the converged
+   * Rayleigh norm).
+   *
+   * Scale shape: each round is ONE corpus pass — a per-row codegen dot
+   * against the driver-constant v (model parameter, the kmeans-update
+   * convention), a posexplode into a ≤dim-group aggregate (map-side
+   * combined, metadata-sized shuffle), and a 64-value driver collect;
+   * the mean comes from [[embedDimStats]]' moments the same way
+   * [[embedWhitenApply]] folds them. Determinism: per-term products
+   * round at 8 dp and sum as exact DECIMAL; the driver normalization
+   * replicates the engines' HALF_UP rounding on the exact sums, so the
+   * v fed into round k+1 is bit-identical to the oracle's CTE chain.
+   * A zero norm at any round (empty or fully-degenerate corpus) yields
+   * an empty result on both engines rather than NaN loadings.
+   */
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val stats = embedDimStats(s, dir).orderBy(col("dim")).collect()
+    val means = stats.map(_.getDouble(2)).toSeq
+    val dims = means.length
+    def r(x: Double, scale: Int): Double =
+      BigDecimal.valueOf(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var v: Seq[Double] = Seq.fill(dims)(0.125) // exact unit norm for 64 dims
+    if (dims > 0) {
+      val emb = load(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val mlit = typedLit(means)
+      val xc = transform(sequence(lit(1), lit(dims)), i =>
+        round(element_at(dArr(col("embedding")), i), 6) - element_at(mlit, i))
+      val dec8 = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+      for (_ <- 1 to PcaIters if norms.forall(_ > 0)) {
+        val sc = round(dot(xc, typedLit(v)), 6)
+        val w = emb
+          .select(sc.as("sc"), posexplode(xc).as(Seq("d", "x")))
+          .select(col("d"), round(col("x") * col("sc"), 8).as("t"))
+          .groupBy(col("d"))
+          .agg(sum(col("t").cast(dec8)).cast("double").as("w"))
+          .orderBy(col("d"))
+          .collect().map(_.getDouble(1))
+        val nrm2 = w.map(x => BigDecimal.valueOf(x * x)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+        val nrm = math.sqrt(nrm2.toDouble)
+        norms += nrm
+        if (nrm > 0) v = w.map(x => r(x / nrm, 6)).toSeq
+      }
+    }
+    val ok = dims > 0 && norms.size == PcaIters && norms.forall(_ > 0)
+    if (!ok) Seq.empty[(Long, Double, Double)].toDF("dim", "loading", "lambda")
+    else {
+      val lambda = r(norms.last, 6)
+      v.zipWithIndex.map { case (x, d) => (d.toLong, x, lambda) }
+        .toDF("dim", "loading", "lambda")
+    }
+  }
+
   /** Random-projection output dimensionality (64 → 16, 4× cheaper). */
   private val RpK = 16
   private val RpDim = 64
@@ -1030,6 +1096,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_rp_project" -> (embedRpProject _),
+    "embed_pca_power" -> (embedPcaPower _),
     "decontam_semantic" -> (decontamSemantic _),
     "cluster_topics" -> (clusterTopics _),
     "embed_whiten_apply" -> (embedWhitenApply _),
@@ -1433,6 +1500,40 @@ object Similarity {
         |  FROM dots)
         |SELECT vec_id, sub AS subspace, CAST(cid0 AS BIGINT) AS code, rd2 AS sq_err
         |FROM assign WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+    "embed_pca_power" -> {
+      // iteration k: score per vector against v_{k-1}, per-dim weighted
+      // sum, norm, normalized v_k — the exact chain the Spark driver loop
+      // runs, so the two engines see identical model vectors per round
+      val iters = (1 to PcaIters).map { k =>
+        val sK =
+          if (k == 1)
+            s"s$k AS (SELECT vec_id, round(SUM(xc * 0.125), 6) AS sc FROM xc GROUP BY vec_id)"
+          else
+            s"s$k AS (SELECT vec_id, round(SUM(xc * v), 6) AS sc FROM xc JOIN v${k - 1} USING (dim) GROUP BY vec_id)"
+        s"""$sK,
+           |w$k AS (
+           |  SELECT dim, CAST(SUM(CAST(round(xc * sc, 8) AS DECIMAL(30,8))) AS DOUBLE) AS w
+           |  FROM xc JOIN s$k USING (vec_id) GROUP BY dim),
+           |n$k AS (
+           |  SELECT sqrt(CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(30,8))) AS DOUBLE)) AS nrm
+           |  FROM w$k),
+           |v$k AS (SELECT dim, round(w / nrm, 6) + 0.0 AS v FROM w$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+         |x AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx
+         |  FROM e, generate_series(1, 64) t(i)),
+         |mu AS (
+         |  SELECT dim, round(CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6) + 0.0 AS m
+         |  FROM x GROUP BY dim),
+         |xc AS (SELECT vec_id, dim, rx - m AS xc FROM x JOIN mu USING (dim)),
+         |$iters
+         |SELECT v$PcaIters.dim, v$PcaIters.v AS loading,
+         |  round(n$PcaIters.nrm, 6) + 0.0 AS lambda
+         |FROM v$PcaIters CROSS JOIN n$PcaIters CROSS JOIN n1 CROSS JOIN n2
+         |WHERE n1.nrm > 0 AND n2.nrm > 0 AND n$PcaIters.nrm > 0
+         |ORDER BY v$PcaIters.dim""".stripMargin
+    },
     "decontam_semantic" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),

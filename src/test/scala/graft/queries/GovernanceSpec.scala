@@ -453,6 +453,27 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     assert(out("skew") == ((3L, 100L, 0.646667)))
   }
 
+  // ----------------------------------------------------------- entropy
+
+  test("statsEntropy: uniform two-type source hits ln2 at efficiency 1; single type → 0") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, "a b a b", "en", "uniform"),
+      (1L, "x x x x", "en", "flat"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.statsEntropy(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = out("uniform")
+    assert(u.getLong(1) == 4 && u.getLong(2) == 2)
+    assert(u.getDouble(3) == 0.693147 && u.getDouble(4) == 1.0,
+      "two equiprobable types carry exactly ln 2 nats at full efficiency")
+    val f = out("flat")
+    assert(f.getDouble(3) == 0.0 && f.isNullAt(4),
+      "one type carries zero information; efficiency is undefined, not 0/0")
+  }
+
   // -------------------------------------------------------- burstiness
 
   test("statsBurstiness: a Poisson-ish background word sits at VMR ≈ spread, a bursty word ≫") {

@@ -244,6 +244,31 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       "only the bucket-collided identical doc appears — flagged at cosine 1.0")
   }
 
+  test("embedPcaPower recovers a known dominant axis with its scatter eigenvalue") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // mean-zero data entirely along axis 0: top component must be e₀ and
+    // λ = Σ x₀² = 8 (the un-normalized scatter norm the operator reports)
+    val rows = Seq(
+      (0L, Array(2.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(-2.0f, 0.0f, 0.0f, 0.0f), 0))
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val out = Similarity.embedPcaPower(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 1.0, 8.0), (1L, 0.0, 8.0), (2L, 0.0, 8.0), (3L, 0.0, 8.0)),
+      "power iteration must converge to the dominant axis with λ = Σx₀²")
+  }
+
+  test("embedPcaPower is empty on a degenerate (all-identical) corpus, never NaN") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, Array(1.0f, 1.0f), 0),
+      (1L, Array(1.0f, 1.0f), 0)) // centered data is all-zero → zero norm
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    assert(Similarity.embedPcaPower(spark, dir.toString).collect().isEmpty)
+  }
+
   test("sampleWeightedK: heaviest weight dominates; k past n returns everything") {
     import spark.implicits._
     val dir = tmpSfDir()
