@@ -992,6 +992,49 @@ object Similarity {
     }
   }
 
+  /**
+   * Dominant-direction removal ("all-but-the-top", Mu & Viswanath 2018)
+   * — the de-biasing application of [[embedPcaPower]]'s component: every
+   * centered vector sheds its projection onto the top PC
+   * (x′ = xᶜ − (xᶜ·v)·v), the standard post-processing that makes
+   * embedding similarity discriminative again when one direction (often
+   * frequency) dominates. Emits the per-vector projection coefficient
+   * and the residual's squared norm next to the original's — the
+   * audit showing how much energy the dominant direction held.
+   *
+   * Scale shape: v and the means are driver constants (the model from
+   * the power-iteration pass, collected once); the application is a
+   * per-row codegen dot + `transform` — no join, no shuffle beyond the
+   * output sort. Determinism: the coefficient rounds at 6 dp BEFORE the
+   * subtraction, residual components round at 6 dp, norms derive from
+   * the rounded values — identical inputs to identical IEEE ops on
+   * both engines.
+   */
+  def embedPcaDebias(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val pca = embedPcaPower(s, dir).orderBy(col("dim")).collect()
+    val v = pca.map(_.getDouble(1)).toSeq
+    val means = embedDimStats(s, dir).orderBy(col("dim")).collect()
+      .map(_.getDouble(2)).toSeq
+    val dims = means.length
+    val mlit = typedLit(means)
+    val vlit = typedLit(v)
+    val xc = transform(sequence(lit(1), lit(dims)), i =>
+      round(element_at(dArr(col("embedding")), i), 6) - element_at(mlit, i))
+    load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && noModel(v))
+      .select(col("vec_id"), xc.as("xc"))
+      .withColumn("coef", round(dot(col("xc"), vlit), 6) + lit(0.0))
+      .withColumn("resid", transform(sequence(lit(1), lit(math.max(dims, 1))), i =>
+        round(element_at(col("xc"), i) - col("coef") * element_at(vlit, i), 6)
+          + lit(0.0)))
+      .select(col("vec_id"), col("coef"),
+        (round(dot(col("xc"), col("xc")), 6) + lit(0.0)).as("n2_orig"),
+        (round(dot(col("resid"), col("resid")), 6) + lit(0.0)).as("n2_resid"),
+        col("resid"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Random-projection output dimensionality (64 → 16, 4× cheaper). */
   private val RpK = 16
   private val RpDim = 64
@@ -1097,6 +1140,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_rp_project" -> (embedRpProject _),
     "embed_pca_power" -> (embedPcaPower _),
+    "embed_pca_debias" -> (embedPcaDebias _),
     "decontam_semantic" -> (decontamSemantic _),
     "cluster_topics" -> (clusterTopics _),
     "embed_whiten_apply" -> (embedWhitenApply _),
@@ -1118,6 +1162,39 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _),
     "embed_source_drift" -> (embedSourceDrift _),
     "sim_knn_accuracy" -> (simKnnAccuracy _))
+
+  /** The power-iteration CTE chain — iteration k scores per vector
+    * against v_{k−1}, computes the per-dim weighted sum, its norm, and
+    * the normalized v_k: the exact chain the Spark driver loop runs, so
+    * the two engines see identical model vectors per round. Shared by
+    * the PCA fit and the de-biasing application so the model contracts
+    * cannot drift. */
+  private val PcaCtes: String = {
+    val iters = (1 to PcaIters).map { k =>
+      val sK =
+        if (k == 1)
+          s"s$k AS (SELECT vec_id, round(SUM(xc * 0.125), 6) AS sc FROM xc GROUP BY vec_id)"
+        else
+          s"s$k AS (SELECT vec_id, round(SUM(xc * v), 6) AS sc FROM xc JOIN v${k - 1} USING (dim) GROUP BY vec_id)"
+      s"""$sK,
+         |w$k AS (
+         |  SELECT dim, CAST(SUM(CAST(round(xc * sc, 8) AS DECIMAL(30,8))) AS DOUBLE) AS w
+         |  FROM xc JOIN s$k USING (vec_id) GROUP BY dim),
+         |n$k AS (
+         |  SELECT sqrt(CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(30,8))) AS DOUBLE)) AS nrm
+         |  FROM w$k),
+         |v$k AS (SELECT dim, round(w / nrm, 6) + 0.0 AS v FROM w$k CROSS JOIN n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+       |x AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx
+       |  FROM e, generate_series(1, 64) t(i)),
+       |mu AS (
+       |  SELECT dim, round(CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6) + 0.0 AS m
+       |  FROM x GROUP BY dim),
+       |xc AS (SELECT vec_id, dim, rx - m AS xc FROM x JOIN mu USING (dim)),
+       |$iters""".stripMargin
+  }
 
   /** The sim_pq_adc_topk oracle body — shared verbatim by the PQ recall
     * audit, which embeds it so the code/LUT contracts can't drift. */
@@ -1500,40 +1577,34 @@ object Similarity {
         |  FROM dots)
         |SELECT vec_id, sub AS subspace, CAST(cid0 AS BIGINT) AS code, rd2 AS sq_err
         |FROM assign WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
-    "embed_pca_power" -> {
-      // iteration k: score per vector against v_{k-1}, per-dim weighted
-      // sum, norm, normalized v_k — the exact chain the Spark driver loop
-      // runs, so the two engines see identical model vectors per round
-      val iters = (1 to PcaIters).map { k =>
-        val sK =
-          if (k == 1)
-            s"s$k AS (SELECT vec_id, round(SUM(xc * 0.125), 6) AS sc FROM xc GROUP BY vec_id)"
-          else
-            s"s$k AS (SELECT vec_id, round(SUM(xc * v), 6) AS sc FROM xc JOIN v${k - 1} USING (dim) GROUP BY vec_id)"
-        s"""$sK,
-           |w$k AS (
-           |  SELECT dim, CAST(SUM(CAST(round(xc * sc, 8) AS DECIMAL(30,8))) AS DOUBLE) AS w
-           |  FROM xc JOIN s$k USING (vec_id) GROUP BY dim),
-           |n$k AS (
-           |  SELECT sqrt(CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(30,8))) AS DOUBLE)) AS nrm
-           |  FROM w$k),
-           |v$k AS (SELECT dim, round(w / nrm, 6) + 0.0 AS v FROM w$k CROSS JOIN n$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-         |x AS (
-         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, round(embedding[i]::DOUBLE, 6) AS rx
-         |  FROM e, generate_series(1, 64) t(i)),
-         |mu AS (
-         |  SELECT dim, round(CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6) + 0.0 AS m
-         |  FROM x GROUP BY dim),
-         |xc AS (SELECT vec_id, dim, rx - m AS xc FROM x JOIN mu USING (dim)),
-         |$iters
+    "embed_pca_power" ->
+      s"""WITH $PcaCtes
          |SELECT v$PcaIters.dim, v$PcaIters.v AS loading,
          |  round(n$PcaIters.nrm, 6) + 0.0 AS lambda
          |FROM v$PcaIters CROSS JOIN n$PcaIters CROSS JOIN n1 CROSS JOIN n2
          |WHERE n1.nrm > 0 AND n2.nrm > 0 AND n$PcaIters.nrm > 0
-         |ORDER BY v$PcaIters.dim""".stripMargin
-    },
+         |ORDER BY v$PcaIters.dim""".stripMargin,
+    "embed_pca_debias" ->
+      s"""WITH $PcaCtes,
+         |xb AS (SELECT vec_id, dim, xc, v FROM xc JOIN v$PcaIters USING (dim)),
+         |cf AS (
+         |  SELECT vec_id, round(SUM(xc * v), 6) + 0.0 AS coef
+         |  FROM xb GROUP BY vec_id),
+         |rs AS (
+         |  SELECT xb.vec_id, dim, xc,
+         |    round(xc - coef * v, 6) + 0.0 AS r
+         |  FROM xb JOIN cf USING (vec_id)),
+         |ag AS (
+         |  SELECT vec_id,
+         |    round(SUM(xc * xc), 6) + 0.0 AS n2_orig,
+         |    round(SUM(r * r), 6) + 0.0 AS n2_resid,
+         |    list(r ORDER BY dim) AS resid
+         |  FROM rs GROUP BY vec_id)
+         |SELECT a.vec_id, cf.coef, a.n2_orig, a.n2_resid, a.resid
+         |FROM ag a JOIN cf USING (vec_id)
+         |CROSS JOIN n1 CROSS JOIN n2 CROSS JOIN n$PcaIters
+         |WHERE n1.nrm > 0 AND n2.nrm > 0 AND n$PcaIters.nrm > 0
+         |ORDER BY a.vec_id""".stripMargin,
     "decontam_semantic" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),

@@ -269,6 +269,30 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     assert(Similarity.embedPcaPower(spark, dir.toString).collect().isEmpty)
   }
 
+  test("embedPcaDebias removes exactly the dominant-direction energy") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // axis-0 dominates (±2); axis-1 carries a small residual signal (±1):
+    // after removing the top PC (e₀), what's left is exactly the axis-1 part
+    val rows = Seq(
+      (0L, Array(2.0f, 1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(-2.0f, -1.0f, 0.0f, 0.0f), 0))
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val out = Similarity.embedPcaDebias(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getSeq[Double](4)))
+    // top PC of this 2-point cloud is (2,1)/√5 — but power iteration from
+    // the uniform start converges toward it; assert the energy accounting
+    // instead of the exact direction: residual ⊥ coef·v and energies add up
+    out.foreach { case (_, coef, n2o, n2r, _) =>
+      val c2 = BigDecimal(coef).pow(2).toDouble
+      assert(math.abs(n2o - (n2r + c2)) < 2e-5,
+        s"‖x‖² = coef² + ‖resid‖² must hold (got $n2o vs ${n2r + c2})")
+    }
+    assert(out.forall(t => t._4 < t._3), "de-biasing must strictly shed energy here")
+    assert(out.map(_._2).sum == 0.0, "symmetric points get opposite coefficients")
+  }
+
   test("sampleWeightedK: heaviest weight dominates; k past n returns everything") {
     import spark.implicits._
     val dir = tmpSfDir()
