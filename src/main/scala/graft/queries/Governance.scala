@@ -479,6 +479,59 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Dedup-aware mixture budget — mix_unique_budget
+  // ---------------------------------------------------------------------
+
+  /** Character budget for the dedup-aware allocation. */
+  private val UniqueBudgetChars = 1000000L
+
+  /**
+   * Dedup-aware mixture weighting — the correction every √-mass
+   * allocation needs: a heavily-mirrored source's RAW character mass
+   * overstates its real contribution, so the budget weights here come
+   * from its UNIQUE mass (characters of normalized-dedup canonical
+   * documents only, the [[dedupNormExact]] key). Emits per source the
+   * raw and unique masses, the duplication ratio, and the
+   * `budget·√unique DIV Σ√unique` allocation — the honest version of
+   * `mix_epochs`' plan.
+   *
+   * Scale shape: the same ONE groupBy-collapse + equi-join-back as the
+   * dedup pass (no hot-key windows); the rollup is ≤|sources| rows; the
+   * weight total is a metadata-sized driver scalar; allocations are
+   * integer cross-multiplications.
+   */
+  def mixUniqueBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_chars"), lit(0L)).as("nc"),
+        when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
+          .as("norm_fp"))
+    val clusters = d.filter(col("norm_fp").isNotNull)
+      .groupBy(col("norm_fp")).agg(min(col("doc_id")).as("canon_id"))
+    val counts = d.join(clusters, Seq("norm_fp"), "left")
+      .select(col("source"), col("nc"),
+        coalesce(col("doc_id") === col("canon_id"), lit(true)).as("is_canon"))
+      .groupBy(col("source"))
+      .agg(sum(col("nc")).as("avail_chars"),
+        sum(when(col("is_canon"), col("nc")).otherwise(lit(0L))).as("unique_chars"))
+      .withColumn("w",
+        floor(sqrt(col("unique_chars").cast("double"))).cast("long"))
+    val totalW = counts.agg(coalesce(sum(col("w")), lit(0L)).cast("long"))
+      .first().getLong(0)
+    val target =
+      if (totalW > 0) expr(s"${UniqueBudgetChars}L * w DIV ${totalW}L") else lit(0L)
+    counts
+      .withColumn("dup_ratio",
+        round(when(col("avail_chars") > 0,
+          lit(1.0) - col("unique_chars").cast("double") /
+            col("avail_chars").cast("double")), 6))
+      .withColumn("target_chars", target)
+      .select(col("source"), col("avail_chars"), col("unique_chars"),
+        col("dup_ratio"), col("w"), col("target_chars"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
   // Per-source unigram entropy — stats_entropy
   // ---------------------------------------------------------------------
 
@@ -799,6 +852,7 @@ object Governance {
     "corpus_novelty" -> (corpusNovelty _),
     "stats_burstiness" -> (statsBurstiness _),
     "stats_entropy" -> (statsEntropy _),
+    "mix_unique_budget" -> (mixUniqueBudget _),
     "split_group_aware" -> (splitGroupAware _))
 
   /** The DuckDB spelling of [[normText]] → md5 (NULL for empty-norm/NULL
@@ -1015,6 +1069,34 @@ object Governance {
         |      / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
         |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) END, 6) AS gini
         |FROM a ORDER BY source""".stripMargin,
+    "mix_unique_budget" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, source, COALESCE(n_chars, 0) AS nc,
+         |    ${duckNormFp("text")} AS norm_fp
+         |  FROM documents),
+         |c AS (
+         |  SELECT norm_fp, MIN(doc_id) AS canon_id
+         |  FROM n WHERE norm_fp IS NOT NULL GROUP BY norm_fp),
+         |k AS (
+         |  SELECT n.source, n.nc,
+         |    COALESCE(n.doc_id = c.canon_id, TRUE) AS is_canon
+         |  FROM n LEFT JOIN c USING (norm_fp)),
+         |g AS (
+         |  SELECT source, CAST(SUM(nc) AS BIGINT) AS avail_chars,
+         |    CAST(SUM(CASE WHEN is_canon THEN nc ELSE 0 END) AS BIGINT) AS unique_chars
+         |  FROM k GROUP BY source),
+         |w AS (
+         |  SELECT source, avail_chars, unique_chars,
+         |    CAST(floor(sqrt(CAST(unique_chars AS DOUBLE))) AS BIGINT) AS w
+         |  FROM g),
+         |t AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS tw FROM w)
+         |SELECT source, avail_chars, unique_chars,
+         |  round(CASE WHEN avail_chars > 0
+         |    THEN 1.0 - CAST(unique_chars AS DOUBLE) / CAST(avail_chars AS DOUBLE)
+         |    END, 6) AS dup_ratio,
+         |  w,
+         |  CASE WHEN tw > 0 THEN $UniqueBudgetChars * w // tw ELSE 0 END AS target_chars
+         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
     "stats_entropy" ->
       """WITH sw AS (
         |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

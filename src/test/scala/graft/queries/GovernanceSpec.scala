@@ -453,6 +453,29 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     assert(out("skew") == ((3L, 100L, 0.646667)))
   }
 
+  // ----------------------------------------------------- unique budget
+
+  test("mixUniqueBudget weights by canonical mass only — a mirrored source loses its double count") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      // 'mirror': the same content three times (one cluster) — unique = 400 of 1200
+      (0L, "same old content", "en", "mirror", 400L),
+      (1L, "Same  OLD content", "en", "mirror", 400L),
+      (2L, "SAME OLD CONTENT!", "en", "mirror", 400L),
+      // 'fresh': one unique doc of 400 — same unique mass as mirror
+      (3L, "completely new words", "en", "fresh", 400L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.mixUniqueBudget(spark, dir.toString).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // both sources: unique 400 → w = 20 each → equal 500000-char targets,
+    // even though 'mirror' has 3× the raw mass
+    assert(out("mirror") == ((1200L, 400L, 0.666667, 20L, 500000L)))
+    assert(out("fresh") == ((400L, 400L, 0.0, 20L, 500000L)))
+  }
+
   // ----------------------------------------------------------- entropy
 
   test("statsEntropy: uniform two-type source hits ln2 at efficiency 1; single type → 0") {
