@@ -964,13 +964,22 @@ object Similarity {
     if (dims > 0) {
       val emb = load(s, dir, "embeddings").filter(col("embedding").isNotNull)
       val mlit = typedLit(means)
-      val xc = transform(sequence(lit(1), lit(dims)), i =>
-        round(element_at(dArr(col("embedding")), i), 6) - element_at(mlit, i))
+      // zip_with, NOT element_at(transform(...), i): indexed access into a
+      // transform re-evaluates the whole array per element (O(dim^2) per
+      // row - measured 67 s at sf0.1); the zip is one linear pass
+      val xc = zip_with(dArr(col("embedding")), mlit,
+        (x, m) => round(x, 6) - m)
+      // centered vectors materialize ONCE for all three iterations (the
+      // scan + cast + center pass is the per-round constant cost;
+      // released by the query owner)
+      val cent = emb.select(xc.as("xc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.QueryCaches.report(cent)
       val dec8 = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
       for (_ <- 1 to PcaIters if norms.forall(_ > 0)) {
-        val sc = round(dot(xc, typedLit(v)), 6)
-        val w = emb
-          .select(sc.as("sc"), posexplode(xc).as(Seq("d", "x")))
+        val sc = round(dot(col("xc"), typedLit(v)), 6)
+        val w = cent
+          .select(sc.as("sc"), posexplode(col("xc")).as(Seq("d", "x")))
           .select(col("d"), round(col("x") * col("sc"), 8).as("t"))
           .groupBy(col("d"))
           .agg(sum(col("t").cast(dec8)).cast("double").as("w"))
@@ -1019,15 +1028,14 @@ object Similarity {
     val dims = means.length
     val mlit = typedLit(means)
     val vlit = typedLit(v)
-    val xc = transform(sequence(lit(1), lit(dims)), i =>
-      round(element_at(dArr(col("embedding")), i), 6) - element_at(mlit, i))
+    // single-pass centered array (see embedPcaPower's zip_with note)
+    val xc = zip_with(dArr(col("embedding")), mlit, (x, m) => round(x, 6) - m)
     load(s, dir, "embeddings")
       .filter(col("embedding").isNotNull && noModel(v))
       .select(col("vec_id"), xc.as("xc"))
       .withColumn("coef", round(dot(col("xc"), vlit), 6) + lit(0.0))
-      .withColumn("resid", transform(sequence(lit(1), lit(math.max(dims, 1))), i =>
-        round(element_at(col("xc"), i) - col("coef") * element_at(vlit, i), 6)
-          + lit(0.0)))
+      .withColumn("resid", zip_with(col("xc"), vlit,
+        (x, vd) => round(x - col("coef") * vd, 6) + lit(0.0)))
       .select(col("vec_id"), col("coef"),
         (round(dot(col("xc"), col("xc")), 6) + lit(0.0)).as("n2_orig"),
         (round(dot(col("resid"), col("resid")), 6) + lit(0.0)).as("n2_resid"),
