@@ -386,7 +386,76 @@ object Curation {
         (round(col("es_key"), 6) + lit(0.0)).as("es_key"))
   }
 
+  /** PageRank damping factor (the standard 0.85). */
+  private val PrDamping = 0.85
+  /** Fixed power-iteration rounds (a fixpoint sweep is data-dependent;
+    * the audit wants a reproducible, bounded scan count). */
+  private val PrIters = 3
+  private val PrTopK = 20
+
+  /**
+   * Duplicate-graph PageRank centrality — "which documents are the
+   * template hubs": power iteration over the near-dup Jaccard pair graph
+   * (the [[dedupComponents]] edge universe), reporting the [[PrTopK]]
+   * most central documents. A doc that near-duplicates into MANY other
+   * docs across clusters (license boilerplate, navigation chrome, spam
+   * templates) accumulates rank that plain cluster size dilutes — the
+   * governance scan that names the templates worth a dedicated filter.
+   *
+   * Scale shape: every iteration runs on the COLLAPSED pair graph (edge
+   * endpoints only — never the corpus): one equi-join of the rank
+   * relation onto the edge list + one map-side-combined inflow rollup
+   * per round, [[PrIters]] rounds total; edge-less docs hold the
+   * teleport floor (1−d)/n analytically and never enter the loop
+   * (undirected edges mean every graph node both sends and receives, so
+   * the node set is iteration-stable). Per-round relations persist and
+   * release via [[graft.core.QueryCaches]]. Determinism: contribution
+   * terms round at 14 dp and sum as exact DECIMAL; each round's rank
+   * rounds at 12 dp before feeding the next (the power-iteration oracle
+   * recipe — the DuckDB side is the same chain as one CTE per round);
+   * dangling-mass redistribution is deliberately omitted (documented —
+   * ranks are comparative, not a probability simplex).
+   */
+  def dedupGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val nDocs = load(s, dir, "documents").count()
+    if (nDocs == 0) {
+      return load(s, dir, "documents")
+        .select(col("doc_id"), lit(0L).as("deg"), lit(0.0).as("rank"))
+    }
+    val base = 0.15 / nDocs.toDouble // (1−d)/n — identical IEEE op in the oracle
+    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir)).select(col("da"), col("db"))
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(edges)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // ranks relation: (v, r); r0 = 1/n uniform over graph nodes
+    val decC = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 16)
+    var ranks = deg.select(col("src").as("v"),
+      (lit(1.0) / lit(nDocs.toDouble)).as("r"))
+    for (_ <- 1 to PrIters) {
+      val next = edges
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("v"),
+          round(col("r") / col("deg").cast("double"), 14).as("t"))
+        .groupBy(col("v"))
+        .agg(sum(col("t").cast(decC)).cast("double").as("inflow"))
+        .select(col("v"),
+          round(lit(base) + lit(PrDamping) * col("inflow"), 12).as("r"))
+        .persist(MEMORY_AND_DISK)
+      graft.core.QueryCaches.report(next)
+      ranks = next
+    }
+    ranks.join(deg.withColumnRenamed("src", "v"), "v")
+      .select(col("v").as("doc_id"), col("deg"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+      .limit(PrTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_graph_pagerank" -> (dedupGraphPagerank _),
     "dedup_components" -> (dedupComponents _),
     "sample_weighted_k" -> (sampleWeightedK _),
     "sample_stratified" -> (sampleStratified _),
@@ -416,7 +485,33 @@ object Curation {
        |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mind, d.doc_id)) AS comp_id
        |  FROM (SELECT doc_id FROM documents) d LEFT JOIN minr m USING (doc_id))""".stripMargin
 
+  /** One PageRank round as a DuckDB CTE — the chained-CTE oracle recipe
+    * (each round reads the previous round's 12-dp fixpoint). */
+  private def prIterSql(prev: String, iter: String): String =
+    s"""$iter AS (
+       |  SELECT e.dst AS v,
+       |    round(0.15 / CAST(nn.n AS DOUBLE) + $PrDamping *
+       |      CAST(SUM(CAST(round(p.r / CAST(d.deg AS DOUBLE), 14)
+       |        AS DECIMAL(38,16))) AS DOUBLE), 12) AS r
+       |  FROM edges e JOIN $prev p ON e.src = p.v
+       |    JOIN deg d ON e.src = d.src CROSS JOIN nn
+       |  GROUP BY e.dst, nn.n)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_graph_pagerank" ->
+      s"""WITH pairsq AS (${Dedup.jaccardWordsPairsSql}),
+         |edges AS (SELECT da AS src, db AS dst FROM pairsq
+         |          UNION ALL SELECT db, da FROM pairsq),
+         |deg AS (SELECT src, CAST(COUNT(1) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM documents),
+         |r0 AS (SELECT src AS v, 1.0 / CAST(n AS DOUBLE) AS r FROM deg, nn),
+         |${prIterSql("r0", "i1")},
+         |${prIterSql("i1", "i2")},
+         |${prIterSql("i2", "i3")}
+         |SELECT i3.v AS doc_id, d.deg, i3.r AS rank
+         |FROM i3 JOIN deg d ON i3.v = d.src
+         |ORDER BY i3.r DESC, doc_id LIMIT $PrTopK""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $duckComp,
          |sz AS (SELECT comp_id, COUNT(1) AS cluster_size FROM comp GROUP BY comp_id)

@@ -492,7 +492,53 @@ object Events {
       .limit(PathTopK)
   }
 
+  /** Value-tier boundaries for the SCD-2 state history (fixed model
+    * thresholds, like the RFM cut points). */
+  private def valueTier(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v.isNull, "none").when(v < 10.0d, "low").when(v < 100.0d, "mid")
+      .otherwise("high")
+
+  /**
+   * SCD-2 state history via gaps-and-islands — the slowly-changing-
+   * dimension build every warehouse ships: each user's event stream is
+   * reduced to the history of their value tier (consecutive same-tier
+   * runs collapse to one versioned row with `valid_from`/`valid_to`
+   * validity bounds, half-open; the last row per user is `is_current`).
+   * The standard LAG-change-flag → running-sum island id → per-island
+   * rollup formulation.
+   *
+   * Scale shape: all three windows (change flag, island id, the closing
+   * `lead`) partition on `user_id` — a real high-cardinality blocking
+   * key, ONE sort shared by the first two (identical partition+order
+   * spec), islands per user bounded by the user's own history. No global
+   * window, no join; the rollup is map-side-combined on (user, island).
+   * Ordering ties break on `event_id` — the same total order both
+   * engines (see [[seqTransitionMatrix]]).
+   */
+  def qIslandsScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextIsland = Window.partitionBy(col("user_id")).orderBy(col("island"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        valueTier(col("value")).as("tier"))
+      .withColumn("prev", lag(col("tier"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("tier"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("island"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr(epochUsExpr)).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(nextIsland))
+      .select(col("user_id"), col("island"), col("tier"), col("n_events"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_islands_scd2" -> (qIslandsScd2 _),
     "q_stickiness" -> (qStickiness _),
     "q_user_paths" -> (qUserPaths _),
     "q_asof_join" -> (qAsofJoin _),
@@ -512,6 +558,40 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_islands_scd2" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN value IS NULL THEN 'none'
+        |         WHEN value < 10 THEN 'low'
+        |         WHEN value < 100 THEN 'mid'
+        |         ELSE 'high' END AS tier
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts, tier,
+        |    lag(tier) OVER w AS prev
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, event_id, ts, tier,
+        |    CASE WHEN prev IS NULL OR prev <> tier THEN 1 ELSE 0 END AS chg
+        |  FROM m),
+        |i AS (
+        |  SELECT user_id, ts, tier,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, island, tier,
+        |    CAST(COUNT(1) AS BIGINT) AS n_events,
+        |    min(epoch_us(ts)) AS valid_from_us
+        |  FROM i GROUP BY 1, 2, 3)
+        |SELECT user_id, island, tier, n_events, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+        |    AS valid_to_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island) IS NULL
+        |    AS is_current
+        |FROM g
+        |ORDER BY user_id, island""".stripMargin,
     "q_user_paths" ->
       s"""WITH t AS (
          |  SELECT event_type,

@@ -837,7 +837,49 @@ object Governance {
   // Registration
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // k-anonymity audit — privacy_k_anon
+  // ---------------------------------------------------------------------
+
+  /** k-anonymity threshold: a quasi-identifier group smaller than this is
+    * re-identifiable (the Sweeney k; production passes its own). */
+  private val KAnonK = 5L
+
+  /** Length-bucket width for the quasi-identifier tuple (chars). */
+  private val KAnonBucket = 100.0d
+
+  /**
+   * k-anonymity audit over the corpus metadata — the privacy gate a
+   * training-data release runs before publishing per-document metadata:
+   * treating (lang, source, length bucket) as the quasi-identifier tuple
+   * (Sweeney 2002 — a QI tuple shared by fewer than k records
+   * re-identifies its members by linkage), every QI group with fewer than
+   * [[KAnonK]] documents is reported with its population and linkage risk
+   * (1/n in ppm, integer cross-multiplication). The release either
+   * suppresses these rows or widens the buckets until the audit is empty.
+   *
+   * Scale shape: ONE map-side-combined groupBy on the QI tuple (group
+   * count bounded by langs × sources × buckets, metadata-sized vs the
+   * corpus); the under-k filter runs post-aggregation. NULL metadata
+   * coalesces into sentinel QI values so the audit covers every row and
+   * the ordering is total on both engines.
+   */
+  def privacyKAnon(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), lit("")).as("source"),
+        floor(coalesce(col("n_chars"), lit(-100L)) / lit(KAnonBucket))
+          .cast("long").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < KAnonK)
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        (lit(1000000L) / col("n")).cast("long").as("risk_ppm"))
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_k_anon" -> (privacyKAnon _),
     "dedup_norm_exact" -> (dedupNormExact _),
     "dedup_method_agreement" -> (dedupMethodAgreement _),
     "text_boilerplate" -> (textBoilerplate _),
@@ -867,6 +909,20 @@ object Governance {
        |      END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "privacy_k_anon" ->
+      s"""WITH qi AS (
+         |  SELECT coalesce(lang, '') AS lang,
+         |    coalesce(source, '') AS source,
+         |    CAST(floor(coalesce(n_chars, -100) / $KAnonBucket) AS BIGINT)
+         |      AS len_bucket
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, source, len_bucket, CAST(COUNT(1) AS BIGINT) AS n
+         |  FROM qi GROUP BY 1, 2, 3)
+         |SELECT lang, source, len_bucket, n,
+         |  CAST(1000000 // n AS BIGINT) AS risk_ppm
+         |FROM g WHERE n < $KAnonK
+         |ORDER BY lang, source, len_bucket""".stripMargin,
     "dedup_norm_exact" ->
       """WITH n AS (
         |  SELECT doc_id,

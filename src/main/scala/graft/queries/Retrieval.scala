@@ -58,7 +58,14 @@ object Retrieval {
    * 6 dp and sums as exact DECIMAL so partial-agg order can't flip low
    * bits; ties on the rounded score break by doc_id.
    */
-  def textBm25Topk(s: SparkSession, dir: String): DataFrame = {
+  def textBm25Topk(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
+  /** The BM25-scored relation (doc_id, n_tokens, n_q_terms, score) before
+    * the top-K cut — shared by [[textBm25Topk]] and the RRF fusion. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) > 0)
@@ -88,8 +95,73 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("n_q_terms"), sum(col("ts")).cast("double").as("score"))
       .select(col("doc_id"), col("dl").as("n_tokens"), col("n_q_terms"), col("score"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Reciprocal-rank fusion — retrieval_rrf_fusion
+  // ---------------------------------------------------------------------
+
+  /** The RRF smoothing constant (Cormack/Clarke/Buettcher 2009's k=60). */
+  private val RrfK = 60L
+
+  private val RrfTopK = 20
+
+  /**
+   * Reciprocal-rank fusion of a lexical and a semantic retrieval list
+   * (Cormack et al. 2009 — the fusion rule hybrid-search curation uses
+   * because it needs no score calibration between rankers): the BM25
+   * top-[[Bm25TopK]] (the [[textBm25Topk]] list) fuses with the
+   * embedding-cosine top-[[Bm25TopK]] against the topic-centroid anchor
+   * (vector 0 — a driver-constant model parameter, the
+   * [[Similarity]] anchor convention; `vec_id` is the document's
+   * embedding id, so the two lists key on the same corpus), each document
+   * scoring Σ 1/([[RrfK]] + rank) over the lists it appears in. The
+   * fused top-[[RrfTopK]] comes back with both component ranks.
+   *
+   * Scale shape: each component list is already a top-K
+   * (TakeOrderedAndProject over its own linear scan — the rank windows
+   * run over the ≤K POST-LIMIT survivors, deliberate single-group
+   * [[Tables.zeroPart]] windows); the fusion is a full-outer equi-join of
+   * two K-row relations — metadata-sized no matter the corpus.
+   * Determinism: component ranks are integers (BM25 scores pre-rounded
+   * to 6 dp by construction; cosines rounded to 6 dp before ranking,
+   * ties on id); the RRF sum is two exact double divisions added in one
+   * fixed order, rounded to 6 dp.
+   */
+  def retrievalRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val bmRank = Window.partitionBy(zeroPart(col("doc_id")))
+      .orderBy(col("score").desc, col("doc_id"))
+    val bm = bm25Scored(s, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
+      .withColumn("bm25_rank", row_number().over(bmRank).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val anchors = Similarity.anchorVecsOf(load(s, dir, "embeddings"))
+    val a0 = anchors.headOption.getOrElse(Array.empty[Double])
+    val cosRank = Window.partitionBy(zeroPart(col("doc_id")))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val cos = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull &&
+        Similarity.noModel(anchors))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(Similarity.dArr(col("embedding")),
+          typedLit(a0)), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("cos_rank", row_number().over(cosRank).cast("long"))
+      .select(col("doc_id"), col("cos_rank"))
+    val rrf = round(
+      coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("bm25_rank").cast("double")),
+        lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("cos_rank").cast("double")),
+          lit(0.0)), 6)
+    bm.join(cos, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"), rrf.as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(RrfTopK)
   }
 
   // ---------------------------------------------------------------------
@@ -97,7 +169,8 @@ object Retrieval {
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bm25_topk" -> (textBm25Topk _))
+    "text_bm25_topk" -> (textBm25Topk _),
+    "retrieval_rrf_fusion" -> (retrievalRrfFusion _))
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" ->
@@ -131,5 +204,73 @@ object Retrieval {
          |SELECT doc_id, dl AS n_tokens, CAST(COUNT(1) AS BIGINT) AS n_q_terms,
          |  CAST(SUM(CAST(ts AS DECIMAL(20,6))) AS DOUBLE) AS score
          |FROM sc GROUP BY doc_id, dl
-         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin)
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
+    "retrieval_rrf_fusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM t WHERE len(w) > 0),
+         |c AS (
+         |  SELECT CAST(COUNT(1) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS tot FROM b),
+         |tf AS (
+         |  SELECT doc_id, dl, term, CAST(COUNT(1) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM b)
+         |  WHERE term IN (${Bm25Query.map(q => s"'$q'").mkString(", ")})
+         |  GROUP BY doc_id, dl, term),
+         |df AS (
+         |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT doc_id, dl,
+         |    round(
+         |      ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |                 / (CAST(df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf AS DOUBLE) * $Bm25K1Plus1)
+         |         / (CAST(tf AS DOUBLE) + $Bm25K1
+         |            * ($Bm25OneMinusB + $Bm25B
+         |               * (CAST(dl AS DOUBLE)
+         |                  / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))), 6) AS ts
+         |  FROM tf JOIN df USING (term) CROSS JOIN c),
+         |bmscore AS (
+         |  SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(20,6))) AS DOUBLE) AS score
+         |  FROM sc GROUP BY doc_id, dl),
+         |bmtop AS (
+         |  SELECT doc_id, score FROM bmscore
+         |  ORDER BY score DESC, doc_id LIMIT $Bm25TopK),
+         |bmrank AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS bm25_rank
+         |  FROM bmtop),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE embedding IS NOT NULL),
+         |anch AS (SELECT embedding AS av FROM e WHERE vec_id < 8
+         |         ORDER BY vec_id LIMIT 1),
+         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+         |cd AS (
+         |  SELECT m.vec_id,
+         |    SUM(m.embedding[i]::DOUBLE * a.av[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(a.av[i]::DOUBLE * a.av[i]::DOUBLE) AS aa
+         |  FROM m, anch a, generate_series(1, 64) g(i)
+         |  GROUP BY 1),
+         |cs AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cd),
+         |ctop AS (
+         |  SELECT doc_id, sim FROM cs WHERE sim IS NOT NULL
+         |  ORDER BY sim DESC, doc_id LIMIT $Bm25TopK),
+         |crank AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+         |    AS BIGINT) AS cos_rank
+         |  FROM ctop)
+         |SELECT doc_id, bm.bm25_rank, cr.cos_rank,
+         |  round(COALESCE(1.0 / ($RrfK + CAST(bm.bm25_rank AS DOUBLE)), 0)
+         |      + COALESCE(1.0 / ($RrfK + CAST(cr.cos_rank AS DOUBLE)), 0), 6)
+         |    AS rrf
+         |FROM bmrank bm FULL OUTER JOIN crank cr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin)
 }

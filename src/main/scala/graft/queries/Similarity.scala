@@ -282,6 +282,71 @@ object Similarity {
           .as("mean_d2"))
       .orderBy(col("cid"))
 
+  /**
+   * Simplified-silhouette clustering audit (the centroid-distance
+   * silhouette — the O(n·k) form used at scale, where the classic O(n²)
+   * pairwise silhouette is unpayable): the audited clustering is the
+   * corpus's own `label` column (an externally-trained partition — the
+   * thing a curation team wants graded), the centroids are the anchor
+   * vectors (label j's centroid is anchor j, the [[simIvfTopk]]
+   * model-parameter convention). Per member: a = Euclidean distance to
+   * its OWN labeled centroid, b = distance to the nearest OTHER
+   * centroid, s = (b − a) / max(a, b) ∈ [−1, 1]; the per-label audit
+   * reports population, misfit count (s < 0 — the member sits closer to
+   * another cluster than its own; unlike an argmin assignment, a labeled
+   * partition CAN misfit), and mean s. Members whose label has no
+   * centroid are outside the audit (documented contract: the label
+   * space may be wider than the trained k).
+   *
+   * Scale: centroids are driver-constant codegen expressions — the full
+   * k-way distance profile is one per-row expression over the scan (no
+   * join); it materializes ONCE behind an explode-of-singleton barrier
+   * (Generate stops CollapseProject from re-inlining the distance tree
+   * per downstream reference — the measured PQ lesson), and the only
+   * shuffle is the ≤k-group map-side-combined rollup. Determinism: a/b
+   * pick on unrounded d² (the [[kmeansAssigned]] contract — b is a MIN
+   * of values, no id tiebreak needed), per-row s rounded to 6 dp,
+   * summed as exact DECIMAL; −0.0 canonicalized.
+   */
+  def embedSilhouette(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = anchorVecs(s, dir)
+    // typed placeholder when there is no model — the guard below empties
+    // the relation before evaluation (b needs a second centroid to exist)
+    def dists(v: Column, vv: Column): Column =
+      if (cents.isEmpty) array(lit(0.0), lit(0.0))
+      else array(cents.map { c =>
+        val cl = typedLit(c)
+        vv - lit(2.0) * dot(v, cl) + dot(cl, cl)
+      }: _*)
+    val perRow = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull &&
+        col("label").isNotNull && col("label") >= 0 &&
+        col("label") < cents.size && lit(cents.size >= 2))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        dArr(col("embedding")).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .select(col("vec_id"), col("label"),
+        explode(array(dists(col("v"), col("vv")))).as("da"))
+      .select(col("vec_id"), col("label"),
+        element_at(col("da"), (col("label") + 1).cast("int")).as("a2"),
+        array_min(filter(col("da"),
+          (_, i) => i.cast("long") =!= col("label"))).as("b2"))
+    val a = sqrt(greatest(col("a2"), lit(0.0)))
+    val b = sqrt(greatest(col("b2"), lit(0.0)))
+    val sil = round(when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+      .otherwise(0.0), 6) + lit(0.0)
+    val decS = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    perRow
+      .select(col("label"), sil.as("sil"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_misfit"),
+        (round(sum(col("sil").cast(decS)).cast("double") / count(lit(1)), 6)
+          + lit(0.0)).as("mean_sil"))
+      .orderBy(col("label"))
+  }
+
   /** PQ subspace count: 64-dim vectors → 8 subspaces × 8 dims. */
   private val PqM = 8
 
@@ -1160,6 +1225,7 @@ object Similarity {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "embed_quantize" -> (embedQuantize _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
+    "embed_silhouette" -> (embedSilhouette _),
     "embed_pq_assign" -> (embedPqAssign _),
     "sim_pq_adc_topk" -> (simPqAdcTopk _),
     "sim_pq_recall" -> (simPqRecall _),
@@ -1711,6 +1777,41 @@ object Similarity {
          |  FROM r)
          |SELECT cid, rk, term, cnt, round(lift, 6) AS lift
          |FROM k WHERE rk <= $TopicsPerCell ORDER BY cid, rk""".stripMargin,
+    "embed_silhouette" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |nc AS (SELECT CAST(COUNT(1) AS BIGINT) AS k FROM cent),
+        |m AS (
+        |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+        |  FROM e, nc
+        |  WHERE vec_id >= 8 AND label IS NOT NULL AND label >= 0
+        |    AND label < nc.k AND nc.k >= 2),
+        |dots AS (
+        |  SELECT m.vec_id, m.label, cent.cid0,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
+        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
+        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+        |  FROM m, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2, 3),
+        |own AS (
+        |  SELECT vec_id, label, vv - 2 * vc + cc AS a2
+        |  FROM dots WHERE cid0 = label),
+        |oth AS (
+        |  SELECT vec_id, min(vv - 2 * vc + cc) AS b2
+        |  FROM dots WHERE cid0 <> label GROUP BY vec_id),
+        |sil AS (
+        |  SELECT own.label,
+        |    round(CASE WHEN greatest(sqrt(greatest(a2, 0)), sqrt(greatest(b2, 0))) > 0
+        |      THEN (sqrt(greatest(b2, 0)) - sqrt(greatest(a2, 0)))
+        |           / greatest(sqrt(greatest(a2, 0)), sqrt(greatest(b2, 0)))
+        |      ELSE 0 END, 6) + 0.0 AS sil
+        |  FROM own JOIN oth USING (vec_id))
+        |SELECT label, CAST(COUNT(1) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit,
+        |  round(CAST(SUM(CAST(sil AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6)
+        |    + 0.0 AS mean_sil
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin,
     "embed_kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),

@@ -359,7 +359,93 @@ object TrainAudit {
       |FROM trans
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // split_temporal_embargo — purged temporal split with an embargo gap
+  // ---------------------------------------------------------------------
+
+  /** Train side ends (exclusive) at this day; test side starts at
+    * [[EmbargoTestStart]]. The events between are PURGED — the embargo
+    * that keeps near-boundary temporal leakage (label horizons, session
+    * spillover) out of both halves (the purged/embargoed K-fold of
+    * López de Prado 2018, "Advances in Financial Machine Learning" §7). */
+  private val EmbargoTrainEnd = "2024-01-14"
+  private val EmbargoTestStart = "2024-01-17"
+
+  private def dayUs(d: String): Long =
+    java.time.LocalDate.parse(d).toEpochDay * 86400L * 1000000L
+
+  private val EmbargoT1Us: Long = dayUs(EmbargoTrainEnd)
+  private val EmbargoT2Us: Long = dayUs(EmbargoTestStart)
+
+  /**
+   * Purged temporal split audit: per event type, how many events fall in
+   * the train half (ts < T1), the embargo gap ([T1, T2) — dropped from
+   * BOTH halves), and the test half (ts ≥ T2); the purged share in ppm;
+   * and how many users still have events on BOTH sides of the gap (the
+   * residual entity-level leakage a user-grouped split would remove —
+   * see [[mlSplitLeakage]] for the ungapped audit this extends).
+   *
+   * Scale: one conditional-aggregate pass per event type plus one
+   * (user, event_type) min/max rollup for the crossing count — two
+   * map-side-combined shuffles, both collapsing to ≤|types| (or
+   * users×types) rows; no window, no self-join. All quantities integers;
+   * the ppm share is an integer cross-multiplication.
+   */
+  def splitTemporalEmbargo(s: SparkSession, dir: String): DataFrame = {
+    val t1 = lit(EmbargoT1Us)
+    val t2 = lit(EmbargoT2Us)
+    val base = events(s, dir)
+      .select(col("event_type"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val perType = base.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("ts_us") < t1, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("ts_us") >= t1 && col("ts_us") < t2, 1L).otherwise(0L))
+          .as("n_purged"),
+        sum(when(col("ts_us") >= t2, 1L).otherwise(0L)).as("n_test"))
+    val crossing = base
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      .filter(col("first_us") < t1 && col("last_us") >= t2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users_crossing"))
+    perType.join(crossing, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_train"), col("n_purged"), col("n_test"),
+        (col("n_purged") * 1000000L /
+          (col("n_train") + col("n_purged") + col("n_test"))).cast("long")
+          .as("purged_ppm"),
+        coalesce(col("n_users_crossing"), lit(0L)).as("n_users_crossing"))
+      .orderBy(col("event_type"))
+  }
+
+  private def splitTemporalEmbargoSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events),
+       |t AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN ts_us < $EmbargoT1Us THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN ts_us >= $EmbargoT1Us AND ts_us < $EmbargoT2Us
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       |    CAST(SUM(CASE WHEN ts_us >= $EmbargoT2Us THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_test
+       |  FROM b GROUP BY 1),
+       |c AS (
+       |  SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n_users_crossing
+       |  FROM (
+       |    SELECT event_type, user_id,
+       |      min(ts_us) AS first_us, max(ts_us) AS last_us
+       |    FROM b GROUP BY 1, 2)
+       |  WHERE first_us < $EmbargoT1Us AND last_us >= $EmbargoT2Us
+       |  GROUP BY 1)
+       |SELECT t.event_type, n_train, n_purged, n_test,
+       |  CAST(n_purged * 1000000 // (n_train + n_purged + n_test) AS BIGINT)
+       |    AS purged_ppm,
+       |  CAST(COALESCE(c.n_users_crossing, 0) AS BIGINT) AS n_users_crossing
+       |FROM t LEFT JOIN c USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_temporal_embargo" -> (splitTemporalEmbargo _),
     "ml_negative_sample" -> (mlNegativeSample _),
     "stats_mad_outliers" -> (statsMadOutliers _),
     "ml_split_leakage" -> (mlSplitLeakage _),
@@ -367,6 +453,7 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "split_temporal_embargo" -> splitTemporalEmbargoSql,
     "ml_negative_sample" -> mlNegativeSampleSql,
     "stats_mad_outliers" -> statsMadOutliersSql,
     "ml_split_leakage" -> mlSplitLeakageSql,

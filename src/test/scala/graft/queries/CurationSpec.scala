@@ -103,4 +103,35 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("dedupGraphPagerank: the bridge doc out-ranks leaves; 3-round fixpoint matches by hand") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // path graph 0–1–2 (J(0,1)=J(1,2)=9/11≥0.8, J(0,2)=8/12<0.8) + singleton 3
+    val base = (1 to 10).map(i => s"w$i")
+    val rows = Seq(
+      (0L, base.mkString(" "), "en", "s0"),
+      (1L, (base.take(9) :+ "x").mkString(" "), "en", "s0"),
+      (2L, (base.take(8) ++ Seq("x", "y")).mkString(" "), "en", "s0"),
+      (3L, "lonely words here", "en", "s1"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b0 = 0.15 / 4.0
+    // replicate the engine arithmetic: 14-dp terms, exact-decimal sum,
+    // 12-dp round per iteration
+    def leaf(rb: Double): Double = rnd(b0 + 0.85 * rnd(rb / 2.0, 14), 12)
+    def mid(ra: Double, rc: Double): Double = rnd(b0 + 0.85 *
+      (BigDecimal(rnd(ra / 1.0, 14)) + BigDecimal(rnd(rc / 1.0, 14))).toDouble, 12)
+    var (ra, rb, rc) = (0.25, 0.25, 0.25)
+    for (_ <- 1 to 3) {
+      val (na, nb, nc) = (leaf(rb), mid(ra, rc), leaf(rb))
+      ra = na; rb = nb; rc = nc
+    }
+    val out = Curation.dedupGraphPagerank(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, rb), (0L, 1L, ra), (2L, 1L, rc)),
+      s"got ${out.toSeq}; expected center ${rb}, leaves ${ra}")
+  }
 }

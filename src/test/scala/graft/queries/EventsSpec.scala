@@ -107,6 +107,33 @@ class EventsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("qIslandsScd2: consecutive same-tier runs collapse; validity chains; last row current") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      // user 1: low low mid low → 3 islands
+      (1L, 1L, tsNs(10), "view", Some(5.0)),
+      (2L, 1L, tsNs(20), "view", Some(6.0)),
+      (3L, 1L, tsNs(30), "view", Some(50.0)),
+      (4L, 1L, tsNs(40), "view", Some(5.0)),
+      // user 2: one NULL-value event → tier 'none', single current island
+      (5L, 2L, tsNs(10), "view", Option.empty[Double]),
+      // user 3: high throughout → one island of 2
+      (6L, 3L, tsNs(10), "view", Some(150.0)),
+      (7L, 3L, tsNs(20), "view", Some(900.0)))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.qIslandsScd2(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "low", 2L, usOf(10), Some(usOf(30)), false),
+      (1L, 2L, "mid", 1L, usOf(30), Some(usOf(40)), false),
+      (1L, 3L, "low", 1L, usOf(40), None, true),
+      (2L, 1L, "none", 1L, usOf(10), None, true),
+      (3L, 1L, "high", 2L, usOf(10), None, true)))
+  }
+
   test("qStickiness: trailing-window WAU counts each user once; only active days emit") {
     import spark.implicits._
     val dir = tmpSfDir()

@@ -602,4 +602,31 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     val buckets = Set("train", "val", "test")
     assert(out.values.forall(v => buckets.contains(v._3)))
   }
+
+  // -------------------------------------------------------------- k-anon
+
+  test("privacyKAnon: only under-k QI groups report; NULL metadata coalesces to sentinels") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // QI = (lang, source, floor(n_chars/100)); k = 5
+    val rows =
+      // 6 docs share (en, web, bucket 1) → AT k, suppressed from the audit
+      (0L until 6L).map(i => (i, "t", Some("en"), Some("web"), Some(150L))) ++
+      // 2 docs share (en, cc, bucket 0) → under k, risk 1/2
+      Seq((10L, "t", Some("en"), Some("cc"), Some(10L)),
+        (11L, "t", Some("en"), Some("cc"), Some(99L)),
+        // singleton (fr, web, bucket 2) → under k, risk 1/1
+        (12L, "t", Some("fr"), Some("web"), Some(250L)),
+        // NULL metadata → sentinel QI ('', '', -1), 1 member
+        (13L, "t", Option.empty[String], Option.empty[String], Option.empty[Long]))
+    writeTable(dir, "documents",
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.privacyKAnon(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("", "", -1L, 1L, 1000000L),
+      ("en", "cc", 0L, 2L, 500000L),
+      ("fr", "web", 2L, 1L, 1000000L)),
+      s"got ${out.toSeq}")
+  }
 }

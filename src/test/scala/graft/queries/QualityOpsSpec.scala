@@ -308,4 +308,30 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       "the giant-weight doc's key rounds to 0 — first out of the draw")
     assert(out.tail.forall(_._3 < 0.0), "unit-weight keys are strictly negative")
   }
+
+  test("embedSilhouette: labeled misfits go negative; out-of-model labels excluded") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      // model: 2 centroids (k = 2)
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      // label 0: a perfect fit (s=1) and a misfit (closer to centroid 1)
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (11L, Array(0.6f, 0.8f, 0.0f, 0.0f), 0),
+      // label 1: perfect fit + an equidistant member (s=0 by contract)
+      (12L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (13L, Array(0.5f, 0.5f, 0.0f, 0.0f), 1),
+      // label outside the trained k → outside the audit
+      (14L, Array(1.0f, 0.0f, 0.0f, 0.0f), 5))
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val out = Similarity.embedSilhouette(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vec 11: a=√0.8, b=√0.4 → s=round((b−a)/a, 6)=−0.292893; mean for
+    // label 0 = round((1 − 0.292893)/2, 6) = 0.353554
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 0.353554),
+      (1L, 2L, 0L, 0.5)),
+      s"got ${out.toSeq}")
+  }
 }

@@ -58,4 +58,41 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(ids.head == 0L)
     assert(rows.map(_._2._3).sorted.reverse.toSeq == rows.map(_._2._3).toSeq)
   }
+
+  test("retrievalRrfFusion: lists fuse by reciprocal rank; single-list docs score one term") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // BM25 side: doc9 (vector+hash) > doc0 (stream×2) > doc8 (vector×3,
+    // length-penalized); doc10 has no query hits → cos-only
+    val docRows = Seq(
+      (0L, "stream stream", "en", "s0"),
+      (8L, "vector vector vector", "en", "s0"),
+      (9L, "vector hash", "en", "s0"),
+      (10L, "x y z", "en", "s1"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents",
+      docRows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // cosine side vs anchor [1,0,0,0]: vec9 1.0 > vec11 0.8 > vec8 0.6 > vec10 0.0
+    val embRows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),   // anchor
+      (8L, Array(0.6f, 0.8f, 0.0f, 0.0f), 0),
+      (9L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (10L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (11L, Array(0.8f, 0.6f, 0.0f, 0.0f), 0))  // no document row → cos-only
+    writeTable(dir, "embeddings", embRows.toDF("vec_id", "embedding", "label"))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Retrieval.retrievalRrfFusion(spark, dir.toString).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (9L, Some(1L), Some(1L), r6(1.0 / 61 + 1.0 / 61)),
+      (8L, Some(3L), Some(3L), r6(1.0 / 63 + 1.0 / 63)),
+      (0L, Some(2L), None, r6(1.0 / 62)),
+      (11L, None, Some(2L), r6(1.0 / 62)),
+      (10L, None, Some(4L), r6(1.0 / 64))),
+      s"got ${out.toSeq}")
+  }
 }

@@ -116,4 +116,28 @@ class TrainAuditSpec extends AnyFunSuite with SparkFixture {
     assert(res(2L) == ((11L, 1L, 7L)), s"doc2: one 7-token span; got ${res(2L)}")
     assert(res(3L) == ((9L, 0L, 0L)), "unique doc has no duplicated spans")
   }
+
+  test("splitTemporalEmbargo: boundary events purge; crossing counts span the gap") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // T1 = 2024-01-14 00:00, T2 = 2024-01-17 00:00
+    val rows = Seq(
+      // view: u1 crosses the gap (train day 10 → test day 20), one purged
+      (1L, 1L, tsNs(10, 0), "view", 1.0),
+      (2L, 1L, tsNs(15, 0), "view", 1.0),
+      (3L, 1L, tsNs(20, 0), "view", 1.0),
+      (4L, 2L, tsNs(5, 0), "view", 1.0),    // u2: train only
+      // click: both events inside [T1, T2) — all purged, nobody crosses
+      (5L, 3L, tsNs(14, 0), "click", 1.0),  // exactly AT T1 → purged
+      (6L, 3L, tsNs(16, 59), "click", 1.0))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = TrainAudit.splitTemporalEmbargo(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("click", 0L, 2L, 0L, 1000000L, 0L),
+      ("view", 2L, 1L, 1L, 250000L, 1L)),
+      s"got ${out.toSeq}")
+  }
 }
