@@ -370,6 +370,48 @@ object Corpus {
       .orderBy(col("pctl"))
   }
 
+  /** PERCENTILE_CONT probe points. */
+  private val ContPctls = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /**
+   * Interpolated percentiles (SQL-standard PERCENTILE_CONT semantics) of
+   * the document length distribution — the continuous companion of
+   * [[statsLengthPctl]]'s discrete order statistics: for each p, h =
+   * (n−1)·p, and the value is lerp(v⌊h⌋₊₁, v⌈h⌉₊₁, h−⌊h⌋). Spark's own
+   * `percentile_cont` is a single-node-ish aggregate; this is the
+   * distributed two-pass form over [[graft.operators.Quantiles]]' exact
+   * global rank.
+   *
+   * Scale shape: rank via range partition + metadata offsets (no
+   * single-partition window); the probe predicate (does this rank carry
+   * a ⌊h⌋+1 / ⌈h⌉+1 value for some p) is a scan-local ≤|Ps| filter, so
+   * ≤2·|Ps| rows enter the final ≤|Ps|-group aggregate. Determinism: h
+   * is one double multiply of exact integers, identical IEEE both
+   * engines; lo/hi are exact longs; one lerp rounded at 6 dp.
+   */
+  def statsPercentileCont(s: SparkSession, dir: String): DataFrame = {
+    // NULL lengths out of the ranked population (statsLengthPctl contract)
+    val keyed = docs(s, dir).filter(col("n_chars").isNotNull)
+      .select(col("n_chars"), col("doc_id"))
+    val ranked = graft.operators.Quantiles
+      .withGlobalRank(keyed, Seq(col("n_chars"), col("doc_id")), "rk", "__total")
+    def h(p: Column): Column = (col("__total").cast("double") - lit(1.0)) * p
+    val hits = ranked.withColumn("p",
+      explode(filter(typedLit(ContPctls),
+        p => col("rk") === (floor(h(p)) + 1) || col("rk") === (ceil(h(p)) + 1))))
+    val hp = h(col("p"))
+    hits
+      .groupBy(col("p"))
+      .agg(
+        max(when(col("rk") === (floor(hp) + 1), col("n_chars"))).as("lo"),
+        max(when(col("rk") === (ceil(hp) + 1), col("n_chars"))).as("hi"),
+        first(hp - floor(hp)).as("frac"))
+      .select(col("p"), col("lo"), col("hi"),
+        round(col("lo") + (col("hi") - col("lo")) * col("frac"), 6)
+          .as("pctl_value"))
+      .orderBy(col("p"))
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic exactly-N-per-source sample — sample_per_source_topn
   // ---------------------------------------------------------------------
@@ -698,6 +740,7 @@ object Corpus {
     "vocab_coverage" -> (vocabCoverage _),
     "decontam_overlap" -> (decontamOverlap _),
     "stats_length_pctl" -> (statsLengthPctl _),
+    "stats_percentile_cont" -> (statsPercentileCont _),
     "sample_per_source_topn" -> (samplePerSourceTopn _),
     "corpus_report" -> (corpusReport _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
@@ -906,6 +949,27 @@ object Corpus {
          |  COALESCE(h.n_hit, 0)::DOUBLE / tr.n_sh::DOUBLE AS overlap_frac,
          |  COALESCE(h.n_hit, 0)::DOUBLE / tr.n_sh::DOUBLE >= $DecontamTau AS contaminated
          |FROM tr LEFT JOIN h USING (doc_id) ORDER BY tr.doc_id""".stripMargin,
+    "stats_percentile_cont" ->
+      s"""WITH r AS (
+         |  SELECT n_chars,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+         |    CAST(COUNT(1) OVER () AS BIGINT) AS t
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |px AS (SELECT CAST(unnest([${ContPctls.mkString(", ")}]) AS DOUBLE) AS p),
+         |hit AS (
+         |  SELECT px.p, r.rk, r.n_chars,
+         |    (CAST(r.t AS DOUBLE) - 1.0) * px.p AS h
+         |  FROM r, px
+         |  WHERE r.rk = floor((CAST(r.t AS DOUBLE) - 1.0) * px.p) + 1
+         |     OR r.rk = ceil((CAST(r.t AS DOUBLE) - 1.0) * px.p) + 1),
+         |g AS (
+         |  SELECT p,
+         |    MAX(CASE WHEN rk = floor(h) + 1 THEN n_chars END) AS lo,
+         |    MAX(CASE WHEN rk = ceil(h) + 1 THEN n_chars END) AS hi,
+         |    any_value(h - floor(h)) AS frac
+         |  FROM hit GROUP BY p)
+         |SELECT p, lo, hi, round(lo + (hi - lo) * frac, 6) AS pctl_value
+         |FROM g ORDER BY p""".stripMargin,
     "stats_length_pctl" ->
       s"""WITH r AS (
          |  SELECT n_chars, doc_id,

@@ -537,7 +537,103 @@ object Events {
       .orderBy(col("user_id"), col("island"))
   }
 
+  /**
+   * Revenue Pareto curve — the 80/20 concentration report a marketing
+   * team reads before segmenting spend: users rank by lifetime purchase
+   * revenue (descending), and each user-count decile reports its
+   * cumulative revenue share. "The top 10% of customers hold 62% of
+   * revenue" is row 1.
+   *
+   * Scale shape: per-user revenue collapses map-side; the global rank
+   * and the exact prefix sum are the [[graft.operators.Quantiles]]
+   * two-pass primitives (range partition + metadata offsets — no
+   * single-partition window); decile boundaries are a scan-local ≤10-way
+   * predicate and the total-revenue scalar reads the already-persisted
+   * ranked relation. Money is exact integer cents end-to-end
+   * ([[Tables.dec]] × 100); shares are integer ppm (cents·10⁶ stays
+   * < 2⁵³ at any plausible scale — a 100 TB ledger would move the ppm
+   * cross-multiplication into DECIMAL).
+   */
+  def qParetoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("cents"))
+    val order = Seq(col("cents").desc, col("user_id").asc)
+    val ranked = graft.operators.Quantiles
+      .withGlobalRank(rev, order, "rk", "__total")
+    val cum = graft.operators.Quantiles
+      .withRunningTotal(ranked, order, "cents", "cum")
+    // total revenue: a 1-row aggregate over the persisted ranked relation
+    val totCents = cum.agg(coalesce(max(col("cum")), lit(0L))).first().getLong(0)
+    cum
+      .withColumn("decile", explode(filter(typedLit(Seq.range(1, 11)),
+        d => col("rk") === floor((col("__total") * d + lit(9)) / lit(10)).cast("long"))))
+      .select(col("decile"), col("rk").as("n_users"),
+        (col("rk") * 1000000L / col("__total")).cast("long").as("users_ppm"),
+        (if (totCents > 0) (col("cum") * 1000000L / lit(totCents)).cast("long")
+         else lit(0L)).as("revenue_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** Anomaly fence in (rounded) z units. */
+  private val AnomalyZ = 3.0
+
+  /**
+   * Rolling z-score anomaly monitor over the daily event series — the
+   * ingest-volume tripwire a pipeline team runs per event type: each
+   * day's count scores against the trailing 7-day window's mean/stddev,
+   * and |z| > [[AnomalyZ]] flags the day. The monitoring twin of the
+   * windowed-aggregate family (`q_range_frame` is the value-range
+   * variant).
+   *
+   * The baseline window is the 7 days STRICTLY BEFORE the scored day — a
+   * self-inclusive window caps z at (w−1)/√w ≈ 2.27 and the fence could
+   * never fire; forecasting against the past is also the semantically
+   * right monitor.
+   *
+   * Scale shape: events collapse to the ≤days×types daily relation FIRST
+   * (one map-side-combined groupBy); every window runs over that
+   * metadata-sized series, partitioned by event type, as a RANGE frame
+   * on the integer epoch-day (calendar gaps shrink the window rather
+   * than leaking old days in). Determinism: window sums are exact
+   * integers (n, n² as longs); mean/variance derive from the integer
+   * sums by one fixed IEEE op sequence (sample variance via
+   * n·Σx²−(Σx)², exact in LONG); z rounds at 6 dp and the fence
+   * compares the ROUNDED value.
+   */
+  def statsDailyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .select(col("event_type"), to_date(timestamp_micros(epochUs())).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dn"))
+      .rangeBetween(-7, -1)
+    val st = daily
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("ws", sum(col("n")).over(w))
+      .withColumn("wq", sum(col("n") * col("n")).over(w))
+    val mean = col("ws").cast("double") / col("wn").cast("double")
+    // variance only exists past one sample — guarding BEFORE the division
+    // (not after) keeps NaN out of both engines entirely (DuckDB compares
+    // NaN > 0 as true — an unguarded 0/0 would diverge)
+    val varC = when(col("wn") > 1,
+      (col("wn") * col("wq") - col("ws") * col("ws")).cast("double") /
+        (col("wn") * (col("wn") - 1)).cast("double"))
+    val std = sqrt(varC)
+    val z = round((col("n").cast("double") - mean) / std, 6)
+    st.select(col("event_type"), col("day"), col("n"), col("wn").as("win_days"),
+      (round(mean, 6) + lit(0.0)).as("win_mean"),
+      when(col("wn") > 1 && std > 0, z + lit(0.0)).as("z"),
+      coalesce(when(col("wn") > 1 && std > 0, abs(z) > lit(AnomalyZ)),
+        lit(false)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto_revenue" -> (qParetoRevenue _),
+    "stats_daily_anomaly" -> (statsDailyAnomaly _),
     "q_islands_scd2" -> (qIslandsScd2 _),
     "q_stickiness" -> (qStickiness _),
     "q_user_paths" -> (qUserPaths _),
@@ -558,6 +654,61 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_pareto_revenue" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |k AS (
+        |  SELECT user_id, cents,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS rk,
+        |    CAST(COUNT(1) OVER () AS BIGINT) AS t,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, user_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM r),
+        |tot AS (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS tc FROM r),
+        |d AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS decile)
+        |SELECT d.decile, k.rk AS n_users,
+        |  CAST(k.rk * 1000000 // k.t AS BIGINT) AS users_ppm,
+        |  CASE WHEN tot.tc > 0
+        |    THEN CAST(k.cum * 1000000 // tot.tc AS BIGINT)
+        |    ELSE 0 END AS revenue_ppm
+        |FROM k JOIN d ON k.rk = (k.t * d.decile + 9) // 10 CROSS JOIN tot
+        |ORDER BY d.decile""".stripMargin,
+    "stats_daily_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(1) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT event_type, day, n,
+         |    CAST(day - DATE '1970-01-01' AS BIGINT) AS dn
+         |  FROM daily),
+         |w AS (
+         |  SELECT event_type, day, n,
+         |    CAST(COUNT(1) OVER win AS BIGINT) AS wn,
+         |    CAST(SUM(n) OVER win AS BIGINT) AS ws,
+         |    CAST(SUM(n * n) OVER win AS BIGINT) AS wq
+         |  FROM d2
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY dn
+         |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         |sc AS (
+         |  SELECT event_type, day, n, wn,
+         |    CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS mean,
+         |    sqrt(CASE WHEN wn > 1
+         |      THEN CAST(wn * wq - ws * ws AS DOUBLE)
+         |           / CAST(wn * (wn - 1) AS DOUBLE) END) AS std
+         |  FROM w)
+         |SELECT event_type, day, n, wn AS win_days,
+         |  round(mean, 6) + 0.0 AS win_mean,
+         |  CASE WHEN wn > 1 AND std > 0
+         |    THEN round((CAST(n AS DOUBLE) - mean) / std, 6) + 0.0 END AS z,
+         |  COALESCE(CASE WHEN wn > 1 AND std > 0
+         |    THEN abs(round((CAST(n AS DOUBLE) - mean) / std, 6)) > $AnomalyZ
+         |    END, FALSE) AS is_anomaly
+         |FROM sc
+         |ORDER BY event_type, day""".stripMargin,
     "q_islands_scd2" ->
       """WITH t AS (
         |  SELECT user_id, event_id, ts,

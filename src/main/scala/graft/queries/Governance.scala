@@ -878,8 +878,38 @@ object Governance {
         (lit(1000000L) / col("n")).cast("long").as("risk_ppm"))
       .orderBy(col("lang"), col("source"), col("len_bucket"))
 
+  /**
+   * l-diversity audit — [[privacyKAnon]]'s companion (Machanavajjhala et
+   * al. 2007): k-anonymity alone still leaks when every member of a QI
+   * group shares the same SENSITIVE value (homogeneity attack — the
+   * linker learns the attribute without identifying the row). QI here is
+   * (source, length bucket), the sensitive attribute is `lang`; every QI
+   * group with fewer than 2 distinct sensitive values is reported with
+   * its population and distinct-value count, whatever its size — groups
+   * that pass k-anonymity but fail here are exactly the homogeneity
+   * exposures.
+   *
+   * Scale shape: one two-level aggregate — distinct (QI, lang) collapses
+   * map-side first, then a ≤|QI-groups| rollup counts values and sums
+   * populations; no window, no join.
+   */
+  def privacyLDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        coalesce(col("source"), lit("")).as("source"),
+        floor(coalesce(col("n_chars"), lit(-100L)) / lit(KAnonBucket))
+          .cast("long").as("len_bucket"),
+        coalesce(col("lang"), lit("")).as("lang"))
+      .groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_val"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("n_val")).as("n"), count(lit(1)).as("l_distinct"))
+      .filter(col("l_distinct") < 2)
+      .orderBy(col("source"), col("len_bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anon" -> (privacyKAnon _),
+    "privacy_l_diversity" -> (privacyLDiversity _),
     "dedup_norm_exact" -> (dedupNormExact _),
     "dedup_method_agreement" -> (dedupMethodAgreement _),
     "text_boilerplate" -> (textBoilerplate _),
@@ -909,6 +939,21 @@ object Governance {
        |      END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "privacy_l_diversity" ->
+      s"""WITH qi AS (
+         |  SELECT coalesce(source, '') AS source,
+         |    CAST(floor(coalesce(n_chars, -100) / $KAnonBucket) AS BIGINT)
+         |      AS len_bucket,
+         |    coalesce(lang, '') AS lang
+         |  FROM documents),
+         |v AS (
+         |  SELECT source, len_bucket, lang, CAST(COUNT(1) AS BIGINT) AS n_val
+         |  FROM qi GROUP BY 1, 2, 3)
+         |SELECT source, len_bucket, CAST(SUM(n_val) AS BIGINT) AS n,
+         |  CAST(COUNT(1) AS BIGINT) AS l_distinct
+         |FROM v GROUP BY 1, 2
+         |HAVING COUNT(1) < 2
+         |ORDER BY source, len_bucket""".stripMargin,
     "privacy_k_anon" ->
       s"""WITH qi AS (
          |  SELECT coalesce(lang, '') AS lang,

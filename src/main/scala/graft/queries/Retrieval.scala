@@ -165,12 +165,104 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------------
+  // Maximal Marginal Relevance diversification — retrieval_mmr_diversify
+  // ---------------------------------------------------------------------
+
+  /** MMR trade-off λ (Carbonell & Goldstein 1998) — spelled with its
+    * complement so both engines run the exact same literals. */
+  private val MmrLambda = 0.7
+  private val MmrOneMinusL = 0.3
+  private val MmrShortlist = 20
+  private val MmrK = 10
+
+  /**
+   * MMR result diversification (Carbonell & Goldstein 1998): re-rank the
+   * cosine top-[[MmrShortlist]] so each successive pick maximizes
+   * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — relevance minus redundancy
+   * against everything already selected. The dedup-aware "pick the K
+   * most relevant AND mutually distinct exemplars" selection a curation
+   * team runs when sampling demonstration documents per topic.
+   *
+   * Scale shape: the DISTRIBUTED part is the shortlist scan (linear
+   * cosine + TakeOrderedAndProject, the [[retrievalRrfFusion]]
+   * component); the greedy loop is inherently sequential in K and runs
+   * on the driver over the collected ≤[[MmrShortlist]]-row shortlist —
+   * model-parameter-sized by construction (the BPE-argmax convention),
+   * NEVER a corpus collect. Determinism: shortlist relevances and all
+   * pairwise sims round at 6 dp before selection; each step's score is
+   * `round(λ·rel − (1−λ)·maxsim, 6)` with ties to the smaller id; the
+   * oracle replays the identical greedy chain as one CTE per pick.
+   */
+  def retrievalMmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val anchors = Similarity.anchorVecsOf(load(s, dir, "embeddings"))
+    val a0 = anchors.headOption.getOrElse(Array.empty[Double])
+    val shortRows = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull &&
+        Similarity.noModel(anchors))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(Similarity.dArr(col("embedding")),
+          typedLit(a0)), 6).as("rel"),
+        Similarity.dArr(col("embedding")).as("v"))
+      .filter(col("rel").isNotNull)
+      .orderBy(col("rel").desc, col("doc_id"))
+      .limit(MmrShortlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pairwise candidate sims, index-ordered dots, 6-dp rounded — the
+    // same op sequence the oracle's pd/p CTEs run
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      rnd6(ab / (math.sqrt(aa) * math.sqrt(bb))) // shortlist norms are > 0
+    }
+    val sims = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    for ((ia, _, va) <- shortRows; (ib, _, vb) <- shortRows if ia != ib)
+      sims((ia, ib)) = cos(va, vb)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    var remaining = shortRows.map { case (id, rel, _) => (id, rel) }.toList
+    while (remaining.nonEmpty && selected.size < MmrK) {
+      val scored = remaining.map { case (id, rel) =>
+        val ms = if (selected.isEmpty) 0.0
+          else selected.map { case (_, sid, _, _) => sims((id, sid)) }.max
+        (id, rel, rnd6(MmrLambda * rel - MmrOneMinusL * ms))
+      }
+      val (pid, prel, pscore) = scored.minBy { case (id, _, sc) => (-sc, id) }
+      selected += ((selected.size + 1L, pid, prel, pscore))
+      remaining = remaining.filterNot(_._1 == pid)
+    }
+    selected.toSeq.toDF("mmr_rank", "doc_id", "rel", "score")
+  }
+
+  /** One MMR greedy pick as a DuckDB CTE triple (the chained-CTE oracle
+    * recipe: score remaining → pick argmax → extend the selected set). */
+  private def mmrStageSql(i: Int): String = {
+    val prev = s"sel${i - 1}"
+    s"""s$i AS (
+       |  SELECT c.doc_id, c.rel,
+       |    round($MmrLambda * c.rel - $MmrOneMinusL * max(p.sim), 6) AS score
+       |  FROM short c JOIN p ON p.ia = c.doc_id
+       |    AND p.ib IN (SELECT doc_id FROM $prev)
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)
+       |  GROUP BY c.doc_id, c.rel),
+       |pick$i AS MATERIALIZED (SELECT doc_id, rel, score FROM s$i
+       |           ORDER BY score DESC, doc_id LIMIT 1),
+       |sel$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL
+       |          SELECT CAST($i AS BIGINT), doc_id, rel, score FROM pick$i)"""
+      .stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (textBm25Topk _),
-    "retrieval_rrf_fusion" -> (retrievalRrfFusion _))
+    "retrieval_rrf_fusion" -> (retrievalRrfFusion _),
+    "retrieval_mmr_diversify" -> (retrievalMmrDiversify _))
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" ->
@@ -272,5 +364,51 @@ object Retrieval {
          |      + COALESCE(1.0 / ($RrfK + CAST(cr.cos_rank AS DOUBLE)), 0), 6)
          |    AS rrf
          |FROM bmrank bm FULL OUTER JOIN crank cr USING (doc_id)
-         |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin)
+         |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin,
+    "retrieval_mmr_diversify" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE embedding IS NOT NULL),
+         |anch AS (SELECT embedding AS av FROM e WHERE vec_id < 8
+         |         ORDER BY vec_id LIMIT 1),
+         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+         |cd AS (
+         |  SELECT m.vec_id,
+         |    SUM(m.embedding[i]::DOUBLE * a.av[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(a.av[i]::DOUBLE * a.av[i]::DOUBLE) AS aa
+         |  FROM m, anch a, generate_series(1, 64) g(i)
+         |  GROUP BY 1),
+         |cs AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cd),
+         |short AS MATERIALIZED (
+         |  SELECT doc_id, sim AS rel FROM cs WHERE sim IS NOT NULL
+         |  ORDER BY sim DESC, doc_id LIMIT $MmrShortlist),
+         |vecs AS MATERIALIZED (
+         |  SELECT s.doc_id, e2.embedding
+         |  FROM short s JOIN e e2 ON e2.vec_id = s.doc_id),
+         |pd AS MATERIALIZED (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |    SUM(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS ab,
+         |    SUM(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE) AS aa2,
+         |    SUM(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS bb
+         |  FROM vecs a, vecs b, generate_series(1, 64) g(i)
+         |  WHERE a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS MATERIALIZED (
+         |  SELECT ia, ib, round(ab / (sqrt(aa2) * sqrt(bb)), 6) AS sim
+         |  FROM pd),
+         |s1 AS MATERIALIZED (
+         |  SELECT doc_id, rel,
+         |    round($MmrLambda * rel - $MmrOneMinusL * 0.0, 6) AS score
+         |  FROM short),
+         |pick1 AS MATERIALIZED (SELECT doc_id, rel, score FROM s1
+         |          ORDER BY score DESC, doc_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS mmr_rank, doc_id, rel, score
+         |         FROM pick1),
+         |${(2 to MmrK).map(mmrStageSql).mkString(",\n")}
+         |SELECT mmr_rank, doc_id, rel, score FROM sel$MmrK
+         |ORDER BY mmr_rank""".stripMargin)
 }

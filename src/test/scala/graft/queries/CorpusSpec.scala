@@ -193,4 +193,25 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out("s0") == ((400L, 400L, 20L, 600000L, 100000L, 700000L)))
     assert(out("s1") == ((100L, 0L, 10L, 300000L, 0L, 300000L)))
   }
+
+  test("statsPercentileCont: PERCENTILE_CONT lerp on a 5-value fixture; NULLs out") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // lengths 10,20,30,40,50 → h=(n−1)·p over ranks 1..5
+    val rows = Seq(
+      (0L, "t", "en", "s0", Some(10L)), (1L, "t", "en", "s0", Some(20L)),
+      (2L, "t", "en", "s0", Some(30L)), (3L, "t", "en", "s0", Some(40L)),
+      (4L, "t", "en", "s0", Some(50L)),
+      (5L, "t", "en", "s0", Option.empty[Long])) // NULL length: excluded
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.statsPercentileCont(spark, dir.toString).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0.25, 20L, 20L, 20.0),       // h=1.0 → exact rank 2
+      (0.5, 30L, 30L, 30.0),        // h=2.0 → exact rank 3
+      (0.75, 40L, 40L, 40.0),       // h=3.0 → exact rank 4
+      (0.9, 40L, 50L, 46.0),        // h=3.6 → lerp(40, 50, .6)
+      (0.99, 40L, 50L, 49.6)),      // h=3.96 → lerp(40, 50, .96)
+      s"got ${out.toSeq}")
+  }
 }

@@ -134,6 +134,59 @@ class EventsSpec extends AnyFunSuite with SparkFixture {
       (3L, 1L, "high", 2L, usOf(10), None, true)))
   }
 
+  test("qParetoRevenue: decile curve in exact ppm; duplicate boundary ranks repeat") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // revenues: u1 100.00, u2 50.00, u3 30.00, u4 20.00 (total 200.00);
+    // the view event is outside the revenue base
+    val rows = Seq(
+      (1L, 1L, tsNs(10), "purchase", Some(60.0)),
+      (2L, 1L, tsNs(20), "purchase", Some(40.0)),
+      (3L, 2L, tsNs(10), "purchase", Some(50.0)),
+      (4L, 3L, tsNs(10), "purchase", Some(30.0)),
+      (5L, 4L, tsNs(10), "purchase", Some(20.0)),
+      (6L, 5L, tsNs(10), "view", Some(999.0)))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.qParetoRevenue(spark, dir.toString).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // boundary rank per decile d over 4 users: (4d+9) div 10
+    assert(out.toSeq == Seq(
+      (1, 1L, 250000L, 500000L), (2, 1L, 250000L, 500000L),
+      (3, 2L, 500000L, 750000L), (4, 2L, 500000L, 750000L),
+      (5, 2L, 500000L, 750000L), (6, 3L, 750000L, 900000L),
+      (7, 3L, 750000L, 900000L), (8, 4L, 1000000L, 1000000L),
+      (9, 4L, 1000000L, 1000000L), (10, 4L, 1000000L, 1000000L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("statsDailyAnomaly: spike vs trailing-only baseline fires; warmup days stay NULL") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val D = 24 * 60L // minutes per day
+    // 'view': day 1..7 counts 8,12,9,11,10,10,10 (mean 10, var 10/6),
+    // day 8 = 100 → z huge → anomaly
+    val counts = Seq(8, 12, 9, 11, 10, 10, 10, 100)
+    var eid = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map { i => eid += 1; (eid, eid % 7, tsNs(d * D + i), "view", Some(1.0)) }
+    }
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.statsDailyAnomaly(spark, dir.toString).collect()
+      .map(r => (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.length == 8)
+    assert(out(0) == ((8L, 0L, None, false)), "day 1: empty baseline, no z")
+    assert(out(1)._2 == 1L && out(1)._3.isEmpty, "day 2: one-sample baseline, no z")
+    // day 8: baseline days 1..7 → mean 10, sample var 10/6
+    val std = math.sqrt(10.0 / 6.0)
+    val z8 = rnd((100.0 - 10.0) / std)
+    assert(out(7) == ((100L, 7L, Some(z8), true)), s"got ${out(7)}; want z=$z8")
+  }
+
   test("qStickiness: trailing-window WAU counts each user once; only active days emit") {
     import spark.implicits._
     val dir = tmpSfDir()

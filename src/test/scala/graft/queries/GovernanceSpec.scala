@@ -629,4 +629,23 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       ("fr", "web", 2L, 1L, 1000000L)),
       s"got ${out.toSeq}")
   }
+
+  test("privacyLDiversity: homogeneous QI groups report whatever their size; diverse ones pass") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows =
+      // (web, bucket 1): 6 docs, ALL 'en' → k-anonymous but l=1 → reported
+      (0L until 6L).map(i => (i, "t", "en", "web", 150L)) ++
+      // (cc, bucket 0): 2 docs, 'en'+'fr' → l=2 → passes
+      Seq((10L, "t", "en", "cc", 10L), (11L, "t", "fr", "cc", 99L),
+        // (books, bucket 0): singleton → l=1 → reported
+        (12L, "t", "de", "books", 50L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Governance.privacyLDiversity(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("books", 0L, 1L, 1L),
+      ("web", 1L, 6L, 1L)),
+      s"got ${out.toSeq}")
+  }
 }

@@ -95,4 +95,31 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       (10L, None, Some(4L), r6(1.0 / 64))),
       s"got ${out.toSeq}")
   }
+
+  test("retrievalMmrDiversify: redundancy penalty reorders a near-duplicate below a diverse doc") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // anchor = x-axis. vec8/vec9: identical (rel .8, sim(8,9)=1);
+    // vec10: rel .6 but ORTHOGONAL to 8/9 (sim 0) — pure relevance order
+    // is 8,9,10; MMR must demote the duplicate below the diverse doc.
+    val embRows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),   // anchor
+      (8L, Array(0.8f, 0.6f, 0.0f, 0.0f), 0),
+      (9L, Array(0.8f, 0.6f, 0.0f, 0.0f), 0),   // exact dup of 8
+      (10L, Array(0.6f, -0.8f, 0.0f, 0.0f), 0)) // rel .6, ⊥ to 8/9
+    writeTable(dir, "embeddings", embRows.toDF("vec_id", "embedding", "label"))
+    val out = Retrieval.retrievalMmrDiversify(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // pick 1: vec8 (rel .8, dup-tie → smaller id), score .7·.8
+    // pick 2: vec9 scores .7·.8−.3·1 = .26; vec10 scores .7·.6−.3·0 = .42
+    //         → the DIVERSE lower-relevance doc wins
+    // pick 3: vec9 takes the tail
+    assert(out.toSeq == Seq(
+      (1L, 8L, 0.8, r6(0.7 * 0.8 - 0.3 * 0.0)),
+      (2L, 10L, 0.6, r6(0.7 * 0.6 - 0.3 * 0.0)),
+      (3L, 9L, 0.8, r6(0.7 * 0.8 - 0.3 * 1.0))),
+      s"got ${out.toSeq}")
+  }
 }
