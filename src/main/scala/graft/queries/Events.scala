@@ -631,7 +631,167 @@ object Events {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Autocorrelation probe lags (days). */
+  private val AcfMaxLag = 7
+
+  /**
+   * Daily-series autocorrelation function (lags 1..[[AcfMaxLag]]) per
+   * event type — the seasonality detector behind [[statsDailyAnomaly]]'s
+   * fence: a strong lag-7 peak says the "anomaly" is just weekly rhythm
+   * and the monitor needs a seasonal baseline. Pearson r between the
+   * daily-count series and its k-day shift, on the ZERO-FILLED calendar
+   * (gap days are real zeros — correlating only active days would
+   * misalign the shift).
+   *
+   * Scale shape: events collapse to the ≤days×types daily relation FIRST
+   * (one map-side-combined groupBy); the dense spine is a per-type
+   * `sequence` explode over that metadata-sized rollup's min/max (never
+   * over events); the shifted pairing is one equi-join of two
+   * calendar-sized relations keyed (type, day); the final rollup has
+   * ≤types·[[AcfMaxLag]] groups. Determinism: all six moment sums are
+   * exact integers; the Pearson numerator/denominators are DECIMAL
+   * cross-multiplications; the only floats are two sqrts and one
+   * division in a fixed op order, rounded at 6 dp.
+   */
+  def statsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val decC = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val daily = ev(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(timestamp_micros(epochUs())), lit("1970-01-01").cast("date"))
+          .cast("long").as("dn"))
+      .groupBy(col("event_type"), col("dn"))
+      .agg(count(lit(1)).as("n"))
+    // dense calendar: gap days are true zeros (bounded: the spine explodes
+    // a ≤|types|-row min/max rollup, never the event stream)
+    val spine = daily
+      .groupBy(col("event_type"))
+      .agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("dn"))
+    val dense = spine.join(daily, Seq("event_type", "dn"), "left_outer")
+      .select(col("event_type"), col("dn"), coalesce(col("n"), lit(0L)).as("n"))
+    val lagged = dense
+      .withColumn("lag", explode(sequence(lit(1L), lit(AcfMaxLag.toLong))))
+      .select(col("event_type"), (col("dn") + col("lag")).as("dn"),
+        col("lag"), col("n").as("x"))
+    val pairs = lagged.join(
+      dense.select(col("event_type"), col("dn"), col("n").as("y")),
+      Seq("event_type", "dn"))
+    val agg = pairs
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(decC)).as("sxy"),
+        sum((col("x") * col("x")).cast(decC)).as("sxx"),
+        sum((col("y") * col("y")).cast(decC)).as("syy"))
+    val num = (col("m").cast(decC) * col("sxy") -
+      col("sx").cast(decC) * col("sy").cast(decC)).cast("double")
+    val denx = (col("m").cast(decC) * col("sxx") -
+      col("sx").cast(decC) * col("sx").cast(decC)).cast("double")
+    val deny = (col("m").cast(decC) * col("syy") -
+      col("sy").cast(decC) * col("sy").cast(decC)).cast("double")
+    agg.select(col("event_type"), col("lag"), col("m").as("n_pairs"),
+      when(denx > 0 && deny > 0,
+        round(num / (sqrt(denx) * sqrt(deny)), 6) + lit(0.0)).as("r"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** χ²₀.₀₅ critical value at 6 degrees of freedom (7 weekday buckets). */
+  private val DowChi2Crit = 12.592
+
+  /**
+   * Day-of-week seasonality profile + chi-square uniformity test per
+   * event type — the companion report that tells [[statsAutocorr]]'s
+   * lag-7 signal WHICH days carry it: per-weekday event counts with ppm
+   * shares, and the χ² statistic against the uniform-across-weekdays
+   * null; `is_seasonal` fires past the 0.05 critical value
+   * ([[DowChi2Crit]], 6 df).
+   *
+   * Scale shape: ONE map-side-combined groupBy on (type, dow) — ≤7·types
+   * groups; the per-type total and Σo² come from a window over that
+   * ≤7-row-per-type post-aggregation relation (the zeroPart convention —
+   * partitioned by type, bounded by construction). Determinism: χ²
+   * collapses algebraically to (7·Σo² − t²)/t — integer
+   * cross-multiplications in DECIMAL, ONE division rounded at 6 dp;
+   * shares are integer ppm; dow derives from the epoch-day integer
+   * ((dn+3) mod 7 + 1 — ISO 1=Monday; 1970-01-01 was a Thursday).
+   */
+  def statsSeasonalityDow(s: SparkSession, dir: String): DataFrame = {
+    val decC = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val byDow = ev(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(timestamp_micros(epochUs())), lit("1970-01-01").cast("date"))
+          .cast("long").as("dn"))
+      .withColumn("dow", pmod(col("dn") + 3, lit(7)) + 1)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    val chi2 = (lit(7).cast(decC) * sum((col("n") * col("n")).cast(decC)).over(w) -
+      (sum(col("n")).over(w) * sum(col("n")).over(w)).cast(decC)).cast("double") /
+      sum(col("n")).over(w).cast("double")
+    byDow
+      .withColumn("share_ppm", (col("n") * 1000000L / sum(col("n")).over(w)).cast("long"))
+      .withColumn("chi2", round(chi2, 6) + lit(0.0))
+      .withColumn("is_seasonal", col("chi2") > lit(DowChi2Crit))
+      .select(col("event_type"), col("dow"), col("n"), col("share_ppm"),
+        col("chi2"), col("is_seasonal"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** Churn horizon: days of silence after the cutoff that count as churn
+    * (and the size of the label window held out at the end). */
+  private val ChurnDays = 14
+
+  /**
+   * Temporal churn-label builder — the training-set job for a
+   * retention model: the last [[ChurnDays]] days of the observed window
+   * are the LABEL window; every user active before the cutoff gets RFM
+   * features computed from pre-cutoff events only and a `churned` label
+   * = "no activity in the label window". The leakage-safe-by-construction
+   * twin of `ml_split_leakage` (features can't see past the cutoff
+   * because the conditional aggregates are keyed on the day).
+   *
+   * Scale shape: ONE user-keyed conditional-aggregation pass over events
+   * (map-side combined) — features and label come out of the same
+   * shuffle; the cutoff is a metadata-sized driver scalar (max day — at
+   * 100 TB read it from partition metadata like `q_latest_suffix`).
+   * Money stays exact integer cents ([[Tables.dec]] × 100).
+   */
+  def mlChurnLabels(s: SparkSession, dir: String): DataFrame = {
+    val withDn = ev(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        datediff(to_date(timestamp_micros(epochUs())), lit("1970-01-01").cast("date"))
+          .cast("long").as("dn"))
+    val maxDnRow = withDn.agg(max(col("dn"))).first()
+    if (maxDnRow.isNullAt(0)) {
+      return withDn.select(col("user_id"), lit(0L).as("n_events"),
+        lit(0L).as("n_purchases"), lit(0L).as("revenue_cents"),
+        lit(0L).as("recency_days"), lit(false).as("churned")).limit(0)
+    }
+    val cutoff = maxDnRow.getLong(0) - ChurnDays
+    val pre = col("dn") <= cutoff
+    withDn
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(pre, 1L).otherwise(0L)).as("n_events"),
+        sum(when(pre && col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        coalesce(sum(when(pre && col("event_type") === "purchase",
+          (dec(col("value")) * 100).cast("long"))), lit(0L)).as("revenue_cents"),
+        max(when(pre, col("dn"))).as("last_day"),
+        sum(when(!pre, 1L).otherwise(0L)).as("post_events"))
+      .filter(col("n_events") > 0)
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("revenue_cents"),
+        (lit(cutoff) - col("last_day")).as("recency_days"),
+        (col("post_events") === 0).as("churned"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_autocorr" -> (statsAutocorr _),
+    "stats_seasonality_dow" -> (statsSeasonalityDow _),
+    "ml_churn_labels" -> (mlChurnLabels _),
     "q_pareto_revenue" -> (qParetoRevenue _),
     "stats_daily_anomaly" -> (statsDailyAnomaly _),
     "q_islands_scd2" -> (qIslandsScd2 _),
@@ -654,6 +814,100 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "stats_autocorr" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+         |    CAST(COUNT(1) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(dn) AS lo, MAX(dn) AS hi
+         |      FROM daily GROUP BY 1),
+         |sp AS (SELECT b.event_type,
+         |         CAST(unnest(generate_series(b.lo, b.hi)) AS BIGINT) AS dn
+         |       FROM b),
+         |dense AS (
+         |  SELECT sp.event_type, sp.dn, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+         |  FROM sp LEFT JOIN daily d USING (event_type, dn)),
+         |lagged AS (
+         |  SELECT event_type, dn + lag AS dn,
+         |    CAST(lag AS BIGINT) AS lag, n AS x
+         |  FROM dense, (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag)),
+         |pairs AS (
+         |  SELECT l.event_type, l.lag, l.x, d.n AS y
+         |  FROM lagged l JOIN dense d
+         |    ON d.event_type = l.event_type AND d.dn = l.dn),
+         |a AS (
+         |  SELECT event_type, lag,
+         |    CAST(COUNT(1) AS BIGINT) AS m,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         |    SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+         |  FROM pairs GROUP BY 1, 2),
+         |f AS (
+         |  SELECT event_type, lag, m AS n_pairs,
+         |    CAST(CAST(m AS DECIMAL(38,0)) * sxy
+         |      - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+         |      AS DOUBLE) AS num,
+         |    CAST(CAST(m AS DECIMAL(38,0)) * sxx
+         |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+         |      AS DOUBLE) AS denx,
+         |    CAST(CAST(m AS DECIMAL(38,0)) * syy
+         |      - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+         |      AS DOUBLE) AS deny
+         |  FROM a)
+         |SELECT event_type, lag, n_pairs,
+         |  CASE WHEN denx > 0 AND deny > 0
+         |    THEN round(num / (sqrt(denx) * sqrt(deny)), 6) + 0.0 END AS r
+         |FROM f ORDER BY event_type, lag""".stripMargin,
+    "stats_seasonality_dow" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+         |  FROM events),
+         |o AS (
+         |  SELECT event_type, CAST((dn + 3) % 7 + 1 AS BIGINT) AS dow,
+         |    CAST(COUNT(1) AS BIGINT) AS n
+         |  FROM e GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, dow, n,
+         |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         |    SUM(CAST(n * n AS DECIMAL(38,0)))
+         |      OVER (PARTITION BY event_type) AS sq
+         |  FROM o),
+         |c AS (
+         |  SELECT event_type, dow, n,
+         |    CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
+         |    round(CAST(7 * sq - CAST(tot AS DECIMAL(38,0)) * CAST(tot AS DECIMAL(38,0))
+         |      AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS chi2
+         |  FROM t)
+         |SELECT event_type, dow, n, share_ppm, chi2,
+         |  chi2 > $DowChi2Crit AS is_seasonal
+         |FROM c ORDER BY event_type, dow""".stripMargin,
+    "ml_churn_labels" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, value,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+         |  FROM events),
+         |co AS (SELECT MAX(dn) - $ChurnDays AS cutoff FROM e),
+         |a AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN dn <= co.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_events,
+         |    CAST(SUM(CASE WHEN dn <= co.cutoff AND event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         |    CAST(COALESCE(SUM(CASE WHEN dn <= co.cutoff AND event_type = 'purchase'
+         |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END), 0)
+         |      AS BIGINT) AS revenue_cents,
+         |    MAX(CASE WHEN dn <= co.cutoff THEN dn END) AS last_day,
+         |    CAST(SUM(CASE WHEN dn > co.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS post_events,
+         |    any_value(co.cutoff) AS cutoff
+         |  FROM e CROSS JOIN co GROUP BY user_id)
+         |SELECT user_id, n_events, n_purchases, revenue_cents,
+         |  CAST(cutoff - last_day AS BIGINT) AS recency_days,
+         |  post_events = 0 AS churned
+         |FROM a WHERE n_events > 0 ORDER BY user_id""".stripMargin,
     "q_pareto_revenue" ->
       """WITH r AS (
         |  SELECT user_id,

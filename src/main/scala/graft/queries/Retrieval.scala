@@ -256,15 +256,161 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------------
+  // nDCG@K retrieval-quality evaluation — retrieval_ndcg
+  // ---------------------------------------------------------------------
+
+  private val NdcgK = 10
+
+  /** Rank discounts 1/log2(i+1), 8-dp HALF_UP — ONE Scala value renders
+    * into both the Spark literals and the oracle SQL (the JL-projection
+    * convention), so the two engines can't disagree on the table. */
+  private[queries] val NdcgDisc: IndexedSeq[BigDecimal] =
+    (1 to NdcgK).map(i =>
+      BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+
+  /** Ideal-DCG prefix sums: a query with r relevant candidates has
+    * IDCG = NdcgCum(min(K, r)) — exact sums of the rounded discounts
+    * (index 0 = 0, the no-relevant-docs case). */
+  private[queries] val NdcgCum: IndexedSeq[BigDecimal] =
+    NdcgDisc.scanLeft(BigDecimal(0))(_ + _)
+
+  /**
+   * nDCG@[[NdcgK]] retrieval-quality evaluation (Järvelin & Kekäläinen
+   * 2002) — the embedding-eval governance number next to
+   * `sim_knn_accuracy`'s label agreement: each labeled anchor (vec_id
+   * < 8) retrieves its cosine top-K from the candidate corpus; a
+   * candidate is relevant iff it carries the anchor's label; DCG
+   * discounts hits by rank and normalizes by the ideal ordering of ALL
+   * relevant candidates (capped at K), so a collapsed encoder that
+   * buries same-class neighbors scores visibly below 1 while a perfect
+   * one pins it.
+   *
+   * Scale shape: anchors and their labels are driver-constant model
+   * parameters; relevance fan-out is a generator over the candidate scan
+   * (one exploded literal array — no join); per-anchor top-K is a window
+   * over the ≤|anchors|-way fan; `n_rel` comes from a ≤|labels|-row
+   * per-label count joined to the 8-row panel (never a second corpus
+   * pass over pairs). Determinism: sims round at 6 dp before ranking;
+   * DCG terms are exact 8-dp DECIMALs from [[NdcgDisc]] summed exactly;
+   * IDCG is a literal from [[NdcgCum]] (rendered into both engines
+   * via `Double.toString`); nDCG is ONE division rounded at 6 dp.
+   */
+  def retrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = load(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    // the labeled query panel — model parameters (anchor convention)
+    val qs: Seq[(Long, Array[Double], Int)] = e
+      .filter(col("vec_id") < 8 && col("label").isNotNull)
+      .select(col("vec_id"), Similarity.dArr(col("embedding")), col("label"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2))).toSeq
+    if (qs.isEmpty) {
+      return e.select(col("vec_id").as("qid"), lit(0L).as("n_rel"),
+        lit(0.0).as("dcg"), lit(0.0).as("idcg"),
+        lit(null).cast("double").as("ndcg")).limit(0)
+    }
+    val cands = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), Similarity.dArr(col("embedding")).as("v"), col("label"))
+    val fan = cands
+      .withColumn("q", explode(typedLit(qs.map { case (q, _, l) => (q, l) })))
+      .select(col("vec_id"), col("label"), col("v"),
+        col("q._1").as("qid"), col("q._2").as("qlabel"))
+    val sim = coalesce(qs.map { case (q, v0, _) =>
+      when(col("qid") === q, Similarity.cosine(col("v"), typedLit(v0)))
+    }: _*)
+    val rankW = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val discC = coalesce(NdcgDisc.zipWithIndex.map { case (d, i) =>
+      when(col("rank") === (i + 1), lit(d.underlying))
+    }: _*)
+    val dcg = fan
+      .withColumn("sim", round(sim, 6))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= NdcgK)
+      .groupBy(col("qid"))
+      .agg(sum(when(col("label") === col("qlabel"), discC)
+        .otherwise(lit(java.math.BigDecimal.ZERO))).as("dcgd"))
+    // n_rel: per-label candidate counts (≤|labels| rows) mapped onto the
+    // 8-row panel — relevant-but-unretrievable (zero-norm) docs COUNT
+    // against the ideal, which is the honest recall denominator
+    val labCnt = cands.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val panel = s.createDataFrame(qs.map { case (q, _, l) => (q, l) })
+      .toDF("qid", "qlabel")
+    val idcgC = coalesce((0 to NdcgK).map { j =>
+      when(least(lit(NdcgK.toLong), col("n_rel")) === j, lit(NdcgCum(j).toDouble))
+    }: _*)
+    panel
+      .join(labCnt, col("qlabel") === col("label"), "left_outer")
+      .select(col("qid"), coalesce(col("cnt"), lit(0L)).as("n_rel"))
+      .join(dcg, Seq("qid"), "left_outer")
+      .withColumn("dcg", coalesce(col("dcgd").cast("double"), lit(0.0)) + lit(0.0))
+      .withColumn("idcg", idcgC)
+      .select(col("qid"), col("n_rel"), col("dcg"), col("idcg"),
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6) + lit(0.0))
+          .as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
+  // ---------------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (textBm25Topk _),
     "retrieval_rrf_fusion" -> (retrievalRrfFusion _),
-    "retrieval_mmr_diversify" -> (retrievalMmrDiversify _))
+    "retrieval_mmr_diversify" -> (retrievalMmrDiversify _),
+    "retrieval_ndcg" -> (retrievalNdcg _))
 
   val oracle: Map[String, String] = Map(
+    "retrieval_ndcg" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+         |           WHERE embedding IS NOT NULL),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |      FROM e WHERE vec_id < 8 AND label IS NOT NULL),
+         |m AS (SELECT vec_id, embedding, label FROM e WHERE vec_id >= 8),
+         |cd AS (
+         |  SELECT q.qid, q.qlabel, m.vec_id, m.label,
+         |    SUM(m.embedding[i]::DOUBLE * q.qv[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS aa
+         |  FROM m, q, generate_series(1, 64) g(i)
+         |  GROUP BY 1, 2, 3, 4),
+         |cs AS (
+         |  SELECT qid, qlabel, vec_id, label,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cd),
+         |rk AS (
+         |  SELECT qid, qlabel, vec_id, label, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM cs WHERE sim IS NOT NULL),
+         |top AS (SELECT * FROM rk WHERE rank <= $NdcgK),
+         |disc AS (SELECT * FROM (VALUES ${NdcgDisc.zipWithIndex.map {
+        case (d, i) => s"(CAST(${i + 1} AS BIGINT), CAST('$d' AS DECIMAL(18,8)))"
+      }.mkString(", ")}) v(rank, d)),
+         |dc AS (
+         |  SELECT t.qid,
+         |    SUM(CASE WHEN t.label = t.qlabel THEN d.d
+         |        ELSE CAST('0' AS DECIMAL(18,8)) END) AS dcgd
+         |  FROM top t JOIN disc d ON d.rank = t.rank GROUP BY 1),
+         |nr AS (
+         |  SELECT q.qid,
+         |    CAST(COUNT(CASE WHEN m.label = q.qlabel THEN 1 END) AS BIGINT)
+         |      AS n_rel
+         |  FROM q LEFT JOIN m ON TRUE GROUP BY q.qid),
+         |f AS (
+         |  SELECT nr.qid, nr.n_rel,
+         |    COALESCE(CAST(dc.dcgd AS DOUBLE), 0.0) + 0.0 AS dcg,
+         |    ([${NdcgCum.map(c => s"CAST('${c.toDouble}' AS DOUBLE)").mkString(", ")}]
+         |      )[CAST(LEAST($NdcgK, nr.n_rel) AS INTEGER) + 1] AS idcg
+         |  FROM nr LEFT JOIN dc USING (qid))
+         |SELECT qid, n_rel, dcg, idcg,
+         |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) + 0.0 END AS ndcg
+         |FROM f ORDER BY qid""".stripMargin,
     "text_bm25_topk" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -1210,7 +1210,80 @@ object Similarity {
       .orderBy(col("cid"), col("rk"))
   }
 
+  /** Matryoshka truncation prefix length (dims kept). */
+  private val MatDim = 16
+  /** Neighbors per query in the recall audit. */
+  private val MatK = 5
+
+  /**
+   * Matryoshka-truncation recall audit (Kusupati et al. 2022, MRL): can
+   * the FIRST [[MatDim]] of 64 embedding dimensions stand in for the
+   * full vector at 4× less storage/compute? Per query anchor, the
+   * cosine top-[[MatK]] under the truncated prefix is compared against
+   * the full-dimension top-[[MatK]] (the documented exactness baseline,
+   * the [[simBruteforceTopk]] shape) — per-query hit counts + recall
+   * ppm are the number that decides whether the cheap prefix index can
+   * front the expensive full-vector re-rank (the PQ-shortlist trade,
+   * [[simPqRerankTopk]], at the dimension axis instead of the codebook
+   * axis).
+   *
+   * Scale shape: anchors are driver-constant model parameters; the
+   * relevance fan-out is ONE exploded literal over the candidate scan
+   * (no join, both sims computed in the same pass — the prefix dot is a
+   * `slice`, not a second vector read); the (qid, vec_id, sim, sim)
+   * scalar relation persists once so the two rank windows don't re-run
+   * the dot kernels; per-query windows are ≤|anchors|-way partitions;
+   * the overlap join runs on two ≤|anchors|·[[MatK]]-row relations.
+   * Determinism: both sims round at 6 dp before ranking, ties break by
+   * vec_id, recall is integer ppm.
+   */
+  def simMatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = load(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val anchors: Seq[(Long, Array[Double])] = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), dArr(col("embedding")))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    if (anchors.isEmpty) {
+      return e.select(col("vec_id").as("qid"), lit(0L).as("n_full"),
+        lit(0L).as("hits"), lit(0L).as("recall_ppm")).limit(0)
+    }
+    val cands = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val simF = coalesce(anchors.map { case (q, v0) =>
+      when(col("qid") === q, cosine(col("v"), typedLit(v0)))
+    }: _*)
+    val simT = coalesce(anchors.map { case (q, v0) =>
+      when(col("qid") === q,
+        cosine(slice(col("v"), 1, MatDim), typedLit(v0.take(MatDim))))
+    }: _*)
+    val sims = cands
+      .withColumn("qid", explode(typedLit(anchors.map(_._1))))
+      .select(col("qid"), col("vec_id"),
+        round(simF, 6).as("sim_full"), round(simT, 6).as("sim_trunc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_full").desc, col("vec_id"))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_trunc").desc, col("vec_id"))
+    val topF = sims.filter(col("sim_full").isNotNull)
+      .withColumn("rk", row_number().over(wF)).filter(col("rk") <= MatK)
+      .select(col("qid"), col("vec_id"))
+    val topT = sims.filter(col("sim_trunc").isNotNull)
+      .withColumn("rk", row_number().over(wT)).filter(col("rk") <= MatK)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    topF.join(topT, Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_full"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .select(col("qid"), col("n_full"), col("hits"),
+        (col("hits") * 1000000L / col("n_full")).cast("long").as("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
     "embed_rp_project" -> (embedRpProject _),
     "embed_pca_power" -> (embedPcaPower _),
     "embed_pca_debias" -> (embedPcaDebias _),
@@ -1369,6 +1442,52 @@ object Similarity {
       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_matryoshka_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE embedding IS NOT NULL),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 8),
+         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+         |cdf AS (
+         |  SELECT q.qid, m.vec_id,
+         |    SUM(m.embedding[i]::DOUBLE * q.qv[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS aa
+         |  FROM m, q, generate_series(1, 64) g(i)
+         |  GROUP BY 1, 2),
+         |cdt AS (
+         |  SELECT q.qid, m.vec_id,
+         |    SUM(m.embedding[i]::DOUBLE * q.qv[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS aa
+         |  FROM m, q, generate_series(1, $MatDim) g(i)
+         |  GROUP BY 1, 2),
+         |sf AS (
+         |  SELECT qid, vec_id,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cdf),
+         |st AS (
+         |  SELECT qid, vec_id,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cdt),
+         |rf AS (
+         |  SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |      AS rk
+         |  FROM sf WHERE sim IS NOT NULL),
+         |rt AS (
+         |  SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |      AS rk
+         |  FROM st WHERE sim IS NOT NULL),
+         |tf AS (SELECT qid, vec_id FROM rf WHERE rk <= $MatK),
+         |tt AS (SELECT qid, vec_id, 1 AS hit FROM rt WHERE rk <= $MatK)
+         |SELECT tf.qid, CAST(COUNT(1) AS BIGINT) AS n_full,
+         |  CAST(COUNT(tt.hit) AS BIGINT) AS hits,
+         |  CAST(COUNT(tt.hit) * 1000000 // COUNT(1) AS BIGINT) AS recall_ppm
+         |FROM tf LEFT JOIN tt USING (qid, vec_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_pair_mining" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),

@@ -134,6 +134,78 @@ class EventsSpec extends AnyFunSuite with SparkFixture {
       (3L, 1L, "high", 2L, usOf(10), None, true)))
   }
 
+  test("statsAutocorr: alternating daily series gives r=-1 at odd lags, +1 at even; 1-pair lag is NULL") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val D = 24 * 60L
+    // 'view' daily counts [1,2,1,2,1,2] on days 0..5 (dense, no gaps)
+    val counts = Seq(1, 2, 1, 2, 1, 2)
+    var eid = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map { i => eid += 1; (eid, 1L, tsNs(d * D + i), "view", Some(1.0)) }
+    }
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.statsAutocorr(spark, dir.toString).collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // lags 6,7 have zero pairs → no row at all
+    assert(out.toSeq == Seq(
+      (1L, 5L, Some(-1.0)), (2L, 4L, Some(1.0)), (3L, 3L, Some(-1.0)),
+      (4L, 2L, Some(1.0)), (5L, 1L, None)),
+      s"got ${out.toSeq}")
+  }
+
+  test("statsSeasonalityDow: Monday-only type fires chi2; uniform type scores zero") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val D = 24 * 60L
+    var eid = 0L
+    def ev(day: Long, typ: String, n: Int): Seq[(Long, Long, Long, String, Some[Double])] =
+      (1 to n).map { i => eid += 1; (eid, 1L, tsNs(day * D + i), typ, Some(1.0)) }
+    // 2024-01-01 (day 0) is a Monday. 'click': 4 events on two Mondays →
+    // chi2 = (7·16 − 16)/4 = 24 > 12.592. 'view': 2/day over 14 days →
+    // every dow holds 4 → chi2 = 0.
+    val rows = ev(0, "click", 2) ++ ev(7, "click", 2) ++
+      (0L until 14L).flatMap(d => ev(d, "view", 2))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.statsSeasonalityDow(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out.filter(_._1 == "click").toSeq ==
+      Seq(("click", 1L, 4L, 1000000L, 24.0, true)), s"got ${out.toSeq}")
+    val views = out.filter(_._1 == "view")
+    assert(views.length == 7 &&
+      views.forall(v => v._3 == 4L && v._5 == 0.0 && !v._6),
+      s"got ${views.toSeq}")
+  }
+
+  test("mlChurnLabels: label window is the last 14 days; pre-cutoff-only users churn; post-only users drop") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val D = 24 * 60L
+    val rows = Seq(
+      // u1: view day 1 + purchase day 2, silent after → churned
+      (1L, 1L, tsNs(1 * D), "view", Option.empty[Double]),
+      (2L, 1L, tsNs(2 * D), "purchase", Some(10.0)),
+      // u2: view day 5, view day 15 (inside the label window) → retained
+      (3L, 2L, tsNs(5 * D), "view", Some(1.0)),
+      (4L, 2L, tsNs(15 * D), "view", Some(1.0)),
+      // u3: only post-cutoff activity (day 20 = max) → no feature base, dropped
+      (5L, 3L, tsNs(20 * D), "view", Some(1.0)))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.mlChurnLabels(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // cutoff = day 20 − 14 = day 6
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 1000L, 4L, true),
+      (2L, 1L, 0L, 0L, 1L, false)),
+      s"got ${out.toSeq}")
+  }
+
   test("qParetoRevenue: decile curve in exact ppm; duplicate boundary ranks repeat") {
     import spark.implicits._
     val dir = tmpSfDir()

@@ -334,4 +334,24 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       (1L, 2L, 0L, 0.5)),
       s"got ${out.toSeq}")
   }
+
+  test("simMatryoshkaRecall: tail-only vector has NULL truncated sim and drops from the prefix list") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 20-dim: dims 1..16 are the prefix, 17..20 the tail. anchor = e1.
+    def v(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(20)(0.0f); pairs.foreach { case (i, x) => a(i - 1) = x }; a
+    }
+    val embRows = Seq(
+      (0L, v(1 -> 1.0f), 0),             // anchor
+      (8L, v(1 -> 1.0f), 0),             // simF 1.0, simT 1.0
+      (9L, v(17 -> 1.0f), 0),            // simF 0.0, prefix all-zero → simT NULL
+      (10L, v(1 -> 0.6f, 17 -> 0.8f), 0))// simF 0.6, simT 1.0
+    writeTable(dir, "embeddings", embRows.toDF("vec_id", "embedding", "label"))
+    val out = Similarity.simMatryoshkaRecall(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // full top-5 = {8, 10, 9}; truncated list = {8, 10} (9 unrankable) →
+    // hits 2 of 3
+    assert(out.toSeq == Seq((0L, 3L, 2L, 666666L)), s"got ${out.toSeq}")
+  }
 }

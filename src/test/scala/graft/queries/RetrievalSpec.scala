@@ -122,4 +122,28 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       (3L, 9L, 0.8, r6(0.7 * 0.8 - 0.3 * 1.0))),
       s"got ${out.toSeq}")
   }
+
+  test("retrievalNdcg: rank-discounted hits over the ideal; no-relevant-docs query stays NULL") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // anchor 0 (label 1): retrieval order 8 (rel), 9 (not), 10 (rel) →
+    // DCG = disc1 + disc3 = 1.0 + 0.5; n_rel = 2 → IDCG = 1 + 0.63092975.
+    // anchor 1 (label 9): nothing relevant → idcg 0, ndcg NULL.
+    val embRows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 9),
+      (8L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (9L, Array(0.8f, 0.6f, 0.0f, 0.0f), 2),
+      (10L, Array(0.6f, 0.8f, 0.0f, 0.0f), 1))
+    writeTable(dir, "embeddings", embRows.toDF("vec_id", "embedding", "label"))
+    val out = Retrieval.retrievalNdcg(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1.5, 1.63092975, Some(r6(1.5 / 1.63092975))),
+      (1L, 0L, 0.0, 0.0, None)),
+      s"got ${out.toSeq}")
+  }
 }
