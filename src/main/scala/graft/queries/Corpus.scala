@@ -731,6 +731,42 @@ object Corpus {
   // Contract registration
   // ---------------------------------------------------------------------
 
+  /**
+   * Per-source Simpson concentration / diversity index — the data-card
+   * number that answers "if I draw two tokens from this slice, how often
+   * are they the same word?" (λ, the Simpson/Herfindahl index, here
+   * WITHOUT replacement: λ = Σnᵢ(nᵢ−1)/(N(N−1))); its reciprocal is the
+   * effective vocabulary size — the "how many words is this slice really
+   * using" complement of [[graft.queries.Governance.statsEntropy]]'s
+   * nats (Simpson weighs the HEAD where entropy weighs the tail, so a
+   * template farm stamping one sentence moves λ far before it moves H).
+   *
+   * Scale shape: one explode collapsed to (source, word) counts
+   * (map-side combined), then a ≤|sources| rollup — no window, no join.
+   * Determinism: Σnᵢ(nᵢ−1) and N(N−1) are exact DECIMAL integers; λ is
+   * ONE division of their double images rounded at 6 dp; diversity and
+   * the effective-size reciprocal derive from the ROUNDED λ.
+   */
+  def corpusSimpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    docs(s, dir)
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cs"))
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum((col("cs") * (col("cs") - 1)).cast(d38)).as("coll"))
+      .withColumn("simpson", when(col("n_tokens") > 1,
+        round(col("coll").cast("double") /
+          (col("n_tokens").cast(d38) * (col("n_tokens") - 1).cast(d38))
+            .cast("double"), 6) + lit(0.0)))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("simpson"),
+        when(col("simpson").isNotNull,
+          round(lit(1.0) - col("simpson"), 6) + lit(0.0)).as("diversity"),
+        when(col("simpson") > 0,
+          round(lit(1.0) / col("simpson"), 6) + lit(0.0)).as("effective_types"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_source_kl" -> (textSourceKl _),
     "text_seg_dedup" -> (textSegDedup _),
@@ -743,6 +779,7 @@ object Corpus {
     "stats_percentile_cont" -> (statsPercentileCont _),
     "sample_per_source_topn" -> (samplePerSourceTopn _),
     "corpus_report" -> (corpusReport _),
+    "corpus_simpson_diversity" -> (corpusSimpsonDiversity _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "mix_token_budget" -> (mixTokenBudget _),
     "corpus_rollup" -> (corpusRollup _),
@@ -838,6 +875,31 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    "corpus_simpson_diversity" ->
+      """WITH sw AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |c0 AS (SELECT source, word, CAST(COUNT(1) AS BIGINT) AS cs
+        |       FROM sw GROUP BY source, word),
+        |a AS (
+        |  SELECT source, CAST(SUM(cs) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(1) AS BIGINT) AS n_types,
+        |    SUM(CAST(cs * (cs - 1) AS DECIMAL(38,0))) AS coll
+        |  FROM c0 GROUP BY source),
+        |l AS (
+        |  SELECT source, n_tokens, n_types,
+        |    CASE WHEN n_tokens > 1 THEN round(CAST(coll AS DOUBLE)
+        |      / CAST(CAST(n_tokens AS DECIMAL(38,0))
+        |             * CAST(n_tokens - 1 AS DECIMAL(38,0)) AS DOUBLE), 6)
+        |      + 0.0 END AS simpson
+        |  FROM a)
+        |SELECT source, n_tokens, n_types, simpson,
+        |  CASE WHEN simpson IS NOT NULL
+        |    THEN round(1.0 - simpson, 6) + 0.0 END AS diversity,
+        |  CASE WHEN simpson > 0
+        |    THEN round(1.0 / simpson, 6) + 0.0 END AS effective_types
+        |FROM l ORDER BY source""".stripMargin,
     "text_source_kl" ->
       """WITH sw AS (
         |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

@@ -631,6 +631,27 @@ object Events {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** The zero-filled per-type daily count series — shared by the
+    * autocorrelation, CUSUM and seasonality monitors so the calendar
+    * semantics can't drift between them. Gap days are true zeros; the
+    * spine explodes a ≤|types|-row min/max rollup, never the event
+    * stream; `dn` is the integer epoch day. */
+  private def denseDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .select(col("event_type"),
+        datediff(to_date(timestamp_micros(epochUs())), lit("1970-01-01").cast("date"))
+          .cast("long").as("dn"))
+      .groupBy(col("event_type"), col("dn"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily
+      .groupBy(col("event_type"))
+      .agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("dn"))
+    spine.join(daily, Seq("event_type", "dn"), "left_outer")
+      .select(col("event_type"), col("dn"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Autocorrelation probe lags (days). */
   private val AcfMaxLag = 7
 
@@ -655,21 +676,7 @@ object Events {
    */
   def statsAutocorr(s: SparkSession, dir: String): DataFrame = {
     val decC = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val daily = ev(s, dir)
-      .select(col("event_type"),
-        datediff(to_date(timestamp_micros(epochUs())), lit("1970-01-01").cast("date"))
-          .cast("long").as("dn"))
-      .groupBy(col("event_type"), col("dn"))
-      .agg(count(lit(1)).as("n"))
-    // dense calendar: gap days are true zeros (bounded: the spine explodes
-    // a ≤|types|-row min/max rollup, never the event stream)
-    val spine = daily
-      .groupBy(col("event_type"))
-      .agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
-      .select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"))).as("dn"))
-    val dense = spine.join(daily, Seq("event_type", "dn"), "left_outer")
-      .select(col("event_type"), col("dn"), coalesce(col("n"), lit(0L)).as("n"))
+    val dense = denseDaily(s, dir)
     val lagged = dense
       .withColumn("lag", explode(sequence(lit(1L), lit(AcfMaxLag.toLong))))
       .select(col("event_type"), (col("dn") + col("lag")).as("dn"),
@@ -788,7 +795,154 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * CUSUM mean-shift detection over the daily series — the changepoint
+   * monitor next to [[statsDailyAnomaly]]'s spike fence: a single-day
+   * spike trips a z-score, but a sustained 30% rate drift never does;
+   * CUSUM accumulates excess over a slack line (here 1.25× the series
+   * mean) and alarms when the accumulation passes a decision interval
+   * (2× the mean per accumulated unit — S > 8·total in the integer
+   * scaling below).
+   *
+   * The page recursion S_t = max(0, S_{t−1} + d_t) is NOT a window
+   * frame — but it has the closed form S_t = P_t − min(0, min_{j≤t} P_j)
+   * over the prefix sums P, so it IS two running windows over the
+   * zero-filled daily relation. Everything stays integer: d_t scaled by
+   * 4·days gives D_t = 4·days·n_t − 5·total exactly
+   * (= 4·days·(n_t − μ − μ/4)).
+   *
+   * Scale shape: [[denseDaily]]'s collapsed calendar relation; per-type
+   * totals and both runnings are windows over calendar-bounded
+   * partitions (the stats_ks_drift convention). LONG bounds: 4·days·n
+   * needs days·n < 2⁶¹ — a century of 10⁸ events/day fits; past that the
+   * sums move to DECIMAL.
+   */
+  def statsCusumShift(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("event_type"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("dn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    denseDaily(s, dir)
+      .withColumn("days", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("d", lit(4L) * col("days") * col("n") - lit(5L) * col("tot"))
+      .withColumn("p", sum(col("d")).over(wRun))
+      .withColumn("cusum", col("p") - least(min(col("p")).over(wRun), lit(0L)))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("dn").cast("int")).as("day"),
+        col("n"), col("cusum").as("cusum_scaled"),
+        (col("cusum") > lit(8L) * col("tot")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /**
+   * Inter-event gap profile per event type — the arrival-cadence data
+   * card (bot-rate / scraper detection reads the p50; retention
+   * heuristics read the p90): per-user consecutive-event gaps, bucketed
+   * to whole seconds, with exact discrete order statistics.
+   *
+   * Scale shape: the gap computation is ONE user-partitioned sort (the
+   * real blocking key); gaps then collapse to (type, gap_s) counts —
+   * bounded by the observation span in seconds, not by events (the
+   * second-bucketing is what makes the cumulative windows safe) — and
+   * the percentiles are cumulative windows over that collapsed relation
+   * (the stats_ks_drift convention). Determinism: pure integer
+   * arithmetic end-to-end; p50 is the lower median (the stats_mad
+   * convention), p90 the smallest value covering ⌈0.9·n⌉.
+   */
+  def qInterEventGaps(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("gap_ns", col("ts") - lag(col("ts"), 1).over(wu))
+      // integral DIV, not `/` (double division truncates past 2^53)
+      .withColumn("gap_s", expr("gap_ns DIV 1000000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps
+      .withColumn("tot", sum(col("cnt")).over(wAll))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("k50", expr("(tot + 1) DIV 2"))
+      .withColumn("k90", expr("(tot * 9 + 9) DIV 10"))
+      .groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_gaps"),
+        min(when(col("cum") >= col("k50"), col("gap_s"))).as("p50_s"),
+        min(when(col("cum") >= col("k90"), col("gap_s"))).as("p90_s"),
+        max(col("gap_s")).as("max_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
+   * Difference-in-differences lift estimate — the incrementality number
+   * a marketing team reads before attributing revenue to a channel:
+   * users who ever clicked (the "exposed" group) vs users who never did,
+   * purchase revenue in the first half of the window (pre) vs the second
+   * (post); DiD = Δtreated/user − Δcontrol/user cancels both the group
+   * baseline and the common time trend. The causal-inference companion
+   * to [[qAttributionLinear]]'s mechanical credit split.
+   *
+   * Scale shape: ONE user-keyed conditional-aggregation pass (treatment
+   * flag and pre/post revenue out of the same shuffle), a ≤2-row group
+   * rollup, then a 1-row summary; the window midpoint is a
+   * metadata-sized driver scalar. Money is exact integer cents; the
+   * only floats are the three final per-user divisions of exact
+   * DECIMALs, rounded at 6 dp.
+   */
+  def qDidLift(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val withDn = ev(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        datediff(to_date(timestamp_micros(epochUs())), lit("1970-01-01").cast("date"))
+          .cast("long").as("dn"))
+    val bounds = withDn.agg(min(col("dn")), max(col("dn"))).first()
+    if (bounds.isNullAt(0)) {
+      return withDn.select(lit(0L).as("n_treat"), lit(0L).as("n_ctrl"),
+        lit(0L).as("delta_treat_cents"), lit(0L).as("delta_ctrl_cents"),
+        lit(null).cast("double").as("treat_pu"),
+        lit(null).cast("double").as("ctrl_pu"),
+        lit(null).cast("double").as("did_cents_pu")).limit(0)
+    }
+    // post window = second half of the observed span
+    val mid = (bounds.getLong(0) + bounds.getLong(1) + 1) / 2
+    val cents = (dec(col("value")) * 100).cast("long")
+    val perUser = withDn
+      .groupBy(col("user_id"))
+      .agg(max(col("event_type") === "click").as("treated"),
+        coalesce(sum(when(col("event_type") === "purchase" && col("dn") < mid,
+          cents)), lit(0L)).as("pre_c"),
+        coalesce(sum(when(col("event_type") === "purchase" && col("dn") >= mid,
+          cents)), lit(0L)).as("post_c"))
+    val groups = perUser
+      .groupBy(col("treated"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("post_c") - col("pre_c")).as("delta_c"))
+    def pick(t: Boolean, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      max(when(col("treated") === t, c))
+    groups.agg(
+        coalesce(pick(t = true, col("n")), lit(0L)).as("n_treat"),
+        coalesce(pick(t = false, col("n")), lit(0L)).as("n_ctrl"),
+        coalesce(pick(t = true, col("delta_c")), lit(0L)).as("delta_treat_cents"),
+        coalesce(pick(t = false, col("delta_c")), lit(0L)).as("delta_ctrl_cents"))
+      .withColumn("treat_pu", when(col("n_treat") > 0,
+        round(col("delta_treat_cents").cast("double") / col("n_treat").cast("double"), 6)
+          + lit(0.0)))
+      .withColumn("ctrl_pu", when(col("n_ctrl") > 0,
+        round(col("delta_ctrl_cents").cast("double") / col("n_ctrl").cast("double"), 6)
+          + lit(0.0)))
+      .withColumn("did_cents_pu", when(col("n_treat") > 0 && col("n_ctrl") > 0,
+        round((col("delta_treat_cents").cast(d38) * col("n_ctrl").cast(d38) -
+          col("delta_ctrl_cents").cast(d38) * col("n_treat").cast(d38)).cast("double") /
+          (col("n_treat").cast(d38) * col("n_ctrl").cast(d38)).cast("double"), 6)
+          + lit(0.0)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cusum_shift" -> (statsCusumShift _),
+    "q_inter_event_gaps" -> (qInterEventGaps _),
+    "q_did_lift" -> (qDidLift _),
     "stats_autocorr" -> (statsAutocorr _),
     "stats_seasonality_dow" -> (statsSeasonalityDow _),
     "ml_churn_labels" -> (mlChurnLabels _),
@@ -814,6 +968,109 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "stats_cusum_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(dn) AS lo, MAX(dn) AS hi
+        |      FROM daily GROUP BY 1),
+        |sp AS (SELECT b.event_type,
+        |         CAST(unnest(generate_series(b.lo, b.hi)) AS BIGINT) AS dn
+        |       FROM b),
+        |dense AS (
+        |  SELECT sp.event_type, sp.dn, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM sp LEFT JOIN daily d USING (event_type, dn)),
+        |t AS (
+        |  SELECT event_type, dn, n,
+        |    CAST(COUNT(1) OVER (PARTITION BY event_type) AS BIGINT) AS days,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM dense),
+        |d2 AS (
+        |  SELECT event_type, dn, n, tot,
+        |    CAST(4 * days * n - 5 * tot AS BIGINT) AS d
+        |  FROM t),
+        |p1 AS (
+        |  SELECT event_type, dn, n, tot,
+        |    CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY dn
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        |  FROM d2),
+        |p2 AS (
+        |  SELECT event_type, dn, n, tot, p,
+        |    CAST(MIN(p) OVER (PARTITION BY event_type ORDER BY dn
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn
+        |  FROM p1)
+        |SELECT event_type, DATE '1970-01-01' + CAST(dn AS INTEGER) AS day, n,
+        |  CAST(p - LEAST(mn, 0) AS BIGINT) AS cusum_scaled,
+        |  p - LEAST(mn, 0) > 8 * tot AS alarm
+        |FROM p2 ORDER BY event_type, day""".stripMargin,
+    "q_inter_event_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(LAG(ts, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, CAST(gap_s AS BIGINT) AS gap_s,
+        |    CAST(COUNT(1) AS BIGINT) AS cnt
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, gap_s, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_s
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT event_type, MAX(tot) AS n_gaps,
+        |  MIN(CASE WHEN cum >= (tot + 1) // 2 THEN gap_s END) AS p50_s,
+        |  MIN(CASE WHEN cum >= (tot * 9 + 9) // 10 THEN gap_s END) AS p90_s,
+        |  MAX(gap_s) AS max_s
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_did_lift" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+        |  FROM events),
+        |mo AS (SELECT (MIN(dn) + MAX(dn) + 1) // 2 AS mid FROM e),
+        |pu AS (
+        |  SELECT user_id,
+        |    MAX(event_type = 'click') AS treated,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' AND dn < mo.mid
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END), 0)
+        |      AS BIGINT) AS pre_c,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' AND dn >= mo.mid
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END), 0)
+        |      AS BIGINT) AS post_c
+        |  FROM e CROSS JOIN mo GROUP BY user_id),
+        |grp AS (
+        |  SELECT treated, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(post_c - pre_c) AS BIGINT) AS delta_c
+        |  FROM pu GROUP BY treated),
+        |f AS (
+        |  SELECT
+        |    CAST(COALESCE(MAX(CASE WHEN treated THEN n END), 0) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(COALESCE(MAX(CASE WHEN NOT treated THEN n END), 0) AS BIGINT)
+        |      AS n_ctrl,
+        |    CAST(COALESCE(MAX(CASE WHEN treated THEN delta_c END), 0) AS BIGINT)
+        |      AS delta_treat_cents,
+        |    CAST(COALESCE(MAX(CASE WHEN NOT treated THEN delta_c END), 0)
+        |      AS BIGINT) AS delta_ctrl_cents
+        |  FROM grp)
+        |SELECT n_treat, n_ctrl, delta_treat_cents, delta_ctrl_cents,
+        |  CASE WHEN n_treat > 0 THEN round(
+        |    CAST(delta_treat_cents AS DOUBLE) / CAST(n_treat AS DOUBLE), 6)
+        |    + 0.0 END AS treat_pu,
+        |  CASE WHEN n_ctrl > 0 THEN round(
+        |    CAST(delta_ctrl_cents AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 6)
+        |    + 0.0 END AS ctrl_pu,
+        |  CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN round(
+        |    CAST(CAST(delta_treat_cents AS DECIMAL(38,0)) * CAST(n_ctrl AS DECIMAL(38,0))
+        |      - CAST(delta_ctrl_cents AS DECIMAL(38,0)) * CAST(n_treat AS DECIMAL(38,0))
+        |      AS DOUBLE)
+        |    / CAST(CAST(n_treat AS DECIMAL(38,0)) * CAST(n_ctrl AS DECIMAL(38,0))
+        |      AS DOUBLE), 6) + 0.0 END AS did_cents_pu
+        |FROM f""".stripMargin,
     "stats_autocorr" ->
       s"""WITH daily AS (
          |  SELECT event_type,

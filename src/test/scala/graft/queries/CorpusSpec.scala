@@ -194,6 +194,27 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out("s1") == ((100L, 0L, 10L, 300000L, 0L, 300000L)))
   }
 
+  test("corpusSimpsonDiversity: head-heavy slice concentrates; all-distinct slice maxes diversity; singletons NULL") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, "a a a b", "en", "s0", 7L),   // λ = 6/12 = 0.5 → effective 2
+      (1L, "a b c d", "en", "s1", 7L),   // λ = 0 → diversity 1, effective NULL
+      (2L, "x", "en", "s2", 1L),         // N=1 → λ NULL
+      (3L, "", "en", "s3", 0L))          // no tokens → source absent
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Corpus.corpusSimpsonDiversity(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(out.toSeq == Seq(
+      ("s0", 4L, 2L, Some(0.5), Some(0.5), Some(2.0)),
+      ("s1", 4L, 4L, Some(0.0), Some(1.0), None),
+      ("s2", 1L, 1L, None, None, None)),
+      s"got ${out.toSeq}")
+  }
+
   test("statsPercentileCont: PERCENTILE_CONT lerp on a 5-value fixture; NULLs out") {
     import spark.implicits._
     val dir = tmpSfDir()

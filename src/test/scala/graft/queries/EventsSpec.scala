@@ -134,6 +134,84 @@ class EventsSpec extends AnyFunSuite with SparkFixture {
       (3L, 1L, "high", 2L, usOf(10), None, true)))
   }
 
+  test("statsCusumShift: sustained rate shift accumulates past the interval; below-slack days clamp at zero") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val D = 24 * 60L
+    // 'view': 2/day days 0..9, then 10/day days 10..19 → days=20, tot=120,
+    // slack line 1.25μ = 7.5/day. Scaled D_t = 80n − 600: −440 below, +200
+    // above. Running min is the falling prefix itself → S=0 through day 9;
+    // then S = 200·(d−9); interval 8·tot = 960 → alarm from day 14 on.
+    var eid = 0L
+    val rows = (0 until 20).flatMap { d =>
+      val c = if (d < 10) 2 else 10
+      (1 to c).map { i => eid += 1; (eid, 1L, tsNs(d * D + i), "view", Some(1.0)) }
+    }
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.statsCusumShift(spark, dir.toString).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 20)
+    assert(out.take(10).forall(r => r._2 == 0L && !r._3),
+      s"pre-shift rows must clamp at 0: ${out.take(10).toSeq}")
+    assert(out.drop(10).zipWithIndex.forall { case ((n, s, a), k) =>
+      n == 10L && s == 200L * (k + 1) && a == (s > 960L)
+    }, s"got ${out.drop(10).toSeq}")
+    assert(out.indexWhere(_._3) == 14, s"first alarm day: ${out.indexWhere(_._3)}")
+  }
+
+  test("qInterEventGaps: lower-median and ceil-p90 over second-bucketed per-user gaps; type from the later event") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      // u1 'view' at minutes 0, 60, 120 → two 3600s gaps
+      (1L, 1L, tsNs(0), "view", Some(1.0)),
+      (2L, 1L, tsNs(60), "view", Some(1.0)),
+      (3L, 1L, tsNs(120), "view", Some(1.0)),
+      // u2 'view' at minutes 0..3 → three 60s gaps
+      (4L, 2L, tsNs(0), "view", Some(1.0)),
+      (5L, 2L, tsNs(1), "view", Some(1.0)),
+      (6L, 2L, tsNs(2), "view", Some(1.0)),
+      (7L, 2L, tsNs(3), "view", Some(1.0)),
+      // u3: view → click: the 600s gap belongs to 'click' (the later event)
+      (8L, 3L, tsNs(0), "view", Some(1.0)),
+      (9L, 3L, tsNs(10), "click", Some(1.0)))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.qInterEventGaps(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 'view' gaps sorted: 60,60,60,3600,3600 → k50=3 → 60; k90=5 → 3600
+    assert(out.toSeq == Seq(
+      ("click", 1L, 600L, 600L, 600L),
+      ("view", 5L, 60L, 3600L, 3600L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("qDidLift: treated delta minus control delta per user; midpoint splits the span") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val D = 24 * 60L
+    // span days 0..10 → mid=5 (post = dn ≥ 5)
+    val rows = Seq(
+      (1L, 1L, tsNs(0 * D), "click", Option.empty[Double]),
+      (2L, 1L, tsNs(1 * D), "purchase", Some(10.0)),   // pre
+      (3L, 1L, tsNs(6 * D), "purchase", Some(30.0)),   // post → Δ=+2000¢
+      (4L, 2L, tsNs(2 * D), "click", Some(1.0)),       // treated, Δ=0
+      (5L, 3L, tsNs(1 * D), "purchase", Some(20.0)),
+      (6L, 3L, tsNs(7 * D), "purchase", Some(20.0)),   // control, Δ=0
+      (7L, 4L, tsNs(8 * D), "purchase", Some(10.0)),   // control, Δ=+1000¢
+      (8L, 4L, tsNs(10 * D), "view", Some(1.0)))       // sets the span max
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val out = Events.qDidLift(spark, dir.toString).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2000L, 1000L)), s"got $r")
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+      ((1000.0, 500.0, 500.0)), s"got $r")
+  }
+
   test("statsAutocorr: alternating daily series gives r=-1 at odd lags, +1 at even; 1-pair lag is NULL") {
     import spark.implicits._
     val dir = tmpSfDir()
