@@ -294,7 +294,51 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** "Late" threshold: shipped more than 90 days after the order date. */
+  private val LateDays = 90
+  private val LateTopK = 20
+
+  /**
+   * Sole-late-supplier report (the TPC-H Q21 shape on the columns this
+   * schema carries): suppliers who, in a multi-supplier order, were the
+   * ONLY one to ship late — the vendor-scorecard query whose reference
+   * SQL is a correlated EXISTS (another supplier in the order) plus a
+   * correlated NOT EXISTS (another LATE supplier).
+   *
+   * Spark-first reformulation: both correlated subqueries collapse into
+   * ONE per-order conditional aggregation — distinct suppliers, distinct
+   * late suppliers, and (when exactly one) the late supplier's id come
+   * out of the same shuffle; no per-row re-probing, no self-join of
+   * lineitem. The supplier dimension broadcasts for the name. Top-K is a
+   * TakeOrderedAndProject.
+   */
+  def q29SoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = load(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val perSupp = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("supp_late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+      .orderBy(col("n_orders").desc, col("s_suppkey"))
+      .limit(LateTopK)
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_sole_late_supplier" -> (q29SoleLateSupplier _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_proj" -> (q2FilterProj _),
     "q3_distinct" -> (q3Distinct _),
@@ -316,6 +360,25 @@ object Relational {
     "q_hash_split" -> (qHashSplit _))
 
   val oracle: Map[String, String] = Map(
+    "q29_sole_late_supplier" ->
+      s"""WITH ps AS (
+         |  SELECT l.l_orderkey, l.l_suppkey,
+         |    MAX(l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY)
+         |      AS supp_late
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |po AS (
+         |  SELECT l_orderkey, CAST(COUNT(1) AS BIGINT) AS n_supp,
+         |    CAST(SUM(CASE WHEN supp_late THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_late,
+         |    MAX(CASE WHEN supp_late THEN l_suppkey END) AS late_supp
+         |  FROM ps GROUP BY 1),
+         |r AS (
+         |  SELECT late_supp AS s_suppkey, CAST(COUNT(1) AS BIGINT) AS n_orders
+         |  FROM po WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1)
+         |SELECT r.s_suppkey, s.s_name, r.n_orders
+         |FROM r JOIN supplier s USING (s_suppkey)
+         |ORDER BY r.n_orders DESC, r.s_suppkey LIMIT $LateTopK""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -1282,7 +1282,98 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Neighbors per query in the Hamming recall audit. */
+  private val HamK = 5
+
+  /** Sign-bit pack of dims [off+1, off+32] into one non-negative long —
+    * the driver-side twin of [[hamPackCol]], applied to anchor constants. */
+  private def hamPack(v: Array[Double], off: Int): Long = {
+    var w = 0L
+    var j = 0
+    while (j < 32 && off + j < v.length) {
+      if (v(off + j) > 0) w |= (1L << j)
+      j += 1
+    }
+    w
+  }
+
+  /** Column form of [[hamPack]]: 32 null-safe indexed reads (`get` is
+    * 0-based and returns NULL past the array end — matching DuckDB's
+    * out-of-bounds list extract), each contributing one fixed power of
+    * two. Pure codegen, no UDF. */
+  private def hamPackCol(v: Column, off: Int): Column =
+    (0 until 32).map { j =>
+      when(get(v, lit(off + j)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Binarized-embedding Hamming recall audit — the 1-bit extreme of the
+   * quantization family ([[simPqRecall]] is the 8×-code point,
+   * [[simMatryoshkaRecall]] the dimension-truncation point): every
+   * vector collapses to its 64 sign bits (two 32-bit words — bit 63 in
+   * one word would overflow a signed BIGINT on the oracle side), queries
+   * rank candidates by Hamming distance, and the audit reports overlap
+   * with the exact cosine top-[[HamK]]. Sign-bit search is the cheapest
+   * possible index (64 bits/vector, XOR+popcount per probe); this table
+   * prices its recall before it fronts a re-rank.
+   *
+   * Scale shape: the pack is a per-row codegen expression over the scan
+   * (no join); anchors pack driver-side into literal words; cosine and
+   * Hamming compute in the SAME fan pass and the scalar relation
+   * persists once (the matryoshka convention); overlap joins two
+   * ≤|anchors|·K-row relations. Determinism: Hamming is exact integer;
+   * cosine rounds at 6 dp; ties break by vec_id.
+   */
+  def simHammingRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = load(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val anchors: Seq[(Long, Array[Double])] = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), dArr(col("embedding")))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    if (anchors.isEmpty) {
+      return e.select(col("vec_id").as("qid"), lit(0L).as("n_full"),
+        lit(0L).as("hits"), lit(0L).as("recall_ppm")).limit(0)
+    }
+    val cands = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+      .withColumn("lo", hamPackCol(col("v"), 0))
+      .withColumn("hi", hamPackCol(col("v"), 32))
+    val simF = coalesce(anchors.map { case (q, v0) =>
+      when(col("qid") === q, cosine(col("v"), typedLit(v0)))
+    }: _*)
+    val hamm = coalesce(anchors.map { case (q, v0) =>
+      when(col("qid") === q,
+        bit_count(col("lo").bitwiseXOR(lit(hamPack(v0, 0)))) +
+          bit_count(col("hi").bitwiseXOR(lit(hamPack(v0, 32)))))
+    }: _*)
+    val sims = cands
+      .withColumn("qid", explode(typedLit(anchors.map(_._1))))
+      .select(col("qid"), col("vec_id"),
+        round(simF, 6).as("sim_full"), hamm.cast("long").as("ham"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_full").desc, col("vec_id"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("vec_id"))
+    val topF = sims.filter(col("sim_full").isNotNull)
+      .withColumn("rk", row_number().over(wF)).filter(col("rk") <= HamK)
+      .select(col("qid"), col("vec_id"))
+    val topH = sims
+      .withColumn("rk", row_number().over(wH)).filter(col("rk") <= HamK)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    topF.join(topH, Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_full"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .select(col("qid"), col("n_full"), col("hits"),
+        (col("hits") * 1000000L / col("n_full")).cast("long").as("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hamming_recall" -> (simHammingRecall _),
     "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
     "embed_rp_project" -> (embedRpProject _),
     "embed_pca_power" -> (embedPcaPower _),
@@ -1442,6 +1533,59 @@ object Similarity {
       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_hamming_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE embedding IS NOT NULL),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 8),
+         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+         |qp AS (
+         |  SELECT qid,
+         |    CAST(COALESCE(SUM(CASE WHEN i <= 32 AND qv[i]::DOUBLE > 0
+         |      THEN 1::BIGINT << (i - 1) ELSE 0 END), 0) AS BIGINT) AS qlo,
+         |    CAST(COALESCE(SUM(CASE WHEN i > 32 AND qv[i]::DOUBLE > 0
+         |      THEN 1::BIGINT << (i - 33) ELSE 0 END), 0) AS BIGINT) AS qhi
+         |  FROM q, generate_series(1, 64) g(i) GROUP BY 1),
+         |mp AS (
+         |  SELECT vec_id,
+         |    CAST(COALESCE(SUM(CASE WHEN i <= 32 AND embedding[i]::DOUBLE > 0
+         |      THEN 1::BIGINT << (i - 1) ELSE 0 END), 0) AS BIGINT) AS lo,
+         |    CAST(COALESCE(SUM(CASE WHEN i > 32 AND embedding[i]::DOUBLE > 0
+         |      THEN 1::BIGINT << (i - 33) ELSE 0 END), 0) AS BIGINT) AS hi
+         |  FROM m, generate_series(1, 64) g(i) GROUP BY 1),
+         |cd AS (
+         |  SELECT q.qid, m.vec_id,
+         |    SUM(m.embedding[i]::DOUBLE * q.qv[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS aa
+         |  FROM m, q, generate_series(1, 64) g(i)
+         |  GROUP BY 1, 2),
+         |sf AS (
+         |  SELECT qid, vec_id,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cd),
+         |hm AS (
+         |  SELECT qp.qid, mp.vec_id,
+         |    CAST(bit_count(xor(mp.lo, qp.qlo))
+         |       + bit_count(xor(mp.hi, qp.qhi)) AS BIGINT) AS ham
+         |  FROM mp CROSS JOIN qp),
+         |rf AS (
+         |  SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |      AS rk
+         |  FROM sf WHERE sim IS NOT NULL),
+         |rh AS (
+         |  SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id)
+         |      AS rk
+         |  FROM hm),
+         |tf AS (SELECT qid, vec_id FROM rf WHERE rk <= $HamK),
+         |th AS (SELECT qid, vec_id, 1 AS hit FROM rh WHERE rk <= $HamK)
+         |SELECT tf.qid, CAST(COUNT(1) AS BIGINT) AS n_full,
+         |  CAST(COUNT(th.hit) AS BIGINT) AS hits,
+         |  CAST(COUNT(th.hit) * 1000000 // COUNT(1) AS BIGINT) AS recall_ppm
+         |FROM tf LEFT JOIN th USING (qid, vec_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_matryoshka_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
          |           WHERE embedding IS NOT NULL),

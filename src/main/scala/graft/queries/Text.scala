@@ -1037,7 +1037,50 @@ object Text {
       .orderBy(col("stage"), col("source"))
   }
 
+  /** Coverage knee reported by the audit (SentencePiece's default
+    * character_coverage is 0.9995). */
+  private val CharCoverPpm = 999500L
+
+  /**
+   * Character-coverage curve for tokenizer alphabet sizing — the
+   * SentencePiece `character_coverage` decision table: characters rank
+   * by corpus frequency; each row reports its cumulative ppm and whether
+   * it is still inside the 99.95% coverage set (everything outside maps
+   * to `<unk>`/byte-fallback). The character-level complement of
+   * [[vocabCoverage]]'s word-level Zipf curve.
+   *
+   * Scale shape: one per-character explode collapsed map-side to
+   * ≤|alphabet| groups (the alphabet, not the corpus, bounds everything
+   * after the scan); rank and the running total are windows over that
+   * alphabet-sized relation (deliberate single-group window via
+   * [[Tables.zeroPart]]). Determinism: pure integer counts; the
+   * coverage flag is the cross-multiplication (cum−cnt)·10⁶ <
+   * [[CharCoverPpm]]·total — a char is "needed" while coverage BEFORE it
+   * is still under the knee.
+   */
+  def tokCharCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chars = docs(s, dir)
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "" && col("ch") =!= " ")
+      .groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(zeroPart(col("ch")))
+    val ord = Window.partitionBy(zeroPart(col("ch")))
+      .orderBy(col("cnt").desc, col("ch"))
+    chars
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(wAll))
+      .select(col("rank"), col("ch"), col("cnt"),
+        expr("cum * 1000000 DIV tot").as("cum_ppm"),
+        ((col("cum") - col("cnt")) * 1000000L < lit(CharCoverPpm) * col("tot"))
+          .as("needed_9995"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok_char_coverage" -> (tokCharCoverage _),
     "pipeline_curation_lm" -> (pipelineCurationLm _),
     "pack_pairs" -> (packPairs _),
     "quality_nll_calibration" -> (qualityNllCalibration _),
@@ -1093,6 +1136,23 @@ object Text {
       |ORDER BY b.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "tok_char_coverage" ->
+      s"""WITH ch AS (
+         |  SELECT unnest(string_split(text, '')) AS ch FROM documents),
+         |c0 AS (
+         |  SELECT ch, CAST(COUNT(1) AS BIGINT) AS cnt
+         |  FROM ch WHERE ch <> '' AND ch <> ' ' GROUP BY ch),
+         |w AS (
+         |  SELECT ch, cnt,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ch) AS BIGINT) AS rank,
+         |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, ch
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+         |  FROM c0)
+         |SELECT rank, ch, cnt,
+         |  CAST(cum * 1000000 // tot AS BIGINT) AS cum_ppm,
+         |  (cum - cnt) * 1000000 < $CharCoverPpm * tot AS needed_9995
+         |FROM w ORDER BY rank""".stripMargin,
     "pipeline_curation_lm" ->
       s"""WITH lm AS ($LmNllSql),
         |fr AS (

@@ -194,6 +194,23 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(out("s1") == ((100L, 0L, 10L, 300000L, 0L, 300000L)))
   }
 
+  test("tokCharCoverage: rank/cumulative ppm; a char past the 99.95% knee is not needed") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 4000 'a' + one 'b' → coverage before 'b' = 4000/4001 = 99.975% ≥
+    // 99.95% → 'b' is outside the alphabet the tokenizer needs
+    val rows = Seq(
+      (0L, "a" * 4000, "en", "s0", 4000L),
+      (1L, "b", "en", "s0", 1L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Text.tokCharCoverage(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 4000L, 999750L, true),
+      (2L, "b", 1L, 1000000L, false)),
+      s"got ${out.toSeq}")
+  }
+
   test("corpusSimpsonDiversity: head-heavy slice concentrates; all-distinct slice maxes diversity; singletons NULL") {
     import spark.implicits._
     val dir = tmpSfDir()

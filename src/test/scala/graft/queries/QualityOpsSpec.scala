@@ -335,6 +335,30 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       s"got ${out.toSeq}")
   }
 
+  test("simHammingRecall: sign bits are magnitude-blind — one big flip outranks three small ones") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 40-dim (the hi word holds dims 33..40). Anchor = all +1.
+    def v(over: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(40)(1.0f); over.foreach { case (i, x) => a(i - 1) = x }; a
+    }
+    val embRows = Seq(
+      (0L, v(), 0),                                            // anchor
+      (8L, v(), 0),                                            // cos 1.0,  ham 0
+      (9L, v(40 -> -10.0f), 0),                                // cos .389, ham 1
+      (10L, v(40 -> -0.1f), 0),                                // cos .985, ham 1
+      (11L, v(39 -> -0.1f, 40 -> -0.1f), 0),                   // cos .969, ham 2
+      (12L, v(40 -> -1.0f), 0),                                // cos .95,  ham 1
+      (13L, v(38 -> -0.1f, 39 -> -0.1f, 40 -> -0.1f), 0))      // cos .954, ham 3
+    writeTable(dir, "embeddings", embRows.toDF("vec_id", "embedding", "label"))
+    val out = Similarity.simHammingRecall(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cosine top-5 = {8,10,11,13,12} (vec 9's big flip kills its cosine);
+    // hamming top-5 = {8,9,10,12,11} (vec 13's three cheap flips kill its
+    // hamming) → overlap {8,10,11,12} = 4 of 5
+    assert(out.toSeq == Seq((0L, 5L, 4L, 800000L)), s"got ${out.toSeq}")
+  }
+
   test("simMatryoshkaRecall: tail-only vector has NULL truncated sim and drops from the prefix list") {
     import spark.implicits._
     val dir = tmpSfDir()
