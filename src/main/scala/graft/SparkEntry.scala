@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.Corpus.queries ++
       graft.queries.TrainAudit.queries ++
       graft.queries.Governance.queries ++
-      graft.queries.Retrieval.queries
+      graft.queries.Retrieval.queries ++
+      graft.queries.Sketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.Corpus.oracle ++
       graft.queries.TrainAudit.oracle ++
       graft.queries.Governance.oracle ++
-      graft.queries.Retrieval.oracle
+      graft.queries.Retrieval.oracle ++
+      graft.queries.Sketch.oracle
 }

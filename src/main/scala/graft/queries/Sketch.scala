@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Cardinality / resemblance SKETCH operators with bit-exact cross-engine
+ * semantics (builder brief §beyond-the-reference). Sketches are THE
+ * 100 TB-scale tool for distinct counting and set resemblance — one pass,
+ * constant memory per group, mergeable across shards — but engine-native
+ * implementations (Spark's HyperLogLogPlusPlus, DuckDB's
+ * approx_count_distinct) use incompatible hash functions, so their
+ * estimates can't be oracle-checked. These operators instead derive the
+ * sketch from md5 arithmetic both engines share (the repo's established
+ * cross-engine hash family, cf. [[TrainAudit.md5Mod]]): every register,
+ * bottom-k order statistic and estimator term is reproducible to the bit
+ * in DuckDB, so the ESTIMATES themselves are hash-checked — stronger
+ * evidence than the usual "estimate is within ε of exact" spec assertion
+ * (which SketchesSpec still pins for the Spark-native Bloom/Count-Min
+ * paths in [[graft.operators.Sketches]]).
+ *
+ * Hash: h48(word) = first 12 hex chars of md5 → 48-bit integer. u =
+ * h48 / 2^48 is an exactly-representable double (48 < 53 mantissa bits),
+ * so every downstream IEEE op ((k−1)/u_k, α·m²·2^43/S) is the SAME
+ * correctly-rounded double on both engines.
+ */
+object Sketch {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+
+  /** Bottom-k size for the KMV estimators. */
+  private val KmvK = 128
+
+  /** 2^48 as an exact double — the h48 normalizer. */
+  private val Pow48 = 281474976710656.0d
+
+  /** Distinct (source, word) universe with the 48-bit md5 hash — the
+    * shared scan of all three sketch audits. One explode, one distinct
+    * (hash-partitioned on the pair — linear, the exact-dedup shape). */
+  private def sourceWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      .distinct()
+      .withColumn("h48",
+        conv(substring(md5(col("word")), 1, 12), 16, 10).cast("long"))
+
+  private val sourceWordsSql =
+    """SELECT source, word,
+      |  CAST(CAST('0x' || substring(md5(word), 1, 12) AS UBIGINT) AS BIGINT) AS h48
+      |FROM (SELECT DISTINCT source, word FROM (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |  FROM documents))""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sketch_kmv_distinct — k-minimum-values distinct-count estimate
+  // ---------------------------------------------------------------------
+
+  /**
+   * KMV (bottom-k) distinct-count sketch per source, audited against the
+   * exact distinct vocabulary: keep the k smallest hash values; the k-th
+   * smallest u estimates the distinct count as (k−1)/u_k (Bar-Yossef et
+   * al.'s KMV / Beyer et al.'s unbiased variant). A source whose whole
+   * vocabulary fits in the sketch (n ≤ k) reports the exact count — the
+   * standard small-set exactness of bottom-k sketches.
+   *
+   * Scale: the `row_number ≤ k` filter triggers Spark's
+   * InferWindowGroupLimit rewrite — each map task keeps only its LOCAL
+   * bottom-k per source before the shuffle (WindowGroupLimit physical
+   * node), so the window moves ≤ k·|sources|·#tasks rows, never the
+   * vocabulary. That per-partition-prune-then-merge IS the distributed
+   * KMV merge; the estimator itself is a ≤|sources|-row projection.
+   * Determinism: ties on h48 (distinct words colliding in 48 bits) are
+   * broken by the word itself; the estimate divides exact integers in
+   * exactly-representable doubles.
+   */
+  def sketchKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val w = sourceWords(s, dir)
+    val exact = w.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val kth = w
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h48"), col("word"))))
+      .filter(col("rn") === KmvK)
+      .select(col("source"), col("h48").as("hk"))
+    val est = when(col("hk").isNull, col("n_exact").cast("double"))
+      .otherwise(round(lit((KmvK - 1).toDouble * Pow48) / col("hk"), 6))
+    exact.join(kth, Seq("source"), "left")
+      .withColumn("est_kmv", est)
+      .select(col("source"), col("n_exact"), col("est_kmv"),
+        round(abs(col("est_kmv") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  private val sketchKmvDistinctSql =
+    s"""WITH h AS ($sourceWordsSql),
+       |e AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source),
+       |r AS (SELECT source, h48,
+       |        row_number() OVER (PARTITION BY source ORDER BY h48, word) AS rn
+       |      FROM h),
+       |k AS (SELECT source, h48 AS hk FROM r WHERE rn = $KmvK),
+       |j AS (SELECT e.source, n_exact,
+       |        CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+       |             ELSE round(${KmvK - 1}.0 * 281474976710656.0 / hk, 6) END
+       |          AS est_kmv
+       |      FROM e LEFT JOIN k ON e.source = k.source)
+       |SELECT source, n_exact, est_kmv,
+       |  round(abs(est_kmv - n_exact) / n_exact, 6) AS rel_err
+       |FROM j ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sketch_hll_distinct — HyperLogLog registers + raw estimator
+  // ---------------------------------------------------------------------
+
+  /** HLL bucket count m = 2^6. */
+  private val HllM = 64
+
+  /**
+   * HyperLogLog distinct-count sketch per source (m = 64 registers),
+   * audited against the exact vocabulary: bucket = top 6 bits of h48,
+   * register = max over the bucket of ρ (1 + leading zeros of the
+   * remaining 42 bits), estimate = α_m·m²/Σ2^−M_j (Flajolet et al.'s raw
+   * estimator). The harmonic sum is kept EXACT by integer scaling:
+   * Σ2^−M_j = S/2^43 where S = Σ2^(43−M_j) is a BIGINT (≤ 64·2^43 < 2^50)
+   * — no decimal rounding enters the estimator, and the final
+   * α·m²·2^43/S is one correctly-rounded double division, identical on
+   * both engines. The small-range regime (raw < 2.5m with empty
+   * registers, where Flajolet's correction switches to linear counting)
+   * is REPORTED as a flag rather than applied: ln() is not guaranteed
+   * identically rounded across libm implementations, so the correction is
+   * the client's (documented) choice while the registers and raw estimate
+   * stay bit-exact.
+   *
+   * Scale: registers are a two-level map-side-combinable aggregation
+   * (≤ m rows per source after the first combine); the whole sketch is
+   * O(m) memory per source and mergeable across shards by register-max —
+   * the property that makes HLL the 100 TB distinct counter.
+   */
+  def sketchHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val w = sourceWords(s, dir)
+    val rem = col("h48") % lit(4398046511104L) // 2^42
+    val rho = when(rem === 0L, lit(43))
+      .otherwise(lit(43) - length(conv(rem, 10, 2)))
+    val regs = w
+      .select(col("source"), (col("h48") / lit(4398046511104L)).cast("long").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+    val exact = w.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    // integer-scaled harmonic sum: empty buckets contribute 2^43 each
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    val perSrc = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(43 - m_j AS INT))"))
+          .as("s_present"))
+      .select(col("source"), (lit(HllM.toLong) - col("n_present")).as("v_empty"),
+        (col("s_present") +
+          (lit(HllM.toLong) - col("n_present")) * lit(8796093022208L)).as("s_total"))
+    val raw = alpha * lit(HllM.toDouble * HllM.toDouble) * lit(8796093022208.0d) /
+      col("s_total")
+    exact.join(perSrc, Seq("source"))
+      .withColumn("est_hll", round(raw, 6))
+      .select(col("source"), col("n_exact"), col("v_empty"), col("s_total"),
+        col("est_hll"),
+        (raw < lit(2.5d * HllM) && col("v_empty") > 0L).as("small_range"),
+        round(abs(col("est_hll") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  private val sketchHllDistinctSql =
+    s"""WITH h AS ($sourceWordsSql),
+       |b AS (SELECT source, h48 // 4398046511104 AS bucket,
+       |        CASE WHEN h48 % 4398046511104 = 0 THEN 43
+       |             ELSE 43 - length(bin(h48 % 4398046511104)) END AS rho
+       |      FROM h),
+       |regs AS (SELECT source, bucket, max(rho) AS m_j FROM b
+       |         GROUP BY source, bucket),
+       |e AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source),
+       |p AS (SELECT source, $HllM - COUNT(*) AS v_empty,
+       |        SUM(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER))
+       |          + ($HllM - COUNT(*)) * 8796093022208 AS s_total
+       |      FROM regs GROUP BY source),
+       |j AS (SELECT e.source, n_exact, v_empty, s_total,
+       |        (0.7213 / (1.0 + 1.079 / ${HllM}.0)) * ${HllM}.0 * ${HllM}.0
+       |          * 8796093022208.0 / s_total AS raw
+       |      FROM e JOIN p ON e.source = p.source)
+       |SELECT source, n_exact, v_empty, s_total, round(raw, 6) AS est_hll,
+       |  (raw < ${2.5 * HllM} AND v_empty > 0) AS small_range,
+       |  round(abs(round(raw, 6) - n_exact) / n_exact, 6) AS rel_err
+       |FROM j ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sketch_kmv_jaccard — source-pair resemblance from merged sketches
+  // ---------------------------------------------------------------------
+
+  /**
+   * KMV resemblance estimate for every source pair, audited against the
+   * exact word-set Jaccard: merge the two sources' sketches (= bottom-k
+   * of the UNION's hash multiset), estimate J as the fraction of those k
+   * that belong to BOTH sources (Beyer et al.'s KMV set-operation
+   * estimator). A pair whose union fits in the sketch (|∪| ≤ k) reports
+   * the exact Jaccard — the divisor is min(k, |∪|).
+   *
+   * Scale: source pairs are METADATA (a corpus has dozens of sources —
+   * the |pairs| × vocabulary candidate stream is linear in the
+   * vocabulary with a small constant, built by ONE broadcast join against
+   * the word universe, never a shingle self-join); the per-pair
+   * membership collapse is one hash aggregate, and the bottom-k window
+   * gets the same WindowGroupLimit per-partition prune as
+   * [[sketchKmvDistinct]]. At a scale where |pairs| itself explodes,
+   * the same sketch merges pairwise FROM the per-source bottom-k
+   * relations (k rows each) without revisiting the corpus — the
+   * mergeability this audit certifies.
+   */
+  def sketchKmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    val w = sourceWords(s, dir)
+    val srcs = docs(s, dir).select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+    val members = w.join(broadcast(pairs),
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("word"), col("h48"))
+      .agg(max(when(col("source") === col("src_a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("source") === col("src_b"), 1L).otherwise(0L)).as("in_b"))
+    val ranked = members.withColumn("rn", row_number().over(
+      Window.partitionBy(col("src_a"), col("src_b"))
+        .orderBy(col("h48"), col("word"))))
+    ranked.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("in_a") * col("in_b")).as("n_inter"),
+        sum(when(col("rn") <= KmvK, col("in_a") * col("in_b"))
+          .otherwise(0L)).as("k_inter"))
+      .select(col("src_a"), col("src_b"), col("n_union"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n_union"), 6)
+          .as("jaccard_exact"),
+        round(col("k_inter").cast("double") /
+          least(lit(KmvK.toLong), col("n_union")), 6).as("jaccard_kmv"))
+      .withColumn("abs_err",
+        round(abs(col("jaccard_kmv") - col("jaccard_exact")), 6))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val sketchKmvJaccardSql =
+    s"""WITH h AS ($sourceWordsSql),
+       |s AS (SELECT DISTINCT source FROM documents),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b
+       |      FROM s a JOIN s b ON a.source < b.source),
+       |m AS (SELECT src_a, src_b, word, h48,
+       |        max(CASE WHEN h.source = src_a THEN 1 ELSE 0 END) AS in_a,
+       |        max(CASE WHEN h.source = src_b THEN 1 ELSE 0 END) AS in_b
+       |      FROM p JOIN h ON h.source = src_a OR h.source = src_b
+       |      GROUP BY src_a, src_b, word, h48),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+       |        ORDER BY h48, word) AS rn FROM m),
+       |g AS (SELECT src_a, src_b, COUNT(*) AS n_union,
+       |        SUM(in_a * in_b) AS n_inter,
+       |        SUM(CASE WHEN rn <= $KmvK THEN in_a * in_b ELSE 0 END) AS k_inter
+       |      FROM r GROUP BY src_a, src_b)
+       |SELECT src_a, src_b, n_union, n_inter,
+       |  round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard_exact,
+       |  round(CAST(k_inter AS DOUBLE) / least($KmvK, n_union), 6) AS jaccard_kmv,
+       |  round(abs(round(CAST(k_inter AS DOUBLE) / least($KmvK, n_union), 6)
+       |      - round(CAST(n_inter AS DOUBLE) / n_union, 6)), 6) AS abs_err
+       |FROM g ORDER BY src_a, src_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> (sketchKmvDistinct _),
+    "sketch_hll_distinct" -> (sketchHllDistinct _),
+    "sketch_kmv_jaccard" -> (sketchKmvJaccard _))
+
+  val oracle: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> sketchKmvDistinctSql,
+    "sketch_hll_distinct" -> sketchHllDistinctSql,
+    "sketch_kmv_jaccard" -> sketchKmvJaccardSql)
+}
