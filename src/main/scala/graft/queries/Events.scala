@@ -939,7 +939,54 @@ object Events {
           + lit(0.0)))
   }
 
+  /**
+   * Peak session concurrency per day — the classic interval sweep (how
+   * many sessions are simultaneously open?) that sizes serving capacity /
+   * rate limits from an event log. Sessions are the [[q21Sessionize]]
+   * 30-minute-gap intervals, closed on both ends; each contributes a +1
+   * at its start and a −1 one microsecond after its end, deltas are
+   * NETTED PER TIMESTAMP first (so same-instant boundaries can't make
+   * the running value order-dependent), and the concurrency curve is the
+   * exact global prefix sum of the netted deltas. Per calendar day the
+   * audit reports the peak boundary-sampled concurrency and the boundary
+   * count; a session spanning midnight registers its plateau on the day
+   * the plateau starts (documented boundary-sampling semantics).
+   *
+   * Scale: session building is the per-user hash-partitioned window every
+   * events query uses; the sweep is 2 rows per session netted by ONE
+   * map-side-combinable groupBy(t), and the prefix sum is
+   * [[graft.operators.Quantiles.withRunningTotal]] — range-partitioned,
+   * two-pass, never a single-partition window. The day rollup is ≤366
+   * groups per year.
+   */
+  def intervalConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sessions = ev(s, dir)
+      .withColumn("us", epochUs())
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+          lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val net = sessions
+      .select(explode(array(
+        struct(col("s_us").as("t"), lit(1L).as("d")),
+        struct((col("e_us") + 1L).as("t"), lit(-1L).as("d")))).as("b"))
+      .select(col("b.t").as("t"), col("b.d").as("d"))
+      .groupBy(col("t")).agg(sum(col("d")).as("net"))
+    graft.operators.Quantiles
+      .withRunningTotal(net, Seq(col("t")), "net", "conc")
+      .groupBy((col("t") / lit(86400000000L)).cast("long").as("day_num"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy(col("day_num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_concurrency" -> (intervalConcurrency _),
     "stats_cusum_shift" -> (statsCusumShift _),
     "q_inter_event_gaps" -> (qInterEventGaps _),
     "q_did_lift" -> (qDidLift _),
@@ -968,6 +1015,35 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "interval_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR LAG(epoch_us(ts), 1) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id, us
+        |  FROM e),
+        |iv AS (
+        |  SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+        |  FROM s GROUP BY 1, 2),
+        |d AS (
+        |  SELECT s_us AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL
+        |  SELECT e_us + 1 AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+        |net AS (SELECT t, SUM(d) AS net FROM d GROUP BY t),
+        |c AS (
+        |  SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM net)
+        |SELECT CAST(t // 86400000000 AS BIGINT) AS day_num,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(COUNT(1) AS BIGINT) AS n_boundaries
+        |FROM c GROUP BY 1 ORDER BY day_num""".stripMargin,
     "stats_cusum_shift" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -907,9 +907,67 @@ object Governance {
       .filter(col("l_distinct") < 2)
       .orderBy(col("source"), col("len_bucket"))
 
+  /** t-closeness threshold (Li et al. 2007's example regime). Applied to
+    * the 6-dp-rounded TVD so the flag can't flip on a last-ulp tie. */
+  private val TCloseT = 0.2d
+
+  /**
+   * t-closeness audit — the third rung of the QI-privacy ladder
+   * ([[privacyKAnon]], [[privacyLDiversity]]): a QI group can be
+   * k-anonymous AND l-diverse while its sensitive-value DISTRIBUTION
+   * still leaks (skewness attack — 90% of one lang in a group tells the
+   * linker the lang with 90% confidence). Li et al. 2007 bound the
+   * distance between each group's sensitive distribution and the global
+   * one; this audit reports, per QI group (source, length bucket), the
+   * total variation distance to the corpus-wide lang distribution and
+   * flags groups beyond [[TCloseT]].
+   *
+   * Exactness: TVD_g = Σ_s |c_gs/n_g − c_s/N| is computed as the integer
+   * identity Σ_s |c_gs·N − c_s·n_g| / (2·n_g·N), with the absent-value
+   * terms folded in CLOSED FORM — Σ_{s∉g} c_s·n_g = (N − Σ_{s∈g} c_s)·n_g
+   * — so no groups×values grid is ever materialized. Products go through
+   * DECIMAL(38,0) (N ~ 10¹² at full scale squares past BIGINT); the one
+   * double division is identically rounded on both engines.
+   *
+   * Scale shape: one (QI, lang) aggregate, a broadcast equi-join against
+   * the ≤|langs| marginal relation, a ≤|QI-groups| rollup; N is a 1-row
+   * driver scalar ([[Corpus.mixEpochs]] precedent).
+   */
+  def privacyTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = docs(s, dir).select(
+      coalesce(col("source"), lit("")).as("source"),
+      floor(coalesce(col("n_chars"), lit(-100L)) / lit(KAnonBucket))
+        .cast("long").as("len_bucket"),
+      coalesce(col("lang"), lit("")).as("lang"))
+    val gs = base.groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("c_gs"))
+    val marginals = base.groupBy(col("lang")).agg(count(lit(1)).as("c_s"))
+    val n = base.count()
+    // group populations first (≤|QI-groups| rows), then ONE aggregate over
+    // the (QI, lang) relation with n_g and the lang marginal attached
+    val groupN = gs.groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c_gs")).as("n_g"))
+    val withNg = gs.join(broadcast(marginals), Seq("lang"))
+      .join(broadcast(groupN), Seq("source", "len_bucket"))
+      .groupBy(col("source"), col("len_bucket"), col("n_g"))
+      .agg(sum(abs(col("c_gs").cast(dec) * lit(n) -
+          col("c_s").cast(dec) * col("n_g"))).as("present_num"),
+        sum(col("c_s")).as("cs_present"))
+    withNg
+      .withColumn("num", col("present_num") +
+        (lit(n).cast(dec) - col("cs_present").cast(dec)) * col("n_g").cast(dec))
+      .withColumn("tvd", round(col("num").cast("double") /
+        (lit(2.0d) * col("n_g").cast("double") * lit(n.toDouble)), 6))
+      .select(col("source"), col("len_bucket"), col("n_g"), col("tvd"),
+        (col("tvd") > lit(TCloseT)).as("exceeds_t"))
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anon" -> (privacyKAnon _),
     "privacy_l_diversity" -> (privacyLDiversity _),
+    "privacy_t_closeness" -> (privacyTCloseness _),
     "dedup_norm_exact" -> (dedupNormExact _),
     "dedup_method_agreement" -> (dedupMethodAgreement _),
     "text_boilerplate" -> (textBoilerplate _),
@@ -939,6 +997,39 @@ object Governance {
        |      END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "privacy_t_closeness" ->
+      s"""WITH qi AS (
+         |  SELECT coalesce(source, '') AS source,
+         |    CAST(floor(coalesce(n_chars, -100) / $KAnonBucket) AS BIGINT)
+         |      AS len_bucket,
+         |    coalesce(lang, '') AS lang
+         |  FROM documents),
+         |gs AS (
+         |  SELECT source, len_bucket, lang, CAST(COUNT(1) AS BIGINT) AS c_gs
+         |  FROM qi GROUP BY 1, 2, 3),
+         |m AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS c_s FROM qi GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM qi),
+         |gn AS (
+         |  SELECT source, len_bucket, CAST(SUM(c_gs) AS BIGINT) AS n_g
+         |  FROM gs GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT gs.source, gs.len_bucket, gn.n_g,
+         |    SUM(abs(CAST(c_gs AS DECIMAL(38,0)) * n
+         |          - CAST(c_s AS DECIMAL(38,0)) * n_g)) AS present_num,
+         |    CAST(SUM(c_s) AS BIGINT) AS cs_present,
+         |    MAX(n) AS n
+         |  FROM gs JOIN m USING (lang)
+         |    JOIN gn ON gs.source = gn.source AND gs.len_bucket = gn.len_bucket
+         |    CROSS JOIN tot
+         |  GROUP BY 1, 2, 3)
+         |SELECT source, len_bucket, n_g,
+         |  round(CAST(present_num
+         |      + (CAST(n AS DECIMAL(38,0)) - cs_present) * n_g AS DOUBLE)
+         |    / (2.0 * n_g * n), 6) AS tvd,
+         |  round(CAST(present_num
+         |      + (CAST(n AS DECIMAL(38,0)) - cs_present) * n_g AS DOUBLE)
+         |    / (2.0 * n_g * n), 6) > $TCloseT AS exceeds_t
+         |FROM agg ORDER BY source, len_bucket""".stripMargin,
     "privacy_l_diversity" ->
       s"""WITH qi AS (
          |  SELECT coalesce(source, '') AS source,
