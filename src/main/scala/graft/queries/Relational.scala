@@ -337,7 +337,29 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_orders"))
   }
 
+  /** Explicit GROUPING SETS with GROUPING_ID — the generalized form behind
+    * the inventory's ROLLUP/CUBE entries (BigQuery's GROUP BY GROUPING
+    * SETS; reporting layers read `gid` to route subtotal rows): per
+    * (returnflag, linestatus), per returnflag, and the grand total in ONE
+    * Expand + hash aggregate — Catalyst multiplies the scan by the set
+    * count map-side, so there is exactly one shuffle of ≤ sets × groups
+    * rows, never one pass per set. gid bit convention (1 = column
+    * aggregated away) matches on both engines. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
     "q29_sole_late_supplier" -> (q29SoleLateSupplier _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_proj" -> (q2FilterProj _),
@@ -379,6 +401,14 @@ object Relational {
          |SELECT r.s_suppkey, s.s_name, r.n_orders
          |FROM r JOIN supplier s USING (s_suppkey)
          |ORDER BY r.n_orders DESC, r.s_suppkey LIMIT $LateTopK""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

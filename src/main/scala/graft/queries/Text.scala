@@ -817,7 +817,38 @@ object Text {
    * occurrence. Scoring joins the exploded corpus to the ≤vocab-row
    * piece relation (explicitly broadcast) and aggregates integers.
    */
-  def tokSubwordPieces(s: SparkSession, dir: String): DataFrame = {
+  def tokSubwordPieces(s: SparkSession, dir: String): DataFrame =
+    subwordPerDoc(s, dir).orderBy(col("doc_id"))
+
+  /**
+   * Tokenizer fertility per language — pieces emitted per whitespace word
+   * (the metric tokenizer teams watch per language: a fertility far above
+   * the corpus mean means that language pays more context budget per word
+   * — the classic under-served-script signal). Word-weighted exact ratio
+   * over the [[tokSubwordPieces]] per-doc relation; OOV rate as integer
+   * ppm.
+   *
+   * Scale: adds one doc_id equi-join (lang rides in) and a ≤|langs|
+   * rollup to the subword pipeline — nothing new shuffles the corpus.
+   */
+  def tokFertility(s: SparkSession, dir: String): DataFrame =
+    subwordPerDoc(s, dir)
+      .join(docs(s, dir).select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_oov")).as("n_oov"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        expr("1000000L * n_oov DIV n_words").as("oov_ppm"))
+      .orderBy(col("lang"))
+
+  /** Shared per-doc subword accounting behind [[tokSubwordPieces]] and
+    * [[tokFertility]] (unordered). */
+  private def subwordPerDoc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val w = docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
@@ -861,7 +892,6 @@ object Text {
           .otherwise(col("len") - col("n_pieces"))).as("n_pair_pieces"),
         sum(when(col("in_vocab") === 1L, 0L)
           .otherwise(lit(2L) * col("n_pieces") - col("len"))).as("n_char_pieces"))
-      .orderBy(col("doc_id"))
   }
 
   /**
@@ -1086,6 +1116,7 @@ object Text {
     "quality_nll_calibration" -> (qualityNllCalibration _),
     "dsir_score" -> (dsirScore _),
     "tok_subword_pieces" -> (tokSubwordPieces _),
+    "tok_fertility" -> (tokFertility _),
     "tok_vocab_tokens" -> (tokVocabTokens _),
     "text_lm_nll" -> (textLmNll _),
     "sample_quality_weighted" -> (sampleQualityWeighted _),
@@ -1134,6 +1165,48 @@ object Text {
       |CROSS JOIN v
       |GROUP BY b.doc_id
       |ORDER BY b.doc_id""".stripMargin
+
+  /** Per-doc subword accounting CTE (unordered) — shared by the
+    * tok_subword_pieces and tok_fertility oracles. */
+  private val SubwordPerDocSql =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, COUNT(1) AS c FROM w GROUP BY word),
+      |tv AS (SELECT word FROM wc ORDER BY c DESC, word LIMIT 300),
+      |pc AS (
+      |  SELECT pair FROM (
+      |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+      |      SELECT c AS freq,
+      |        unnest(list_transform(generate_series(1, length(word) - 1),
+      |          i -> word[i:i+1])) AS pair
+      |      FROM wc WHERE length(word) >= 2)
+      |    GROUP BY pair ORDER BY n DESC, pair LIMIT 200)),
+      |ov AS (
+      |  SELECT wc.word, length(wc.word) AS len FROM wc
+      |  LEFT JOIN tv ON wc.word = tv.word WHERE tv.word IS NULL),
+      |seg AS (
+      |  SELECT word, 1 AS pos, 0 AS n FROM ov
+      |  UNION ALL
+      |  SELECT s.word,
+      |    CASE WHEN p.pair IS NOT NULL THEN s.pos + 2 ELSE s.pos + 1 END AS pos,
+      |    s.n + 1 AS n
+      |  FROM seg s
+      |  JOIN ov o ON s.word = o.word
+      |  LEFT JOIN pc p ON s.pos + 1 <= o.len AND substr(s.word, s.pos, 2) = p.pair
+      |  WHERE s.pos <= o.len),
+      |pieces AS (SELECT word, CAST(MAX(n) AS BIGINT) AS n_pieces FROM seg GROUP BY word)
+      |SELECT w.doc_id, CAST(COUNT(1) AS BIGINT) AS n_words,
+      |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 1 ELSE p.n_pieces END) AS BIGINT) AS n_pieces,
+      |  CAST(SUM(CASE WHEN tv.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 0
+      |    ELSE length(w.word) - p.n_pieces END) AS BIGINT) AS n_pair_pieces,
+      |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 0
+      |    ELSE 2 * p.n_pieces - length(w.word) END) AS BIGINT) AS n_char_pieces
+      |FROM w
+      |LEFT JOIN tv ON w.word = tv.word
+      |LEFT JOIN pieces p ON w.word = p.word
+      |GROUP BY w.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "tok_char_coverage" ->
@@ -1273,45 +1346,17 @@ object Text {
         |CROSS JOIN v
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
-    "tok_subword_pieces" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-        |  FROM documents),
-        |wc AS (SELECT word, COUNT(1) AS c FROM w GROUP BY word),
-        |tv AS (SELECT word FROM wc ORDER BY c DESC, word LIMIT 300),
-        |pc AS (
-        |  SELECT pair FROM (
-        |    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
-        |      SELECT c AS freq,
-        |        unnest(list_transform(generate_series(1, length(word) - 1),
-        |          i -> word[i:i+1])) AS pair
-        |      FROM wc WHERE length(word) >= 2)
-        |    GROUP BY pair ORDER BY n DESC, pair LIMIT 200)),
-        |ov AS (
-        |  SELECT wc.word, length(wc.word) AS len FROM wc
-        |  LEFT JOIN tv ON wc.word = tv.word WHERE tv.word IS NULL),
-        |seg AS (
-        |  SELECT word, 1 AS pos, 0 AS n FROM ov
-        |  UNION ALL
-        |  SELECT s.word,
-        |    CASE WHEN p.pair IS NOT NULL THEN s.pos + 2 ELSE s.pos + 1 END AS pos,
-        |    s.n + 1 AS n
-        |  FROM seg s
-        |  JOIN ov o ON s.word = o.word
-        |  LEFT JOIN pc p ON s.pos + 1 <= o.len AND substr(s.word, s.pos, 2) = p.pair
-        |  WHERE s.pos <= o.len),
-        |pieces AS (SELECT word, CAST(MAX(n) AS BIGINT) AS n_pieces FROM seg GROUP BY word)
-        |SELECT w.doc_id, CAST(COUNT(1) AS BIGINT) AS n_words,
-        |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 1 ELSE p.n_pieces END) AS BIGINT) AS n_pieces,
-        |  CAST(SUM(CASE WHEN tv.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-        |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 0
-        |    ELSE length(w.word) - p.n_pieces END) AS BIGINT) AS n_pair_pieces,
-        |  CAST(SUM(CASE WHEN tv.word IS NOT NULL THEN 0
-        |    ELSE 2 * p.n_pieces - length(w.word) END) AS BIGINT) AS n_char_pieces
-        |FROM w
-        |LEFT JOIN tv ON w.word = tv.word
-        |LEFT JOIN pieces p ON w.word = p.word
-        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    "tok_subword_pieces" -> s"$SubwordPerDocSql ORDER BY doc_id",
+    "tok_fertility" ->
+      s"""SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+         |  round(CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+         |  CAST(1000000 * SUM(n_oov) // SUM(n_words) AS BIGINT) AS oov_ppm
+         |FROM ($SubwordPerDocSql) pd
+         |JOIN (SELECT doc_id, coalesce(lang, '') AS lang FROM documents) d
+         |  USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "tok_vocab_tokens" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

@@ -444,7 +444,53 @@ object TrainAudit {
        |FROM t LEFT JOIN c USING (event_type)
        |ORDER BY event_type""".stripMargin
 
+  /** Fold count for the cross-validation assignment audit. */
+  private val KFolds = 5
+
+  /**
+   * Deterministic k-fold cross-validation assignment audit: every
+   * document lands in fold md5(doc_id) mod [[KFolds]] (the reproducible
+   * split family every other audit here uses — re-runs and engines
+   * agree), and per fold the audit reports the population and the worst
+   * per-language share deviation from the corpus-wide language
+   * distribution — the imbalance number that decides whether plain
+   * k-fold suffices or stratified folding is needed.
+   *
+   * Exactness: deviations use the [[Governance.privacyTCloseness]]
+   * integer identity — |c_fl·N − c_l·n_f| in DECIMAL(38,0), one double
+   * division, 6-dp round BEFORE the max so the argmax can't flip on a
+   * low bit. Missing (fold, lang) cells are materialized by exploding
+   * the ≤|langs| marginal relation across the [[KFolds]] literal fold
+   * ids — no grid join, no corpus rescan.
+   *
+   * Scale: two map-side-combined aggregates over the scan (fold×lang,
+   * lang), a driver-scalar total, and ≤|langs|·K grid rows.
+   */
+  def splitKfold(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = load(s, dir, "documents").select(col("doc_id"),
+      coalesce(col("lang"), lit("")).as("lang"))
+      .withColumn("fold", md5Mod(col("doc_id"), KFolds))
+    val fl = base.groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("c_fl"))
+    val folds = fl.groupBy(col("fold")).agg(sum(col("c_fl")).as("n_f"))
+    val langs = base.groupBy(col("lang")).agg(count(lit(1)).as("c_l"))
+    val n = base.count()
+    val grid = langs.select(col("lang"), col("c_l"),
+        explode(sequence(lit(0L), lit((KFolds - 1).toLong))).as("fold"))
+      .join(fl, Seq("fold", "lang"), "left")
+      .join(broadcast(folds), Seq("fold"))
+      .select(col("fold"), col("n_f"),
+        round(abs(coalesce(col("c_fl"), lit(0L)).cast(dec) * lit(n) -
+            col("c_l").cast(dec) * col("n_f")).cast("double") /
+          (col("n_f").cast("double") * lit(n.toDouble)), 6).as("dev"))
+    grid.groupBy(col("fold"))
+      .agg(max(col("n_f")).as("n_docs"), max(col("dev")).as("max_share_dev"))
+      .orderBy(col("fold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_kfold" -> (splitKfold _),
     "split_temporal_embargo" -> (splitTemporalEmbargo _),
     "ml_negative_sample" -> (mlNegativeSample _),
     "stats_mad_outliers" -> (statsMadOutliers _),
@@ -453,6 +499,31 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "split_kfold" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, coalesce(lang, '') AS lang,
+         |    ${duckMd5ModExpr("doc_id", KFolds.toString)} AS fold
+         |  FROM documents),
+         |fl AS (SELECT fold, lang, CAST(COUNT(1) AS BIGINT) AS c_fl
+         |       FROM base GROUP BY 1, 2),
+         |f AS (SELECT fold, CAST(SUM(c_fl) AS BIGINT) AS n_f FROM fl GROUP BY 1),
+         |l AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS c_l FROM base GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM base),
+         |grid AS (
+         |  SELECT g.fold, l.lang, l.c_l FROM l
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${KFolds - 1})) AS fold) g),
+         |dev AS (
+         |  SELECT grid.fold, f.n_f,
+         |    round(CAST(abs(CAST(coalesce(fl.c_fl, 0) AS DECIMAL(38,0)) * tot.n
+         |        - CAST(grid.c_l AS DECIMAL(38,0)) * f.n_f) AS DOUBLE)
+         |      / (CAST(f.n_f AS DOUBLE) * tot.n), 6) AS dev
+         |  FROM grid
+         |  LEFT JOIN fl ON grid.fold = fl.fold AND grid.lang = fl.lang
+         |  JOIN f ON grid.fold = f.fold
+         |  CROSS JOIN tot)
+         |SELECT fold, CAST(max(n_f) AS BIGINT) AS n_docs,
+         |  max(dev) AS max_share_dev
+         |FROM dev GROUP BY fold ORDER BY fold""".stripMargin,
     "split_temporal_embargo" -> splitTemporalEmbargoSql,
     "ml_negative_sample" -> mlNegativeSampleSql,
     "stats_mad_outliers" -> statsMadOutliersSql,
