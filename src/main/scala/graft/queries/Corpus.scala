@@ -479,6 +479,25 @@ object Corpus {
       .orderBy(col("lang"), col("source"))
   }
 
+  /**
+   * UNPIVOT / melt of the per-source composition rollup — wide metric
+   * columns (docs, characters, languages) to long (source, metric,
+   * value) rows, the shape metric stores and plotting layers ingest.
+   * Spark-first: ONE `stack(...)` Generate over the ≤|sources| aggregate
+   * (Spark's UNPIVOT plan node is exactly this expand) — the transpose
+   * never touches the corpus, only the rollup.
+   */
+  def corpusUnpivot(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), expr(
+        "stack(3, 'n_docs', n_docs, 'n_chars', n_chars, 'n_langs', n_langs)")
+        .as(Seq("metric", "value")))
+      .orderBy(col("source"), col("metric"))
+
   // ---------------------------------------------------------------------
   // Shingle-set algebra — shingle_except / shingle_intersect
   // ---------------------------------------------------------------------
@@ -768,6 +787,7 @@ object Corpus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_unpivot" -> (corpusUnpivot _),
     "text_source_kl" -> (textSourceKl _),
     "text_seg_dedup" -> (textSegDedup _),
     "shuffle_order" -> (shuffleOrder _),
@@ -875,6 +895,18 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    "corpus_unpivot" ->
+      """WITH w AS (
+        |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS n_chars,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM documents GROUP BY source)
+        |SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+        |UNION ALL
+        |SELECT source, 'n_chars' AS metric, n_chars AS value FROM w
+        |UNION ALL
+        |SELECT source, 'n_langs' AS metric, n_langs AS value FROM w
+        |ORDER BY source, metric""".stripMargin,
     "corpus_simpson_diversity" ->
       """WITH sw AS (
         |  SELECT source,

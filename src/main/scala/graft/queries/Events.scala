@@ -985,7 +985,37 @@ object Events {
       .orderBy(col("day_num"))
   }
 
+  /**
+   * Time-weighted average value per user — the step-function integral
+   * metric (a gauge sampled at irregular event times: the honest mean is
+   * ∫v dt / T, not the event mean, which over-weights bursty periods).
+   * Each event's value holds until the user's next event; the weighted
+   * sum is Σ vᵢ·(tᵢ₊₁ − tᵢ) in EXACT decimal (DECIMAL(12,2) value ×
+   * integer microseconds — no float partial-sum order), divided once by
+   * the observed duration. Single-event users report NULL (zero
+   * duration), not a division error.
+   *
+   * Scale: one per-user hash-partitioned LEAD window + one aggregate —
+   * the [[q12LagLead]] shape with decimal weighting.
+   */
+  def qTimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("us", epochUs())
+      .withColumn("delta", lead(col("us"), 1).over(w) - col("us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        sum(dec(col("value")) * col("delta")).as("wsum"))
+      .select(col("user_id"), col("n_events"), col("duration_us"),
+        when(col("duration_us") > 0,
+          round(col("wsum").cast("double") / col("duration_us"), 6))
+          .as("twa_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "interval_concurrency" -> (intervalConcurrency _),
     "stats_cusum_shift" -> (statsCusumShift _),
     "q_inter_event_gaps" -> (qInterEventGaps _),
@@ -1015,6 +1045,21 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS delta
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, CAST(COUNT(1) AS BIGINT) AS n_events,
+        |    CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+        |    SUM(CAST(value AS DECIMAL(12,2)) * delta) AS wsum
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events, duration_us,
+        |  CASE WHEN duration_us > 0
+        |    THEN round(CAST(wsum AS DOUBLE) / duration_us, 6) END AS twa_value
+        |FROM g ORDER BY user_id""".stripMargin,
     "interval_concurrency" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -358,7 +359,49 @@ object Relational {
         col("sum_qty"), col("n_rows"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  /**
+   * MERGE / upsert semantics re-expressed Spark-first (BigQuery `MERGE
+   * target USING source ON key WHEN MATCHED THEN UPDATE … WHEN NOT
+   * MATCHED THEN INSERT …`): the customer dim is merged with a change
+   * feed — per-customer order counts drive an account-balance update
+   * (matched rows), and a deterministic slice arrives as brand-new keys
+   * (not-matched rows insert). Unmatched target rows pass through
+   * unchanged. The result is the post-merge table plus the per-row
+   * `action` audit column a CDC pipeline logs.
+   *
+   * Spark-first shape: MERGE is declaratively a FULL OUTER equi-join on
+   * the key with row-level routing — one shuffle join (or broadcast when
+   * the change feed is small, the common CDC case; Catalyst decides), no
+   * per-row procedural apply. Exactness: balances go through DECIMAL
+   * arithmetic; actions derive from join-side presence only.
+   */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), dec(col("c_acctbal")).as("bal"))
+    val updates = load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    // new-key arrivals: a deterministic slice re-keyed past the dim's range
+    val inserts = target.filter(col("c_custkey") % 50 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        lit("NEW").as("new_segment"))
+    val source = updates
+      .join(inserts, Seq("c_custkey"), "full_outer") // disjoint key ranges
+    target.join(source, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        coalesce(col("new_segment"), col("c_mktsegment")).as("c_mktsegment"),
+        when(col("n_orders").isNotNull,
+          (col("bal") + col("n_orders").cast(DecimalType(12, 2))))
+          .otherwise(coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))))
+          .cast("double").as("c_acctbal"),
+        when(col("bal").isNotNull && col("n_orders").isNotNull, "update")
+          .when(col("bal").isNotNull, "keep")
+          .otherwise("insert").as("action"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q29_sole_late_supplier" -> (q29SoleLateSupplier _),
     "q1_agg" -> (q1Agg _),
@@ -401,6 +444,30 @@ object Relational {
          |SELECT r.s_suppkey, s.s_name, r.n_orders
          |FROM r JOIN supplier s USING (s_suppkey)
          |ORDER BY r.n_orders DESC, r.s_suppkey LIMIT $LateTopK""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer),
+        |u AS (SELECT o_custkey AS c_custkey, CAST(COUNT(1) AS BIGINT) AS n_orders
+        |      FROM orders GROUP BY 1),
+        |i AS (SELECT c_custkey + 10000000 AS c_custkey, 'NEW' AS new_segment
+        |      FROM target WHERE c_custkey % 50 = 0),
+        |src AS (
+        |  SELECT coalesce(u.c_custkey, i.c_custkey) AS c_custkey,
+        |    n_orders, new_segment
+        |  FROM u FULL OUTER JOIN i ON u.c_custkey = i.c_custkey)
+        |SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+        |  coalesce(new_segment, t.c_mktsegment) AS c_mktsegment,
+        |  CAST(CASE WHEN n_orders IS NOT NULL
+        |      THEN bal + CAST(n_orders AS DECIMAL(12,2))
+        |      ELSE coalesce(bal, CAST(0 AS DECIMAL(12,2))) END AS DOUBLE)
+        |    AS c_acctbal,
+        |  CASE WHEN bal IS NOT NULL AND n_orders IS NOT NULL THEN 'update'
+        |       WHEN bal IS NOT NULL THEN 'keep'
+        |       ELSE 'insert' END AS action
+        |FROM target t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -870,6 +870,41 @@ object Similarity {
   }
 
   /**
+   * Per-class evaluation rollup over the [[simKnnAccuracy]] prediction
+   * relation — the confusion-derived precision / recall / F1 table an
+   * eval harness publishes per label: true-support and predicted-support
+   * aggregates joined full-outer on the class (a label that is only ever
+   * predicted, or never predicted, still gets its row — zero-support
+   * metrics are NULL, not dropped or divide-by-zero). F1 computed as
+   * 2·tp/(n_true+n_pred) — ONE exact-integer division rather than the
+   * p·r composition, so no intermediate rounding enters.
+   *
+   * Scale: two ≤|classes|-group aggregates over the prediction relation
+   * and a ≤|classes| join — everything after the kNN vote is metadata.
+   */
+  def evalConfusionKnn(s: SparkSession, dir: String): DataFrame = {
+    val preds = simKnnAccuracy(s, dir)
+    val t = preds.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("tp"))
+    val p = preds.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    t.join(p, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        round(col("tp").cast("double") / col("n_pred"), 6)))
+      .withColumn("recall", when(col("n_true") > 0,
+        round(col("tp").cast("double") / col("n_true"), 6)))
+      .withColumn("f1", when(col("n_true") + col("n_pred") > 0,
+        round(lit(2.0d) * col("tp") / (col("n_true") + col("n_pred")), 6)))
+      .orderBy(col("label"))
+  }
+
+  /**
    * IVF recall audit — the sketch-governance scan for the vector side
    * (the embedding analog of [[Dedup.dedupLshAudit]]): the exact cosine
    * top-5 for every IVF query (same query/candidate universe as
@@ -1399,7 +1434,8 @@ object Similarity {
     "embed_dim_stats" -> (embedDimStats _),
     "dedup_semantic" -> (dedupSemantic _),
     "embed_source_drift" -> (embedSourceDrift _),
-    "sim_knn_accuracy" -> (simKnnAccuracy _))
+    "sim_knn_accuracy" -> (simKnnAccuracy _),
+    "eval_confusion_knn" -> (evalConfusionKnn _))
 
   /** The power-iteration CTE chain — iteration k scores per vector
     * against v_{k−1}, computes the per-dim weighted sum, its norm, and
@@ -1531,6 +1567,42 @@ object Similarity {
       |  FROM pairs)
       |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, round(sim, 6) AS sim
       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The kNN per-query prediction relation (unordered) — shared by the
+    * sim_knn_accuracy and eval_confusion_knn oracles. */
+  private val KnnPredsSql =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv, CAST(label AS BIGINT) AS true_label
+      |  FROM embeddings
+      |  WHERE vec_id < 10 AND embedding IS NOT NULL AND label IS NOT NULL),
+      |c AS (
+      |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+      |  FROM embeddings
+      |  WHERE vec_id >= 10 AND embedding IS NOT NULL AND label IS NOT NULL),
+      |el AS (
+      |  SELECT qid, true_label, c.vec_id AS neighbor, c.label,
+      |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS d,
+      |    SUM(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+      |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS cc
+      |  FROM q, c, generate_series(1, 64) t(i)
+      |  GROUP BY qid, true_label, c.vec_id, c.label),
+      |ranked AS (
+      |  SELECT qid, true_label, label,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
+      |  FROM el),
+      |votes AS (
+      |  SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+      |  FROM ranked WHERE rnk <= 5
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT qid, true_label, label AS pred_label, n_votes,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY n_votes DESC, label ASC) AS vr
+      |  FROM votes)
+      |SELECT qid, true_label, pred_label, n_votes,
+      |  true_label = pred_label AS correct
+      |FROM best WHERE vr = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim_hamming_recall" ->
@@ -1681,39 +1753,28 @@ object Similarity {
         |LEFT JOIN pos p ON p.anchor_id = base.anchor_id AND p.rn = 1
         |LEFT JOIN neg n ON n.anchor_id = base.anchor_id AND n.rn = 1
         |ORDER BY base.anchor_id""".stripMargin,
-    "sim_knn_accuracy" ->
-      """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qv, CAST(label AS BIGINT) AS true_label
-        |  FROM embeddings
-        |  WHERE vec_id < 10 AND embedding IS NOT NULL AND label IS NOT NULL),
-        |c AS (
-        |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
-        |  FROM embeddings
-        |  WHERE vec_id >= 10 AND embedding IS NOT NULL AND label IS NOT NULL),
-        |el AS (
-        |  SELECT qid, true_label, c.vec_id AS neighbor, c.label,
-        |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS d,
-        |    SUM(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
-        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS cc
-        |  FROM q, c, generate_series(1, 64) t(i)
-        |  GROUP BY qid, true_label, c.vec_id, c.label),
-        |ranked AS (
-        |  SELECT qid, true_label, label,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
-        |  FROM el),
-        |votes AS (
-        |  SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
-        |  FROM ranked WHERE rnk <= 5
-        |  GROUP BY 1, 2, 3),
-        |best AS (
-        |  SELECT qid, true_label, label AS pred_label, n_votes,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY n_votes DESC, label ASC) AS vr
-        |  FROM votes)
-        |SELECT qid, true_label, pred_label, n_votes,
-        |  true_label = pred_label AS correct
-        |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin,
+    "sim_knn_accuracy" -> s"$KnnPredsSql ORDER BY qid",
+    "eval_confusion_knn" ->
+      s"""WITH preds AS ($KnnPredsSql),
+         |t AS (SELECT true_label AS label, CAST(COUNT(1) AS BIGINT) AS n_true,
+         |        CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS tp
+         |      FROM preds GROUP BY 1),
+         |p AS (SELECT pred_label AS label, CAST(COUNT(1) AS BIGINT) AS n_pred
+         |      FROM preds GROUP BY 1)
+         |SELECT coalesce(t.label, p.label) AS label,
+         |  CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         |  CASE WHEN coalesce(n_pred, 0) > 0
+         |    THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / n_pred, 6) END AS precision,
+         |  CASE WHEN coalesce(n_true, 0) > 0
+         |    THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / n_true, 6) END AS recall,
+         |  CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) > 0
+         |    THEN round(2.0 * coalesce(tp, 0)
+         |      / (coalesce(n_true, 0) + coalesce(n_pred, 0)), 6) END AS f1
+         |FROM t FULL OUTER JOIN p ON t.label = p.label
+         |ORDER BY label""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL),

@@ -30,9 +30,11 @@ class PlanHygieneSpec extends AnyFunSuite with SparkFixture {
   // query⨯candidate contract (the eval runs over the same exact baseline;
   // sim_ivf_topk remains the scale path for the candidate sweep)
   // sim_ivf_recall's ground-truth side is the same documented baseline
+  // eval_confusion_knn aggregates sim_knn_accuracy's prediction relation,
+  // so it carries the same documented baseline
   private val crossJoinAllowed =
     Set("sim_bruteforce_topk", "sim_knn_accuracy", "sim_ivf_recall",
-      "sim_pq_recall")
+      "sim_pq_recall", "eval_confusion_knn")
 
   private def collectPlan(p: LogicalPlan): Seq[LogicalPlan] =
     (p +: p.children.flatMap(collectPlan)) ++ p.subqueries.flatMap(collectPlan)
