@@ -498,6 +498,75 @@ object Corpus {
         .as(Seq("metric", "value")))
       .orderBy(col("source"), col("metric"))
 
+  /** Decile probe points (percent) for the per-source Q-Q drift. */
+  private val QqPctls: Seq[Int] = (1 to 9).map(_ * 10)
+
+  /**
+   * Per-source Q-Q length drift — each source's document-length deciles
+   * against the corpus-wide deciles (the quantile-quantile comparison a
+   * drift monitor plots: a source whose curve sits systematically above
+   * the diagonal ships longer documents than the corpus at every
+   * quantile, which re-weights every length-bucketed downstream op).
+   * Discrete lower order statistics — rank ⌈p·n/100⌉ under the total
+   * (n_chars, doc_id) order — no interpolation, engine-exact.
+   *
+   * Scale: the GLOBAL deciles ride [[graft.operators.Quantiles]]' exact
+   * two-pass rank (never a single-partition window); per-source deciles
+   * are ordinary source-partitioned windows. The probe predicate keeps
+   * ≤|Ps| rows per scope, and the decile join is a broadcast of 9 rows.
+   */
+  def statsQqDrift(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val g = graft.operators.Quantiles
+      .withGlobalRank(keyed.select(col("n_chars"), col("doc_id")),
+        Seq(col("n_chars"), col("doc_id")), "rk", "__total")
+      .withColumn("decile", explode(filter(typedLit(QqPctls),
+        p => col("rk") === floor((col("__total") * p + 99) / 100))))
+      .select(col("decile"), col("n_chars").as("global_val"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("decile", explode(filter(typedLit(QqPctls),
+        p => col("rk") === floor((col("n") * p + 99) / 100))))
+      .select(col("source"), col("decile"), col("n_chars").as("src_val"))
+      .join(broadcast(g), Seq("decile"))
+      .select(col("source"), col("decile"), col("src_val"), col("global_val"),
+        (col("src_val") - col("global_val")).as("drift"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /**
+   * N-gram distinctness curve — the duplication profile by granularity:
+   * for each shingle order n = 1..5, the total and distinct n-gram
+   * counts and the duplication rate. Unigrams always repeat; the n at
+   * which the curve's dup rate collapses tells a curation team where
+   * boilerplate ends and genuine text begins (and fixes the shingle
+   * order the dedup family should key on).
+   *
+   * Scale: ONE scan — a nested transform emits all five shingle orders
+   * from each doc's token array in a single Generate (≈5× the token
+   * stream, tagged by n), then one two-level (n, gram) aggregate;
+   * map-side combine collapses repeats before the shuffle.
+   */
+  def corpusDistinctCurve(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(Text.words(col("text")).as("w"))
+      .select(explode(expr(
+        """flatten(transform(array(1, 2, 3, 4, 5), n ->
+          |  if(size(w) >= n,
+          |     transform(sequence(1, size(w) - n + 1),
+          |       i -> named_struct('n', n, 'g', array_join(slice(w, i, n), ' '))),
+          |     array())))""".stripMargin)).as("t"))
+      .select(col("t.n").cast("long").as("n"), col("t.g").as("g"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("n_distinct"))
+      .select(col("n"), col("total"), col("n_distinct"),
+        round(lit(1.0d) - col("n_distinct").cast("double") / col("total"), 6)
+          .as("dup_rate"))
+      .orderBy(col("n"))
+
   // ---------------------------------------------------------------------
   // Shingle-set algebra — shingle_except / shingle_intersect
   // ---------------------------------------------------------------------
@@ -787,6 +856,8 @@ object Corpus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_qq_drift" -> (statsQqDrift _),
+    "corpus_distinct_curve" -> (corpusDistinctCurve _),
     "corpus_unpivot" -> (corpusUnpivot _),
     "text_source_kl" -> (textSourceKl _),
     "text_seg_dedup" -> (textSegDedup _),
@@ -895,6 +966,47 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    "stats_qq_drift" ->
+      """WITH k AS (
+        |  SELECT source, n_chars, doc_id FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |p AS (SELECT unnest(generate_series(10, 90, 10)) AS decile),
+        |g AS (
+        |  SELECT decile, n_chars AS global_val FROM (
+        |    SELECT n_chars,
+        |      row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |      COUNT(1) OVER () AS total
+        |    FROM k) r JOIN p ON r.rk = floor((r.total * p.decile + 99) / 100)),
+        |sd AS (
+        |  SELECT source, decile, n_chars AS src_val FROM (
+        |    SELECT source, n_chars,
+        |      row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |      COUNT(1) OVER (PARTITION BY source) AS n
+        |    FROM k) r JOIN p ON r.rk = floor((r.n * p.decile + 99) / 100))
+        |SELECT sd.source, sd.decile, sd.src_val, g.global_val,
+        |  CAST(sd.src_val - g.global_val AS BIGINT) AS drift
+        |FROM sd JOIN g ON sd.decile = g.decile
+        |ORDER BY source, sd.decile""".stripMargin,
+    "corpus_distinct_curve" -> {
+      val branches = (1 to 5).map { n =>
+        val gram =
+          if (n == 1) "unnest(w)"
+          else s"""unnest(CASE WHEN len(w) >= $n
+                 |    THEN list_transform(generate_series(1, len(w) - ${n - 1}),
+                 |      i -> array_to_string(w[i:i+${n - 1}], ' '))
+                 |    ELSE [] END)""".stripMargin
+        s"SELECT $n AS n, $gram AS g FROM d"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH d AS (
+         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |g AS (
+         |  $branches)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(COUNT(1) AS BIGINT) AS total,
+         |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+         |  round(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(1), 6) AS dup_rate
+         |FROM g GROUP BY n ORDER BY n""".stripMargin
+    },
     "corpus_unpivot" ->
       """WITH w AS (
         |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,

@@ -979,7 +979,7 @@ object Events {
       .groupBy(col("t")).agg(sum(col("d")).as("net"))
     graft.operators.Quantiles
       .withRunningTotal(net, Seq(col("t")), "net", "conc")
-      .groupBy((col("t") / lit(86400000000L)).cast("long").as("day_num"))
+      .groupBy(expr("t DIV 86400000000").as("day_num"))
       .agg(max(col("conc")).as("peak_concurrency"),
         count(lit(1)).as("n_boundaries"))
       .orderBy(col("day_num"))
@@ -1014,7 +1014,82 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * Position-based (U-shape / 40-20-40) attribution — [[qAttributionLinear]]'s
+   * companion credit model: the first and last touch in the conversion
+   * window take 40% each, interior touches split the remaining 20%
+   * (n = 1 → 100%, n = 2 → 50/50 — the standard degenerate cases).
+   * Unmatched conversions surface as full-credit `direct` rows, same
+   * left-join contract as linear.
+   *
+   * Exactness: per-touch weight is a closed-form double from (rank, n)
+   * — identical IEEE ops both engines — credit rounded to 6 dp per row,
+   * then summed as exact DECIMAL so partial-agg order can't flip bits.
+   * Scale: one time-banded equi-join on user, one conv_id-partitioned
+   * rank window, one ≤|touch types| rollup — the linear shape plus a
+   * window.
+   */
+  def qAttributionUshape(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val conv = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("cts"), col("value"))
+    val touch = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tuid"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("touch_type"))
+    val w = Window.partitionBy(col("conv_id"))
+    val joined = conv.join(touch,
+        col("user_id") === col("tuid") &&
+          col("tts") < col("cts") && col("tts") >= col("cts") - lit(AttribWindowNs),
+        "left")
+      .withColumn("n_touch", count(col("tid")).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("tts"), col("tid"))))
+    val weight = when(col("n_touch") <= 1, lit(1.0d))
+      .when(col("n_touch") === 2, lit(0.5d))
+      .when(col("rn") === 1 || col("rn") === col("n_touch"), lit(0.4d))
+      .otherwise(lit(0.2d) / (col("n_touch") - 2).cast("double"))
+    joined
+      .select(coalesce(col("touch_type"), lit("direct")).as("touch_type"),
+        round(col("value") * weight, 6).as("credit"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("credit").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(30, 8))).cast("double"), 6).as("credited_value"))
+      .orderBy(col("touch_type"))
+  }
+
+  /**
+   * Trailing 7-day distinct active users per day (the rolling-window
+   * COUNT DISTINCT no window frame can express — DISTINCT doesn't
+   * decompose over frames): Spark-first as dedup-then-scatter — collapse
+   * to distinct (user, day), explode each into the 7 window-end days it
+   * keeps the user active for, dedup (user, window-day), count. Linear:
+   * 7× a TWO-COLUMN relation already collapsed to user-days, never 7×
+   * the event log. Days beyond the observed range are clipped by a
+   * semi-join against the observed day set so the audit ends with the
+   * data. Per-day actives (DAU) ride along from the same collapsed
+   * relation ([[qStickiness]]'s ratio semantics at window = 7).
+   */
+  def qWindowedDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ud = ev(s, dir)
+      .select(col("user_id"), expr(s"($epochUsExpr) DIV 86400000000").as("day"))
+      .distinct()
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
+    val trailing = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .distinct()
+      .join(dau.select(col("day")), Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active_7d"))
+    dau.join(trailing, Seq("day"))
+      .select(col("day").as("day_num"), col("n_dau"), col("n_active_7d"))
+      .orderBy(col("day_num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_ushape" -> (qAttributionUshape _),
+    "q_windowed_distinct" -> (qWindowedDistinct _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "interval_concurrency" -> (intervalConcurrency _),
     "stats_cusum_shift" -> (statsCusumShift _),
@@ -1045,6 +1120,50 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_attribution_ushape" ->
+      s"""WITH conv AS (
+         |  SELECT event_id AS conv_id, user_id, ts AS cts, value
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |touch AS (
+         |  SELECT user_id AS tuid, ts AS tts, event_id AS tid,
+         |    event_type AS touch_type
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |j AS (
+         |  SELECT conv_id, value, touch_type, tts, tid
+         |  FROM conv LEFT JOIN touch ON user_id = tuid
+         |    AND tts < cts AND tts >= cts - INTERVAL 7 DAY),
+         |r AS (
+         |  SELECT conv_id, value, touch_type,
+         |    COUNT(tid) OVER (PARTITION BY conv_id) AS n_touch,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY tts, tid) AS rn
+         |  FROM j),
+         |c AS (
+         |  SELECT coalesce(touch_type, 'direct') AS touch_type,
+         |    round(value * (CASE
+         |      WHEN n_touch <= 1 THEN 1.0
+         |      WHEN n_touch = 2 THEN 0.5
+         |      WHEN rn = 1 OR rn = n_touch THEN 0.4
+         |      ELSE 0.2 / CAST(n_touch - 2 AS DOUBLE) END), 6) AS credit
+         |  FROM r)
+         |SELECT touch_type, CAST(COUNT(1) AS BIGINT) AS n_touches,
+         |  round(CAST(SUM(CAST(credit AS DECIMAL(30,8))) AS DOUBLE), 6)
+         |    AS credited_value
+         |FROM c GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    "q_windowed_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(COUNT(1) AS BIGINT) AS n_dau FROM ud GROUP BY day),
+        |sc AS (
+        |  SELECT DISTINCT user_id, day + o AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)),
+        |tr AS (
+        |  SELECT sc.day, CAST(COUNT(1) AS BIGINT) AS n_active_7d
+        |  FROM sc WHERE sc.day IN (SELECT day FROM dau)
+        |  GROUP BY sc.day)
+        |SELECT dau.day AS day_num, n_dau, n_active_7d
+        |FROM dau JOIN tr ON dau.day = tr.day
+        |ORDER BY day_num""".stripMargin,
     "q_time_weighted_avg" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, value,
