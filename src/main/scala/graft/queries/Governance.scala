@@ -92,6 +92,50 @@ object Governance {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance acceptance threshold (normalized characters). */
+  private val EditTau = 20
+
+  /** Prefix-block width (normalized characters) for candidate pairing. */
+  private val EditBlockChars = 24
+
+  /**
+   * Edit-distance near-duplicate verification — the record-linkage
+   * classic the token-set family (Jaccard / MinHash / SimHash) can't
+   * replace: Levenshtein sees single-character edits, transposed spans
+   * and small insertions that leave word sets nearly identical OR
+   * completely different. Candidates are PREFIX-BLOCKED (documents
+   * sharing their first [[EditBlockChars]] normalized characters — the
+   * standard blocking key in linkage literature; a pair differing inside
+   * the prefix is out of contract by construction) with a length-delta
+   * prefilter inside the join condition, then verified with the exact
+   * DP distance and kept at ≤ [[EditTau]].
+   *
+   * Scale: the pair stream is an equi-join on the block key — per-block
+   * quadratic, linear across blocks (the PPJoin/banded shape every dedup
+   * operator here uses); the length prefilter drops most survivors
+   * before the O(m·n) DP runs. Both engines implement textbook
+   * Levenshtein — value-identical, so the distances themselves
+   * hash-match.
+   */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("nt"))
+      .filter(length(col("nt")) >= EditBlockChars)
+      .select(col("doc_id"), col("nt"),
+        md5(substring(col("nt"), 1, EditBlockChars)).as("blk"),
+        length(col("nt")).as("len"))
+    val a = d.select(col("blk"), col("doc_id").as("doc_a"),
+      col("nt").as("nt_a"), col("len").as("len_a"))
+    val b = d.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
+      col("nt").as("nt_b"), col("len").as("len_b"))
+    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= EditTau)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("nt_a"), col("nt_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= EditTau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Boilerplate-segment removal — text_boilerplate
   // ---------------------------------------------------------------------
@@ -968,6 +1012,7 @@ object Governance {
     "privacy_k_anon" -> (privacyKAnon _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "privacy_t_closeness" -> (privacyTCloseness _),
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_norm_exact" -> (dedupNormExact _),
     "dedup_method_agreement" -> (dedupMethodAgreement _),
     "text_boilerplate" -> (textBoilerplate _),
@@ -997,6 +1042,22 @@ object Governance {
        |      END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_edit_distance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, nt, md5(substring(nt, 1, $EditBlockChars)) AS blk,
+         |    length(nt) AS len
+         |  FROM (SELECT doc_id,
+         |          trim(regexp_replace(regexp_replace(regexp_replace(
+         |            lower(text), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
+         |            ' +', ' ', 'g')) AS nt
+         |        FROM documents)
+         |  WHERE length(nt) >= $EditBlockChars)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist
+         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  AND abs(a.len - b.len) <= $EditTau
+         |WHERE levenshtein(a.nt, b.nt) <= $EditTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "privacy_t_closeness" ->
       s"""WITH qi AS (
          |  SELECT coalesce(source, '') AS source,

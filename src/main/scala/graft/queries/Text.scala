@@ -820,6 +820,34 @@ object Text {
   def tokSubwordPieces(s: SparkSession, dir: String): DataFrame =
     subwordPerDoc(s, dir).orderBy(col("doc_id"))
 
+  /** Feature-hashing bucket count (the hashing-trick dimensionality). */
+  private val HashBuckets = 64
+
+  /**
+   * Feature-hashing (hashing-trick) collision audit — the table a
+   * bag-of-words vectorizer publishes before committing to a hashed
+   * feature space: every distinct word maps to bucket md5(word) mod
+   * [[HashBuckets]] (the repo's cross-engine hash family, standing in
+   * for the murmur hash a production vectorizer uses), and per bucket
+   * the audit reports how many distinct words collide there, their total
+   * token mass, and the excess (words − 1) that the hashed
+   * representation conflates. The occupancy/collision profile decides
+   * whether the dimensionality is adequate.
+   *
+   * Scale: one word rollup (map-side combined), one ≤[[HashBuckets]]
+   * aggregate — no joins, no windows.
+   */
+  def mlFeatureHashing(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % HashBuckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        (count(lit(1)) - 1L).as("n_collisions"))
+      .orderBy(col("bucket"))
+
   /**
    * Tokenizer fertility per language — pieces emitted per whitespace word
    * (the metric tokenizer teams watch per language: a fertility far above
@@ -1117,6 +1145,7 @@ object Text {
     "dsir_score" -> (dsirScore _),
     "tok_subword_pieces" -> (tokSubwordPieces _),
     "tok_fertility" -> (tokFertility _),
+    "ml_feature_hashing" -> (mlFeatureHashing _),
     "tok_vocab_tokens" -> (tokVocabTokens _),
     "text_lm_nll" -> (textLmNll _),
     "sample_quality_weighted" -> (sampleQualityWeighted _),
@@ -1347,6 +1376,18 @@ object Text {
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     "tok_subword_pieces" -> s"$SubwordPerDocSql ORDER BY doc_id",
+    "ml_feature_hashing" ->
+      s"""WITH w AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |wc AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS n_tok FROM w GROUP BY word),
+         |b AS (SELECT CAST(CAST('0x' || substring(md5(word), 1, 8) AS UBIGINT)
+         |        AS BIGINT) % $HashBuckets AS bucket, n_tok
+         |      FROM wc)
+         |SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(1) - 1 AS BIGINT) AS n_collisions
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "tok_fertility" ->
       s"""SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS n_words,
