@@ -1087,7 +1087,45 @@ object Events {
       .orderBy(col("day_num"))
   }
 
+  /** Decile probe points (percent) for the conversion-latency profile. */
+  private val TtcPctls: Seq[Int] = (1 to 9).map(_ * 10)
+
+  /**
+   * Time-to-convert latency profile — the funnel-velocity distribution
+   * (how long from a user's FIRST view to their first subsequent
+   * purchase?) reported as exact deciles, the numbers a growth team
+   * reads as "median time to convert" / "p90 lag". Non-converting users
+   * are out of population by definition; the decile is the discrete
+   * lower order statistic under the total (delta, user_id) order — no
+   * interpolation, engine-exact.
+   *
+   * Scale: two per-user rollups and one equi-join build the per-user
+   * latency (linear, map-side combined); the decile scan rides
+   * [[graft.operators.Quantiles]]' exact two-pass global rank, never a
+   * single-partition window, and the probe keeps ≤9 rows.
+   */
+  def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("us", epochUs())
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val deltas = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"))
+      .join(fv, Seq("user_id"))
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id"))
+      .agg((min(col("us")) - max(col("v_us"))).as("delta_us"))
+    graft.operators.Quantiles
+      .withGlobalRank(deltas.select(col("delta_us"), col("user_id")),
+        Seq(col("delta_us"), col("user_id")), "rk", "__total")
+      .withColumn("decile", explode(filter(typedLit(TtcPctls),
+        p => col("rk") === floor((col("__total") * p + 99) / 100))))
+      .select(col("decile"), col("delta_us"),
+        col("__total").as("n_converting"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_to_convert" -> (qTimeToConvert _),
     "q_attribution_ushape" -> (qAttributionUshape _),
     "q_windowed_distinct" -> (qWindowedDistinct _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
@@ -1120,6 +1158,25 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS v_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |d AS (
+        |  SELECT e.user_id,
+        |    CAST(min(epoch_us(e.ts)) - max(fv.v_us) AS BIGINT) AS delta_us
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v_us
+        |  GROUP BY e.user_id),
+        |r AS (
+        |  SELECT delta_us,
+        |    row_number() OVER (ORDER BY delta_us, user_id) AS rk,
+        |    COUNT(1) OVER () AS total
+        |  FROM d)
+        |SELECT p.decile, r.delta_us, CAST(r.total AS BIGINT) AS n_converting
+        |FROM r JOIN (SELECT unnest(generate_series(10, 90, 10)) AS decile) p
+        |  ON r.rk = floor((r.total * p.decile + 99) / 100)
+        |ORDER BY p.decile""".stripMargin,
     "q_attribution_ushape" ->
       s"""WITH conv AS (
          |  SELECT event_id AS conv_id, user_id, ts AS cts, value

@@ -757,6 +757,71 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * CCNet head/middle/tail quality bucketing — the canonical web-corpus
+   * triage (CCNet §4.3: score each document with a reference LM, split
+   * each language into perplexity tertiles, train preferentially on the
+   * "head"): per document the [[textLmNll]] bigram NLL, per language an
+   * exact NTILE(3) over (nll, doc_id), and per (lang, bucket) the
+   * population, character mass, and mean NLL a mixture planner reads.
+   * Documents that emit no bigrams (< 2 words) have no LM score and are
+   * excluded by the scoring join — the same population contract as
+   * text_lm_nll itself.
+   *
+   * Scale: adds one doc_id equi-join (lang + n_chars ride in) and a
+   * per-LANG ntile window (hash-partitioned — never global) over the LM
+   * pipeline; the rollup is ≤ langs × 3 groups. Mean NLL sums the 6-dp
+   * per-doc doubles as exact DECIMAL before the one double division.
+   */
+  def corpusCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val decS = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val scored = textLmNll(s, dir)
+      .join(docs(s, dir).select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang"), col("n_chars")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("nll"), col("doc_id"))
+    scored
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        round(sum(col("nll").cast(decS)).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /**
+   * Language-ID evaluation — per-class precision / recall / F1 of the
+   * [[textLangId]] heuristic against the labeled `lang` column, with the
+   * label space mapped onto the classifier's own {en_like, other}
+   * dichotomy (truth: lang = 'en' → en_like). The
+   * [[graft.queries.Similarity.evalConfusionKnn]] rollup shape over the
+   * already-aggregated (lang, predicted) confusion counts — the eval
+   * never rescans the corpus.
+   */
+  def evalLangidPrf(s: SparkSession, dir: String): DataFrame = {
+    val conf = textLangId(s, dir)
+      .select(when(col("lang") === "en", "en_like").otherwise("other").as("truth"),
+        col("predicted"), col("n"))
+    val t = conf.groupBy(col("truth").as("cls"))
+      .agg(sum(col("n")).as("n_true"),
+        sum(when(col("predicted") === col("truth"), col("n")).otherwise(0L)).as("tp"))
+    val p = conf.groupBy(col("predicted").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    t.join(p, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        round(col("tp").cast("double") / col("n_pred"), 6)))
+      .withColumn("recall", when(col("n_true") > 0,
+        round(col("tp").cast("double") / col("n_true"), 6)))
+      .withColumn("f1", when(col("n_true") + col("n_pred") > 0,
+        round(lit(2.0d) * col("tp") / (col("n_true") + col("n_pred")), 6)))
+      .orderBy(col("cls"))
+  }
+
   /** Vocabulary size for the truncated-vocab tokenization audit. */
   private val TokVocabSize = 1000
 
@@ -1146,6 +1211,8 @@ object Text {
     "tok_subword_pieces" -> (tokSubwordPieces _),
     "tok_fertility" -> (tokFertility _),
     "ml_feature_hashing" -> (mlFeatureHashing _),
+    "corpus_ccnet_buckets" -> (corpusCcnetBuckets _),
+    "eval_langid_prf" -> (evalLangidPrf _),
     "tok_vocab_tokens" -> (tokVocabTokens _),
     "text_lm_nll" -> (textLmNll _),
     "sample_quality_weighted" -> (sampleQualityWeighted _),
@@ -1412,6 +1479,49 @@ object Text {
         |FROM w LEFT JOIN v ON w.word = v.word
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lm_nll" -> LmNllSql,
+    "corpus_ccnet_buckets" ->
+      s"""WITH lm AS ($LmNllSql),
+         |j AS (
+         |  SELECT lm.doc_id, lm.nll, coalesce(d.lang, '') AS lang, d.n_chars
+         |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT lang, n_chars, nll,
+         |    CAST(ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id)
+         |      AS BIGINT) AS bucket
+         |  FROM j)
+         |SELECT lang, bucket, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+         |  round(CAST(SUM(CAST(nll AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6)
+         |    AS mean_nll
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "eval_langid_prf" ->
+      """WITH t0 AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+        |  FROM documents),
+        |conf AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 'en_like' ELSE 'other' END AS truth,
+        |    CASE WHEN len(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / len(w)::DOUBLE >= 0.1
+        |      THEN 'en_like' ELSE 'other' END AS predicted
+        |  FROM t0),
+        |t AS (SELECT truth AS cls, CAST(COUNT(1) AS BIGINT) AS n_true,
+        |        CAST(SUM(CASE WHEN predicted = truth THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS tp
+        |      FROM conf GROUP BY 1),
+        |p AS (SELECT predicted AS cls, CAST(COUNT(1) AS BIGINT) AS n_pred
+        |      FROM conf GROUP BY 1)
+        |SELECT coalesce(t.cls, p.cls) AS cls,
+        |  CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+        |  CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+        |  CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+        |  CASE WHEN coalesce(n_pred, 0) > 0
+        |    THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / n_pred, 6) END AS precision,
+        |  CASE WHEN coalesce(n_true, 0) > 0
+        |    THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / n_true, 6) END AS recall,
+        |  CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) > 0
+        |    THEN round(2.0 * coalesce(tp, 0)
+        |      / (coalesce(n_true, 0) + coalesce(n_pred, 0)), 6) END AS f1
+        |FROM t FULL OUTER JOIN p ON t.cls = p.cls
+        |ORDER BY cls""".stripMargin,
     "sample_quality_weighted" ->
       s"""WITH f AS (
         |  SELECT doc_id, source,
