@@ -266,12 +266,226 @@ object Sketch {
        |      - round(CAST(n_inter AS DOUBLE) / n_union, 6)), 6) AS abs_err
        |FROM g ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sketch_cms_heavy — Count-Min heavy-hitter estimates
+  // ---------------------------------------------------------------------
+
+  /** Count-Min geometry: depth (independent hash rows) × width. */
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** Probe set size (top tokens by exact count). */
+  private val CmsProbes = 20
+
+  /**
+   * Count-Min heavy-hitter audit with bit-exact estimates: the token
+   * stream is folded into a [[CmsDepth]]×[[CmsWidth]] counter matrix —
+   * hash row j keys on the j-th disjoint 8-hex-char slice of md5(word),
+   * so the d hashes are independent AND reproducible in DuckDB — and the
+   * top-[[CmsProbes]] exact heavy hitters are then estimated back from
+   * the sketch (est = min over rows of the hashed counter; Cormode &
+   * Muthukrishnan's point query). `overestimate = est − exact` is ≥ 0 by
+   * construction — the sketch NEVER undercounts — and the audit reports
+   * it per probe token, the number a vocabulary probe reads before
+   * trusting the sketch at crawl scale.
+   *
+   * Scale: the sketch build is ONE map-side-combinable aggregate with
+   * d·w = 256 groups (the whole point of CMS — counter state is O(d·w)
+   * no matter the stream); probes are metadata joined against those 256
+   * rows. The [[graft.operators.Sketches.countMinTokens]] path remains
+   * the Spark-native builder; this audit certifies the estimator
+   * contract end-to-end against the oracle.
+   */
+  def sketchCmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    val tc = docs(s, dir)
+      .select(explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    def slice(j: Int): Column =
+      conv(substring(md5(col("word")), 1 + 8 * j, 8), 16, 10).cast("long") %
+        CmsWidth
+    val rows = (0 until CmsDepth).map(j =>
+      tc.select(lit(j.toLong).as("j"), slice(j).as("bucket"), col("c")))
+    val cms = rows.reduce(_ unionByName _)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("bc"))
+    val probes = tc.orderBy(col("c").desc, col("word")).limit(CmsProbes)
+    val probeBits = (0 until CmsDepth).map(j =>
+        probes.select(col("word"), col("c"), lit(j.toLong).as("j"),
+          slice(j).as("bucket")))
+      .reduce(_ unionByName _)
+    probeBits.join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy(col("word"))
+      .agg(max(col("c")).as("n_exact"), min(col("bc")).as("est_cms"))
+      .select(col("word"), col("n_exact"), col("est_cms"),
+        (col("est_cms") - col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
+  private val sketchCmsHeavySql = {
+    val sliceSql = (j: Int) =>
+      s"CAST(CAST('0x' || substring(md5(word), ${1 + 8 * j}, 8) AS UBIGINT) AS BIGINT) % $CmsWidth"
+    val rowBranches = (0 until CmsDepth).map(j =>
+      s"SELECT $j AS j, ${sliceSql(j)} AS bucket, c FROM tc").mkString("\n  UNION ALL\n  ")
+    val probeBranches = (0 until CmsDepth).map(j =>
+      s"SELECT word, c, $j AS j, ${sliceSql(j)} AS bucket FROM probes")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH tc AS (
+       |  SELECT word, CAST(COUNT(1) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |r AS (
+       |  $rowBranches),
+       |cms AS (SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS bc FROM r GROUP BY j, bucket),
+       |probes AS (SELECT word, c FROM tc ORDER BY c DESC, word LIMIT $CmsProbes),
+       |pb AS (
+       |  $probeBranches)
+       |SELECT pb.word, CAST(max(pb.c) AS BIGINT) AS n_exact,
+       |  CAST(min(cms.bc) AS BIGINT) AS est_cms,
+       |  CAST(min(cms.bc) - max(pb.c) AS BIGINT) AS overestimate
+       |FROM pb JOIN cms ON pb.j = cms.j AND pb.bucket = cms.bucket
+       |GROUP BY pb.word
+       |ORDER BY n_exact DESC, word""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // sketch_bloom_fp — Bloom filter fill + measured false-positive rate
+  // ---------------------------------------------------------------------
+
+  /** Bloom geometry: bit-array size × hash count. */
+  private val BloomM = 1024
+  private val BloomK = 4
+
+  /**
+   * Bloom-filter audit with a MEASURED false-positive rate per source:
+   * each source's word set feeds an m = [[BloomM]], k = [[BloomK]] filter
+   * (hash bits from the same disjoint md5 slices as [[sketchCmsHeavy]] —
+   * engine-reproducible), then every corpus word OUTSIDE the source
+   * probes it; a probe whose k bits are all set is a false positive. The
+   * audit row is (members, bits set, fill ratio, probes, measured fp
+   * rate) — the empirical check of the ~(fill)^k theory a
+   * decontamination gate sizes its filter by. No false NEGATIVES by
+   * construction, which is the half SketchesSpec pins on the
+   * Spark-native [[graft.operators.Sketches.bloomPrefilter]]; here the
+   * positive half is hash-checked against the oracle.
+   *
+   * Scale: bit sets are ≤|sources|·m rows (the filter IS the collapsed
+   * state); probing is |vocab|·k bit lookups via one broadcast equi-join
+   * — the audit's cost, linear in the vocabulary, documented. The
+   * all-(word, source) probe grid rides the ≤|sources| source list, not
+   * a corpus self-join.
+   */
+  def sketchBloomFp(s: SparkSession, dir: String): DataFrame = {
+    def slice(j: Int): Column =
+      conv(substring(md5(col("word")), 1 + 8 * j, 8), 16, 10).cast("long") %
+        BloomM
+    val sw = sourceWords(s, dir).select(col("source"), col("word"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val wordBits = (0 until BloomK).map(j =>
+        sw.select(col("source"), col("word"), slice(j).as("bit")))
+      .reduce(_ unionByName _)
+    val sBits = wordBits.select(col("source"), col("bit")).distinct()
+    val fill = sBits.groupBy(col("source")).agg(count(lit(1)).as("bits_set"))
+    val members = sw.groupBy(col("source")).agg(count(lit(1)).as("n_members"))
+    // the source list is METADATA (≤ dozens) — collected as a driver
+    // constant and exploded over the vocabulary, the anchors/centroids
+    // convention, so the probe grid needs no join at all
+    val srcList: Seq[String] = sw.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    val vocab = sw.select(col("word")).distinct()
+    val vocabBits = (0 until BloomK).map(j =>
+        vocab.select(col("word"), lit(j.toLong).as("j"), slice(j).as("bit")))
+      .reduce(_ unionByName _)
+    val probes = vocab
+      .select(col("word"), explode(typedLit(srcList)).as("source"))
+      .join(sw.withColumn("member", lit(1L)), Seq("source", "word"), "left")
+      .filter(col("member").isNull)
+      .select(col("source"), col("word"))
+    val hits = probes.join(vocabBits, Seq("word"))
+      .join(sBits.withColumn("present", lit(1L)), Seq("source", "bit"), "left")
+      .groupBy(col("source"), col("word"))
+      .agg(sum(coalesce(col("present"), lit(0L))).as("k_hits"))
+    val fp = hits.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("k_hits") === BloomK, 1L).otherwise(0L)).as("n_fp"))
+    // LEFT join: a source covering the whole vocabulary has zero probes
+    // and still reports its row (fp_rate NULL, not dropped)
+    members.join(fill, Seq("source")).join(fp, Seq("source"), "left")
+      .select(col("source"), col("n_members"), col("bits_set"),
+        round(col("bits_set").cast("double") / BloomM, 6).as("fill_ratio"),
+        coalesce(col("n_probes"), lit(0L)).as("n_probes"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        when(col("n_probes") > 0,
+          round(col("n_fp").cast("double") / col("n_probes"), 6)).as("fp_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val sketchBloomFpSql = {
+    val sliceSql = (j: Int) =>
+      s"CAST(CAST('0x' || substring(md5(word), ${1 + 8 * j}, 8) AS UBIGINT) AS BIGINT) % $BloomM"
+    val wbBranches = (0 until BloomK).map(j =>
+      s"SELECT source, word, ${sliceSql(j)} AS bit FROM sw")
+      .mkString("\n  UNION ALL\n  ")
+    val vbBranches = (0 until BloomK).map(j =>
+      s"SELECT word, $j AS j, ${sliceSql(j)} AS bit FROM vocab")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sw AS (
+       |  SELECT DISTINCT source, word FROM (
+       |    SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |    FROM documents)),
+       |wb AS (
+       |  $wbBranches),
+       |sbits AS (SELECT DISTINCT source, bit FROM wb),
+       |fill AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS bits_set
+       |         FROM sbits GROUP BY source),
+       |members AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n_members
+       |            FROM sw GROUP BY source),
+       |vocab AS (SELECT DISTINCT word FROM sw),
+       |vb AS (
+       |  $vbBranches),
+       |probes AS (
+       |  SELECT s.source, v.word
+       |  FROM (SELECT DISTINCT source FROM sw) s
+       |  CROSS JOIN vocab v
+       |  LEFT JOIN sw ON sw.source = s.source AND sw.word = v.word
+       |  WHERE sw.word IS NULL),
+       |hits AS (
+       |  SELECT p.source, p.word,
+       |    CAST(SUM(CASE WHEN sbits.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS k_hits
+       |  FROM probes p
+       |  JOIN vb ON p.word = vb.word
+       |  LEFT JOIN sbits ON sbits.source = p.source AND sbits.bit = vb.bit
+       |  GROUP BY p.source, p.word),
+       |fp AS (
+       |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_probes,
+       |    CAST(SUM(CASE WHEN k_hits = $BloomK THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_fp
+       |  FROM hits GROUP BY source)
+       |SELECT m.source, n_members, bits_set,
+       |  round(CAST(bits_set AS DOUBLE) / $BloomM, 6) AS fill_ratio,
+       |  CAST(coalesce(n_probes, 0) AS BIGINT) AS n_probes,
+       |  CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fp,
+       |  CASE WHEN n_probes > 0
+       |    THEN round(CAST(n_fp AS DOUBLE) / n_probes, 6) END AS fp_rate
+       |FROM members m
+       |JOIN fill ON m.source = fill.source
+       |LEFT JOIN fp ON m.source = fp.source
+       |ORDER BY m.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_cms_heavy" -> (sketchCmsHeavy _),
+    "sketch_bloom_fp" -> (sketchBloomFp _),
     "sketch_kmv_distinct" -> (sketchKmvDistinct _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
     "sketch_kmv_jaccard" -> (sketchKmvJaccard _))
 
   val oracle: Map[String, String] = Map(
+    "sketch_cms_heavy" -> sketchCmsHeavySql,
+    "sketch_bloom_fp" -> sketchBloomFpSql,
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,
     "sketch_kmv_jaccard" -> sketchKmvJaccardSql)

@@ -41,6 +41,33 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Count-Min never undercounts: every probe's overestimate is >= 0") {
+    val rows = Sketch.sketchCmsHeavy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L, s"CMS undercount: $r")
+      assert(r.getAs[Long]("est_cms") >= r.getAs[Long]("n_exact"), s"$r")
+    }
+  }
+
+  test("Bloom fill ratio and measured fp rate stay inside [0, 1] and a " +
+      "zero-probe source reports NULL fp, not a division error") {
+    val rows = Sketch.sketchBloomFp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill >= 0.0 && fill <= 1.0, s"fill: $r")
+      assert(r.getAs[Long]("bits_set") <= 4L * r.getAs[Long]("n_members"),
+        s"more bits than k*members: $r")
+      if (r.getAs[Long]("n_probes") == 0L)
+        assert(r.isNullAt(r.fieldIndex("fp_rate")), s"zero-probe fp: $r")
+      else {
+        val fp = r.getAs[Double]("fp_rate")
+        assert(fp >= 0.0 && fp <= 1.0, s"fp range: $r")
+      }
+    }
+  }
+
   test("KMV Jaccard is exact when the union fits the sketch and always " +
       "lands in [0, 1]") {
     val rows = Sketch.sketchKmvJaccard(spark, sf).collect()
