@@ -1124,7 +1124,43 @@ object Events {
       .orderBy(col("decile"))
   }
 
+  /** Equi-width histogram bin count. */
+  private val HistBins = 10
+
+  /**
+   * Equi-width value histogram per event type — the `histogram()` every
+   * warehouse ships, Spark-first: per type the [min, max] range splits
+   * into [[HistBins]] bins, values bucket by one closed-form floor
+   * expression, and the audit reports each bin's population and bounds.
+   * The max value clamps into the last bin (standard half-open bins with
+   * a closed final edge); a constant-valued type degenerates to bin 0.
+   *
+   * Scale: the range is a ≤|types| aggregate broadcast back onto the
+   * scan (never a driver collect of data rows), binning is per-row
+   * codegen, and the rollup has ≤ types × bins groups. Determinism: the
+   * bin index divides EXACT decimal differences ((v−lo)·10 / span) in
+   * doubles — identical IEEE both engines — and bounds round at 6 dp.
+   */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), dec(col("value")).as("v"))
+    val ranges = e.groupBy(col("event_type"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val span = (col("hi") - col("lo")).cast("double")
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit((HistBins - 1).toLong),
+        floor((col("v") - col("lo")).cast("double") * HistBins / span).cast("long")))
+    e.join(broadcast(ranges), Seq("event_type"))
+      .withColumn("bin", bin)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("lo").cast("double") +
+          span * col("bin").cast("double") / HistBins), 6).as("bin_lo"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (qHistogram _),
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_attribution_ushape" -> (qAttributionUshape _),
     "q_windowed_distinct" -> (qWindowedDistinct _),
@@ -1158,6 +1194,25 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, min(v) AS lo, max(v) AS hi
+        |      FROM e GROUP BY event_type),
+        |b AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE least(9, CAST(floor(CAST(e.v - lo AS DOUBLE) * 10
+        |        / CAST(hi - lo AS DOUBLE)) AS BIGINT)) END AS bin,
+        |    lo, hi
+        |  FROM e JOIN r ON e.event_type = r.event_type)
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(1) AS BIGINT) AS n,
+        |  round(min(CAST(lo AS DOUBLE)
+        |    + CAST(hi - lo AS DOUBLE) * CAST(bin AS DOUBLE) / 10), 6) AS bin_lo
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
     "q_time_to_convert" ->
       """WITH fv AS (
         |  SELECT user_id, min(epoch_us(ts)) AS v_us

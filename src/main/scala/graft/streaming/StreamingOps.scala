@@ -485,4 +485,27 @@ object StreamingOps {
       .filter(col("jac") >= 0.5)
       .select(col("new_doc"), col("old_doc"), round(col("jac"), 6).as("jac"))
   }
+
+  /**
+   * Streaming Count-Min sketch build — the d×w counter matrix of
+   * [[graft.queries.Sketch.sketchCmsHeavy]] maintained incrementally
+   * over an unbounded token stream (`word` column). The sketch's whole
+   * value at stream scale is that its STATE is the d·w counter grid, not
+   * the token stream: the aggregation groups on (hash row, bucket), so
+   * Spark's state store holds exactly d·w rows forever, no watermark
+   * needed, and complete-mode emission republishes the current matrix
+   * per micro-batch. Hash rows key on the same disjoint md5 slices as
+   * the batch builder, so a drained stream's matrix EQUALS the batch
+   * sketch over the same tokens (StreamingOpsSpec pins the parity).
+   */
+  def cmsStream(tokens: DataFrame, depth: Int = 4, width: Int = 64): DataFrame = {
+    val branches = (0 until depth).map { j =>
+      tokens.select(lit(j.toLong).as("j"),
+        (conv(substring(md5(col("word")), 1 + 8 * j, 8), 16, 10).cast("long")
+          % width).as("bucket"))
+    }
+    branches.reduce(_ unionByName _)
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+  }
 }

@@ -389,4 +389,34 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
       s.catalog.clearCache()
     }
   }
+
+  test("cmsStream: drained counter matrix equals the batch sketch; state " +
+      "is the d*w grid") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[String]
+    val q = cmsStream(in.toDF().toDF("word")).writeStream
+      .format("memory").queryName("cms").outputMode("complete").start()
+    try {
+      val words = Seq("the", "cat", "sat", "on", "the", "mat", "the", "cat")
+      in.addData(words.take(5): _*)
+      q.processAllAvailable()
+      in.addData(words.drop(5): _*)
+      q.processAllAvailable()
+      val streamed = s.table("cms")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = StreamingOps.cmsStream(words.toDF("word"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        "drained streaming CMS must equal the batch matrix over the same tokens")
+      // bounded state: never more than depth * width counter rows
+      assert(streamed.size <= 4 * 64)
+      // never-undercount at the matrix level: every row's total equals the
+      // token count (each token lands in exactly one bucket per row)
+      streamed.keys.map(_._1).toSeq.distinct.foreach { j =>
+        assert(streamed.filter(_._1._1 == j).values.sum == words.size)
+      }
+    } finally q.stop()
+  }
 }
