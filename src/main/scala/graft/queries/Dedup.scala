@@ -818,7 +818,74 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Containment acceptance threshold (Broder's containment C(A,B) =
+    * |A∩B|/|A| — directional, unlike resemblance). */
+  private val ContainNum = 9L
+  private val ContainDen = 10L
+
+  /**
+   * Containment (subset) detection — the duplicate class Jaccard
+   * structurally misses: a short document quoted inside a much longer
+   * one has C(A,B) ≈ 1 but J(A,B) ≈ |A|/|B| ≈ 0, so no resemblance
+   * threshold finds it. For every document A, every B (≠ A) holding at
+   * least [[ContainNum]]/[[ContainDen]] of A's 3-token shingles.
+   *
+   * Candidate generation is PREFIX FILTERING on the document-frequency
+   * order (the PPJoin principle applied to containment): if B contains
+   * ≥ t·|A| of A's shingles, it misses at most ⌊(1−t)·|A|⌋, so B must
+   * share at least one of A's ⌊(1−t)·|A|⌋+1 RAREST shingles — blocking
+   * on that prefix has NO false negatives, and rare shingles have small
+   * postings, so the candidate stream is Σ_A prefix·df(rare) — linear-ish
+   * in practice, never all-pairs. Verification is one exact
+   * [[GraftFunctions.sorted_intersect_size]] pass per candidate with the
+   * integer cross-multiplied threshold (no double prunes a true pair).
+   *
+   * Scale: df is one map-side-combined aggregate; the prefix is a
+   * per-doc window over (df, shingle); candidates are an equi-join on
+   * the shingle; dedup via distinct before the verify join.
+   */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = spreadDocs(s, dir)
+      .select(col("doc_id"), GraftFunctions.shingle_set(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val e = sh.select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+      explode(col("shs")).as("w"))
+    val dfc = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val winDoc = Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("w"))
+    val prefix = e.join(dfc, Seq("w"))
+      .withColumn("rn", row_number().over(winDoc))
+      // ⌊(1−t)·n⌋ + 1 = ⌊n·(den−num)/den⌋ + 1, exact integers (DIV, not
+      // the double-valued `/`)
+      .filter(col("rn") <=
+        expr(s"n * ${ContainDen - ContainNum} DIV $ContainDen + 1"))
+      .select(col("doc_id").as("inner_id"), col("w"))
+    val cand = prefix
+      .join(e.select(col("doc_id").as("outer_id"), col("w")), Seq("w"))
+      .filter(col("inner_id") =!= col("outer_id"))
+      .select(col("inner_id"), col("outer_id"))
+      .distinct()
+    val inter = GraftFunctions
+      .sorted_intersect_size(col("sa"), col("sb")).cast("long")
+    cand
+      .join(sh.select(col("doc_id").as("inner_id"), col("shs").as("sa")),
+        Seq("inner_id"))
+      .join(sh.select(col("doc_id").as("outer_id"), col("shs").as("sb")),
+        Seq("outer_id"))
+      .withColumn("n_shared", inter)
+      .withColumn("n_inner", size(col("sa")).cast("long"))
+      // t·|A| ≤ |A∩B| as integer cross-multiplication
+      .filter(col("n_shared") * ContainDen >= col("n_inner") * ContainNum)
+      .select(col("inner_id"), col("outer_id"), col("n_inner"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_inner"), 6)
+          .as("containment"))
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "pipeline_dedup_reasons" -> (pipelineDedupReasons _),
     "dedup_lsh_precision" -> (dedupLshPrecision _),
     "dedup_jaccard_words" -> (dedupJaccardWords _),
@@ -1056,6 +1123,43 @@ object Dedup {
       |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_containment" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+         |    WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         |    ELSE list_transform(generate_series(1, len(words) - 2),
+         |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END)) AS shingles
+         |  FROM base),
+         |shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+         |e AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n,
+         |        unnest(shingles) AS w
+         |      FROM shf),
+         |dfc AS (SELECT w, CAST(COUNT(1) AS BIGINT) AS dfc FROM e GROUP BY w),
+         |pr AS (
+         |  SELECT doc_id AS inner_id, w FROM (
+         |    SELECT e.doc_id, e.w, e.n,
+         |      row_number() OVER (PARTITION BY e.doc_id ORDER BY dfc.dfc, e.w) AS rn
+         |    FROM e JOIN dfc ON e.w = dfc.w)
+         |  WHERE rn <= n * ${ContainDen - ContainNum} // $ContainDen + 1),
+         |cand AS (
+         |  SELECT DISTINCT inner_id, e.doc_id AS outer_id
+         |  FROM pr JOIN e ON pr.w = e.w
+         |  WHERE inner_id <> e.doc_id)
+         |SELECT inner_id, outer_id,
+         |  CAST(len(a.shingles) AS BIGINT) AS n_inner,
+         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_shared,
+         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |    / len(a.shingles), 6) AS containment
+         |FROM cand
+         |JOIN shf a ON cand.inner_id = a.doc_id
+         |JOIN shf b ON cand.outer_id = b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles)) * $ContainDen
+         |  >= len(a.shingles) * $ContainNum
+         |ORDER BY inner_id, outer_id""".stripMargin,
     "dedup_substring_spans" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -489,7 +489,55 @@ object TrainAudit {
       .orderBy(col("fold"))
   }
 
+  /** PSI length-bucket width (chars), matching the k-anon bucket family. */
+  private val PsiBucket = 200L
+
+  /**
+   * Population Stability Index between the md5 train/test split — THE
+   * model-governance drift number (banking's standard gate: PSI < 0.1
+   * stable, > 0.25 investigate): over fixed [[PsiBucket]]-char length
+   * buckets, the train share p and test share q per bucket, and the PSI
+   * term (p−q)·ln(p/q). Laplace-smoothed counts ((c+1)/(n+B), B = bucket
+   * count) keep a bucket that one side misses finite and deterministic —
+   * no ±∞, no dropped bins.
+   *
+   * Exactness: shares are exact-integer ratios in doubles; the ln term
+   * follows the [[Corpus.textSourceKl]] recipe (term rounded to 8 dp —
+   * both engines' libm ln is faithful, and the round crushes the last
+   * ulp). Scale: one (split, bucket) aggregate, a ≤B-row pivot, two
+   * 1-row scalars.
+   */
+  def mlPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "documents").filter(col("n_chars").isNotNull)
+      .select(
+        when(md5Mod(col("doc_id"), 5) === 0L, "test").otherwise("train").as("grp"),
+        expr(s"n_chars DIV $PsiBucket").as("bin"))
+    val cb = base.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val totals = cb.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTrain = totals.getOrElse("train", 0L)
+    val nTest = totals.getOrElse("test", 0L)
+    val bins = cb.select(col("bin")).distinct()
+    val nB = bins.count()
+    val grid = bins
+      .join(cb.filter(col("grp") === "train")
+        .select(col("bin"), col("c").as("c_train")), Seq("bin"), "left")
+      .join(cb.filter(col("grp") === "test")
+        .select(col("bin"), col("c").as("c_test")), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("c_train"), lit(0L)).as("c_train"),
+        coalesce(col("c_test"), lit(0L)).as("c_test"))
+    val p = (col("c_train") + lit(1L)).cast("double") / lit((nTrain + nB).toDouble)
+    val q = (col("c_test") + lit(1L)).cast("double") / lit((nTest + nB).toDouble)
+    grid
+      .withColumn("psi_term", round((p - q) * log(p / q), 8))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_psi_drift" -> (mlPsiDrift _),
     "split_kfold" -> (splitKfold _),
     "split_temporal_embargo" -> (splitTemporalEmbargo _),
     "ml_negative_sample" -> (mlNegativeSample _),
@@ -499,6 +547,33 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "ml_psi_drift" ->
+      s"""WITH base AS (
+         |  SELECT CASE WHEN ${duckMd5ModExpr("doc_id", "5")} = 0
+         |      THEN 'test' ELSE 'train' END AS grp,
+         |    n_chars // $PsiBucket AS bin
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |cb AS (SELECT grp, bin, CAST(COUNT(1) AS BIGINT) AS c
+         |       FROM base GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT
+         |    (SELECT coalesce(SUM(c), 0) FROM cb WHERE grp = 'train') AS n_train,
+         |    (SELECT coalesce(SUM(c), 0) FROM cb WHERE grp = 'test') AS n_test,
+         |    (SELECT COUNT(DISTINCT bin) FROM cb) AS nb),
+         |grid AS (
+         |  SELECT b.bin,
+         |    CAST(coalesce(tr.c, 0) AS BIGINT) AS c_train,
+         |    CAST(coalesce(te.c, 0) AS BIGINT) AS c_test
+         |  FROM (SELECT DISTINCT bin FROM cb) b
+         |  LEFT JOIN (SELECT bin, c FROM cb WHERE grp = 'train') tr ON b.bin = tr.bin
+         |  LEFT JOIN (SELECT bin, c FROM cb WHERE grp = 'test') te ON b.bin = te.bin)
+         |SELECT CAST(bin AS BIGINT) AS bin, c_train, c_test,
+         |  round((CAST(c_train + 1 AS DOUBLE) / (n_train + nb)
+         |       - CAST(c_test + 1 AS DOUBLE) / (n_test + nb))
+         |    * ln((CAST(c_train + 1 AS DOUBLE) / (n_train + nb))
+         |        / (CAST(c_test + 1 AS DOUBLE) / (n_test + nb))), 8) AS psi_term
+         |FROM grid CROSS JOIN tot
+         |ORDER BY bin""".stripMargin,
     "split_kfold" ->
       s"""WITH base AS (
          |  SELECT doc_id, coalesce(lang, '') AS lang,
