@@ -192,6 +192,82 @@ object Sketch {
        |  round(abs(round(raw, 6) - n_exact) / n_exact, 6) AS rel_err
        |FROM j ORDER BY source""".stripMargin
 
+  /**
+   * HLL merge-losslessness proof — the property that makes HLL the
+   * 100 TB distinct counter: registers built per SHARD (here per source)
+   * and merged by bucket-max are IDENTICAL to registers built in one
+   * pass over the union, because max is associative and a word
+   * contributes the same (bucket, ρ) everywhere. The audit computes the
+   * corpus estimate both ways — from the per-source sketches' bucket-max
+   * merge and from the direct global build — plus the exact distinct
+   * count, and emits `merge_lossless` (register-level equality expressed
+   * through the integer harmonic sums). A pipeline reads this as
+   * license to sketch shards independently and combine at the
+   * coordinator without touching the data again.
+   *
+   * Scale: everything after the (source, word) distinct is register
+   * space — ≤ sources·m rows merged to m.
+   */
+  def sketchHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = sourceWords(s, dir)
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val rem = col("h48") % lit(4398046511104L)
+    val rho = when(rem === 0L, lit(43))
+      .otherwise(lit(43) - length(conv(rem, 10, 2)))
+    // per-source registers, then bucket-max merge
+    val perSrc = w.select(col("source"),
+        (col("h48") / lit(4398046511104L)).cast("long").as("bucket"), rho.as("rho"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m_j"))
+    val merged = perSrc.groupBy(col("bucket")).agg(max(col("m_j")).as("m_j"))
+    // direct global registers
+    val direct = w.select((col("h48") / lit(4398046511104L)).cast("long").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m_j"))
+    // register sums are 1-row aggregates — driver scalars by the
+    // [[graft.queries.Corpus.mixEpochs]] precedent, folded into a 1-row
+    // result (no singleton joins for the hygiene net to squint at)
+    def sTotal(regs: DataFrame): Long = {
+      val r = regs.agg(count(lit(1)).as("n_present"),
+        coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(43 - m_j AS INT))")),
+          lit(0L)).as("s_present")).first()
+      r.getLong(1) + (HllM.toLong - r.getLong(0)) * 8796093022208L
+    }
+    val sMerged = sTotal(merged)
+    val sDirect = sTotal(direct)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    def est(sVal: Long): Column =
+      round(alpha * lit(HllM.toDouble * HllM.toDouble) * lit(8796093022208.0d) /
+        lit(sVal), 6)
+    val exact = w.select(col("word")).distinct().count()
+    s.range(1).select(lit(exact).as("n_exact"),
+      est(sMerged).as("est_merged"),
+      est(sDirect).as("est_direct"),
+      lit(sMerged == sDirect).as("merge_lossless"))
+  }
+
+  private val sketchHllMergeSql =
+    s"""WITH h AS ($sourceWordsSql),
+       |b AS (SELECT source, h48 // 4398046511104 AS bucket,
+       |        CASE WHEN h48 % 4398046511104 = 0 THEN 43
+       |             ELSE 43 - length(bin(h48 % 4398046511104)) END AS rho
+       |      FROM h),
+       |ps AS (SELECT source, bucket, max(rho) AS m_j FROM b GROUP BY 1, 2),
+       |mg AS (SELECT bucket, max(m_j) AS m_j FROM ps GROUP BY 1),
+       |dr AS (SELECT bucket, max(rho) AS m_j FROM b GROUP BY 1),
+       |sm AS (SELECT SUM(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER))
+       |         + ($HllM - COUNT(*)) * 8796093022208 AS s FROM mg),
+       |sd AS (SELECT SUM(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER))
+       |         + ($HllM - COUNT(*)) * 8796093022208 AS s FROM dr),
+       |ex AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n_exact FROM h)
+       |SELECT n_exact,
+       |  round((0.7213 / (1.0 + 1.079 / ${HllM}.0)) * ${HllM}.0 * ${HllM}.0
+       |    * 8796093022208.0 / sm.s, 6) AS est_merged,
+       |  round((0.7213 / (1.0 + 1.079 / ${HllM}.0)) * ${HllM}.0 * ${HllM}.0
+       |    * 8796093022208.0 / sd.s, 6) AS est_direct,
+       |  sm.s = sd.s AS merge_lossless
+       |FROM ex CROSS JOIN sm CROSS JOIN sd""".stripMargin
+
   // ---------------------------------------------------------------------
   // sketch_kmv_jaccard — source-pair resemblance from merged sketches
   // ---------------------------------------------------------------------
@@ -479,6 +555,7 @@ object Sketch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cms_heavy" -> (sketchCmsHeavy _),
     "sketch_bloom_fp" -> (sketchBloomFp _),
+    "sketch_hll_merge" -> (sketchHllMerge _),
     "sketch_kmv_distinct" -> (sketchKmvDistinct _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
     "sketch_kmv_jaccard" -> (sketchKmvJaccard _))
@@ -486,6 +563,7 @@ object Sketch {
   val oracle: Map[String, String] = Map(
     "sketch_cms_heavy" -> sketchCmsHeavySql,
     "sketch_bloom_fp" -> sketchBloomFpSql,
+    "sketch_hll_merge" -> sketchHllMergeSql,
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,
     "sketch_kmv_jaccard" -> sketchKmvJaccardSql)
