@@ -1159,7 +1159,103 @@ object Events {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /**
+   * Growth accounting — the weekly new / retained / resurrected /
+   * churned user ledger (the standard growth decomposition: DAU movement
+   * explained by cohort flows, the companion of [[qStickiness]] and
+   * [[qCohortRetention]]): per user per active ISO week, the status is
+   * `new` (first-ever week), `retained` (also active the immediately
+   * preceding week), else `resurrected`; a `churned` row counts users
+   * active the PREVIOUS week who went silent this week — attributed to
+   * the week they went missing, including the week after the last
+   * observed week (computed by shifting actives forward, an explode of
+   * +1 week, never a calendar scan).
+   *
+   * Scale: everything runs on the collapsed distinct (user, week)
+   * relation — per-user LAG window for the statuses, a +1-week shift
+   * anti-join for churn, one ≤weeks rollup. Weeks are integer epoch-week
+   * numbers (days since epoch DIV 7 after the ISO-Monday truncation both
+   * engines share).
+   */
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val uw = ev(s, dir)
+      .select(col("user_id"),
+        (datediff(to_date(date_trunc("week", timestamp_micros(epochUs()))),
+          lit(java.sql.Date.valueOf("1970-01-05"))) / 7).cast("long").as("wk"))
+      .distinct()
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val statuses = uw
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("status",
+        when(col("prev").isNull, "new")
+          .when(col("wk") - col("prev") === 1L, "retained")
+          .otherwise("resurrected"))
+      .select(col("wk"), col("status"))
+    // churn: active in wk, silent in wk+1 → one churned row AT wk+1
+    val churned = uw.select(col("user_id"), (col("wk") + 1L).as("wk"))
+      .join(uw, Seq("user_id", "wk"), "left_anti")
+      .select(col("wk"), lit("churned").as("status"))
+    statuses.unionByName(churned)
+      .groupBy(col("wk")).agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("status") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .orderBy(col("wk"))
+  }
+
+  /**
+   * Classical seasonal-trend decomposition of the daily revenue series
+   * (the moving-average decomposition behind STL's intuition): trend =
+   * centered 7-day moving average (full windows only — edges and
+   * gap-adjacent days keep NULL rather than a biased short-window mean),
+   * residual = revenue − trend, seasonal = per-ISO-DOW mean residual,
+   * deseasonalized = residual − seasonal. The table an anomaly gate
+   * consumes AFTER seasonality is explained ([[statsDailyAnomaly]]'s
+   * refinement).
+   *
+   * Scale: the series is the POST-AGGREGATION daily relation (≤366
+   * rows/year — metadata), so the single-group centered window is the
+   * correct plan (zeroPart convention); the window frame is VALUE-based
+   * (RANGE ±3 on the day number), so calendar gaps shrink `n_win` and
+   * disqualify the window instead of silently stretching it. Exactness:
+   * revenue sums in DECIMAL; trend is one double division by 7; every
+   * derived column rounds at 6 dp before the next subtraction.
+   */
+  def statsSeasonalTrend(s: SparkSession, dir: String): DataFrame = {
+    val decS = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val daily = ev(s, dir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(expr(s"($epochUsExpr) DIV 86400000000").as("dn"),
+        dec(col("value")).as("v"))
+      .groupBy(col("dn")).agg(sum(col("v")).as("rev_d"))
+    val w = Window.partitionBy(zeroPart(col("dn"))).orderBy(col("dn"))
+      .rangeBetween(-3, 3)
+    val t = daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("revenue", round(col("rev_d").cast("double"), 6))
+      .withColumn("trend", when(col("n_win") === 7,
+        round(sum(col("rev_d")).over(w).cast("double") / 7, 6)))
+      .withColumn("resid", when(col("trend").isNotNull,
+        round(col("revenue") - col("trend"), 6)))
+      .withColumn("dow", pmod(col("dn") + 3, lit(7)) + 1)
+    val seasonal = t.filter(col("resid").isNotNull)
+      .groupBy(col("dow"))
+      .agg(round(sum(col("resid").cast(decS)).cast("double") / count(lit(1)), 6)
+        .as("seasonal"))
+    t.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("dn").as("day_num"), col("dow"), col("revenue"), col("trend"),
+        col("resid"), col("seasonal"),
+        when(col("resid").isNotNull && col("seasonal").isNotNull,
+          round(col("resid") - col("seasonal"), 6)).as("deseasonalized"))
+      .orderBy(col("day_num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_seasonal_trend" -> (statsSeasonalTrend _),
+    "q_growth_accounting" -> (qGrowthAccounting _),
     "q_histogram" -> (qHistogram _),
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_attribution_ushape" -> (qAttributionUshape _),
@@ -1194,6 +1290,61 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "stats_seasonal_trend" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS dn,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS rev_d
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT dn,
+        |    COUNT(1) OVER win AS n_win,
+        |    round(CAST(rev_d AS DOUBLE), 6) AS revenue,
+        |    CASE WHEN COUNT(1) OVER win = 7
+        |      THEN round(CAST(SUM(rev_d) OVER win AS DOUBLE) / 7, 6) END AS trend
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |r AS (
+        |  SELECT dn, revenue, trend,
+        |    CASE WHEN trend IS NOT NULL THEN round(revenue - trend, 6) END AS resid,
+        |    CAST((dn + 3) % 7 + 1 AS BIGINT) AS dow
+        |  FROM t),
+        |se AS (
+        |  SELECT dow,
+        |    round(CAST(SUM(CAST(resid AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6)
+        |      AS seasonal
+        |  FROM r WHERE resid IS NOT NULL GROUP BY dow)
+        |SELECT r.dn AS day_num, r.dow, r.revenue, r.trend, r.resid, se.seasonal,
+        |  CASE WHEN r.resid IS NOT NULL AND se.seasonal IS NOT NULL
+        |    THEN round(r.resid - se.seasonal, 6) END AS deseasonalized
+        |FROM r LEFT JOIN se ON r.dow = se.dow
+        |ORDER BY day_num""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-05',
+        |      CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT) AS wk
+        |  FROM events),
+        |st AS (
+        |  SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+        |    WHEN wk - prev = 1 THEN 'retained'
+        |    ELSE 'resurrected' END AS status
+        |  FROM (SELECT user_id, wk,
+        |          LAG(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+        |        FROM uw)),
+        |ch AS (
+        |  SELECT a.wk + 1 AS wk, 'churned' AS status
+        |  FROM uw a LEFT JOIN uw b
+        |    ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        |  WHERE b.user_id IS NULL),
+        |u AS (SELECT wk, status FROM st UNION ALL SELECT wk, status FROM ch)
+        |SELECT wk,
+        |  CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM u GROUP BY wk ORDER BY wk""".stripMargin,
     "q_histogram" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
