@@ -424,32 +424,111 @@ object Curation {
         .select(col("doc_id"), lit(0L).as("deg"), lit(0.0).as("rank"))
     }
     val base = 0.15 / nDocs.toDouble // (1−d)/n — identical IEEE op in the oracle
-    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir)).select(col("da"), col("db"))
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+    // Eager-checkpoint the edge list (same reliable/local switch as
+    // [[iterativeComponents]]): without lineage truncation every
+    // iteration's plan NESTS the full jaccardPairs tree — including its
+    // multi-thousand-entry literal token maps — and Catalyst re-analyzes
+    // a tree that grows a level per round (measured 6 s of pure driver
+    // planning at sf0.1 before any task ran; 11.6 s → 3.4 s after).
+    val reliable = s.conf.getOption("spark.graft.components.reliableCheckpoint")
+      .exists(_.toBoolean)
+    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
+      "spark.graft.components.reliableCheckpoint=true requires " +
+        "SparkContext.setCheckpointDir (a fault-tolerant path every executor can reach)")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def freeCkpt(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    def handOff(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          graft.core.QueryCaches.reportRdd(l.rdd)
+        case _ => ()
+      }
+    // SUPERNODE iteration: every member of one unique word SET has the
+    // same neighbor multiset (clique siblings + all members of each
+    // near-dup partner set), hence identical degree and — by induction —
+    // identical rank every round. So the power iteration runs on the
+    // ≤|unique sets| collapsed graph: deg_S = (m_S−1) + Σ_T m_T,
+    // inflow_S = (m_S−1)·t_S + Σ_T m_T·t_T, where t = round(r/deg, 14)
+    // as exact DECIMAL and the ·m multiplications are decimal×integer —
+    // EXACT, so the result is bit-identical to the member-level sum of m
+    // equal terms (the per-pair oracle). At sf0.1 this is 3.9k supernodes
+    // and ~50k set edges standing in for 759k member pairs (measured
+    // 11.6 s → ~3 s); at 100 TB it is the difference between the
+    // iteration scaling with boilerplate CLIQUE AREA versus unique
+    // content.
+    val (setPairs, groups) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
+    val nodes = groups
+      .select(array_min(col("members")).as("sid"),
+        size(col("members")).cast("long").as("m"), col("members"))
       .persist(MEMORY_AND_DISK)
-    graft.core.QueryCaches.report(edges)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // ranks relation: (v, r); r0 = 1/n uniform over graph nodes
-    val decC = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 16)
-    var ranks = deg.select(col("src").as("v"),
-      (lit(1.0) / lit(nDocs.toDouble)).as("r"))
+    graft.core.QueryCaches.report(nodes)
+    // materialize the set-pair projection ONCE before the two-direction
+    // union (both branches reference it; unmaterialized, the whole pair
+    // generation would run twice)
+    val sp = ckpt(setPairs.select(array_min(col("ma")).as("sa"),
+      array_min(col("mb")).as("sb")))
+    val edges = ckpt(sp.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(sp.select(col("sb").as("src"), col("sa").as("dst"))))
+    freeCkpt(sp)
+    // participating sets: an intra clique (m ≥ 2) or ≥1 cross edge
+    val crossMass = edges
+      .join(nodes.select(col("sid").as("dst"), col("m").as("m_dst")), "dst")
+      .groupBy(col("src")).agg(sum(col("m_dst")).as("cmass"))
+    val act = nodes.select(col("sid"), col("m"))
+      .join(crossMass.withColumnRenamed("src", "sid"), Seq("sid"), "left")
+      .select(col("sid"), col("m"),
+        coalesce(col("cmass"), lit(0L)).as("cmass"))
+      .filter(col("m") >= 2 || col("cmass") > 0)
+      .select(col("sid"), col("m"),
+        (col("m") - 1 + col("cmass")).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(act)
+    // t as DECIMAL(17,16) (ranks are < 1, so 16 fractional digits is the
+    // full 16-dp rounding the member-level DECIMAL(38,16) cast applied)
+    // × m as DECIMAL(20,0) → DECIMAL(38,16): precision 17+20+1 = 38 fits
+    // EXACTLY — no scale reduction, so t·m is bit-equal to summing m
+    // copies of t, which is the member-level oracle's arithmetic.
+    val decT = org.apache.spark.sql.types.DataTypes.createDecimalType(17, 16)
+    val decM = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0)
+    var ranks = ckpt(act.select(col("sid").as("v"),
+      (lit(1.0) / lit(nDocs.toDouble)).as("r")))
     for (_ <- 1 to PrIters) {
-      val next = edges
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("v"),
-          round(col("r") / col("deg").cast("double"), 14).as("t"))
-        .groupBy(col("v"))
-        .agg(sum(col("t").cast(decC)).cast("double").as("inflow"))
+      val withT = ranks
+        .join(act.withColumnRenamed("sid", "v"), "v")
         .select(col("v"),
-          round(lit(base) + lit(PrDamping) * col("inflow"), 12).as("r"))
-        .persist(MEMORY_AND_DISK)
-      graft.core.QueryCaches.report(next)
+          round(col("r") / col("deg").cast("double"), 14).cast(decT).as("t"),
+          col("m"))
+      val cross = edges
+        .join(withT.select(col("v").as("src"),
+          (col("t") * col("m").cast(decM)).as("c")), "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+        .withColumnRenamed("dst", "v")
+      val next = ckpt(withT
+        .select(col("v"), (col("t") * (col("m") - 1).cast(decM)).as("cself"))
+        .join(cross, Seq("v"), "left")
+        .select(col("v"), round(lit(base) + lit(PrDamping) *
+          (coalesce(col("cin"),
+            lit(java.math.BigDecimal.ZERO)
+              .cast(org.apache.spark.sql.types.DataTypes
+                .createDecimalType(38, 16))) +
+            col("cself")).cast("double"), 12).as("r")))
+      freeCkpt(ranks)
       ranks = next
     }
-    ranks.join(deg.withColumnRenamed("src", "v"), "v")
-      .select(col("v").as("doc_id"), col("deg"), col("r").as("rank"))
+    // the final round's and the edge list's checkpoint RDDs back the
+    // returned plan — hand their release to the enclosing query scope
+    handOff(ranks)
+    handOff(edges)
+    // expand supernode ranks back to member documents
+    ranks
+      .join(act.withColumnRenamed("sid", "v").select(col("v"), col("deg")), "v")
+      .join(nodes.select(array_min(col("members")).as("v"), col("members")), "v")
+      .select(explode(col("members")).as("doc_id"), col("deg"), col("r").as("rank"))
       .orderBy(col("rank").desc, col("doc_id"))
       .limit(PrTopK)
   }

@@ -1253,7 +1253,51 @@ object Events {
       .orderBy(col("day_num"))
   }
 
+  /** Benford first-digit shares as fixed 6-dp literals — log10(1+1/d)
+    * pre-rounded so neither engine ever evaluates a logarithm. */
+  private val BenfordShares: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /**
+   * Benford first-significant-digit audit of the purchase amounts — the
+   * classic fraud / synthetic-data sniff test: organically-sized amounts
+   * follow log10(1+1/d); uniform or hand-made values don't. Per digit:
+   * observed count, observed share, the Benford share, and the χ²
+   * contribution (o−e)²/e. Digits come from the STRING of the exact
+   * integer cents (no log, no float formatting — both engines print a
+   * BIGINT identically); the Benford shares are pre-rounded literals, so
+   * the whole audit is log-free and hash-exact.
+   *
+   * Scale: one map-side-combined 9-group aggregate over a per-row
+   * projection; the digit grid joins a 9-row literal relation.
+   */
+  def statsBenford(s: SparkSession, dir: String): DataFrame = {
+    val cents = (dec(col("value")) * 100).cast("long")
+    val obs = ev(s, dir)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val n = obs.agg(coalesce(sum(col("n_obs")), lit(0L))).first().getLong(0)
+    import s.implicits._
+    val bench = BenfordShares.map { case (d, sh) =>
+      (d.toLong, sh)
+    }.toDF("digit", "share_benford")
+    bench.join(obs, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        when(lit(n) > 0, round(coalesce(col("n_obs"), lit(0L)).cast("double") /
+          lit(n.toDouble), 6)).as("share_obs"),
+        col("share_benford"))
+      .withColumn("chi2_term", when(lit(n) > 0, round(
+        (col("n_obs").cast("double") - lit(n.toDouble) * col("share_benford")) *
+          (col("n_obs").cast("double") - lit(n.toDouble) * col("share_benford")) /
+          (lit(n.toDouble) * col("share_benford")), 6)))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_benford" -> (statsBenford _),
     "stats_seasonal_trend" -> (statsSeasonalTrend _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_histogram" -> (qHistogram _),
@@ -1290,6 +1334,31 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "stats_benford" -> {
+      val values = BenfordShares.map { case (d, sh) =>
+        s"($d, ${BigDecimal(sh).bigDecimal.toPlainString})"
+      }.mkString(", ")
+      s"""WITH bench(digit, share_benford) AS (VALUES $values),
+         |obs AS (
+         |  SELECT CAST(substring(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(COUNT(1) AS BIGINT) AS n_obs
+         |  FROM events WHERE value IS NOT NULL AND value > 0
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(coalesce(SUM(n_obs), 0) AS BIGINT) AS n FROM obs)
+         |SELECT CAST(bench.digit AS BIGINT) AS digit,
+         |  CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+         |  CASE WHEN n > 0
+         |    THEN round(CAST(coalesce(n_obs, 0) AS DOUBLE) / n, 6) END AS share_obs,
+         |  CAST(share_benford AS DOUBLE) AS share_benford,
+         |  CASE WHEN n > 0 THEN round(
+         |    (CAST(coalesce(n_obs, 0) AS DOUBLE) - n * CAST(share_benford AS DOUBLE))
+         |    * (CAST(coalesce(n_obs, 0) AS DOUBLE) - n * CAST(share_benford AS DOUBLE))
+         |    / (n * CAST(share_benford AS DOUBLE)), 6) END AS chi2_term
+         |FROM bench LEFT JOIN obs ON bench.digit = obs.digit
+         |CROSS JOIN tot
+         |ORDER BY digit""".stripMargin
+    },
     "stats_seasonal_trend" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS dn,

@@ -118,21 +118,41 @@ object Governance {
    * hash-match.
    */
   def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    // persist the normalized projection: it feeds both join sides (the
+    // dedupNormExact precedent), and — more importantly — the CANDIDATE
+    // relation below persists as an optimizer barrier: without it,
+    // Catalyst folds the Levenshtein verify INTO the join condition,
+    // where it runs inside the hash-probe loop ahead of the cheap
+    // residuals (measured 13.5 s → 1.5 s at sf0.1 for an identical
+    // result). Blocking first, then verifying the materialized pairs, is
+    // also the honest record-linkage shape.
     val d = docs(s, dir)
       .select(col("doc_id"), normText(col("text")).as("nt"))
       .filter(length(col("nt")) >= EditBlockChars)
       .select(col("doc_id"), col("nt"),
         md5(substring(col("nt"), 1, EditBlockChars)).as("blk"),
         length(col("nt")).as("len"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
     val a = d.select(col("blk"), col("doc_id").as("doc_a"),
       col("nt").as("nt_a"), col("len").as("len_a"))
     val b = d.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
       col("nt").as("nt_b"), col("len").as("len_b"))
-    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b") &&
-        abs(col("len_a") - col("len_b")) <= EditTau)
+    val cand = a.join(b,
+        col("blk") === col("blk_b") && col("doc_a") < col("doc_b") &&
+          abs(col("len_a") - col("len_b")) <= EditTau)
+      .select(col("doc_a"), col("doc_b"), col("nt_a"), col("nt_b"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    // THRESHOLDED Levenshtein (3-arg form): banded DP, O((m+n)·τ) per
+    // pair instead of O(m·n) — returns −1 past the bound, which is
+    // exactly the acceptance threshold, so surviving pairs and their
+    // distances are identical to the full DP
+    cand
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("nt_a"), col("nt_b")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= EditTau)
+        levenshtein(col("nt_a"), col("nt_b"), EditTau).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditTau)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -400,7 +400,52 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /**
+   * Order-to-first-ship latency quartiles per order priority — the
+   * fulfillment-SLA profile (does HIGH really ship faster than LOW?):
+   * per order the days from order date to its FIRST line shipment, then
+   * per priority the exact lower-order-statistic quartiles (25/50/75)
+   * plus population and mean. Orders with no lineitems are out of
+   * population (inner join semantics — nothing shipped, no latency).
+   *
+   * Scale: one per-order map-side-combined min over the lineitem scan,
+   * one equi-join to orders, priority-partitioned rank windows (the
+   * per-group-quantile shape [[graft.queries.Corpus.statsQqDrift]]
+   * uses), a ≤|priorities| rollup.
+   */
+  def qShipLagPriority(s: SparkSession, dir: String): DataFrame = {
+    val firstShip = load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val lags = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("odate"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), col("odate")).cast("long").as("lag_days"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("lag_days"), col("o_orderkey"))
+    val ranked = lags
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    val qs = ranked
+      .withColumn("q", explode(filter(typedLit(Seq(25, 50, 75)),
+        p => col("rk") === floor((col("n") * p + 99) / 100))))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(when(col("q") === 25, col("lag_days"))).as("p25_days"),
+        max(when(col("q") === 50, col("lag_days"))).as("p50_days"),
+        max(when(col("q") === 75, col("lag_days"))).as("p75_days"))
+    lags.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("lag_days")).cast("double") / count(lit(1)), 6)
+          .as("mean_days"))
+      .join(qs, Seq("o_orderpriority"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_lag_priority" -> (qShipLagPriority _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q29_sole_late_supplier" -> (q29SoleLateSupplier _),
@@ -444,6 +489,37 @@ object Relational {
          |SELECT r.s_suppkey, s.s_name, r.n_orders
          |FROM r JOIN supplier s USING (s_suppkey)
          |ORDER BY r.n_orders DESC, r.s_suppkey LIMIT $LateTopK""".stripMargin,
+    "q_ship_lag_priority" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+        |  FROM lineitem GROUP BY 1),
+        |lags AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+        |      AS BIGINT) AS lag_days,
+        |    o_orderkey
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey),
+        |r AS (
+        |  SELECT o_orderpriority, lag_days,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY lag_days, o_orderkey) AS rk,
+        |    COUNT(1) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM lags),
+        |qs AS (
+        |  SELECT o_orderpriority,
+        |    CAST(max(CASE WHEN rk = floor((n * 25 + 99) / 100) THEN lag_days END)
+        |      AS BIGINT) AS p25_days,
+        |    CAST(max(CASE WHEN rk = floor((n * 50 + 99) / 100) THEN lag_days END)
+        |      AS BIGINT) AS p50_days,
+        |    CAST(max(CASE WHEN rk = floor((n * 75 + 99) / 100) THEN lag_days END)
+        |      AS BIGINT) AS p75_days
+        |  FROM r GROUP BY 1)
+        |SELECT l.o_orderpriority, CAST(COUNT(1) AS BIGINT) AS n_orders,
+        |  round(CAST(SUM(lag_days) AS DOUBLE) / COUNT(1), 6) AS mean_days,
+        |  p25_days, p50_days, p75_days
+        |FROM lags l JOIN qs USING (o_orderpriority)
+        |GROUP BY l.o_orderpriority, p25_days, p50_days, p75_days
+        |ORDER BY l.o_orderpriority""".stripMargin,
     "q_merge_upsert" ->
       """WITH target AS (
         |  SELECT c_custkey, c_mktsegment,

@@ -138,4 +138,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
         s"hinted broadcast side must not carry member arrays, got: $cols")
     }
   }
+
+  test("containment is directional: a quoted subset is found inside its " +
+      "superset but not the reverse") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val host = quote + " and then a very long additional report follows " +
+      "with completely different content about quarterly numbers and " +
+      "regional forecasts across many markets and several product lines " +
+      "plus appendix tables listing vendors customers and open issues"
+    val rows = Seq(
+      (0L, quote, "en", "s0", quote.length.toLong),
+      (1L, host, "en", "s0", host.length.toLong),
+      (2L, "unrelated cooking text with pasta tomato and basil sauce recipes",
+        "en", "s1", 64L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Dedup.dedupContainment(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // quote ⊂ host: every 3-shingle of doc 0 appears in doc 1
+    assert(got.exists { case (in, out, c) => in == 0L && out == 1L && c == 1.0 },
+      s"missing subset pair, got ${got.toSeq}")
+    // the reverse direction is far below threshold, and the unrelated doc
+    // pairs with nothing
+    assert(!got.exists { case (in, _, _) => in == 1L || in == 2L },
+      s"unexpected containment rows: ${got.toSeq}")
+  }
 }
