@@ -1296,7 +1296,38 @@ object Events {
       .orderBy(col("digit"))
   }
 
+  /**
+   * Per-user behavioral entropy — how predictable is each user's
+   * event-type mix (Shannon entropy of the type distribution; the
+   * Eagle/Pentland-style "behavioral signature" number a
+   * personalization layer reads: H = 0 is a single-action user, ln(k)
+   * is uniform use of k actions). Follows the repo's ln recipe
+   * ([[graft.queries.Corpus.textSourceKl]]): each −p·ln(p) term rounds
+   * at 8 dp, sums as exact DECIMAL, and the result rounds at 6 dp —
+   * libm's last ulp can't flip the hash.
+   *
+   * Scale: one (user, type) aggregate, one broadcast-free per-user
+   * rollup — both map-side combined; no window, no join beyond the
+   * ≤|users| merge of the two rollups.
+   */
+  def statsUserEntropy(s: SparkSession, dir: String): DataFrame = {
+    val decS = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
+    val ut = ev(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val un = ut.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"))
+    val p = col("c").cast("double") / col("n_events").cast("double")
+    ut.join(un, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(-p * log(p), 8).cast(decS).as("term"))
+      .groupBy(col("user_id"), col("n_events"), col("n_types"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_user_entropy" -> (statsUserEntropy _),
     "stats_benford" -> (statsBenford _),
     "stats_seasonal_trend" -> (statsSeasonalTrend _),
     "q_growth_accounting" -> (qGrowthAccounting _),
@@ -1334,6 +1365,22 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "stats_user_entropy" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |un AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(1) AS BIGINT) AS n_types
+        |  FROM ut GROUP BY 1)
+        |SELECT ut.user_id, n_events, n_types,
+        |  round(CAST(SUM(CAST(round(
+        |    -(CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE)), 8)
+        |    AS DECIMAL(20,8))) AS DOUBLE), 6) AS entropy
+        |FROM ut JOIN un USING (user_id)
+        |GROUP BY ut.user_id, n_events, n_types
+        |ORDER BY ut.user_id""".stripMargin,
     "stats_benford" -> {
       val values = BenfordShares.map { case (d, sh) =>
         s"($d, ${BigDecimal(sh).bigDecimal.toPlainString})"
