@@ -1326,7 +1326,186 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Microseconds per day, for duration bucketing on the µs epoch. */
+  private val DayUs = 86400000000L
+
+  /**
+   * Kaplan–Meier survival curve for time-to-first-purchase — the
+   * censoring-aware "how long until a user converts" estimator (product-
+   * limit over the at-risk set; users who never purchase are censored at
+   * the observation horizon rather than dropped, which is what separates
+   * KM from a naive duration histogram).
+   *
+   * Shape: one per-user aggregate (duration day + event/censor flag), one
+   * ≤#days aggregate, then the product-limit recursion as a window over
+   * that post-aggregation ≤31-row relation (zeroPart convention — single
+   * partition is the correct plan there). The survival product follows
+   * the repo's ln recipe: each ln(1 − d/n) factor rounds at 8 dp into
+   * exact DECIMAL, the cumulative sum is exact, and exp of the cast-back
+   * double rounds at 6 dp. A day where every at-risk user converts
+   * (d = n) pins survival to exactly 0 from that day on.
+   */
+  def qSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    val usExpr = expr(epochUsExpr)
+    val perUser = ev(s, dir).groupBy(col("user_id")).agg(
+      min(usExpr).as("t0"),
+      min(when(col("event_type") === "purchase", usExpr)).as("tp"))
+    // Observation horizon = a genuinely global 1-row scalar; folded on the
+    // driver (corpusReport precedent) rather than cross-joined back in.
+    val gmax = ev(s, dir).agg(max(usExpr)).first().getLong(0)
+    val durations = perUser.select(
+      floor(when(col("tp").isNotNull, (col("tp") - col("t0")))
+        .otherwise(lit(gmax) - col("t0")).divide(lit(DayUs)))
+        .cast("long").as("t_day"),
+      col("tp").isNotNull.cast("long").as("converted"))
+    val byDay = durations.groupBy(col("t_day")).agg(
+      sum(col("converted")).as("d_events"),
+      (count(lit(1)) - sum(col("converted"))).as("n_censored"))
+    val one = zeroPart(col("t_day"))
+    val before = Window.partitionBy(one).orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy(one).orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(one)
+    val decS = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
+    val leaving = col("d_events") + col("n_censored")
+    val withRisk = byDay.withColumn("n_risk",
+      sum(leaving).over(all) - coalesce(sum(leaving).over(before), lit(0L)))
+    val lnTerm = when(col("d_events") < col("n_risk"),
+      round(log((col("n_risk") - col("d_events")).cast("double") /
+        col("n_risk").cast("double")), 8).cast(decS))
+    withRisk
+      .withColumn("__ln", lnTerm)
+      .withColumn("__dead",
+        max((col("d_events") === col("n_risk")).cast("int")).over(upto))
+      .select(col("t_day"), col("n_risk"), col("d_events"), col("n_censored"),
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("__ln")).over(upto).cast("double")), 6))
+          .as("survival"))
+      .orderBy(col("t_day"))
+  }
+
+  private val qSurvivalKmSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t0,
+       |    min(CASE WHEN event_type = 'purchase'
+       |             THEN epoch_us(ts) END) AS tp
+       |  FROM events GROUP BY 1),
+       |gm AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+       |dur AS (
+       |  SELECT CAST(floor((CASE WHEN tp IS NOT NULL THEN tp - t0
+       |                    ELSE gmax - t0 END) / $DayUs) AS BIGINT) AS t_day,
+       |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS converted
+       |  FROM pu CROSS JOIN gm),
+       |byday AS (
+       |  SELECT t_day, CAST(SUM(converted) AS BIGINT) AS d_events,
+       |    CAST(COUNT(1) - SUM(converted) AS BIGINT) AS n_censored
+       |  FROM dur GROUP BY 1),
+       |risk AS (
+       |  SELECT *,
+       |    SUM(d_events + n_censored) OVER ()
+       |      - coalesce(SUM(d_events + n_censored) OVER (ORDER BY t_day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM byday),
+       |terms AS (
+       |  SELECT *,
+       |    CASE WHEN d_events < n_risk THEN CAST(round(
+       |        ln(CAST(n_risk - d_events AS DOUBLE)
+       |           / CAST(n_risk AS DOUBLE)), 8) AS DECIMAL(20,8)) END
+       |      AS lnterm,
+       |    MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY t_day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+       |  FROM risk)
+       |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events, n_censored,
+       |  CASE WHEN dead = 1 THEN 0.0
+       |       ELSE round(exp(CAST(SUM(lnterm) OVER (ORDER BY t_day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS DOUBLE)), 6) END AS survival
+       |FROM terms
+       |ORDER BY t_day""".stripMargin
+
+  /** Bootstrap replicate count for [[statsBootstrapCi]]. */
+  private val BootReps = 100
+
+  /**
+   * Poisson-bootstrap confidence interval for the mean event value — THE
+   * distributed bootstrap: instead of resampling n rows with replacement
+   * (which needs global coordination), every row independently contributes
+   * a Poisson(1)-distributed multiplicity to each of [[BootReps]]
+   * replicates, and each replicate's weighted mean is an ordinary
+   * aggregate. One pass, B counters per row, map-side combined into B
+   * groups — no materialized resamples at any scale.
+   *
+   * Determinism: multiplicities come from one md5 per row mixed through a
+   * per-replicate affine (odd-multiplier) map into buckets matching the
+   * Poisson(1) pmf at 3-digit resolution (368/368/184/61/15/4 per mille).
+   * Replicate means use exact DECIMAL sums; the CI bounds are the 3rd and
+   * 98th order statistics of the 100 replicate means (a window over the
+   * post-aggregation 100-row relation — zeroPart convention).
+   */
+  def statsBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val decY = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % lit(1000003L)
+    val base = ev(s, dir).filter(col("value").isNotNull)
+      .select(h.as("h"), round(col("value"), 6).cast(decY).as("y"))
+    val rep = base.select(col("h"), col("y"),
+      explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
+    val u = (col("h") * (lit(2) * col("b") + lit(1)) + col("b") * lit(7919)) %
+      lit(1000)
+    val w = when(u < 368, 0).when(u < 736, 1).when(u < 920, 2)
+      .when(u < 981, 3).when(u < 996, 4).otherwise(5)
+    val means = rep
+      .select(col("b"), col("y"), w.cast("long").as("w"))
+      .groupBy(col("b"))
+      .agg(round(sum(col("w") * col("y")).cast("double") /
+        sum(col("w")).cast("double"), 6).as("mean_b"))
+    val rnW = Window.partitionBy(zeroPart(col("b")))
+      .orderBy(col("mean_b"), col("b"))
+    means.withColumn("rn", row_number().over(rnW))
+      .agg(count(lit(1)).as("n_replicates"),
+        round(sum(col("mean_b").cast(decY)).cast("double") / count(lit(1)), 6)
+          .as("boot_mean"),
+        max(when(col("rn") === 3, col("mean_b"))).as("ci_lo"),
+        max(when(col("rn") === BootReps - 2, col("mean_b"))).as("ci_hi"))
+  }
+
+  private val statsBootstrapCiSql: String = {
+    val wCase = """CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+                  |    WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+                  |    WHEN u < 996 THEN 4 ELSE 5 END""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+       |      1, 8) AS UBIGINT) AS BIGINT) % 1000003 AS h,
+       |    CAST(round(value, 6) AS DECIMAL(20,6)) AS y
+       |  FROM events WHERE value IS NOT NULL),
+       |rep AS (
+       |  SELECT h, y, b,
+       |    (h * (2*b + 1) + b * 7919) % 1000 AS u
+       |  FROM base
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${BootReps - 1}))
+       |              AS b) g),
+       |means AS (
+       |  SELECT b,
+       |    round(CAST(SUM(($wCase) * y) AS DOUBLE)
+       |      / CAST(SUM($wCase) AS DOUBLE), 6) AS mean_b
+       |  FROM rep GROUP BY b),
+       |r AS (SELECT b, mean_b,
+       |        ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn
+       |      FROM means)
+       |SELECT CAST(COUNT(1) AS BIGINT) AS n_replicates,
+       |  round(CAST(SUM(CAST(mean_b AS DECIMAL(20,6))) AS DOUBLE)
+       |    / COUNT(1), 6) AS boot_mean,
+       |  MAX(CASE WHEN rn = 3 THEN mean_b END) AS ci_lo,
+       |  MAX(CASE WHEN rn = ${BootReps - 2} THEN mean_b END) AS ci_hi
+       |FROM r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival_km" -> (qSurvivalKm _),
+    "stats_bootstrap_ci" -> (statsBootstrapCi _),
     "stats_user_entropy" -> (statsUserEntropy _),
     "stats_benford" -> (statsBenford _),
     "stats_seasonal_trend" -> (statsSeasonalTrend _),
@@ -1365,6 +1544,8 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "q_survival_km" -> qSurvivalKmSql,
+    "stats_bootstrap_ci" -> statsBootstrapCiSql,
     "stats_user_entropy" ->
       """WITH ut AS (
         |  SELECT user_id, event_type, CAST(COUNT(1) AS BIGINT) AS c

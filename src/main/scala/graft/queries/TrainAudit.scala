@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 
 /**
@@ -536,7 +537,214 @@ object TrainAudit {
       .orderBy(col("bin"))
   }
 
+  // ---------------------------------------------------------------------
+  // eval_auc_roc — tie-corrected ROC AUC via the rank-sum identity
+  // ---------------------------------------------------------------------
+
+  /**
+   * ROC AUC of a score against a binary label, computed by the
+   * Mann–Whitney rank-sum identity — the one-number model-quality gate a
+   * training pipeline runs on every scored eval shard. Labels: parity of
+   * the embeddings class label; score: the second embedding component
+   * (deterministic, engine-neutral inputs).
+   *
+   * AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N). Tie-corrected without a
+   * global ROW_NUMBER: scores collapse to one row per distinct value
+   * (c, #pos), the exclusive prefix count comes from
+   * [[graft.operators.Quantiles.withRunningTotal]] (range-partitioned
+   * distributed prefix sum — no single-partition window), and doubled
+   * average ranks 2·r = 2·cumBefore + c + 1 keep everything in exact
+   * LONG arithmetic until the single final division (magnitudes < 2^63
+   * up to ~10^9 rows; the doc contract for bigger shards is to AUC per
+   * stratum and average).
+   */
+  def evalAucRoc(s: SparkSession, dir: String): DataFrame = {
+    val sc = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(element_at(col("embedding"), 1).cast("double").as("score"),
+        (col("label") % 2 === 1).cast("long").as("pos"))
+    val g = sc.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val r = graft.operators.Quantiles.withRunningTotal(
+      g, Seq(col("score")), "c", "cum")
+    // n_pos/n_neg fold into the SAME final aggregate over the grouped
+    // relation (Σp and Σc−Σp), so the whole query is agg → prefix-sum →
+    // agg with no join anywhere.
+    r.agg(
+        sum(col("p") * (lit(2L) * (col("cum") - col("c")) +
+          col("c") + lit(1L))).as("s2"),
+        sum(col("p")).as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)
+          .as("auc"))
+  }
+
+  private val evalAucRocSql: String =
+    """WITH s AS (
+      |  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+      |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |g AS (SELECT score, CAST(COUNT(1) AS BIGINT) AS c,
+      |        CAST(SUM(pos) AS BIGINT) AS p
+      |      FROM s GROUP BY 1),
+      |r AS (SELECT c, p,
+      |        CAST(coalesce(SUM(c) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS cb
+      |      FROM g),
+      |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |          CAST(COUNT(1) - SUM(pos) AS BIGINT) AS n_neg
+      |        FROM s)
+      |SELECT n_pos, n_neg,
+      |  round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
+      |    / CAST(2*n_pos*n_neg AS DOUBLE), 6) AS auc
+      |FROM r CROSS JOIN tot GROUP BY n_pos, n_neg""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // eval_ece_bins — reliability diagram / expected-calibration-error bins
+  // ---------------------------------------------------------------------
+
+  /**
+   * Reliability-diagram bins (the ECE decomposition): predicted
+   * probability vs realized positive rate in 10 equal-width bins, plus
+   * each bin's weighted ECE contribution. Complements
+   * `quality_nll_calibration` (NLL measures sharpness+calibration
+   * together; the reliability gap isolates calibration). Probabilities
+   * are the repo's deterministic Knuth-hash score (exact rational
+   * k/1000003 on both engines); labels are the class-label parity.
+   *
+   * Exactness: per-bin confidence sums go through DECIMAL(20,8) after an
+   * 8 dp round (partial-sum order can't flip bits); positive rates are
+   * single integer-ratio divisions. Scale: one 10-group hash aggregate
+   * with map-side combine; the total folds in as a window over the
+   * 10-row result — a single pass over the data.
+   */
+  def evalEceBins(s: SparkSession, dir: String): DataFrame = {
+    val prob = ((col("vec_id") * lit(2654435761L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0)
+    val base = load(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("label").isNotNull)
+      .select(
+        least(floor(prob * 10).cast("long"), lit(9L)).as("bin"),
+        round(prob, 8).cast(DecimalType(20, 8)).as("p8"),
+        (col("label") % 2 === 1).cast("long").as("pos"))
+    val bins = base.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      round(sum(col("p8")).cast("double") / count(lit(1)), 6).as("confidence"),
+      round(sum(col("pos")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+    // n_total = Σn over the ≤10-row post-aggregation relation (zeroPart
+    // single-group window convention) — no second scan, no join.
+    bins
+      .withColumn("n_total",
+        sum(col("n")).over(Window.partitionBy(Tables.zeroPart(col("bin")))))
+      .select(col("bin"), col("n"), col("confidence"), col("frac_pos"),
+        round(abs(col("confidence") - col("frac_pos")), 6).as("gap"),
+        round(abs(col("confidence") - col("frac_pos")) *
+          (col("n").cast("double") / col("n_total").cast("double")), 6)
+          .as("ece_term"))
+      .orderBy(col("bin"))
+  }
+
+  private val evalEceBinsSql: String =
+    """WITH base AS (
+      |  SELECT least(CAST(floor(
+      |      (CAST((vec_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0)
+      |        * 10) AS BIGINT), 9) AS bin,
+      |    CAST(round(
+      |      CAST((vec_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0,
+      |      8) AS DECIMAL(20,8)) AS p8,
+      |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings
+      |  WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+      |bins AS (
+      |  SELECT bin, CAST(COUNT(1) AS BIGINT) AS n,
+      |    round(CAST(SUM(p8) AS DOUBLE) / COUNT(1), 6) AS confidence,
+      |    round(CAST(SUM(pos) AS DOUBLE) / COUNT(1), 6) AS frac_pos
+      |  FROM base GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_total FROM base)
+      |SELECT bin, n, confidence, frac_pos,
+      |  round(abs(confidence - frac_pos), 6) AS gap,
+      |  round(abs(confidence - frac_pos)
+      |    * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS ece_term
+      |FROM bins CROSS JOIN tot
+      |ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ml_target_encoding — smoothed leave-one-out categorical encoding
+  // ---------------------------------------------------------------------
+
+  /** Smoothing pseudo-count for the target-encoding prior. */
+  private val TargetEncM = 20L
+
+  /**
+   * Leave-one-out target encoding with additive smoothing — the standard
+   * leakage-free way to turn a categorical feature into a numeric one
+   * before training: each row's category mean EXCLUDES the row itself and
+   * shrinks toward the global prior by [[TargetEncM]] pseudo-counts.
+   *
+   * enc = (Σ_cat y − y_i + m·prior) / (n_cat − 1 + m), cleared of the
+   * prior's inner division by cross-multiplying with the global count:
+   * ((Σ_cat − y_i)·N + m·Σ_all) / ((n_cat − 1 + m)·N). Numerator terms
+   * stay exact (DECIMAL sums, single casts to double, two IEEE
+   * multiply-adds) so both engines compute bit-identical doubles before
+   * the one rounded division.
+   *
+   * Scale: one |categories|-group aggregate (map-side combined) that also
+   * carries the global sums, one broadcast of that tiny table back onto
+   * the fact scan — a single linear pass, no row-vs-row window.
+   */
+  def mlTargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).cast(DecimalType(20, 6)).as("y"))
+    // Global prior = Σ over the ≤|categories|-row aggregate (zeroPart
+    // single-group window on the tiny relation), carried on the broadcast
+    // side — one scan, one broadcast equi-join, no cross join.
+    val one = Window.partitionBy(Tables.zeroPart(col("event_type")))
+    val cat = e.groupBy(col("event_type"))
+      .agg(sum(col("y")).as("sum_cat"), count(lit(1)).as("n_cat"))
+      .withColumn("sum_all", sum(col("sum_cat")).over(one))
+      .withColumn("n_all", sum(col("n_cat")).over(one))
+    e.join(broadcast(cat), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round(
+          ((col("sum_cat") - col("y")).cast("double") *
+              col("n_all").cast("double") +
+            lit(TargetEncM.toDouble) * col("sum_all").cast("double")) /
+          ((col("n_cat") - lit(1L) + lit(TargetEncM)) * col("n_all"))
+            .cast("double"), 6).as("target_enc"))
+      .orderBy(col("event_id"))
+  }
+
+  private val mlTargetEncodingSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    CAST(round(value, 6) AS DECIMAL(20,6)) AS y
+       |  FROM events WHERE value IS NOT NULL),
+       |cat AS (SELECT event_type, SUM(y) AS sum_cat,
+       |          CAST(COUNT(1) AS BIGINT) AS n_cat
+       |        FROM e GROUP BY 1),
+       |tot AS (SELECT SUM(y) AS sum_all, CAST(COUNT(1) AS BIGINT) AS n_all
+       |        FROM e)
+       |SELECT event_id, event_type,
+       |  round(
+       |    (CAST(sum_cat - y AS DOUBLE) * CAST(n_all AS DOUBLE)
+       |      + ${TargetEncM}.0 * CAST(sum_all AS DOUBLE))
+       |    / CAST((n_cat - 1 + $TargetEncM) * n_all AS DOUBLE), 6)
+       |    AS target_enc
+       |FROM e
+       |JOIN cat USING (event_type)
+       |CROSS JOIN tot
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_auc_roc" -> (evalAucRoc _),
+    "eval_ece_bins" -> (evalEceBins _),
+    "ml_target_encoding" -> (mlTargetEncoding _),
     "ml_psi_drift" -> (mlPsiDrift _),
     "split_kfold" -> (splitKfold _),
     "split_temporal_embargo" -> (splitTemporalEmbargo _),
@@ -547,6 +755,9 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "eval_auc_roc" -> evalAucRocSql,
+    "eval_ece_bins" -> evalEceBinsSql,
+    "ml_target_encoding" -> mlTargetEncodingSql,
     "ml_psi_drift" ->
       s"""WITH base AS (
          |  SELECT CASE WHEN ${duckMd5ModExpr("doc_id", "5")} = 0
