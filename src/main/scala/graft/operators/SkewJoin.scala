@@ -27,9 +27,17 @@ object SkewJoin {
   /**
    * Inner equi-join of a (possibly skewed) fact against a dim, salted
    * `salts` ways. `keys` must exist on both sides.
+   *
+   * `numPartitions > 0` pins BOTH sides to an explicit
+   * `repartition(numPartitions, keys :+ salt)` before the join. Use it
+   * when the join's OUTPUT fans out (cell-bounded all-pairs, band-bucket
+   * blowups): AQE's coalescing sizes stages by shuffle INPUT bytes, so on
+   * a small-but-quadratic relation it merges the salted slices straight
+   * back into few tasks — an explicit-count repartition is exempt from
+   * coalescing and keeps the parallelism the salt bought.
    */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-      salts: Int): DataFrame = {
+      salts: Int, numPartitions: Int = 0): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "__salt column name collision")
@@ -47,6 +55,11 @@ object SkewJoin {
       pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    if (numPartitions > 0) {
+      val jk = (keys :+ "__salt").map(col)
+      salted.repartition(numPartitions, jk: _*)
+        .join(replicated.repartition(numPartitions, jk: _*), keys :+ "__salt")
+        .drop("__salt")
+    } else salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 }

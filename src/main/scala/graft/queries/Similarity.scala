@@ -619,6 +619,12 @@ object Similarity {
     * threshold-agnostic. */
   private val SemDedupTau = 0.4
 
+  /** Slices per k-means cell for the cid-bounded quadratic joins
+    * ([[dedupSemantic]], [[embedPairMining]]): a coarse model (k ≪ cores)
+    * otherwise caps those joins at k parallel tasks. 32 matches the local
+    * harness; a cluster deployment sizes it to cores/k. */
+  private val CellJoinSalts = 32
+
   /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
    * Data-efficient learning at web-scale through semantic deduplication"):
@@ -651,10 +657,17 @@ object Similarity {
       .transform { df => graft.core.QueryCaches.report(df); df }
     val a = m.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"),
       col("nrm").as("na"))
-    val b = m.select(col("cid").as("cid_b"), col("vec_id").as("vb"),
+    val b = m.select(col("cid"), col("vec_id").as("vb"),
       col("v").as("xb"), col("nrm").as("nb"))
     val denom = col("na") * col("nb")
-    val dropped = a.join(b, col("cid") === col("cid_b") && col("va") < col("vb"))
+    // salted k-slice spread of the cid-bounded quadratic (the "giant
+    // cluster" case the Scale note promises to salt — with a coarse model
+    // every cell is giant relative to the core count). Same pairs, same
+    // audit; the survivors feeding distinct() are only the ≥τ near-dups.
+    val dropped = graft.operators.SkewJoin
+      .saltedEquiJoin(a, b, Seq("cid"), CellJoinSalts,
+        numPartitions = CellJoinSalts * 8)
+      .filter(col("va") < col("vb"))
       .filter(round(when(denom > 0, dot(col("xa"), col("xb")) / denom), 6) >= SemDedupTau)
       .select(col("cid"), col("vb"))
       .distinct()
@@ -847,11 +860,19 @@ object Similarity {
       .transform { df => graft.core.QueryCaches.report(df); df }
     val a = m.select(col("cid"), col("vec_id").as("anchor_id"),
       col("v").as("xa"), col("nrm").as("na"), col("label"))
-    val b = m.select(col("cid").as("cid_b"), col("vec_id").as("vb"),
+    val b = m.select(col("cid"), col("vec_id").as("vb"),
       col("v").as("xb"), col("nrm").as("nb"), col("label").as("lb"))
     val denom = col("na") * col("nb")
-    val pairs = a.join(b,
-        col("cid") === col("cid_b") && col("anchor_id") =!= col("vb"))
+    // k is small relative to cores when the trained model is coarse, so a
+    // plain cid equi-join caps parallelism at k tasks each doing a cell's
+    // O(n_c²) dots serially. Salting the anchor side spreads every cell
+    // over CellJoinSalts slices (partner side replicated — same pairs,
+    // same results); each anchor's pairs stay in ONE slice, so the argmax
+    // partial-agg still collapses to one row per anchor before the shuffle.
+    val pairs = graft.operators.SkewJoin
+      .saltedEquiJoin(a, b, Seq("cid"), CellJoinSalts,
+        numPartitions = CellJoinSalts * 8)
+      .filter(col("anchor_id") =!= col("vb"))
       .withColumn("sim", round(when(denom > 0,
         dot(col("xa"), col("xb")) / denom), 6))
       .filter(col("sim").isNotNull)
