@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 
 /**
@@ -884,7 +885,88 @@ object Dedup {
       .orderBy(col("inner_id"), col("outer_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // dedup_band_tuning — MinHash banding S-curve over observed dup pairs
+  // ---------------------------------------------------------------------
+
+  /** Candidate (bands, rows-per-band) layouts for a 128-permutation
+    * MinHash signature — powers of two ONLY, so s^r and (1−s^r)^b are
+    * pure squaring chains (identical IEEE ops both engines; no libm pow
+    * parity risk). */
+  private val BandConfigs: Seq[(Int, Int)] =
+    Seq((64, 2), (32, 4), (16, 8), (8, 16))
+
+  /** x^e for a power-of-two exponent as a repeated-squaring chain. */
+  private def sqChain(x: org.apache.spark.sql.Column, e: Int): org.apache.spark.sql.Column =
+    (1 to Integer.numberOfTrailingZeros(e)).foldLeft(x)((acc, _) => acc * acc)
+
+  /** The same chain as SQL text. */
+  private def sqChainSql(x: String, e: Int): String =
+    (1 to Integer.numberOfTrailingZeros(e)).foldLeft(x)((acc, _) => s"($acc * $acc)")
+
+  /**
+   * MinHash band-layout tuning audit — the sensitivity analysis run
+   * BEFORE committing a 100 TB corpus to one (bands b, rows r) choice:
+   * for each candidate layout of a 128-perm signature, the analytic
+   * half-detection threshold s* = (1/b)^{1/r} and the EXPECTED recall of
+   * the layout over the corpus's OWN observed duplicate pairs —
+   * Σ 1−(1−s^r)^b across the verified same-lang word-Jaccard pairs
+   * (s ≥ 0.8, [[dedupJaccardWords]]'s relation). An expected-missed mass
+   * above tolerance says the layout's S-curve sits too far right for
+   * this corpus's similarity profile.
+   *
+   * Scale: reuses the banded/PPJoin pair generation (never all-pairs);
+   * everything after is one global aggregate producing ONE row expanded
+   * to |configs| rows — no join, no window. Determinism: per-pair
+   * probabilities are squaring-chain arithmetic on the bit-identical
+   * `jac` doubles, rounded to 8 dp into exact DECIMAL sums.
+   */
+  def dedupBandTuning(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pv = jaccardPairs(docWords(s, dir)).select(col("jac"))
+    val sums = BandConfigs.map { case (b, r) =>
+      val p = lit(1.0d) - sqChain(lit(1.0d) - sqChain(col("jac"), r), b)
+      sum(round(p, 8).cast(DecimalType(20, 8))).as(s"e_${b}x$r")
+    }
+    val agg = pv.agg(count(lit(1)).as("n_pairs"), sums: _*)
+    val rows = BandConfigs.map { case (b, r) =>
+      struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        lit(BigDecimal(math.pow(1.0 / b, 1.0 / r))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).as("s_star"),
+        col("n_pairs"),
+        round(col(s"e_${b}x$r").cast("double"), 6).as("exp_caught"),
+        round(col("n_pairs").cast("double") - col(s"e_${b}x$r").cast("double"), 6)
+          .as("exp_missed"))
+    }
+    agg.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
+      .orderBy(col("bands").desc)
+  }
+
+  private[queries] def bandTuningOracle: String = {
+    val branches = BandConfigs.map { case (b, r) =>
+      val p = s"(1.0 - ${sqChainSql(s"(1.0 - ${sqChainSql("jac", r)})", b)})"
+      s"SUM(CAST(round($p, 8) AS DECIMAL(20,8))) AS e_${b}x$r"
+    }.mkString(",\n|    ")
+    val selects = BandConfigs.map { case (b, r) =>
+      val sstar = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST($sstar AS DOUBLE) AS s_star, n_pairs,
+         |  round(CAST(e_${b}x$r AS DOUBLE), 6) AS exp_caught,
+         |  round(CAST(n_pairs AS DOUBLE) - CAST(e_${b}x$r AS DOUBLE), 6) AS exp_missed
+         |FROM agg""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH pv AS ($jaccardWordsPairsSql),
+       |agg AS (
+       |  SELECT CAST(COUNT(1) AS BIGINT) AS n_pairs,
+       |    $branches
+       |  FROM pv)
+       |$selects
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_band_tuning" -> (dedupBandTuning _),
     "dedup_containment" -> (dedupContainment _),
     "pipeline_dedup_reasons" -> (pipelineDedupReasons _),
     "dedup_lsh_precision" -> (dedupLshPrecision _),
@@ -1123,6 +1205,7 @@ object Dedup {
       |WHERE inter::DOUBLE / (ca.nw + cb.nw - inter)::DOUBLE >= 0.8""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_band_tuning" -> bandTuningOracle,
     "dedup_containment" ->
       s"""WITH base AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words

@@ -1028,7 +1028,291 @@ object Governance {
       .orderBy(col("source"), col("len_bucket"))
   }
 
+  // ---------------------------------------------------------------------
+  // stats_welch_ttest — per-source-pair mean-length comparison
+  // ---------------------------------------------------------------------
+
+  /**
+   * Welch's unequal-variance t-test between every pair of corpus sources
+   * on document length — the audit a data mixer runs to decide whether
+   * two slices differ enough in length profile to need separate packing
+   * or mixing treatment. Emits t statistic and Welch–Satterthwaite
+   * degrees of freedom per (src_a < src_b) pair.
+   *
+   * Scale: one |sources|-group aggregate carrying exact DECIMAL Σv / Σv²
+   * (map-side combined, a single linear pass), then an all-pairs cross of
+   * the ≤|sources|-row aggregate — metadata-sized by construction.
+   * Determinism: means/variances derived from the exact sums with one
+   * cast to double each and identical IEEE op order on both engines.
+   */
+  def statsWelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val d30 = DecimalType(30, 0)
+    val d38 = DecimalType(38, 0)
+    val agg = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(d30)).as("sv"),
+        sum((col("v") * col("v")).cast(d38)).as("svv"))
+      .filter(col("n") >= 2)
+      .select(col("source"), col("n"),
+        (col("sv").cast("double") / col("n").cast("double")).as("m"),
+        ((col("svv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") /
+            col("n").cast("double")) /
+          (col("n") - 1).cast("double")).as("va"))
+    val a = agg.select(col("source").as("src_a"), col("n").as("n_a"),
+      col("m").as("m_a"), col("va").as("va_a"))
+    val b = agg.select(col("source").as("src_b"), col("n").as("n_b"),
+      col("m").as("m_b"), col("va").as("va_b"))
+    val sea = col("va_a") / col("n_a").cast("double")
+    val seb = col("va_b") / col("n_b").cast("double")
+    val se = sea + seb
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"),
+        round(col("m_b"), 6).as("mean_b"),
+        round(when(se > 0, (col("m_a") - col("m_b")) / sqrt(se)), 6)
+          .as("t_stat"),
+        round(when(se > 0, se * se /
+          (sea * sea / (col("n_a") - 1).cast("double") +
+            seb * seb / (col("n_b") - 1).cast("double"))), 6).as("dof"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // privacy_dp_count — ε-DP released per-source counts (seeded Laplace)
+  // ---------------------------------------------------------------------
+
+  /** ε for the released DP counts (sensitivity 1 ⇒ Laplace scale 1/ε). */
+  private val DpEpsilon = 1.0
+
+  /**
+   * Differentially-private release of the per-source document counts —
+   * the noisy aggregate a governance layer publishes instead of the true
+   * histogram: count + Laplace(1/ε) noise via the inverse-CDF transform
+   * X = −(1/ε)·sgn(p)·ln(1−2|p|). The uniform draw is DERIVED, not
+   * random: u = (md5₅₂(source)+0.5)/2⁵², so the release is reproducible
+   * and engine-independent (a production release would swap in a
+   * cryptographic RNG — the plan shape is identical; reproducible noise
+   * is also how DP test suites golden-check their mechanisms).
+   *
+   * Scale: one |sources|-group count with map-side combine; the noise is
+   * a per-group scalar expression. Determinism: 52-bit hash fits a
+   * double exactly; identical ln/CASE arithmetic both engines.
+   */
+  def privacyDpCount(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("source")), 1, 13), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5d)) / lit(4503599627370496.0d) // 2^52
+    val p = u - lit(0.5d)
+    val noise = when(p >= 0, -log(lit(1.0d) - lit(2.0d) * p))
+      .otherwise(log(lit(1.0d) + lit(2.0d) * p)) / lit(DpEpsilon)
+    docs(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
+      .select(col("source"), col("n_true"),
+        lit(DpEpsilon).as("epsilon"),
+        round(col("n_true").cast("double") + noise, 6).as("n_released"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // ml_information_value — WOE / IV of length buckets vs the en-label
+  // ---------------------------------------------------------------------
+
+  /**
+   * Weight-of-evidence / information-value audit of a candidate feature
+   * (equi-width document-length buckets) against a binary outcome
+   * (lang = 'en') — the classic feature-screening table a modeling
+   * pipeline emits before training: WOE_k = ln((g_k/G)/(b_k/B)) and
+   * IV contribution (g_k/G − b_k/B)·WOE_k per bucket; a bucket missing a
+   * class keeps NULL WOE (not ±∞, not dropped). Bucket = min(9, len/100)
+   * — fixed-width, so bucketing is scan-local (no global quantile pass;
+   * the NTILE variant exists as `ml_conversion_values`).
+   *
+   * Scale: one ≤10-group aggregate (map-side combined) + a 1-row totals
+   * cross — a single linear pass. Determinism: shares rounded to 8 dp as
+   * DECIMAL before the ln; identical op order both engines.
+   */
+  def mlInformationValue(s: SparkSession, dir: String): DataFrame = {
+    val bucket = least(floor(col("n_chars") / lit(100)).cast("long"), lit(9L))
+    val g = (col("lang") === "en").cast("long")
+    val perBucket = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(bucket.as("bucket"), g.as("good"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("good")).as("n_good"),
+        (count(lit(1)) - sum(col("good"))).as("n_bad"))
+    // totals over the ≤10-row post-aggregation relation (zeroPart
+    // single-group window convention) — no second scan, no join
+    val zw = Window.partitionBy(Tables.zeroPart(col("bucket")))
+    val pg = col("n_good").cast("double") / col("tg").cast("double")
+    val pb = col("n_bad").cast("double") / col("tb").cast("double")
+    val woe = when(col("n_good") > 0 && col("n_bad") > 0 &&
+      col("tg") > 0 && col("tb") > 0, log(pg / pb))
+    perBucket
+      .withColumn("tg", sum(col("n_good")).over(zw))
+      .withColumn("tb", sum(col("n_bad")).over(zw))
+      .select(col("bucket"), col("n"), col("n_good"), col("n_bad"),
+        round(woe, 6).as("woe"),
+        round((pg - pb) * woe, 6).as("iv_term"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------------
+  // stats_hill_tail — Hill tail-index of the token-frequency distribution
+  // ---------------------------------------------------------------------
+
+  /**
+   * Hill estimator of the token-frequency tail index — the
+   * heavy-tail-ness check that complements [[corpusZipfFit]]'s rank
+   * regression: α̂ = k / Σ_{i≤k} ln(x_i/x_{k+1}) over the top-k token
+   * frequencies (k = min(100, |vocab|−1)). A corpus whose tail index
+   * drifts between snapshots changed its long-tail composition even if
+   * headline counts didn't.
+   *
+   * Scale: token counting is one explode + map-side-combined groupBy; the
+   * top-(k+1) is TakeOrdered (per-partition partial top-k, no global
+   * sort, no unpartitioned window); the final fold runs on ≤k+1 rows.
+   * The |vocab| sizing count is a metadata-sized driver decision (the
+   * same pattern as the model-parameter collects). Determinism: ln terms
+   * rounded to 8 dp as DECIMAL, deterministic (freq desc, token asc)
+   * order before the cut.
+   */
+  def statsHillTail(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val nVocab = tf.count()
+    val k = math.min(100L, nVocab - 1L)
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("x_ref",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("alpha",
+          org.apache.spark.sql.types.DoubleType))))
+    if (k < 1) return empty
+    // x_ref = min frequency over the top-(k+1) cut = the (k+1)-th order
+    // statistic (zeroPart single-group window over a ≤k+1-row relation)
+    val zw = Window.partitionBy(Tables.zeroPart(col("word")))
+    val term = round(log(col("c").cast("double") / col("x_ref").cast("double")), 8)
+      .cast(DecimalType(20, 8))
+    tf.orderBy(col("c").desc, col("word")).limit(k.toInt + 1)
+      .withColumn("x_ref", min(col("c")).over(zw))
+      .orderBy(col("c").desc, col("word")).limit(k.toInt)
+      .select(col("x_ref"), term.as("t"))
+      .groupBy(col("x_ref"))
+      .agg(sum(col("t")).as("st"))
+      .select(lit(k).as("k"), col("x_ref"),
+        round(when(col("st") > 0,
+          lit(k.toDouble) / col("st").cast("double")), 6).as("alpha"))
+  }
+
+  // ---------------------------------------------------------------------
+  // stats_mann_whitney — rank-sum U + rank-biserial per source pair
+  // ---------------------------------------------------------------------
+
+  /**
+   * Mann–Whitney U between every pair of sources on document length —
+   * the nonparametric twin of [[statsWelchTtest]] (length profiles are
+   * skewed; a mean test and a rank test disagreeing is itself signal).
+   * U is computed EXACTLY in integers from the per-(source, value)
+   * count table: 2U_a = Σ_{x,y} c_a(x)·c_b(y)·(2·[x>y] + [x=y]) — ties
+   * counted half, no ranking pass, no float accumulation. Also emits the
+   * rank-biserial effect size 1 − 2U/(n_a·n_b) (the direction/strength
+   * readout that stays meaningful under heavy ties, where the plain
+   * normal approximation would need a tie-corrected variance).
+   *
+   * Scale: the pair stream is the VALUE-DOMAIN cross (|sources|·|distinct
+   * lengths| rows per side — domain-bounded regardless of corpus rows),
+   * collapsed by map-side partial aggregation to one row per source
+   * pair. Determinism: exact integer 2U; one rounded division at the end.
+   */
+  def statsMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val sv = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val ns = sv.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = sv.select(col("source").as("src_a"), col("v").as("va"), col("c").as("ca"))
+    val b = sv.select(col("source").as("src_b"), col("v").as("vb"), col("c").as("cb"))
+    val w = when(col("va") > col("vb"), lit(2L))
+      .when(col("va") === col("vb"), lit(1L)).otherwise(lit(0L))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (col("ca") * col("cb") * w).cast(d38).as("u2t"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("u2t")).as("u2"))
+      .join(broadcast(ns.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(ns.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (col("u2").cast("double") / lit(2.0d)).as("u_stat"),
+        round(lit(1.0d) - col("u2").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("rank_biserial"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // stats_cramers_v — lang × source association strength
+  // ---------------------------------------------------------------------
+
+  /**
+   * χ² test of independence + Cramér's V over the lang × source
+   * contingency table — the "is language confounded with source?"
+   * audit a mixture designer runs before treating the two as
+   * independent sampling axes. Emits N, table shape, χ², degrees of
+   * freedom, and V = √(χ²/(N·(min(r,c)−1))) — V derived from the
+   * PUBLISHED (rounded) χ² so the row is self-consistent.
+   *
+   * Scale: one |langs×sources|-group count; margins and N via
+   * partitioned / zeroPart windows over that ≤cells-row relation; one
+   * global fold. Determinism: per-cell terms rounded to 8 dp into exact
+   * DECIMAL sums.
+   */
+  def statsCramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val e = col("rl").cast("double") * col("cs").cast("double") /
+      col("nt").cast("double")
+    val term = round((col("o").cast("double") - e) *
+      (col("o").cast("double") - e) / e, 8).cast(DecimalType(20, 8))
+    val folded = cells
+      .withColumn("rl", sum(col("o")).over(Window.partitionBy(col("lang"))))
+      .withColumn("cs", sum(col("o")).over(Window.partitionBy(col("source"))))
+      .withColumn("nt", sum(col("o")).over(Window.partitionBy(zeroPart(col("lang")))))
+      .select(col("nt"), col("lang"), col("source"), term.as("t"))
+      .groupBy(col("nt"))
+      .agg(countDistinct(col("lang")).as("n_rows"),
+        countDistinct(col("source")).as("n_cols"),
+        sum(col("t")).as("st"))
+    val chi2 = round(col("st").cast("double"), 6)
+    val minDim = least(col("n_rows"), col("n_cols"))
+    folded.select(col("nt").as("n_total"), col("n_rows"), col("n_cols"),
+      ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+      chi2.as("chi2"),
+      round(when(minDim > 1,
+        sqrt(chi2 / (col("nt").cast("double") * (minDim - 1).cast("double")))), 6)
+        .as("cramers_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mann_whitney" -> (statsMannWhitney _),
+    "stats_cramers_v" -> (statsCramersV _),
+    "stats_welch_ttest" -> (statsWelchTtest _),
+    "privacy_dp_count" -> (privacyDpCount _),
+    "ml_information_value" -> (mlInformationValue _),
+    "stats_hill_tail" -> (statsHillTail _),
     "privacy_k_anon" -> (privacyKAnon _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "privacy_t_closeness" -> (privacyTCloseness _),
@@ -1506,5 +1790,148 @@ object Governance {
          |  CASE WHEN rk * 10 <= n_src * $TrainTenths THEN 'train'
          |       WHEN rk * 10 <= n_src * $ValTenths THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM p ORDER BY doc_id""".stripMargin)
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "stats_mann_whitney" ->
+      """WITH l AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |sv AS (SELECT source, v, CAST(COUNT(1) AS BIGINT) AS c
+        |       FROM l GROUP BY source, v),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sv GROUP BY source),
+        |u AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    SUM(CAST(a.c * b.c *
+        |      (CASE WHEN a.v > b.v THEN 2 WHEN a.v = b.v THEN 1 ELSE 0 END)
+        |      AS DECIMAL(38,0))) AS u2
+        |  FROM sv a JOIN sv b ON a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT u.src_a, u.src_b, na.n AS n_a, nb.n AS n_b,
+        |  CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+        |  round(1.0 - CAST(u2 AS DOUBLE)
+        |    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS rank_biserial
+        |FROM u
+        |JOIN ns na ON na.source = u.src_a
+        |JOIN ns nb ON nb.source = u.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+    "stats_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(1) AS BIGINT) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY lang, source),
+        |m AS (
+        |  SELECT lang, source, o,
+        |    CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS rl,
+        |    CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS cs,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS nt
+        |  FROM cells),
+        |f AS (
+        |  SELECT nt,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_cols,
+        |    SUM(CAST(round(
+        |      (CAST(o AS DOUBLE)
+        |        - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(o AS DOUBLE)
+        |        - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(nt AS DOUBLE)), 8)
+        |      AS DECIMAL(20,8))) AS st
+        |  FROM m GROUP BY nt)
+        |SELECT nt AS n_total, n_rows, n_cols,
+        |  (n_rows - 1) * (n_cols - 1) AS dof,
+        |  round(CAST(st AS DOUBLE), 6) AS chi2,
+        |  round(CASE WHEN least(n_rows, n_cols) > 1
+        |    THEN sqrt(round(CAST(st AS DOUBLE), 6)
+        |      / (CAST(nt AS DOUBLE) * CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))
+        |    END, 6) AS cramers_v
+        |FROM f""".stripMargin,
+    "stats_welch_ttest" ->
+      """WITH l AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(v AS DECIMAL(30,0))) AS sv,
+        |    SUM(CAST(v * v AS DECIMAL(38,0))) AS svv
+        |  FROM l GROUP BY source HAVING COUNT(1) >= 2),
+        |st AS (
+        |  SELECT source, n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    (CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n - 1 AS DOUBLE) AS va
+        |  FROM agg)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+        |  round(CASE WHEN a.va / CAST(a.n AS DOUBLE) + b.va / CAST(b.n AS DOUBLE) > 0
+        |    THEN (a.m - b.m)
+        |      / sqrt(a.va / CAST(a.n AS DOUBLE) + b.va / CAST(b.n AS DOUBLE)) END, 6)
+        |    AS t_stat,
+        |  round(CASE WHEN a.va / CAST(a.n AS DOUBLE) + b.va / CAST(b.n AS DOUBLE) > 0
+        |    THEN (a.va / CAST(a.n AS DOUBLE) + b.va / CAST(b.n AS DOUBLE))
+        |       * (a.va / CAST(a.n AS DOUBLE) + b.va / CAST(b.n AS DOUBLE))
+        |       / ((a.va / CAST(a.n AS DOUBLE)) * (a.va / CAST(a.n AS DOUBLE))
+        |            / CAST(a.n - 1 AS DOUBLE)
+        |          + (b.va / CAST(b.n AS DOUBLE)) * (b.va / CAST(b.n AS DOUBLE))
+        |            / CAST(b.n - 1 AS DOUBLE)) END, 6) AS dof
+        |FROM st a JOIN st b ON a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin,
+    "privacy_dp_count" ->
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_true
+        |  FROM documents GROUP BY source),
+        |u AS (
+        |  SELECT source, n_true,
+        |    (CAST(CAST(CAST('0x' || substring(md5(source), 1, 13) AS UBIGINT)
+        |       AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS uu
+        |  FROM c)
+        |SELECT source, n_true, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  round(CAST(n_true AS DOUBLE) +
+        |    (CASE WHEN uu - 0.5 >= 0 THEN -ln(1.0 - 2.0 * (uu - 0.5))
+        |          ELSE ln(1.0 + 2.0 * (uu - 0.5)) END) / 1.0, 6) AS n_released
+        |FROM u ORDER BY source""".stripMargin,
+    "ml_information_value" ->
+      """WITH base AS (
+        |  SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bucket,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS good
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |pb AS (
+        |  SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(good) AS BIGINT) AS n_good,
+        |    CAST(COUNT(1) - SUM(good) AS BIGINT) AS n_bad
+        |  FROM base GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+        |               CAST(SUM(n_bad) AS BIGINT) AS tb FROM pb)
+        |SELECT bucket, n, n_good, n_bad,
+        |  round(CASE WHEN n_good > 0 AND n_bad > 0 AND tg > 0 AND tb > 0
+        |    THEN ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+        |          / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))) END, 6) AS woe,
+        |  round(CASE WHEN n_good > 0 AND n_bad > 0 AND tg > 0 AND tb > 0
+        |    THEN (CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+        |        - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))
+        |      * ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+        |          / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))) END, 6) AS iv_term
+        |FROM pb CROSS JOIN tot
+        |ORDER BY bucket""".stripMargin,
+    "stats_hill_tail" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS c FROM w GROUP BY word),
+        |kk AS (SELECT LEAST(100, COUNT(1) - 1) AS k FROM tf),
+        |r AS (
+        |  SELECT word, c,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rn
+        |  FROM tf),
+        |cut AS (SELECT r.word, r.c, r.rn, kk.k FROM r, kk WHERE r.rn <= kk.k + 1),
+        |xr AS (SELECT MIN(c) AS x_ref FROM cut),
+        |s AS (
+        |  SELECT MAX(cut.k) AS k, MAX(xr.x_ref) AS x_ref,
+        |    SUM(CAST(round(ln(CAST(cut.c AS DOUBLE) / CAST(xr.x_ref AS DOUBLE)), 8)
+        |      AS DECIMAL(20,8))) AS st
+        |  FROM cut, xr WHERE cut.rn <= cut.k)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(x_ref AS BIGINT) AS x_ref,
+        |  round(CASE WHEN st > 0 THEN CAST(k AS DOUBLE) / CAST(st AS DOUBLE) END, 6)
+        |    AS alpha
+        |FROM s WHERE k >= 1""".stripMargin)
 }

@@ -272,6 +272,69 @@ object Similarity {
         (round(-col("b.nd"), 6) + lit(0.0)).as("rd2"))
   }
 
+  /** Target cell population for the adaptive-k assignment feeding the
+    * cell-bounded quadratic consumers ([[dedupSemantic]],
+    * [[embedPairMining]]): the centroid count grows as
+    * C = max(8, ceil(members / FineCellTarget)), so candidate-pair volume
+    * is ~members·FineCellTarget — LINEAR in the corpus — instead of
+    * members²/8 under a fixed-k model (measured 36× wall-clock at 10×
+    * rows before this; SemDeDup's own scale story is the same sizing,
+    * ~100k cells at web scale). */
+  private[graft] val FineCellTarget = 256L
+
+  /** Adaptive-k E-step: the same nearest-centroid assignment as
+    * [[kmeansAssigned]], but the centroid set is the first
+    * C = max(8, ceil(members/target)) embedding rows, so cells stay
+    * ~target-sized at any corpus scale. At C = 8 (every sf the DuckDB
+    * oracle checks) this IS kmeansAssigned — the bit-identical
+    * literal-codegen path. Above that the assignment switches to a
+    * broadcast cross join against the C-row centroid relation
+    * (codegen'ing thousands of literal centroids would blow the JVM
+    * method-size limit), with the argmin collapsed in ONE
+    * map-side-combinable max(struct) aggregate — partial agg leaves one
+    * row per member per map task, so the shuffle is |members|-sized, not
+    * |members·C|. d² uses the same ‖v‖² − 2·v·c + ‖c‖² expansion in the
+    * same IEEE op order, so the two paths agree bit-for-bit where they
+    * overlap (spec-checked parity). The sizing count is one column-pruned
+    * scan action — the same model-sizing driver decision as the anchor
+    * collect. Returns the assignment and C (consumers size their cell
+    * salts from it). */
+  private[graft] def fineModel(s: SparkSession, dir: String,
+      target: Long = FineCellTarget): (DataFrame, Long) = {
+    graft.functions.GraftFunctions.register(s)
+    val e = load(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val nMembers = e.filter(col("vec_id") >= 8).count()
+    val c = math.max(8L, (nMembers + target - 1L) / target)
+    if (c <= 8L)
+      (kmeansAssigned(s, dir).select(col("vec_id"), col("v"), col("cid")), c)
+    else {
+      val cents = e.filter(col("vec_id") < c)
+        .select(col("vec_id").as("cid0"), dArr(col("embedding")).as("cv"))
+        .withColumn("cc", dot(col("cv"), col("cv")))
+      val members = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), dArr(col("embedding")).as("v"))
+        .withColumn("vv", dot(col("v"), col("v")))
+      val asg = members.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"),
+          struct(
+            (-(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc")))
+              .as("nd"),
+            (-col("cid0")).as("nj")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), max(col("cand")).as("b"))
+        .select(col("vec_id"), col("v"), (-col("b.nj")).cast("long").as("cid"))
+      (asg, c)
+    }
+  }
+
+  /** Salt count for a cid-bounded quadratic join: spread cells only as far
+    * as needed to fill the cores — a coarse model (C ≪ cores) gets the
+    * full [[CellJoinSalts]] spread, a fine model (C ≥ cores) none (salting
+    * there only replicates the partner side for no parallelism gain). */
+  private def cellSalts(s: SparkSession, cCells: Long): Int =
+    math.max(1L, math.min(CellJoinSalts.toLong,
+      (s.sparkContext.defaultParallelism.toLong + cCells - 1L) / cCells)).toInt
+
   def embedKmeansAssign(s: SparkSession, dir: String): DataFrame =
     kmeansAssigned(s, dir)
       .select(col("cid"), col("rd2"))
@@ -650,7 +713,8 @@ object Similarity {
     // norms ride along from the assignment scan: the pair stage then does
     // ONE dot per candidate pair instead of three (dot + both self-dots),
     // and the per-row ‖v‖ is computed once, not once per partner
-    val m = kmeansAssigned(s, dir)
+    val (asg, cCells) = fineModel(s, dir)
+    val m = asg
       .select(col("vec_id"), col("v"), col("cid"),
         sqrt(dot(col("v"), col("v"))).as("nrm"))
       .persist()
@@ -662,11 +726,14 @@ object Similarity {
     val denom = col("na") * col("nb")
     // salted k-slice spread of the cid-bounded quadratic (the "giant
     // cluster" case the Scale note promises to salt — with a coarse model
-    // every cell is giant relative to the core count). Same pairs, same
-    // audit; the survivors feeding distinct() are only the ≥τ near-dups.
+    // every cell is giant relative to the core count; with the adaptive
+    // fine model C grows past the cores and the salt collapses to 1).
+    // Same pairs, same audit; the survivors feeding distinct() are only
+    // the ≥τ near-dups.
+    val salts = cellSalts(s, cCells)
     val dropped = graft.operators.SkewJoin
-      .saltedEquiJoin(a, b, Seq("cid"), CellJoinSalts,
-        numPartitions = CellJoinSalts * 8)
+      .saltedEquiJoin(a, b, Seq("cid"), salts,
+        numPartitions = if (salts == 1) 0 else salts * 8)
       .filter(col("va") < col("vb"))
       .filter(round(when(denom > 0, dot(col("xa"), col("xb")) / denom), 6) >= SemDedupTau)
       .select(col("cid"), col("vb"))
@@ -852,7 +919,8 @@ object Similarity {
     val labels = load(s, dir, "embeddings")
       .filter(col("label").isNotNull)
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val m = kmeansAssigned(s, dir)
+    val (asg, cCells) = fineModel(s, dir)
+    val m = asg
       .join(labels, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("cid"), col("label"),
         sqrt(dot(col("v"), col("v"))).as("nrm"))
@@ -866,12 +934,15 @@ object Similarity {
     // k is small relative to cores when the trained model is coarse, so a
     // plain cid equi-join caps parallelism at k tasks each doing a cell's
     // O(n_c²) dots serially. Salting the anchor side spreads every cell
-    // over CellJoinSalts slices (partner side replicated — same pairs,
+    // over cellSalts slices (partner side replicated — same pairs,
     // same results); each anchor's pairs stay in ONE slice, so the argmax
-    // partial-agg still collapses to one row per anchor before the shuffle.
+    // partial-agg still collapses to one row per anchor before the
+    // shuffle. With the adaptive fine model C outgrows the cores and the
+    // salt collapses to 1 — a plain cid equi-join.
+    val salts = cellSalts(s, cCells)
     val pairs = graft.operators.SkewJoin
-      .saltedEquiJoin(a, b, Seq("cid"), CellJoinSalts,
-        numPartitions = CellJoinSalts * 8)
+      .saltedEquiJoin(a, b, Seq("cid"), salts,
+        numPartitions = if (salts == 1) 0 else salts * 8)
       .filter(col("anchor_id") =!= col("vb"))
       .withColumn("sim", round(when(denom > 0,
         dot(col("xa"), col("xb")) / denom), 6))
@@ -1727,7 +1798,9 @@ object Similarity {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_pair_mining" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
+        |       FROM e WHERE vec_id >= 8),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
         |m0 AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
         |dots AS (
         |  SELECT m0.vec_id, cent.cid0,
@@ -2202,7 +2275,9 @@ object Similarity {
         |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
+        |       FROM e WHERE vec_id >= 8),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
         |dots AS (
         |  SELECT m.vec_id, cent.cid0,

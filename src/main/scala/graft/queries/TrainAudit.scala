@@ -649,6 +649,106 @@ object TrainAudit {
       .orderBy(col("bin"))
   }
 
+  /**
+   * Murphy/binned Brier-score decomposition over the same synthetic
+   * score/outcome relation as [[evalEceBins]] — the one-row calibration
+   * summary an eval harness publishes next to the per-bin ECE table:
+   * reliability = Σ n_k(conf_k−acc_k)²/N (how far bin confidence sits
+   * from bin accuracy — lower is better), resolution = Σ n_k(acc_k−p̄)²/N
+   * (how much the bins separate outcomes — higher is better),
+   * uncertainty = p̄(1−p̄), and the binned Brier estimate
+   * rel − res + unc.
+   *
+   * Scale: one ≤10-group aggregate (map-side combined), totals via the
+   * zeroPart single-group window over the ≤10-row post-aggregation
+   * relation, one global fold — a single linear pass. Determinism:
+   * per-bin terms rounded to 8 dp into exact DECIMAL sums; the three
+   * published components are rounded BEFORE the final sum so the
+   * headline number is a function of the published parts.
+   */
+  def evalBrierDecomp(s: SparkSession, dir: String): DataFrame = {
+    val prob = ((col("vec_id") * lit(2654435761L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0)
+    val base = load(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("label").isNotNull)
+      .select(
+        least(floor(prob * 10).cast("long"), lit(9L)).as("bin"),
+        round(prob, 8).cast(DecimalType(20, 8)).as("p8"),
+        (col("label") % 2 === 1).cast("long").as("pos"))
+    val bins = base.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      sum(col("p8")).as("sp"),
+      sum(col("pos")).as("spos"))
+    val zw = Window.partitionBy(Tables.zeroPart(col("bin")))
+    val conf = col("sp").cast("double") / col("n").cast("double")
+    val acc = col("spos").cast("double") / col("n").cast("double")
+    val baseRate = col("pt").cast("double") / col("nt").cast("double")
+    val relT = round(col("n").cast("double") * (conf - acc) * (conf - acc), 8)
+      .cast(DecimalType(20, 8))
+    val resT = round(col("n").cast("double") * (acc - baseRate) * (acc - baseRate), 8)
+      .cast(DecimalType(20, 8))
+    val folded = bins
+      .withColumn("nt", sum(col("n")).over(zw))
+      .withColumn("pt", sum(col("spos")).over(zw))
+      .select(col("nt"), col("pt"), relT.as("relt"), resT.as("rest"))
+      .groupBy(col("nt"), col("pt"))
+      .agg(sum(col("relt")).as("sr"), sum(col("rest")).as("ss"))
+    val rel = round(col("sr").cast("double") / col("nt").cast("double"), 6)
+    val res = round(col("ss").cast("double") / col("nt").cast("double"), 6)
+    val unc = round(baseRate * (lit(1.0d) - baseRate), 6)
+    folded.select(col("nt").as("n_total"),
+        round(baseRate, 6).as("base_rate"),
+        rel.as("reliability"), res.as("resolution"), unc.as("uncertainty"),
+        round(rel - res + unc, 6).as("brier_binned"))
+  }
+
+  private val evalBrierDecompSql: String =
+    """WITH base AS (
+      |  SELECT least(CAST(floor(
+      |      (CAST((vec_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0)
+      |        * 10) AS BIGINT), 9) AS bin,
+      |    CAST(round(
+      |      CAST((vec_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0,
+      |      8) AS DECIMAL(20,8)) AS p8,
+      |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings
+      |  WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+      |bins AS (
+      |  SELECT bin, CAST(COUNT(1) AS BIGINT) AS n,
+      |    SUM(p8) AS sp, CAST(SUM(pos) AS BIGINT) AS spos
+      |  FROM base GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+      |               CAST(SUM(spos) AS BIGINT) AS pt FROM bins),
+      |terms AS (
+      |  SELECT nt, pt,
+      |    CAST(round(CAST(n AS DOUBLE)
+      |      * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+      |         - CAST(spos AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+      |         - CAST(spos AS DOUBLE) / CAST(n AS DOUBLE)), 8)
+      |      AS DECIMAL(20,8)) AS relt,
+      |    CAST(round(CAST(n AS DOUBLE)
+      |      * (CAST(spos AS DOUBLE) / CAST(n AS DOUBLE)
+      |         - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |      * (CAST(spos AS DOUBLE) / CAST(n AS DOUBLE)
+      |         - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 8)
+      |      AS DECIMAL(20,8)) AS rest
+      |  FROM bins CROSS JOIN tot),
+      |folded AS (
+      |  SELECT nt, pt, SUM(relt) AS sr, SUM(rest) AS ss
+      |  FROM terms GROUP BY nt, pt),
+      |parts AS (
+      |  SELECT nt, pt,
+      |    round(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS base_rate,
+      |    round(CAST(sr AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS reliability,
+      |    round(CAST(ss AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS resolution,
+      |    round(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |      * (1.0 - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS uncertainty
+      |  FROM folded)
+      |SELECT nt AS n_total, base_rate, reliability, resolution, uncertainty,
+      |  round(reliability - resolution + uncertainty, 6) AS brier_binned
+      |FROM parts""".stripMargin
+
   private val evalEceBinsSql: String =
     """WITH base AS (
       |  SELECT least(CAST(floor(
@@ -744,6 +844,7 @@ object TrainAudit {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_auc_roc" -> (evalAucRoc _),
     "eval_ece_bins" -> (evalEceBins _),
+    "eval_brier_decomp" -> (evalBrierDecomp _),
     "ml_target_encoding" -> (mlTargetEncoding _),
     "ml_psi_drift" -> (mlPsiDrift _),
     "split_kfold" -> (splitKfold _),
@@ -757,6 +858,7 @@ object TrainAudit {
   val oracle: Map[String, String] = Map(
     "eval_auc_roc" -> evalAucRocSql,
     "eval_ece_bins" -> evalEceBinsSql,
+    "eval_brier_decomp" -> evalBrierDecompSql,
     "ml_target_encoding" -> mlTargetEncodingSql,
     "ml_psi_drift" ->
       s"""WITH base AS (

@@ -378,4 +378,38 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     // hits 2 of 3
     assert(out.toSeq == Seq((0L, 3L, 2L, 666666L)), s"got ${out.toSeq}")
   }
+
+  test("fineModel: join-path assignment matches the argmin-window spelling, default stays coarse") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    // default target at sf0.01: 492 members / 256 → C = 8, the
+    // literal-codegen path the oracle already hash-checks
+    assert(Similarity.fineModel(spark, dir)._2 == 8L)
+    // a 16-member target forces the adaptive broadcast-join path
+    val (asg, c) = Similarity.fineModel(spark, dir, target = 16L)
+    assert(c > 8, s"expected adaptive C > 8, got $c")
+    // independent spelling of the same argmin: materialize every
+    // (member, centroid) distance, keep rn=1 under (d² asc, cid0 asc)
+    graft.functions.GraftFunctions.register(spark)
+    def darr(cn: org.apache.spark.sql.Column) = transform(cn, x => x.cast("double"))
+    def dotf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.dot_f64(a, b)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+    val cents = e.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid0"), darr(col("embedding")).as("cv"))
+    val m = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), darr(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid0"))
+    val expected = m.crossJoin(cents)
+      .withColumn("d2", dotf(col("v"), col("v"))
+        - lit(2.0) * dotf(col("v"), col("cv")) + dotf(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid0").cast("long").as("cid"))
+    val got = asg.select(col("vec_id"), col("cid"))
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      "adaptive-path cid assignment diverged from the window spelling")
+  }
 }
