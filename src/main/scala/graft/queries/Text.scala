@@ -745,15 +745,29 @@ object Text {
     // vocabulary size over ALL tokens (single-token docs included): the
     // smoothing denominator must not depend on which docs emit bigrams
     val vocab = lmVocabSize(withWs)
-    def bigrams = explodeBigrams(withWs)
-    val (cb, cu) = lmCounts(bigrams)
-    bigrams
-      .join(cb, Seq("w1", "w2"))
-      .join(cu, Seq("w1"))
-      .select(col("doc_id"), lmTerm(vocab).as("term"))
+    // collapse the occurrence stream to per-(doc, bigram) multiplicities
+    // FIRST: everything downstream — the model tables, the scoring join,
+    // the per-doc fold — then runs on the distinct-pair relation, not the
+    // token stream, and the explode happens exactly once (query-owned
+    // persist). Σ m·term over distinct pairs equals Σ term over
+    // occurrences EXACTLY: term is a 6-dp DECIMAL and m an integer, so
+    // the product is exact and order-independent.
+    val bi0 = explodeBigrams(withWs)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val cb = bi0.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("cb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    // one −ln(p) per DISTINCT bigram, not per occurrence
+    val terms = cb.join(cu, Seq("w1"))
+      .select(col("w1"), col("w2"), lmTerm(vocab).as("term"))
+    bi0
+      .join(terms, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("nll"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * col("term")).cast("double") / sum(col("m")), 6)
+          .as("nll"))
       .orderBy(col("doc_id"))
   }
 
@@ -1012,28 +1026,38 @@ object Text {
     val withWs = docs(s, dir)
       .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
     val vocab = lmVocabSize(withWs.select(col("doc_id"), col("ws")))
-    def bigrams(df: DataFrame): DataFrame =
-      explodeBigrams(df).select(col("doc_id"), col("w1"), col("w2"))
-    val biAll = bigrams(withWs)
-    val cbG = biAll.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    // one explode, collapsed to per-(doc, bigram) multiplicity with the
+    // doc's target flag riding along (lang is doc-functional) — the
+    // general and target model tables, the importance-weight join, and
+    // the per-doc fold all run on the distinct-pair relation (same
+    // occurrences-vs-distinct argument as [[textLmNll]]; the per-distinct
+    // term times integer m is exact DECIMAL)
+    val bi0 = explodeBigrams(withWs)
+      .groupBy(col("doc_id"), (col("lang") === "en").as("is_t"),
+        col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val cbG = bi0.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("cbg"))
     val cuG = cbG.groupBy(col("w1")).agg(sum(col("cbg")).as("cug"))
-    val cbT = bigrams(withWs.filter(col("lang") === "en"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbt"))
+    val cbT = bi0.filter(col("is_t"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("cbt"))
     val cuT = cbT.groupBy(col("w1")).agg(sum(col("cbt")).as("cut"))
     val term = round(
       log((coalesce(col("cbt"), lit(0L)) + lit(1.0)) /
         (coalesce(col("cut"), lit(0L)) + lit(1.0 * vocab))) -
       log((col("cbg") + lit(1.0)) / (col("cug") + lit(1.0 * vocab))), 6)
       .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6))
-    biAll
-      .join(cbG, Seq("w1", "w2"))
+    val terms = cbG
       .join(cuG, Seq("w1"))
       .join(cbT, Seq("w1", "w2"), "left")
       .join(cuT, Seq("w1"), "left")
-      .select(col("doc_id"), term.as("term"))
+      .select(col("w1"), col("w2"), term.as("term"))
+    bi0
+      .join(terms, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("term")).cast("double"), 6).as("log_w"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * col("term")).cast("double"), 6).as("log_w"))
       .withColumn("target_like", col("log_w") > 0.0)
       .orderBy(col("doc_id"))
   }
