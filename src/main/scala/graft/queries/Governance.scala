@@ -570,11 +570,14 @@ object Governance {
         coalesce(col("n_chars"), lit(0L)).as("nc"),
         when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
           .as("norm_fp"))
-    val clusters = d.filter(col("norm_fp").isNotNull)
-      .groupBy(col("norm_fp")).agg(min(col("doc_id")).as("canon_id"))
-    val counts = d.join(clusters, Seq("norm_fp"), "left")
+    // canonicity via ONE window over the fingerprint (no cluster build +
+    // corpus re-join — halves the corpus-scale shuffles); fp-less docs
+    // short-circuit to canonical before the window value matters
+    val wFp = Window.partitionBy(col("norm_fp"))
+    val counts = d
       .select(col("source"), col("nc"),
-        coalesce(col("doc_id") === col("canon_id"), lit(true)).as("is_canon"))
+        (col("norm_fp").isNull ||
+          col("doc_id") === min(col("doc_id")).over(wFp)).as("is_canon"))
       .groupBy(col("source"))
       .agg(sum(col("nc")).as("avail_chars"),
         sum(when(col("is_canon"), col("nc")).otherwise(lit(0L))).as("unique_chars"))
@@ -882,14 +885,15 @@ object Governance {
       .select(col("doc_id"), col("source"),
         when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
           .as("norm_fp"))
-    val clusters = d.filter(col("norm_fp").isNotNull)
-      .groupBy(col("norm_fp"))
-      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gn"))
+    // group id/size via ONE window over the fingerprint (no cluster
+    // build + corpus re-join); fp-less docs are singleton groups
+    val wFp = Window.partitionBy(col("norm_fp"))
     val bucket = Curation.md5Mod100(col("group_id"))
-    d.join(clusters, Seq("norm_fp"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("gid"), col("doc_id")).as("group_id"),
-        coalesce(col("gn"), lit(1L)).as("group_n"))
+    d.select(col("doc_id"), col("source"),
+        when(col("norm_fp").isNull, col("doc_id"))
+          .otherwise(min(col("doc_id")).over(wFp)).as("group_id"),
+        when(col("norm_fp").isNull, lit(1L))
+          .otherwise(count(lit(1)).over(wFp)).as("group_n"))
       .withColumn("split",
         when(bucket < GroupTrainPct, "train")
           .when(bucket < GroupValPct, "val")
