@@ -433,6 +433,55 @@ object Similarity {
    * 6-dp-rounded error output, −0.0 canonicalized — the
    * [[kmeansAssigned]] contract per subspace.
    */
+  /** Literal sub-centroid model for the PQ family: the sub-vector table
+    * keyed m·|C|+j plus its self-dots pre-folded driver-side in INDEX
+    * ORDER — bit-identical to the constant-folded `dot(cs, cs)` the
+    * monolithic spelling produced ([[graft.functions.DotF64]] is an
+    * ascending-index fold). */
+  private def pqModel(cents: Seq[Array[Double]], sub: Int): (Column, Column) =
+    if (cents.isEmpty) (typedLit(Map(0L -> Seq(0.0))), typedLit(Map(0L -> 0.0)))
+    else {
+      val nC = cents.length
+      val kv = for { m <- 0 until PqM; j <- 0 until nC } yield
+        (m.toLong * nC + j) -> cents(j).slice(m * sub, (m + 1) * sub)
+      (typedLit(kv.map { case (k, cs) => k -> cs.toSeq }.toMap),
+        typedLit(kv.map { case (k, cs) =>
+          k -> cs.foldLeft(0.0)((a, x) => a + x * x) }.toMap))
+    }
+
+  /** Per-(row, subspace) PQ code assignment on an EXPLODED subspace
+    * relation: one row per (carry, m) scored against the |C| sub-centroids
+    * by a small argmin (|C| dots). The monolithic all-subspaces projection
+    * (PqM·|C| dot terms in one expression) exceeds the JIT huge-method
+    * limit and executes as uncompiled bytecode — measured 24× slower than
+    * the SAME flops in [[kmeansAssigned]]'s 8-dot shape. Distances keep
+    * the monolithic spelling's IEEE order ((vv − 2·v·c) + cc with cc the
+    * index-order fold), so codes, tie-breaks, and errors are
+    * bit-identical. */
+  private def pqCodeRows(vecs: DataFrame, vCol: String,
+      cents: Seq[Array[Double]], sub: Int, carry: Seq[String]): DataFrame = {
+    val nC = cents.length
+    val (cslit, csqlit) = pqModel(cents, sub)
+    val slices = transform(sequence(lit(0), lit(PqM - 1)),
+      mi => slice(col(vCol), mi * lit(sub) + 1, lit(sub)))
+    val rows = vecs.select(
+      carry.map(col) :+ posexplode(slices).as(Seq("m", "vs")): _*)
+    def key(j: Int) = col("m").cast("long") * lit(nC.toLong) + lit(j.toLong)
+    val best =
+      if (cents.isEmpty) struct(lit(0.0).as("nd"), lit(0).as("nj"))
+      else array_max(array((0 until nC).map { j =>
+        val d2 = (col("vv") - lit(2.0) * dot(col("vs"), element_at(cslit, key(j)))) +
+          element_at(csqlit, key(j))
+        struct((-d2).as("nd"), lit(-j).as("nj"))
+      }: _*))
+    rows
+      .withColumn("vv", dot(col("vs"), col("vs")))
+      .withColumn("b", best)
+      .select(carry.map(col) ++ Seq(col("m").cast("long").as("m"),
+        (-col("b.nj")).cast("long").as("code"),
+        (round(-col("b.nd"), 6) + lit(0.0)).as("sq_err")): _*)
+  }
+
   def embedPqAssign(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = anchorVecs(s, dir)
@@ -440,23 +489,8 @@ object Similarity {
     val members = load(s, dir, "embeddings")
       .filter(col("vec_id") >= 8 && col("embedding").isNotNull && noModel(cents))
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
-    val perSub = (0 until PqM).map { m =>
-      val vs = slice(col("v"), m * sub + 1, sub)
-      val best =
-        if (cents.isEmpty) struct(lit(0.0).as("nd"), lit(0).as("nj"))
-        else array_max(array(cents.zipWithIndex.map { case (c, j) =>
-          val cs = typedLit(c.slice(m * sub, (m + 1) * sub))
-          val d2 = dot(vs, vs) - lit(2.0) * dot(vs, cs) + dot(cs, cs)
-          struct((-d2).as("nd"), lit(-j).as("nj"))
-        }: _*))
-      struct(lit(m.toLong).as("m"),
-        (-best.getField("nj")).cast("long").as("code"),
-        (round(-best.getField("nd"), 6) + lit(0.0)).as("err"))
-    }
-    members
-      .select(col("vec_id"), explode(array(perSub: _*)).as("p"))
-      .select(col("vec_id"), col("p.m").as("subspace"),
-        col("p.code").as("code"), col("p.err").as("sq_err"))
+    pqCodeRows(members, "v", cents, sub, Seq("vec_id"))
+      .select(col("vec_id"), col("m").as("subspace"), col("code"), col("sq_err"))
       .orderBy(col("vec_id"), col("subspace"))
   }
 
@@ -505,15 +539,6 @@ object Similarity {
           BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }.toArray
       }
-    val codeCols = (0 until PqM).map { m =>
-      val vs = slice(col("v"), m * sub + 1, sub)
-      if (cents.isEmpty) lit(0)
-      else array_max(array(cents.zipWithIndex.map { case (c, j) =>
-        val cs = typedLit(c.slice(m * sub, (m + 1) * sub))
-        val d2 = dot(vs, vs) - lit(2.0) * dot(vs, cs) + dot(cs, cs)
-        struct((-d2).as("nd"), lit(-j).as("nj"))
-      }: _*)).getField("nj") * lit(-1)
-    }
     val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
     // the LUT sums reference the CODES, not the argmin trees: without the
     // materialization barrier below, every one of the |Q|·M lookups would
@@ -532,10 +557,14 @@ object Similarity {
         noModel(cents) && lit(queries10.nonEmpty))
       .select(col("vec_id"), dArr(col("embedding")).as("v"))
     val w = Window.partitionBy(col("qid")).orderBy(col("est"), col("vec_id"))
-    cands
-      .select(col("vec_id"),
-        explode(array(struct(array(codeCols.map(_.cast("int")): _*).as("codes")))).as("cr"))
-      .select(col("vec_id"), col("cr.codes").as("codes"))
+    // candidate codes via the exploded small-argmin path (see
+    // [[pqCodeRows]]), regrouped to one codes array per candidate — the
+    // 400k-row regroup costs one tiny shuffle and also keeps the |Q|·M
+    // LUT lookups referencing materialized codes, not argmin trees
+    pqCodeRows(cands, "v", cents, sub, Seq("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code").cast("int")).as("codes"))
       .select(col("vec_id"), explode(
         if (ests.isEmpty) array(struct(lit(0L).as("qid"), lit(0.0).as("est")))
         else array(ests: _*)).as("e"))
@@ -573,23 +602,9 @@ object Similarity {
         explode(array(struct(zip_with(col("v"), element_at(cmap, col("cid")),
           (a, b) => a - b).as("r")))).as("rr"))
       .select(col("vec_id"), col("cid"), col("rr.r").as("r"))
-    val perSub = (0 until PqM).map { m =>
-      val rs = slice(col("r"), m * sub + 1, sub)
-      val best =
-        if (cents.isEmpty) struct(lit(0.0).as("nd"), lit(0).as("nj"))
-        else array_max(array(cents.zipWithIndex.map { case (c, j) =>
-          val cs = typedLit(c.slice(m * sub, (m + 1) * sub))
-          val d2 = dot(rs, rs) - lit(2.0) * dot(rs, cs) + dot(cs, cs)
-          struct((-d2).as("nd"), lit(-j).as("nj"))
-        }: _*))
-      struct(lit(m.toLong).as("m"),
-        (-best.getField("nj")).cast("long").as("code"),
-        (round(-best.getField("nd"), 6) + lit(0.0)).as("err"))
-    }
-    withRes
-      .select(col("vec_id"), col("cid"), explode(array(perSub: _*)).as("p"))
-      .select(col("vec_id"), col("cid"), col("p.m").as("subspace"),
-        col("p.code").as("code"), col("p.err").as("sq_err"))
+    pqCodeRows(withRes, "r", cents, sub, Seq("vec_id", "cid"))
+      .select(col("vec_id"), col("cid"), col("m").as("subspace"),
+        col("code"), col("sq_err"))
       .orderBy(col("vec_id"), col("subspace"))
   }
 
@@ -1061,9 +1076,13 @@ object Similarity {
     val vars = stats.map(_.getDouble(3)).toSeq
     val mlit = typedLit(means)
     val vlit = typedLit(vars)
-    val y = transform(sequence(lit(1), lit(means.length)), i =>
-      round((round(element_at(dArr(col("embedding")), i), 6) - element_at(mlit, i)) /
-        sqrt(element_at(vlit, i) + lit(WhitenEps)), 6) + lit(0.0))
+    // two linear zips, NOT element_at(transform(...), i): indexed access
+    // into a computed array re-evaluates the whole cast per element
+    // (O(dim^2) per row — the embedPcaPower lesson); same ops, same order
+    val centered = zip_with(dArr(col("embedding")), mlit,
+      (x, m) => round(x, 6) - m)
+    val y = zip_with(centered, vlit,
+      (cx, vv) => round(cx / sqrt(vv + lit(WhitenEps)), 6) + lit(0.0))
     load(s, dir, "embeddings")
       .filter(col("embedding").isNotNull && noModel(means))
       .select(col("vec_id"), y.as("whitened"))

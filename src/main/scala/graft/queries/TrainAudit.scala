@@ -70,10 +70,16 @@ object TrainAudit {
       .select(col("p_partkey"), md5Mod(col("p_partkey"), nBuckets).as("bucket"))
     val custs = load(s, dir, "customer")
       .select(col("c_custkey"), md5Mod(col("c_custkey"), nBuckets).as("bucket"))
+    // only SAME-BUCKET (cust, part) pairs can collide with a candidate
+    // (candidates are built by bucket equi-join), so the true-interaction
+    // relation is bucket-filtered BEFORE the distinct — the distinct and
+    // the anti-join shuffle ~1/|buckets| of the raw pairs instead of all
+    // of them, and the filter is two codegen hashes on the join output
     val interactions = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("p_partkey"))
+      .filter(md5Mod(col("c_custkey"), nBuckets) === md5Mod(col("p_partkey"), nBuckets))
       .distinct()
     val cand = custs.join(parts, Seq("bucket"))
       .join(interactions, Seq("c_custkey", "p_partkey"), "left_anti")
