@@ -444,7 +444,105 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Small-quantity fraction for the Q17-shape filter. */
+  private val SmallQtyFrac = 0.2
+  /** Per-order quantity threshold for the Q18-shape report. */
+  private val BigOrderQty = 300
+  /** Dormancy cutoff for the Q22-shape anti join. */
+  private val IdleSince = "1998-01-01"
+  private val BigOrderTopK = 20
+
+  /**
+   * Small-order revenue by brand (the TPC-H Q17 shape): lineitems whose
+   * quantity falls below [[SmallQtyFrac]] of their part's average
+   * quantity — the reference SQL is a correlated scalar subquery
+   * (`l_quantity < 0.2 * (SELECT avg(l_quantity) ... WHERE p_partkey =
+   * l_partkey)`).
+   *
+   * Spark-first: the correlated scalar DECORRELATES into one per-part
+   * aggregate joined back on the key — the per-part averages
+   * co-partition with lineitem on `l_partkey`, so the probe is a single
+   * shuffle equi-join (never per-row re-execution); the brand lookup
+   * broadcasts the dim. Averages are exact-DECIMAL sums divided once;
+   * the threshold compare runs on identical doubles both engines.
+   */
+  def q30SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = l.groupBy(col("l_partkey")).agg(davg(col("l_quantity")).as("avg_qty"))
+    l.join(avgQ, Seq("l_partkey"))
+      .filter(dec(col("l_quantity")).cast("double") < lit(SmallQtyFrac) * col("avg_qty"))
+      .join(broadcast(load(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        dsum(col("l_extendedprice")).as("small_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /**
+   * Large-volume customers (the TPC-H Q18 shape): orders whose total
+   * lineitem quantity exceeds [[BigOrderQty]] — the reference SQL is an
+   * `IN (SELECT l_orderkey ... GROUP BY ... HAVING SUM(qty) > k)`
+   * semi-join.
+   *
+   * Spark-first: the HAVING subquery is one map-side-combined aggregate
+   * over lineitem; because the aggregate output IS the probe set, the
+   * semi-join collapses into an inner join that also carries `sum_qty`
+   * into the report (the reference re-aggregates it). AQE broadcasts the
+   * filtered aggregate (top-percentile orders — small at any scale);
+   * Top-K is a TakeOrderedAndProject, never a global sort.
+   */
+  def q31BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > BigOrderQty)
+    load(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(load(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(BigOrderTopK)
+  }
+
+  /**
+   * Idle high-balance customers by nation (the TPC-H Q22 shape): the
+   * reference SQL combines a scalar subquery (global average positive
+   * balance) with a correlated NOT EXISTS (customer placed no order since
+   * [[IdleSince]] — dormancy, not lifetime absence).
+   *
+   * Spark-first: the scalar average is a 1-row aggregate read back as a
+   * metadata-sized driver scalar (the mixTemperature/AQE-statistics
+   * convention — one row, never data-sized) and folded into the customer
+   * filter as a literal; NOT EXISTS
+   * is a LEFT ANTI join against the orders keys with the date predicate
+   * PUSHED to the orders scan (the anti build side shrinks before it
+   * shuffles); the rollup is one ≤|nations|-group aggregate. The
+   * acctbal > 0 filter reaches the customer scan.
+   */
+  def q32IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .filter(dec(col("c_acctbal")).cast("double") > 0.0)
+    val avgBal = c.agg(davg(col("c_acctbal")).as("avg_bal")).first().getDouble(0)
+    c.filter(dec(col("c_acctbal")).cast("double") > lit(avgBal))
+      .join(load(s, dir, "orders")
+          .filter(to_date(col("o_orderdate")) >= lit(IdleSince))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_small_qty_revenue" -> (q30SmallQtyRevenue _),
+    "q31_big_orders" -> (q31BigOrders _),
+    "q32_idle_balance" -> (q32IdleBalance _),
     "q_ship_lag_priority" -> (qShipLagPriority _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -470,6 +568,51 @@ object Relational {
     "q_hash_split" -> (qHashSplit _))
 
   val oracle: Map[String, String] = Map(
+    "q30_small_qty_revenue" ->
+      s"""WITH a AS (
+         |  SELECT l_partkey,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         |      / COUNT(1) AS avg_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT p_brand, CAST(COUNT(1) AS BIGINT) AS n_small_lines,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS small_revenue
+         |FROM lineitem l
+         |JOIN a USING (l_partkey)
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)
+         |  < $SmallQtyFrac * avg_qty
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_big_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         |    > $BigOrderQty)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         |  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+         |  big.sum_qty
+         |FROM orders o
+         |JOIN big ON o.o_orderkey = big.l_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT $BigOrderTopK""".stripMargin,
+    "q32_idle_balance" ->
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > 0.0),
+        |a AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    / COUNT(1) AS avg_bal
+        |  FROM c)
+        |SELECT c_nationkey, CAST(COUNT(1) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM c CROSS JOIN a
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND CAST(o.o_orderdate AS DATE) >= DATE '$IdleSince')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_sole_late_supplier" ->
       s"""WITH ps AS (
          |  SELECT l.l_orderkey, l.l_suppkey,

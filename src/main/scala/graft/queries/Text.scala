@@ -1184,6 +1184,55 @@ object Text {
       .orderBy(col("stage"), col("source"))
   }
 
+  /** Multiplicative-weights step size for the DoReMi-style reweighting. */
+  private val DoremiEta = 1.0
+
+  /**
+   * One DoReMi-style domain-reweighting step (Xie et al. 2023, simplified
+   * to the engine's bigram reference LM): per source, the mean document
+   * cross-entropy under [[textLmNll]] stands in for the proxy model's
+   * excess loss; each source's character-mass base share is multiplied by
+   * exp(η · excess) (excess = mean NLL above the best source's) and
+   * renormalized. The output is the mixture-weight table the next
+   * training round would sample with — sources the LM finds hardest get
+   * upweighted, exactly the DoReMi update direction.
+   *
+   * Scale: the LM pipeline plus ONE doc_id equi-join and a ≤|sources|
+   * aggregate; everything after runs on the |sources|-row relation
+   * (zeroPart single-group windows — the post-aggregation convention).
+   * Determinism: mean NLL and excess rounded at 6 dp before exp, the
+   * exp output rounded to 8 dp DECIMAL before the normalizing sum (the
+   * survival-curve exp envelope), one final 6 dp division.
+   */
+  def mixDoremiStep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
+    val dec8 = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val perSrc = textLmNll(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        round(sum(col("nll").cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+    val zw = Window.partitionBy(zeroPart(col("source")))
+    val base = round(col("sum_chars").cast("double") /
+      sum(col("sum_chars")).over(zw).cast("double"), 6)
+    val excess = round(col("mean_nll") - min(col("mean_nll")).over(zw), 6)
+    val unnorm = round(col("base_share") * exp(lit(DoremiEta) * col("excess_nll")), 8)
+      .cast(dec8)
+    perSrc
+      .withColumn("base_share", base)
+      .withColumn("excess_nll", excess)
+      .withColumn("w8", unnorm)
+      .withColumn("doremi_weight",
+        round(col("w8").cast("double") / sum(col("w8")).over(zw).cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("mean_nll"),
+        col("excess_nll"), col("base_share"), col("doremi_weight"))
+      .orderBy(col("source"))
+  }
+
   /** Coverage knee reported by the audit (SentencePiece's default
     * character_coverage is 0.9995). */
   private val CharCoverPpm = 999500L
@@ -1227,6 +1276,7 @@ object Text {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_doremi_step" -> (mixDoremiStep _),
     "tok_char_coverage" -> (tokCharCoverage _),
     "pipeline_curation_lm" -> (pipelineCurationLm _),
     "pack_pairs" -> (packPairs _),
@@ -1503,6 +1553,32 @@ object Text {
         |FROM w LEFT JOIN v ON w.word = v.word
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lm_nll" -> LmNllSql,
+    "mix_doremi_step" ->
+      s"""WITH lm AS ($LmNllSql),
+         |ps AS (
+         |  SELECT d.source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS sum_chars,
+         |    round(CAST(SUM(CAST(lm.nll AS DECIMAL(20,6))) AS DOUBLE)
+         |      / COUNT(1), 6) AS mean_nll
+         |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+         |  GROUP BY d.source),
+         |t AS (SELECT CAST(SUM(sum_chars) AS BIGINT) AS tot,
+         |             MIN(mean_nll) AS mn FROM ps),
+         |u AS (
+         |  SELECT source, n_docs, mean_nll,
+         |    round(mean_nll - mn, 6) AS excess_nll,
+         |    round(CAST(sum_chars AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         |      AS base_share
+         |  FROM ps CROSS JOIN t),
+         |w AS (
+         |  SELECT source, n_docs, mean_nll, excess_nll, base_share,
+         |    CAST(round(base_share * exp($DoremiEta * excess_nll), 8)
+         |      AS DECIMAL(30,8)) AS w8
+         |  FROM u)
+         |SELECT source, n_docs, mean_nll, excess_nll, base_share,
+         |  round(CAST(w8 AS DOUBLE)
+         |    / CAST((SELECT SUM(w8) FROM w) AS DOUBLE), 6) AS doremi_weight
+         |FROM w ORDER BY source""".stripMargin,
     "corpus_ccnet_buckets" ->
       s"""WITH lm AS ($LmNllSql),
          |j AS (
