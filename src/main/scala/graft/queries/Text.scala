@@ -664,8 +664,12 @@ object Text {
    */
   def sampleQualityWeighted(s: SparkSession, dir: String): DataFrame = {
     val qw = gopherPredicates.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+    // explode(array(...)) materialization barrier: without it the
+    // optimizer inlines the full rule battery (tokenize + three regex
+    // passes) into BOTH the keep-filter and the output projection —
+    // measured 2× the scan cost of filter_gopher_rules on the same rules
     docs(s, dir)
-      .withColumn("quality_w", qw)
+      .select(col("doc_id"), col("source"), explode(array(qw)).as("quality_w"))
       .filter(Curation.md5Mod100(col("doc_id")) < col("quality_w") * lit(20L))
       .select(col("doc_id"), col("source"), col("quality_w"))
       .orderBy(col("doc_id"))
