@@ -1161,11 +1161,13 @@ object Similarity {
    * A zero norm at any round (empty or fully-degenerate corpus) yields
    * an empty result on both engines rather than NaN loadings.
    */
-  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+  /** The power-iteration core behind [[embedPcaPower]] /
+    * [[embedPcaDebias]], taking the per-dim means so a composed caller
+    * pays the dim-stats scan ONCE. Returns (loading vector, per-round
+    * norms). */
+  private def pcaPowerCore(s: SparkSession, dir: String,
+      means: Seq[Double]): (Seq[Double], Seq[Double]) = {
     graft.functions.GraftFunctions.register(s)
-    import s.implicits._
-    val stats = embedDimStats(s, dir).orderBy(col("dim")).collect()
-    val means = stats.map(_.getDouble(2)).toSeq
     val dims = means.length
     def r(x: Double, scale: Int): Double =
       BigDecimal.valueOf(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
@@ -1203,10 +1205,27 @@ object Similarity {
         if (nrm > 0) v = w.map(x => r(x / nrm, 6)).toSeq
       }
     }
+    (v, norms.toSeq)
+  }
+
+  /** Per-dim means from the dim-stats scan — the PCA family's shared
+    * model-sizing collect. */
+  private def dimMeans(s: SparkSession, dir: String): Seq[Double] =
+    embedDimStats(s, dir).orderBy(col("dim")).collect()
+      .map(_.getDouble(2)).toSeq
+
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val means = dimMeans(s, dir)
+    val dims = means.length
+    val (v, norms) = pcaPowerCore(s, dir, means)
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
     val ok = dims > 0 && norms.size == PcaIters && norms.forall(_ > 0)
     if (!ok) Seq.empty[(Long, Double, Double)].toDF("dim", "loading", "lambda")
     else {
-      val lambda = r(norms.last, 6)
+      val lambda = r6(norms.last)
       v.zipWithIndex.map { case (x, d) => (d.toLong, x, lambda) }
         .toDF("dim", "loading", "lambda")
     }
@@ -1232,10 +1251,12 @@ object Similarity {
    */
   def embedPcaDebias(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val pca = embedPcaPower(s, dir).orderBy(col("dim")).collect()
-    val v = pca.map(_.getDouble(1)).toSeq
-    val means = embedDimStats(s, dir).orderBy(col("dim")).collect()
-      .map(_.getDouble(2)).toSeq
+    // one dim-stats scan feeds BOTH the centering means and the power
+    // iteration (embedPcaPower re-collects it when run standalone)
+    val means = dimMeans(s, dir)
+    val (vRaw, norms) = pcaPowerCore(s, dir, means)
+    val ok = means.nonEmpty && norms.size == PcaIters && norms.forall(_ > 0)
+    val v: Seq[Double] = if (ok) vRaw else Seq.empty
     val dims = means.length
     val mlit = typedLit(means)
     val vlit = typedLit(v)
