@@ -1310,7 +1310,152 @@ object Governance {
         .as("cramers_v"))
   }
 
+  // ---------------------------------------------------------------------
+  // stats_good_turing — frequency-of-frequencies smoothing table
+  // ---------------------------------------------------------------------
+
+  /** How many of the smallest observed counts the table re-estimates
+    * (Katz's k=5-10 convention, anchored to the corpus's own low end —
+    * a fixed r <= k cut can be vacuous on a corpus with no rare
+    * tokens). */
+  private val GoodTuringRows = 10L
+
+  /**
+   * Good-Turing frequency-of-frequencies table over the token counts —
+   * the smoothing audit run before trusting any count-based LM or
+   * coverage number: for each raw count r ≤ [[GoodTuringMaxR]], the
+   * population N_r, N_{r+1}, and the re-estimated count
+   * r* = (r+1)·N_{r+1}/N_r (Good 1953), for the [[GoodTuringRows]]
+   * smallest observed counts. The unseen-mass estimate N_min/N rides on
+   * the smallest count's row as `p_unseen` (equal to the classical N_1/N
+   * whenever singletons exist).
+   *
+   * Scale: one explode collapsed map-side to token counts; the
+   * frequency-of-frequencies relation is ≤|distinct counts| rows —
+   * metadata-sized — and the shifted self-join runs on it, never on the
+   * corpus. Determinism: pure integer counts; one rounded division per
+   * output row.
+   */
+  def statsGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val fof = tf.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val zw = Window.partitionBy(Tables.zeroPart(col("r")))
+    val ord = Window.partitionBy(Tables.zeroPart(col("r"))).orderBy(col("r"))
+    val withTot = fof
+      .withColumn("n_tokens", sum(col("r") * col("n_r")).over(zw))
+      .withColumn("rk", row_number().over(ord))
+    val nxt = withTot.select((col("r") - 1L).as("r"), col("n_r").as("n_r1"))
+    withTot.filter(col("rk") <= GoodTuringRows)
+      .join(nxt, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r1"),
+        round((col("r") + 1L).cast("double") * coalesce(col("n_r1"), lit(0L))
+          / col("n_r"), 6).as("r_star"),
+        when(col("rk") === 1,
+          round(col("n_r").cast("double") / col("n_tokens"), 6)).as("p_unseen"))
+      .orderBy(col("r"))
+  }
+
+  // ---------------------------------------------------------------------
+  // vocab_oov_rate — held-out OOV audit against the train-split vocabulary
+  // ---------------------------------------------------------------------
+
+  /** Train share (percent of md5 space) for the OOV split. */
+  private val OovTrainPct = 80L
+
+  /**
+   * Held-out out-of-vocabulary audit: split the corpus by document hash
+   * ([[Curation.md5Mod100]] < [[OovTrainPct]] → train), build the
+   * vocabulary from the train split only, and measure what fraction of
+   * the HELD-OUT token stream falls outside it, per source — the
+   * closed-vocab coverage number a tokenizer/embedding-table sizing
+   * decision reads (the split-based complement of the Zipf-curve
+   * `vocab_coverage`).
+   *
+   * Scale: the vocabulary is one distinct over the train token stream;
+   * OOV detection is a left join of the held-out (source, word) COUNTS
+   * (collapsed map-side first, so the join probes distinct words per
+   * source, not occurrences) against that vocabulary. Linear, two
+   * shuffles, no corpus self-join.
+   */
+  def vocabOovRate(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        (Curation.md5Mod100(col("doc_id")) < OovTrainPct).as("is_train"),
+        explode(Text.words(col("text"))).as("word"))
+    val trainVocab = base.filter(col("is_train")).select(col("word")).distinct()
+      .withColumn("in_vocab", lit(1L))
+    base.filter(!col("is_train"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("m"))
+      .join(trainVocab, Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("m")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // stats_jackknife_mean — delete-one-shard jackknife SE of mean length
+  // ---------------------------------------------------------------------
+
+  /** Shard count for the delete-one jackknife. */
+  private val JackknifeShards = 10
+
+  /**
+   * Delete-one-shard jackknife of the mean document length — the
+   * estimator-level error bar a data card publishes next to the point
+   * estimate (the deterministic-shard complement of the Poisson
+   * bootstrap in `stats_bootstrap_ci`): documents shard by md5 mod
+   * [[JackknifeShards]]; each leave-one-out mean θ₍ᵢ₎ = (S−sᵢ)/(N−nᵢ)
+   * comes from the per-shard (count, exact-DECIMAL sum) pairs, and the
+   * jackknife variance is (g−1)/g · Σ(θ₍ᵢ₎−θ̄)² over the g shard means.
+   *
+   * Scale: ONE map-side-combined aggregate to g rows; everything after
+   * runs on the g-row relation (zeroPart single-group windows). Exact
+   * sums; squared deviations rounded to 8 dp DECIMAL before summing.
+   */
+  def statsJackknifeMean(s: SparkSession, dir: String): DataFrame = {
+    val d30 = DecimalType(30, 0)
+    val dec8 = DecimalType(30, 8)
+    val shards = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .groupBy((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % JackknifeShards).as("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars").cast(d30)).as("sv"))
+    val zw = Window.partitionBy(Tables.zeroPart(col("shard")))
+    val loo = shards
+      .withColumn("nt", sum(col("n")).over(zw))
+      .withColumn("st", sum(col("sv")).over(zw))
+      .withColumn("g", count(lit(1)).over(zw))
+      .withColumn("theta_i",
+        (col("st") - col("sv")).cast("double") / (col("nt") - col("n")).cast("double"))
+    val withBar = loo
+      .withColumn("theta_bar",
+        round(sum(round(col("theta_i"), 8).cast(dec8)).over(zw).cast("double")
+          / col("g"), 8))
+    withBar
+      .select(col("g"), col("nt"), col("st"), col("theta_bar"),
+        round((col("theta_i") - col("theta_bar"))
+          * (col("theta_i") - col("theta_bar")), 8).cast(dec8).as("dev2"))
+      .groupBy(col("g"), col("nt"), col("st"), col("theta_bar"))
+      .agg(sum(col("dev2")).as("sdev"))
+      .select(col("g").as("n_shards"), col("nt").as("n_docs"),
+        round(col("st").cast("double") / col("nt"), 6).as("mean_chars"),
+        round(col("theta_bar"), 6).as("jack_mean"),
+        round((col("g") - 1).cast("double") / col("g")
+          * col("sdev").cast("double"), 6).as("jack_var"),
+        round(sqrt((col("g") - 1).cast("double") / col("g")
+          * col("sdev").cast("double")), 6).as("jack_se"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_good_turing" -> (statsGoodTuring _),
+    "vocab_oov_rate" -> (vocabOovRate _),
+    "stats_jackknife_mean" -> (statsJackknifeMean _),
     "stats_mann_whitney" -> (statsMannWhitney _),
     "stats_cramers_v" -> (statsCramersV _),
     "stats_welch_ttest" -> (statsWelchTtest _),
@@ -1350,6 +1495,68 @@ object Governance {
        |      END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "stats_good_turing" ->
+      s"""WITH w AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |tf AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS c FROM w GROUP BY word),
+         |fof AS (SELECT c AS r, CAST(COUNT(1) AS BIGINT) AS n_r FROM tf GROUP BY c),
+         |t AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM fof),
+         |rk AS (SELECT r, n_r, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM fof)
+         |SELECT a.r, a.n_r, CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1,
+         |  round(CAST(a.r + 1 AS DOUBLE) * COALESCE(b.n_r, 0) / a.n_r, 6) AS r_star,
+         |  CASE WHEN a.rk = 1
+         |    THEN round(CAST(a.n_r AS DOUBLE) / n_tokens, 6) END AS p_unseen
+         |FROM rk a CROSS JOIN t LEFT JOIN fof b ON b.r = a.r + 1
+         |WHERE a.rk <= $GoodTuringRows ORDER BY a.r""".stripMargin,
+    "vocab_oov_rate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |       AS UBIGINT) AS BIGINT) % 100) < $OovTrainPct AS is_train,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |tv AS (SELECT DISTINCT word FROM base WHERE is_train),
+         |ho AS (SELECT source, word, CAST(COUNT(1) AS BIGINT) AS m
+         |       FROM base WHERE NOT is_train GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(m) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN tv.word IS NULL THEN m ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  round(CAST(SUM(CASE WHEN tv.word IS NULL THEN m ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(m) AS BIGINT), 6) AS oov_rate
+         |FROM ho LEFT JOIN tv ON ho.word = tv.word
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "stats_jackknife_mean" ->
+      s"""WITH sh AS (
+         |  SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      AS UBIGINT) AS BIGINT) % $JackknifeShards AS shard,
+         |    CAST(COUNT(1) AS BIGINT) AS n,
+         |    SUM(CAST(n_chars AS DECIMAL(30,0))) AS sv
+         |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sv) AS st,
+         |             CAST(COUNT(1) AS BIGINT) AS g FROM sh),
+         |loo AS (
+         |  SELECT shard, n, sv, nt, st, g,
+         |    CAST(st - sv AS DOUBLE) / CAST(nt - n AS DOUBLE) AS theta_i
+         |  FROM sh CROSS JOIN t),
+         |bar AS (
+         |  SELECT g, nt, st,
+         |    round(CAST(SUM(CAST(round(theta_i, 8) AS DECIMAL(30,8))) AS DOUBLE)
+         |      / g, 8) AS theta_bar
+         |  FROM loo GROUP BY g, nt, st),
+         |dev AS (
+         |  SELECT loo.g, loo.nt, loo.st, bar.theta_bar,
+         |    SUM(CAST(round((theta_i - theta_bar) * (theta_i - theta_bar), 8)
+         |      AS DECIMAL(30,8))) AS sdev
+         |  FROM loo JOIN bar ON loo.g = bar.g
+         |  GROUP BY loo.g, loo.nt, loo.st, bar.theta_bar)
+         |SELECT g AS n_shards, nt AS n_docs,
+         |  round(CAST(st AS DOUBLE) / nt, 6) AS mean_chars,
+         |  round(theta_bar, 6) AS jack_mean,
+         |  round(CAST(g - 1 AS DOUBLE) / g * CAST(sdev AS DOUBLE), 6) AS jack_var,
+         |  round(sqrt(CAST(g - 1 AS DOUBLE) / g * CAST(sdev AS DOUBLE)), 6)
+         |    AS jack_se
+         |FROM dev""".stripMargin,
     "dedup_edit_distance" ->
       s"""WITH d AS (
          |  SELECT doc_id, nt, md5(substring(nt, 1, $EditBlockChars)) AS blk,
