@@ -1452,7 +1452,52 @@ object Governance {
           * col("sdev").cast("double")), 6).as("jack_se"))
   }
 
+  // ---------------------------------------------------------------------
+  // corpus_datacard — the one-stop per-source release summary
+  // ---------------------------------------------------------------------
+
+  /**
+   * Per-source data-card row — the summary table a dataset release
+   * publishes (Datasheets for Datasets / data-card practice): population,
+   * character mass, mean length, English share, language spread,
+   * normalized-duplicate ratio, and the Gopher-rule pass rate, one row
+   * per source, all from ONE corpus read.
+   *
+   * Scale: a single scan computes the rule battery, the normalization
+   * fingerprint, and the riders; canonicity is the mix_unique_budget
+   * fingerprint window (one shuffle); the card itself is one
+   * ≤|sources|-group aggregate. Nothing runs per metric — the scan is
+   * shared by all seven columns.
+   */
+  def corpusDatacard(s: SparkSession, dir: String): DataFrame = {
+    val d30 = DecimalType(30, 0)
+    val qw = Text.gopherPredicates.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+    val fp = when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
+    val wFp = Window.partitionBy(col("norm_fp"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        coalesce(col("n_chars"), lit(0L)).as("nc"),
+        qw.as("q"), fp.as("norm_fp"))
+      .select(col("source"), col("lang"), col("nc"), col("q"),
+        (col("norm_fp").isNull ||
+          col("doc_id") === min(col("doc_id")).over(wFp)).as("is_canon"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("sum_chars"),
+        round(sum(col("nc").cast(d30)).cast("double") / count(lit(1)), 6)
+          .as("mean_chars"),
+        round(sum((col("lang") === "en").cast("long")).cast("double")
+          / count(lit(1)), 6).as("pct_en"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(when(!col("is_canon"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("dup_ratio"),
+        round(sum(col("q")).cast("double") / (count(lit(1)) * lit(5L)), 6)
+          .as("rules_pass_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_datacard" -> (corpusDatacard _),
     "stats_good_turing" -> (statsGoodTuring _),
     "vocab_oov_rate" -> (vocabOovRate _),
     "stats_jackknife_mean" -> (statsJackknifeMean _),
@@ -1495,6 +1540,43 @@ object Governance {
        |      END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "corpus_datacard" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source, lang, COALESCE(n_chars, 0) AS nc,
+         |    (CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) >= 50
+         |       THEN 1 ELSE 0 END
+         |     + CASE WHEN 3 * len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |           <= length(replace(text, ' ', ''))
+         |         AND length(replace(text, ' ', ''))
+         |           <= 10 * len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |       THEN 1 ELSE 0 END
+         |     + CASE WHEN 10 * length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+         |           <= length(text) THEN 1 ELSE 0 END
+         |     + CASE WHEN len(list_filter(string_split(text, ' '),
+         |           w -> w IN ('the', 'of', 'and', 'to', 'in'))) >= 2
+         |       THEN 1 ELSE 0 END
+         |     + CASE WHEN 5 * (length(text)
+         |           - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |           <= length(text) THEN 1 ELSE 0 END) AS q,
+         |    ${duckNormFp("text")} AS norm_fp
+         |  FROM documents),
+         |c AS (SELECT norm_fp, MIN(doc_id) AS canon_id
+         |      FROM f WHERE norm_fp IS NOT NULL GROUP BY norm_fp),
+         |k AS (
+         |  SELECT f.source, f.lang, f.nc, f.q,
+         |    COALESCE(f.doc_id = c.canon_id, TRUE) AS is_canon
+         |  FROM f LEFT JOIN c USING (norm_fp))
+         |SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nc) AS BIGINT) AS sum_chars,
+         |  round(CAST(SUM(CAST(nc AS DECIMAL(30,0))) AS DOUBLE) / COUNT(1), 6)
+         |    AS mean_chars,
+         |  round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(1), 6) AS pct_en,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  round(CAST(SUM(CASE WHEN NOT is_canon THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(1), 6) AS dup_ratio,
+         |  round(CAST(SUM(q) AS DOUBLE) / (COUNT(1) * 5), 6) AS rules_pass_rate
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "stats_good_turing" ->
       s"""WITH w AS (
          |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
