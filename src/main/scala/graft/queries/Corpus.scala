@@ -114,11 +114,16 @@ object Corpus {
     * "sample source A at 90%, source B at 50%, the long tail at 15%"
     * config a data-mixing recipe pins down. Unlisted sources fall back to
     * [[MixDefaultRate]]. */
-  private val MixRates: Map[String, Int] = Map(
+  private[graft] val MixRates: Map[String, Int] = Map(
     "src0" -> 90, "src1" -> 90, "src2" -> 90, "src3" -> 90,
     "src4" -> 50, "src5" -> 50, "src6" -> 50,
     "src7" -> 50, "src8" -> 50, "src9" -> 50)
-  private val MixDefaultRate = 15
+  private[graft] val MixDefaultRate = 15
+
+  /** The mixture keep rate shared by the batch rollup and the streaming
+    * sampler (one spelling — the two paths cannot drift). */
+  private[graft] def mixKeepRate(source: Column): Column =
+    coalesce(element_at(typedLit(MixRates), source), lit(MixDefaultRate))
 
   /**
    * Mixture-weighting audit: deterministically sample each source at its
@@ -128,8 +133,7 @@ object Corpus {
    * the mixture keeps (docs and characters). One scan, one groupBy.
    */
   def mixWeighted(s: SparkSession, dir: String): DataFrame = {
-    val rate = coalesce(element_at(typedLit(MixRates), col("source")),
-      lit(MixDefaultRate))
+    val rate = mixKeepRate(col("source"))
     docs(s, dir)
       .select(col("source"), col("n_chars"), rate.as("rate"),
         (Curation.md5Mod100(col("doc_id")) < rate).as("keep"))
@@ -759,8 +763,7 @@ object Corpus {
    * single-partition `SUM OVER (ORDER BY ...)` window.
    */
   def mixTokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val rate = coalesce(element_at(typedLit(MixRates), col("source")),
-      lit(MixDefaultRate))
+    val rate = mixKeepRate(col("source"))
     val kept = docs(s, dir)
       .filter(Curation.md5Mod100(col("doc_id")) < rate)
       .select(col("source"), col("doc_id"),

@@ -231,7 +231,7 @@ object Curation {
 
   /** Deterministic md5-mod-100 bucket of an id — the cross-engine
     * reproducible sampling hash (same family as the ML split). */
-  private[queries] def md5Mod100(c: Column): Column =
+  private[graft] def md5Mod100(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
   /** Per-language keep rates (percent) for the training-mix sample:

@@ -508,4 +508,58 @@ object StreamingOps {
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("bc"))
   }
+
+  /** A document arriving on the ingest stream (the `documents` table's
+    * streaming shape, token count precomputed by the ingest). */
+  case class StreamDoc(doc_id: Long, source: String, n_tokens: Long)
+
+  /** One admitted document from [[tokenBudgetStream]], with the source's
+    * cumulative token usage after it. */
+  case class Admitted(doc_id: Long, source: String, n_tokens: Long,
+      used_after: Long)
+
+  /**
+   * Stateless streaming mixture sampler — the streaming twin of
+   * `mix_weighted`'s keep rule: every arriving document keeps or drops by
+   * the SAME md5-mod-100 draw and per-source rate
+   * ([[graft.queries.Corpus.mixKeepRate]] — one spelling, the two paths
+   * cannot drift). No state, no watermark, no shuffle: the filter a
+   * streaming ingest applies before anything stateful sees the row, so
+   * it scales to any rate. StreamingOpsSpec pins parity with the batch
+   * filter over the same rows.
+   */
+  def mixSampleStream(docs: DataFrame): DataFrame = docs
+    .withColumn("rate", graft.queries.Corpus.mixKeepRate(col("source")))
+    .filter(graft.queries.Curation.md5Mod100(col("doc_id")) < col("rate"))
+
+  /**
+   * Per-source token-budget admission gate — the streaming counterpart of
+   * `mix_token_budget`'s exact prefix sum: each source carries ONE long of
+   * state (tokens admitted so far); an arriving document is admitted iff
+   * it still fits under `budget`, and an overflowing document is DROPPED,
+   * not queued — admission-control semantics (the batch pipeline uses the
+   * deterministic prefix-sum fill instead; the stream can't know what
+   * hasn't arrived). Within a micro-batch, admission order is doc_id
+   * order so replays of the same batches reproduce bit-identically.
+   *
+   * Scale: state is one counter per source (never grows), keyed
+   * shuffle only on `source`; no timeout needed — a budget gate is
+   * meaningful for the job's lifetime.
+   */
+  def tokenBudgetStream(docs: Dataset[StreamDoc], budget: Long): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[StreamDoc], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            if (used + d.n_tokens <= budget) {
+              used += d.n_tokens
+              Some(Admitted(d.doc_id, src, d.n_tokens, used))
+            } else None
+          }
+          state.update(used)
+          out.iterator
+      }
+  }
 }

@@ -419,4 +419,52 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
       }
     } finally q.stop()
   }
+
+  test("mixSampleStream: kept set equals the batch filter over the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = (1L to 200L).map(i => StreamDoc(i, s"src${i % 12}", i % 30))
+    val in = MemoryStream[StreamDoc]
+    val q = mixSampleStream(in.toDF()).writeStream
+      .format("memory").queryName("mixsample").outputMode("append").start()
+    try {
+      in.addData(docs.take(120): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(120): _*)
+      q.processAllAvailable()
+      val streamed = s.table("mixsample").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = mixSampleStream(docs.toDF())
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, "stream keep set diverged from batch filter")
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        "fixture should exercise both keep and drop")
+    } finally q.stop()
+  }
+
+  test("tokenBudgetStream: per-source budget admits in doc_id order and carries state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = tokenBudgetStream(in.toDS(), budget = 100L).writeStream
+      .format("memory").queryName("budget").outputMode("append").start()
+    try {
+      // batch 1 (out of id order on purpose): sorted admission = 40 then
+      // 50 (used 90); 20 would overflow and is dropped, not queued
+      in.addData(StreamDoc(2, "a", 50), StreamDoc(1, "a", 40), StreamDoc(3, "a", 20))
+      q.processAllAvailable()
+      // batch 2: 10 still fits (used 100), then 1 overflows; source b is
+      // an independent counter
+      in.addData(StreamDoc(4, "a", 10), StreamDoc(5, "a", 1), StreamDoc(6, "b", 99))
+      q.processAllAvailable()
+      val rows = s.table("budget").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (1L, "a", 40L, 40L), (2L, "a", 50L, 90L),
+        (4L, "a", 10L, 100L), (6L, "b", 99L, 99L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
