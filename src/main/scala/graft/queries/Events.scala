@@ -1503,7 +1503,46 @@ object Events {
        |FROM r""".stripMargin
   }
 
+  /**
+   * Theil–Sen robust trend of daily event volume — the outlier-proof
+   * slope estimator (median of all pairwise slopes, Sen 1968) a traffic
+   * monitor prefers over least squares when single anomalous days exist:
+   * daily counts pair up (every a < b), each pair contributes
+   * (n_b − n_a)/(day_b − day_a), and the reported slope is the LOWER
+   * MEDIAN under the total order (slope, day_a, day_b) — an order
+   * statistic, not an interpolated quantile, so both engines pick the
+   * identical pair (also reported).
+   *
+   * Scale: the pair join runs on the ≤|days| daily rollup — O(days²)
+   * pairs is the estimator's own contract (≈6.7M pairs for a 10-year
+   * span; the corpus never self-joins). The median window is a
+   * single-group window over that bounded pair relation (zeroPart
+   * convention).
+   */
+  def statsTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .select(to_date(timestamp_micros(epochUs())).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val a = daily.select(col("dn").as("da"), col("n").as("na"))
+    val b = daily.select(col("dn").as("db"), col("n").as("nb"))
+    val pairs = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round((col("nb") - col("na")).cast("double")
+          / (col("db") - col("da")).cast("double"), 8).as("slope"))
+    val ord = Window.partitionBy(Tables.zeroPart(col("da")))
+      .orderBy(col("slope"), col("da"), col("db"))
+    val zw = Window.partitionBy(Tables.zeroPart(col("da")))
+    pairs
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("np", count(lit(1)).over(zw))
+      .filter(col("rk") === floor((col("np") + 1L) / 2L).cast("long"))
+      .select(col("np").as("n_pairs"), round(col("slope"), 6).as("sen_slope"),
+        col("da").as("pair_da"), col("db").as("pair_db"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_theil_sen" -> (statsTheilSen _),
     "q_survival_km" -> (qSurvivalKm _),
     "stats_bootstrap_ci" -> (statsBootstrapCi _),
     "stats_user_entropy" -> (statsUserEntropy _),
@@ -1544,6 +1583,25 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "stats_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |d2 AS (
+        |  SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS dn, n FROM daily),
+        |p AS (
+        |  SELECT a.dn AS da, b.dn AS db,
+        |    round(CAST(b.n - a.n AS DOUBLE) / CAST(b.dn - a.dn AS DOUBLE), 8)
+        |      AS slope
+        |  FROM d2 a JOIN d2 b ON a.dn < b.dn),
+        |r AS (
+        |  SELECT da, db, slope,
+        |    ROW_NUMBER() OVER (ORDER BY slope, da, db) AS rk,
+        |    CAST(COUNT(1) OVER () AS BIGINT) AS np
+        |  FROM p)
+        |SELECT np AS n_pairs, round(slope, 6) AS sen_slope,
+        |  da AS pair_da, db AS pair_db
+        |FROM r WHERE rk = (np + 1) // 2""".stripMargin,
     "q_survival_km" -> qSurvivalKmSql,
     "stats_bootstrap_ci" -> statsBootstrapCiSql,
     "stats_user_entropy" ->

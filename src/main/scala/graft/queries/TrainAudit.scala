@@ -847,7 +847,58 @@ object TrainAudit {
        |CROSS JOIN tot
        |ORDER BY event_id""".stripMargin
 
+  /**
+   * One Newton/IRLS step of Platt scaling (Platt 1999) over the same
+   * synthetic score/outcome relation as [[evalEceBins]] — the
+   * calibration-fitting audit an eval harness runs when the raw scores
+   * are miscalibrated: starting from (a₀, b₀) = (1, 0) (identity
+   * scaling), compute the logistic-NLL gradient
+   * (Σ(p−y)·s, Σ(p−y)) and Hessian ([Σws², Σws; Σws, Σw], w = p(1−p)),
+   * and report the post-step (a₁, b₁) from the closed-form 2×2 solve.
+   * A near-zero gradient says the scores are already calibrated; the
+   * step direction says which way temperature should move.
+   *
+   * Scale: ONE map-side-combined global aggregate (five sums); the 2×2
+   * solve is scalar arithmetic on the aggregate row. Determinism: s is
+   * the 8-dp-rounded hash score, every per-row term rounds to 8 dp
+   * DECIMAL before summing, and the solve runs the same IEEE ops on the
+   * exact sums cast to double once (exp envelope = the survival-curve
+   * convention).
+   */
+  def mlPlattStep(s: SparkSession, dir: String): DataFrame = {
+    val dec8 = DecimalType(30, 8)
+    val prob = ((col("vec_id") * lit(2654435761L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0)
+    val sc = round(prob, 8)
+    val y = (col("label") % 2 === 1).cast("long").cast("double")
+    val p = lit(1.0d) / (lit(1.0d) + exp(-sc))
+    val w = p * (lit(1.0d) - p)
+    val agg = load(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("label").isNotNull)
+      .select(sc.as("s"), y.as("y"), p.as("p"), w.as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(round((col("p") - col("y")) * col("s"), 8).cast(dec8)).as("ga"),
+        sum(round(col("p") - col("y"), 8).cast(dec8)).as("gb"),
+        sum(round(col("w") * col("s") * col("s"), 8).cast(dec8)).as("hss"),
+        sum(round(col("w") * col("s"), 8).cast(dec8)).as("hs"),
+        sum(round(col("w"), 8).cast(dec8)).as("hw"))
+    val gaD = col("ga").cast("double")
+    val gbD = col("gb").cast("double")
+    val aD = col("hss").cast("double")
+    val bD = col("hs").cast("double")
+    val cD = col("hw").cast("double")
+    val det = aD * cD - bD * bD
+    agg.select(col("n"),
+      round(gaD, 6).as("grad_a"), round(gbD, 6).as("grad_b"),
+      round(det, 6).as("hess_det"),
+      round(when(det =!= 0.0, lit(1.0d) - (cD * gaD - bD * gbD) / det), 6)
+        .as("a1"),
+      round(when(det =!= 0.0, lit(0.0d) - (aD * gbD - bD * gaD) / det), 6)
+        .as("b1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_platt_step" -> (mlPlattStep _),
     "eval_auc_roc" -> (evalAucRoc _),
     "eval_ece_bins" -> (evalEceBins _),
     "eval_brier_decomp" -> (evalBrierDecomp _),
@@ -862,6 +913,44 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "ml_platt_step" ->
+      """WITH base AS (
+        |  SELECT
+        |    round(CAST((vec_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0, 8)
+        |      AS s,
+        |    CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS DOUBLE) AS y
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+        |pw AS (
+        |  SELECT s, y,
+        |    1.0 / (1.0 + exp(-s)) AS p,
+        |    (1.0 / (1.0 + exp(-s))) * (1.0 - 1.0 / (1.0 + exp(-s))) AS w
+        |  FROM base),
+        |agg AS (
+        |  SELECT CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(round((p - y) * s, 8) AS DECIMAL(30,8))) AS ga,
+        |    SUM(CAST(round(p - y, 8) AS DECIMAL(30,8))) AS gb,
+        |    SUM(CAST(round(w * s * s, 8) AS DECIMAL(30,8))) AS hss,
+        |    SUM(CAST(round(w * s, 8) AS DECIMAL(30,8))) AS hs,
+        |    SUM(CAST(round(w, 8) AS DECIMAL(30,8))) AS hw
+        |  FROM pw)
+        |SELECT n,
+        |  round(CAST(ga AS DOUBLE), 6) AS grad_a,
+        |  round(CAST(gb AS DOUBLE), 6) AS grad_b,
+        |  round(CAST(hss AS DOUBLE) * CAST(hw AS DOUBLE)
+        |    - CAST(hs AS DOUBLE) * CAST(hs AS DOUBLE), 6) AS hess_det,
+        |  round(CASE WHEN CAST(hss AS DOUBLE) * CAST(hw AS DOUBLE)
+        |      - CAST(hs AS DOUBLE) * CAST(hs AS DOUBLE) <> 0.0
+        |    THEN 1.0 - (CAST(hw AS DOUBLE) * CAST(ga AS DOUBLE)
+        |        - CAST(hs AS DOUBLE) * CAST(gb AS DOUBLE))
+        |      / (CAST(hss AS DOUBLE) * CAST(hw AS DOUBLE)
+        |        - CAST(hs AS DOUBLE) * CAST(hs AS DOUBLE)) END, 6) AS a1,
+        |  round(CASE WHEN CAST(hss AS DOUBLE) * CAST(hw AS DOUBLE)
+        |      - CAST(hs AS DOUBLE) * CAST(hs AS DOUBLE) <> 0.0
+        |    THEN 0.0 - (CAST(hss AS DOUBLE) * CAST(gb AS DOUBLE)
+        |        - CAST(hs AS DOUBLE) * CAST(ga AS DOUBLE))
+        |      / (CAST(hss AS DOUBLE) * CAST(hw AS DOUBLE)
+        |        - CAST(hs AS DOUBLE) * CAST(hs AS DOUBLE)) END, 6) AS b1
+        |FROM agg""".stripMargin,
     "eval_auc_roc" -> evalAucRocSql,
     "eval_ece_bins" -> evalEceBinsSql,
     "eval_brier_decomp" -> evalBrierDecompSql,
