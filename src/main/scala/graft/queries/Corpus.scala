@@ -23,7 +23,7 @@ import graft.functions.GraftFunctions
 object Corpus {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    Tables.spreadDocs(s, dir)
 
   // ---------------------------------------------------------------------
   // Segment-level dedup (CCNet-style) — text_seg_dedup

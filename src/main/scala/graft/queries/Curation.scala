@@ -303,7 +303,7 @@ object Curation {
    */
   def curationBestOfCluster(s: SparkSession, dir: String): DataFrame = {
     val comp = dedupComponentsCore(s, dir).select(col("doc_id"), col("comp_id"))
-    val toks = load(s, dir, "documents")
+    val toks = Tables.spreadDocs(s, dir)
       .select(col("doc_id"), size(Text.words(col("text"))).cast("long").as("n_ws"))
     comp.join(toks, "doc_id")
       .groupBy(col("comp_id"))

@@ -21,16 +21,11 @@ import Tables._
 object Dedup {
 
   /** The documents scan followed by CPU-heavy (interpreted higher-order)
-    * tokenization: spread the raw text across the cluster FIRST — a small
-    * corpus arrives as one file = one task, and every un-materialized
-    * subtree re-executes the construction, so without the repartition the
-    * whole operator serializes on a single core per pass. At scale the
-    * scan has thousands of splits and the one extra narrow shuffle of raw
-    * text is noise. */
-  private def spreadDocs(s: SparkSession, dir: String): DataFrame = {
-    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
-    load(s, dir, "documents").repartition(parts, col("doc_id"))
-  }
+    * tokenization — the adaptive [[Tables.spreadDocs]] spread (repartition
+    * only when the file layout yields fewer splits than the parallelism;
+    * passthrough at scale). */
+  private def spreadDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.spreadDocs(s, dir)
 
   /** (doc_id, lang, words): sorted distinct word set per doc, via the
     * codegen [[GraftFunctions.shingle_set]] kernel (n = 1). Callers must
@@ -781,7 +776,7 @@ object Dedup {
    * the survivor filter, and the final attribution.
    */
   def pipelineDedupReasons(s: SparkSession, dir: String): DataFrame = {
-    val keyed = load(s, dir, "documents")
+    val keyed = spreadDocs(s, dir)
       .select(col("doc_id"), col("source"),
         when(length(Governance.normText(col("text"))) > 0,
           md5(Governance.normText(col("text")))).as("nk"))

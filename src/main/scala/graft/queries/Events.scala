@@ -1449,7 +1449,9 @@ object Events {
     val decY = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
     val h = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % lit(1000003L)
-    val base = ev(s, dir).filter(col("value").isNotNull)
+    // spread before the 100× replica explode: the whole resample fuses
+    // into the scan stage otherwise (adaptive — passthrough at scale)
+    val base = Tables.spreadBy(s, ev(s, dir).filter(col("value").isNotNull))
       .select(h.as("h"), round(col("value"), 6).cast(decY).as("y"))
     val rep = base.select(col("h"), col("y"),
       explode(sequence(lit(0), lit(BootReps - 1))).as("b"))

