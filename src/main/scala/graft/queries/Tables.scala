@@ -33,10 +33,18 @@ object Tables {
     * (ScanHygieneSpec pins that discipline). Use before a per-row kernel
     * or a row-multiplying explode whose work would otherwise fuse into an
     * undersized scan stage. */
+  /** Per-slot byte floor below which a spread can't pay for its shuffle:
+    * with < ~64 KB of raw input per core, the per-row kernel finishes
+    * faster than the extra stage boundary costs (measured +0.2–0.5 s per
+    * pass on a 0.6 MB corpus vs −10× wall on a 6 MB one). */
+  private val SpreadMinBytesPerSlot = 64L * 1024L
+
   def spreadBy(spark: SparkSession, df: DataFrame): DataFrame = {
     val parts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(32)
-    if (df.rdd.getNumPartitions >= parts) df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (df.rdd.getNumPartitions >= parts ||
+        bytes < BigInt(parts.toLong * SpreadMinBytesPerSlot)) df
     else df.repartition(parts)
   }
 
