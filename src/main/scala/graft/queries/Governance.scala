@@ -596,8 +596,11 @@ object Governance {
           .as("norm_fp"))
     // canonicity via ONE window over the fingerprint (no cluster build +
     // corpus re-join — halves the corpus-scale shuffles); fp-less docs
-    // short-circuit to canonical before the window value matters
-    val wFp = Window.partitionBy(col("norm_fp"))
+    // short-circuit to canonical, AND partition as singletons ("id:" can
+    // never collide with 32-hex md5) so a large empty-doc mass never
+    // concentrates in one NULL-key straggler task
+    val wFp = Window.partitionBy(
+      coalesce(col("norm_fp"), concat(lit("id:"), col("doc_id"))))
     val counts = d
       .select(col("source"), col("nc"),
         (col("norm_fp").isNull ||
@@ -910,8 +913,11 @@ object Governance {
         when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
           .as("norm_fp"))
     // group id/size via ONE window over the fingerprint (no cluster
-    // build + corpus re-join); fp-less docs are singleton groups
-    val wFp = Window.partitionBy(col("norm_fp"))
+    // build + corpus re-join); fp-less docs are singleton groups — and
+    // partition as singletons too ("id:" never collides with 32-hex
+    // md5), so NULL fingerprints don't pile into one straggler task
+    val wFp = Window.partitionBy(
+      coalesce(col("norm_fp"), concat(lit("id:"), col("doc_id"))))
     val bucket = Curation.md5Mod100(col("group_id"))
     d.select(col("doc_id"), col("source"),
         when(col("norm_fp").isNull, col("doc_id"))
@@ -1140,6 +1146,11 @@ object Governance {
       .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
       .select(col("source"), col("n_true"),
         lit(DpEpsilon).as("epsilon"),
+        // the draw is a FIXED function of the protected attribute, so the
+        // release provides no real DP guarantee — the mechanism column
+        // says so explicitly, so a downstream consumer cannot mistake
+        // this reproducible demo for a cryptographic-RNG release
+        lit("deterministic-demo").as("mechanism"),
         round(col("n_true").cast("double") + noise, 6).as("n_released"))
       .orderBy(col("source"))
   }
@@ -1257,10 +1268,15 @@ object Governance {
    * readout that stays meaningful under heavy ties, where the plain
    * normal approximation would need a tie-corrected variance).
    *
-   * Scale: the pair stream is the VALUE-DOMAIN cross (|sources|·|distinct
-   * lengths| rows per side — domain-bounded regardless of corpus rows),
-   * collapsed by map-side partial aggregation to one row per source
-   * pair. Determinism: exact integer 2U; one rounded division at the end.
+   * Scale: NO pairwise value cross — 2U_a = Σ_v c_a(v)·(2·cumBelow_b(v)
+   * + c_b(v)), so the engine builds the per-source CUMULATIVE count
+   * matrix over the value domain (|distinct lengths| × |sources| rows,
+   * sources are metadata — dozens) with one per-source window, then one
+   * v-equi-join against the observed (source, value) counts: O(V·S²)
+   * output, linear in the value domain, vs the O(V²) inequality cross
+   * that OOMs a BroadcastNestedLoopJoin once distinct lengths reach
+   * millions. Determinism: exact integer 2U; one rounded division at
+   * the end.
    */
   def statsMannWhitney(s: SparkSession, dir: String): DataFrame = {
     val d38 = DecimalType(38, 0)
@@ -1271,13 +1287,23 @@ object Governance {
       .persist()
       .transform { df => graft.core.QueryCaches.report(df); df }
     val ns = sv.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    val a = sv.select(col("source").as("src_a"), col("v").as("va"), col("c").as("ca"))
-    val b = sv.select(col("source").as("src_b"), col("v").as("vb"), col("c").as("cb"))
-    val w = when(col("va") > col("vb"), lit(2L))
-      .when(col("va") === col("vb"), lit(1L)).otherwise(lit(0L))
-    a.join(b, col("src_a") < col("src_b"))
+    // dense (value × source) grid: every source's count at EVERY observed
+    // value (0 where absent), so one window per source yields the
+    // cumulative-below counts the U formula consumes at foreign values
+    val srcs = ns.select(col("source").as("src_b"))
+    val dense = sv.select(col("v")).distinct()
+      .join(broadcast(srcs))
+      .join(sv.select(col("source").as("src_b"), col("v"), col("c")),
+        Seq("v", "src_b"), "left")
+      .select(col("v"), col("src_b"), coalesce(col("c"), lit(0L)).as("cb"))
+    val wb = Window.partitionBy(col("src_b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = dense.withColumn("cumb", coalesce(sum(col("cb")).over(wb), lit(0L)))
+    val a = sv.select(col("source").as("src_a"), col("v"), col("c").as("ca"))
+    a.join(b, Seq("v"))
+      .filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
-        (col("ca") * col("cb") * w).cast(d38).as("u2t"))
+        (col("ca") * (lit(2L) * col("cumb") + col("cb"))).cast(d38).as("u2t"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(sum(col("u2t")).as("u2"))
       .join(broadcast(ns.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
@@ -1497,7 +1523,10 @@ object Governance {
     val d30 = DecimalType(30, 0)
     val qw = Text.gopherPredicates.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
     val fp = when(length(normText(col("text"))) > 0, md5(normText(col("text"))))
-    val wFp = Window.partitionBy(col("norm_fp"))
+    // NULL fingerprints partition as singletons ("id:" never collides
+    // with 32-hex md5) — no one-task straggler under a mass of empty docs
+    val wFp = Window.partitionBy(
+      coalesce(col("norm_fp"), concat(lit("id:"), col("doc_id"))))
     docs(s, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         coalesce(col("n_chars"), lit(0L)).as("nc"),
@@ -2203,6 +2232,7 @@ object Governance {
         |       AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS uu
         |  FROM c)
         |SELECT source, n_true, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  'deterministic-demo' AS mechanism,
         |  round(CAST(n_true AS DOUBLE) +
         |    (CASE WHEN uu - 0.5 >= 0 THEN -ln(1.0 - 2.0 * (uu - 0.5))
         |          ELSE ln(1.0 + 2.0 * (uu - 0.5)) END) / 1.0, 6) AS n_released

@@ -284,6 +284,19 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** [[qHashSplit]] keyed on the md5 hash family instead of
+    * FARM_FINGERPRINT — the hash-checked twin (DuckDB has no farmhash;
+    * the farm path is golden-tested in FarmHashSpec), the same strategy
+    * as dedup_minhash_lsh_md5 / ml_training_rebalanced_md5. */
+  def qHashSplitMd5(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .select(col("c_custkey"),
+        (conv(substring(md5(col("c_name")), 1, 8), 16, 10).cast("long") % 100)
+          .as("bucket"))
+      .withColumn("split", when(col("bucket") < 90, "train").otherwise("holdout"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"))
+
   /** UNION ALL of two class branches + re-agg (model_bqml.sql:304-311). */
   def q13UnionAll(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
@@ -528,7 +541,15 @@ object Relational {
     val c = load(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       .filter(dec(col("c_acctbal")).cast("double") > 0.0)
-    val avgBal = c.agg(davg(col("c_acctbal")).as("avg_bal")).first().getDouble(0)
+    val avgRow = c.agg(davg(col("c_acctbal")).as("avg_bal")).first()
+    if (avgRow.isNullAt(0)) {
+      // no positive balances: the oracle's correlated average is NULL so
+      // its > comparison keeps nothing — return the empty frame directly
+      return c.limit(0)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+    }
+    val avgBal = avgRow.getDouble(0)
     c.filter(dec(col("c_acctbal")).cast("double") > lit(avgBal))
       .join(load(s, dir, "orders")
           .filter(to_date(col("o_orderdate")) >= lit(IdleSince))
@@ -565,9 +586,16 @@ object Relational {
     "q18_scalar_string" -> (q18ScalarString _),
     "q19_date_funcs" -> (q19DateFuncs _),
     "q20_scripting" -> (q20Scripting _),
-    "q_hash_split" -> (qHashSplit _))
+    "q_hash_split" -> (qHashSplit _),
+    "q_hash_split_md5" -> (qHashSplitMd5 _))
 
   val oracle: Map[String, String] = Map(
+    "q_hash_split_md5" ->
+      """SELECT CASE WHEN CAST(CAST('0x' || substring(md5(c_name), 1, 8)
+        |    AS UBIGINT) AS BIGINT) % 100 < 90
+        |  THEN 'train' ELSE 'holdout' END AS split,
+        |  CAST(COUNT(1) AS BIGINT) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_small_qty_revenue" ->
       s"""WITH a AS (
          |  SELECT l_partkey,

@@ -1076,11 +1076,15 @@ object Similarity {
     val vars = stats.map(_.getDouble(3)).toSeq
     val mlit = typedLit(means)
     val vlit = typedLit(vars)
+    // the zips pad to the LONGER side with nulls, so a vector longer
+    // than the dim-stats model would grow a null tail — slice pins the
+    // output to exactly the model's dimension count
+    val emb = if (means.isEmpty) dArr(col("embedding"))
+      else slice(dArr(col("embedding")), 1, means.length)
     // two linear zips, NOT element_at(transform(...), i): indexed access
     // into a computed array re-evaluates the whole cast per element
     // (O(dim^2) per row — the embedPcaPower lesson); same ops, same order
-    val centered = zip_with(dArr(col("embedding")), mlit,
-      (x, m) => round(x, 6) - m)
+    val centered = zip_with(emb, mlit, (x, m) => round(x, 6) - m)
     val y = zip_with(centered, vlit,
       (cx, vv) => round(cx / sqrt(vv + lit(WhitenEps)), 6) + lit(0.0))
     load(s, dir, "embeddings")
@@ -1088,6 +1092,17 @@ object Similarity {
       .select(col("vec_id"), y.as("whitened"))
       .orderBy(col("vec_id"))
   }
+
+  /** [[embedWhitenApply]] in the verify-friendly EXPLODED shape — the
+    * driver's pandas compare cannot sort/hash `array<double>` columns,
+    * so the contract query emits one `(vec_id, dim, y)` row per element
+    * (the [[embedDimStats]] long-form convention). Same math, same
+    * determinism recipe; the sort adds the dim key. */
+  def embedWhitenApplyRows(s: SparkSession, dir: String): DataFrame =
+    embedWhitenApply(s, dir)
+      .select(col("vec_id"), posexplode(col("whitened")).as(Seq("dim", "y")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+      .orderBy(col("vec_id"), col("dim"))
 
   /**
    * Semantic decontamination — the paraphrase-level complement of
@@ -1275,6 +1290,19 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** [[embedPcaDebias]] in the verify-friendly EXPLODED shape (the
+    * driver's pandas compare cannot sort/hash `array<double>`): one
+    * `(vec_id, coef, n2_orig, n2_resid, dim, resid)` row per residual
+    * element. The scalar audit columns repeat per dim — redundant but
+    * deterministic, and the per-vector view is one groupBy away. */
+  def embedPcaDebiasRows(s: SparkSession, dir: String): DataFrame =
+    embedPcaDebias(s, dir)
+      .select(col("vec_id"), col("coef"), col("n2_orig"), col("n2_resid"),
+        posexplode(col("resid")).as(Seq("dim", "resid")))
+      .select(col("vec_id"), col("coef"), col("n2_orig"), col("n2_resid"),
+        col("dim").cast("long").as("dim"), col("resid"))
+      .orderBy(col("vec_id"), col("dim"))
+
   /** Random-projection output dimensionality (64 → 16, 4× cheaper). */
   private val RpK = 16
   private val RpDim = 64
@@ -1326,6 +1354,18 @@ object Similarity {
         round(when(col("n2") > 0, col("n2p") / col("n2") - lit(1.0)), 6) + lit(0.0))
       .orderBy(col("vec_id"))
   }
+
+  /** [[embedRpProject]] in the verify-friendly EXPLODED shape (the
+    * driver's pandas compare cannot sort/hash `array<double>`): one
+    * `(vec_id, r, pr, n2, n2p, distortion)` row per projected component,
+    * `r` 1-based to match the projection matrix's row index. */
+  def embedRpProjectRows(s: SparkSession, dir: String): DataFrame =
+    embedRpProject(s, dir)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("p0", "pr")),
+        col("n2"), col("n2p"), col("distortion"))
+      .select(col("vec_id"), (col("p0") + 1).cast("long").as("r"), col("pr"),
+        col("n2"), col("n2p"), col("distortion"))
+      .orderBy(col("vec_id"), col("r"))
 
   /** Topic terms reported per cluster. */
   private val TopicsPerCell = 5
@@ -1542,12 +1582,12 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hamming_recall" -> (simHammingRecall _),
     "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
-    "embed_rp_project" -> (embedRpProject _),
+    "embed_rp_project" -> (embedRpProjectRows _),
     "embed_pca_power" -> (embedPcaPower _),
-    "embed_pca_debias" -> (embedPcaDebias _),
+    "embed_pca_debias" -> (embedPcaDebiasRows _),
     "decontam_semantic" -> (decontamSemantic _),
     "cluster_topics" -> (clusterTopics _),
-    "embed_whiten_apply" -> (embedWhitenApply _),
+    "embed_whiten_apply" -> (embedWhitenApplyRows _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "embed_pair_mining" -> (embedPairMining _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
@@ -2129,14 +2169,14 @@ object Similarity {
          |ag AS (
          |  SELECT vec_id,
          |    round(SUM(xc * xc), 6) + 0.0 AS n2_orig,
-         |    round(SUM(r * r), 6) + 0.0 AS n2_resid,
-         |    list(r ORDER BY dim) AS resid
+         |    round(SUM(r * r), 6) + 0.0 AS n2_resid
          |  FROM rs GROUP BY vec_id)
-         |SELECT a.vec_id, cf.coef, a.n2_orig, a.n2_resid, a.resid
-         |FROM ag a JOIN cf USING (vec_id)
+         |SELECT vec_id, cf.coef, ag.n2_orig, ag.n2_resid, rs.dim,
+         |  rs.r AS resid
+         |FROM rs JOIN cf USING (vec_id) JOIN ag USING (vec_id)
          |CROSS JOIN n1 CROSS JOIN n2 CROSS JOIN n$PcaIters
          |WHERE n1.nrm > 0 AND n2.nrm > 0 AND n$PcaIters.nrm > 0
-         |ORDER BY a.vec_id""".stripMargin,
+         |ORDER BY vec_id, rs.dim""".stripMargin,
     "decontam_semantic" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),
@@ -2191,12 +2231,13 @@ object Similarity {
          |    round(SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE), 6) AS n2
          |  FROM e, generate_series(1, $RpDim) t(i) GROUP BY vec_id),
          |agg AS (
-         |  SELECT vec_id, list(pr ORDER BY r) AS proj,
+         |  SELECT vec_id,
          |    round(SUM(pr * pr) / ${RpK.toDouble}, 6) + 0.0 AS n2p
          |  FROM p GROUP BY vec_id)
-         |SELECT a.vec_id, a.proj, n.n2, a.n2p,
+         |SELECT vec_id, CAST(p.r AS BIGINT) AS r, p.pr, n.n2, a.n2p,
          |  round(CASE WHEN n.n2 > 0 THEN a.n2p / n.n2 - 1.0 END, 6) + 0.0 AS distortion
-         |FROM agg a JOIN n USING (vec_id) ORDER BY a.vec_id""".stripMargin
+         |FROM p JOIN n USING (vec_id) JOIN agg a USING (vec_id)
+         |ORDER BY vec_id, p.r""".stripMargin
     },
     "cluster_topics" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
@@ -2375,14 +2416,12 @@ object Similarity {
         |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
     "embed_dim_stats" -> DimStatsSql,
     "embed_whiten_apply" ->
-      s"""WITH st0 AS ($DimStatsSql),
-        |el AS (
-        |  SELECT e.vec_id, t.i AS i,
-        |    round((round(e.embedding[t.i]::DOUBLE, 6) - st0.mean)
-        |      / sqrt(st0.var + 1e-6), 6) + 0.0 AS y
-        |  FROM embeddings e, generate_series(1, 64) t(i)
-        |  JOIN st0 ON st0.dim = t.i - 1
-        |  WHERE e.embedding IS NOT NULL)
-        |SELECT vec_id, list(y ORDER BY i) AS whitened
-        |FROM el GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+      s"""WITH st0 AS ($DimStatsSql)
+        |SELECT e.vec_id, st0.dim,
+        |  round((round(e.embedding[t.i]::DOUBLE, 6) - st0.mean)
+        |    / sqrt(st0.var + 1e-6), 6) + 0.0 AS y
+        |FROM embeddings e, generate_series(1, 64) t(i)
+        |JOIN st0 ON st0.dim = t.i - 1
+        |WHERE e.embedding IS NOT NULL
+        |ORDER BY e.vec_id, st0.dim""".stripMargin)
 }

@@ -180,8 +180,8 @@ object Sketch {
        |         GROUP BY source, bucket),
        |e AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source),
        |p AS (SELECT source, $HllM - COUNT(*) AS v_empty,
-       |        SUM(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER))
-       |          + ($HllM - COUNT(*)) * 8796093022208 AS s_total
+       |        CAST(SUM(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER))
+       |          + ($HllM - COUNT(*)) * 8796093022208 AS BIGINT) AS s_total
        |      FROM regs GROUP BY source),
        |j AS (SELECT e.source, n_exact, v_empty, s_total,
        |        (0.7213 / (1.0 + 1.079 / ${HllM}.0)) * ${HllM}.0 * ${HllM}.0
@@ -332,8 +332,9 @@ object Sketch {
        |r AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
        |        ORDER BY h48, word) AS rn FROM m),
        |g AS (SELECT src_a, src_b, COUNT(*) AS n_union,
-       |        SUM(in_a * in_b) AS n_inter,
-       |        SUM(CASE WHEN rn <= $KmvK THEN in_a * in_b ELSE 0 END) AS k_inter
+       |        CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+       |        CAST(SUM(CASE WHEN rn <= $KmvK THEN in_a * in_b ELSE 0 END)
+       |          AS BIGINT) AS k_inter
        |      FROM r GROUP BY src_a, src_b)
        |SELECT src_a, src_b, n_union, n_inter,
        |  round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard_exact,

@@ -32,9 +32,13 @@ class PlanHygieneSpec extends AnyFunSuite with SparkFixture {
   // sim_ivf_recall's ground-truth side is the same documented baseline
   // eval_confusion_knn aggregates sim_knn_accuracy's prediction relation,
   // so it carries the same documented baseline
+  // stats_mann_whitney densifies the (value × source) cumulative grid:
+  // the cross side is the BROADCAST per-source metadata relation (dozens
+  // of rows), so the product is linear in the value domain — the O(V·S)
+  // replacement for the O(V²) inequality cross it used to run
   private val crossJoinAllowed =
     Set("sim_bruteforce_topk", "sim_knn_accuracy", "sim_ivf_recall",
-      "sim_pq_recall", "eval_confusion_knn")
+      "sim_pq_recall", "eval_confusion_knn", "stats_mann_whitney")
 
   private def collectPlan(p: LogicalPlan): Seq[LogicalPlan] =
     (p +: p.children.flatMap(collectPlan)) ++ p.subqueries.flatMap(collectPlan)
