@@ -103,12 +103,20 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs}"""
     println(line)
-    Console.out.flush()
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    // Tail-safe summary printed LAST: the driver's fixed-size output
+    // capture keeps the END of stdout, and with 240+ queries the full
+    // line above outgrows it — BENCH_r07/r08 both recorded
+    // "parsed": null because the head (where the summary fields sit) was
+    // cut off. This compact line always fits the tail and parses; the
+    // per-query map lives in the full line and in the repo artifact.
+    val nFail = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"queries_artifact":"$artifact"}""")
+    Console.out.flush()
     spark.stop()
   }
 }

@@ -440,6 +440,16 @@ object Dedup {
     * exactly the blowup LSH exists to avoid). */
   private val MaxBucketSize = 50
 
+  /** How many of the [[LshBands]] bands the PRECISION audit prices: the
+    * estimate needs a representative sample of the candidate stream, not
+    * all of it — verifying every proposed pair would price the audit
+    * like the production dedup itself at 100 TB. Bands are symmetric
+    * (each hashes its own 4 minhash rows), so auditing a fixed prefix of
+    * them is an unbiased ~k/[[LshBands]] sample of bucket work that any
+    * corpus exercises (unlike a key-mod sample, which can drop every
+    * bucket of a small relation). */
+  private val LshPrecisionSampleBands = 2
+
   /** Cheap signature-agreement prefilter before exact verification:
     * fraction of equal minhashes estimates Jaccard (E[agree] = J). */
   private val MinhashEstThreshold = 0.35
@@ -720,18 +730,24 @@ object Dedup {
    * pairs present at `1_bucket` but absent at `2_agree` say the
    * prefilter threshold is cutting true positives.
    *
-   * Scale shape: the SAME narrow band join as the production pipeline
-   * (bucket-capped before pair expansion); exact verification runs ONCE
-   * over the bucket-stage superset (persisted, released by the query
-   * owner) and the per-stage rollup joins that single verdict relation —
-   * never a second shingle join.
+   * Scale shape: the audit prices a deterministic BAND SAMPLE — the
+   * first [[LshPrecisionSampleBands]] of [[LshBands]] bands (a
+   * scan-local predicate before any pair expansion; bands are symmetric
+   * hash families, so the sampled candidate stream is an unbiased ~1/4
+   * of the full one and the quadratic verify cost scales with the
+   * sample). Within the sample it is the SAME narrow band join as the
+   * production pipeline (bucket-capped before pair expansion); exact
+   * verification runs ONCE over the bucket-stage superset (persisted,
+   * released by the query owner) and the per-stage rollup joins that
+   * single verdict relation — never a second shingle join.
    */
   def dedupLshPrecision(s: SparkSession, dir: String): DataFrame = {
     val (base, pruned0) = bandedFor(s, dir, md5Hash32, md5BandKey)
     // a zero-shingle doc has NO signature — without this both engines
     // invent a degenerate shared bucket for empty documents (Spark:
     // md5 of an empty concat; DuckDB: a NULL key) and disagree on it
-    val pruned = pruned0.filter(size(col("mh")) > 0)
+    val pruned = pruned0.filter(size(col("mh")) > 0 &&
+      col("band") < LshPrecisionSampleBands)
     val left = pruned.select(col("band"), col("key"), col("doc_id").as("da"), col("mh").as("mha"))
     val right = pruned.select(col("band").as("band_r"), col("key").as("key_r"),
       col("doc_id").as("db"), col("mh").as("mhb"))
@@ -1105,7 +1121,8 @@ object Dedup {
   /** DuckDB mirror of the two-stage precision funnel. */
   private def dedupLshPrecisionOracle: String =
     s"""WITH $minhashMd5SharedCtes,
-       |prz AS (SELECT * FROM pruned WHERE mh[1] IS NOT NULL),
+       |prz AS (SELECT * FROM pruned WHERE mh[1] IS NOT NULL
+       |  AND band < $LshPrecisionSampleBands),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
        |    len(list_filter(generate_series(1, $MinhashPerms),

@@ -98,6 +98,14 @@ object Governance {
   /** Prefix-block width (normalized characters) for candidate pairing. */
   private val EditBlockChars = 24
 
+  /** Population ceiling per prefix block: blocks with more members are
+    * boilerplate-prefix families (the linkage-literature block-size cap)
+    * — their quadratic pair stream is excluded from the DP verify and
+    * the block is REPORTED as an audit row instead. A family that big
+    * shares a 24-char prefix; normalized-exact / winnow dedup is the
+    * right (linear) tool for it, not pairwise Levenshtein. */
+  private val EditBlockCap = 8L
+
   /**
    * Edit-distance near-duplicate verification — the record-linkage
    * classic the token-set family (Jaccard / MinHash / SimHash) can't
@@ -150,10 +158,23 @@ object Governance {
         length(col("nt")).as("len"), hist.as("hist"))
       .persist()
       .transform { df => graft.core.QueryCaches.report(df); df }
+    // block populations (metadata-sized: one row per distinct prefix):
+    // blocks over [[EditBlockCap]] skip the quadratic verify entirely
+    // and surface as audit rows — without the cap, a hot boilerplate
+    // prefix (n docs sharing 24 chars) prices n²/2 banded DPs and the
+    // 10× tile measured 25× runtime
+    val blkN = d.groupBy(col("blk"))
+      .agg(count(lit(1)).as("blk_n"), min(col("doc_id")).as("blk_min"))
+    val hotAudit = blkN.filter(col("blk_n") > EditBlockCap)
+      .select(col("blk_min").as("doc_a"),
+        lit(null).cast("long").as("doc_b"),
+        lit(null).cast("long").as("edit_dist"), col("blk_n"))
+    val cold = blkN.filter(col("blk_n") <= EditBlockCap)
+      .select(col("blk"), col("blk_n"))
     // the quadratic join carries ONLY (id, len, hist) — texts ride a
     // post-prune equi-join instead of the pair shuffle
-    val a = d.select(col("blk"), col("doc_id").as("doc_a"),
-      col("len").as("len_a"), col("hist").as("ha"))
+    val a = d.join(cold, Seq("blk")).select(col("blk"), col("blk_n"),
+      col("doc_id").as("doc_a"), col("len").as("len_a"), col("hist").as("ha"))
     val b = d.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
       col("len").as("len_b"), col("hist").as("hb"))
     val diff = zip_with(col("ha"), col("hb"), (x, y) => x - y)
@@ -163,7 +184,7 @@ object Governance {
         col("blk") === col("blk_b") && col("doc_a") < col("doc_b") &&
           abs(col("len_a") - col("len_b")) <= EditTau)
       .filter(greatest(bagPos, bagNeg) <= EditTau)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("blk_n"))
       .join(d.select(col("doc_id").as("doc_a"), col("nt").as("nt_a")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("nt").as("nt_b")), Seq("doc_b"))
       .persist()
@@ -175,8 +196,9 @@ object Governance {
     cand
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("nt_a"), col("nt_b"), EditTau).cast("long")
-          .as("edit_dist"))
+          .as("edit_dist"), col("blk_n"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditTau)
+      .unionByName(hotAudit)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1701,12 +1723,20 @@ object Governance {
          |            lower(text), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
          |            ' +', ' ', 'g')) AS nt
          |        FROM documents)
-         |  WHERE length(nt) >= $EditBlockChars)
+         |  WHERE length(nt) >= $EditBlockChars),
+         |bn AS (
+         |  SELECT blk, CAST(COUNT(1) AS BIGINT) AS blk_n,
+         |    MIN(doc_id) AS blk_min
+         |  FROM d GROUP BY blk)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist
-         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist, bn.blk_n
+         |FROM d a JOIN bn ON a.blk = bn.blk AND bn.blk_n <= $EditBlockCap
+         |JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
          |  AND abs(a.len - b.len) <= $EditTau
          |WHERE levenshtein(a.nt, b.nt) <= $EditTau
+         |UNION ALL
+         |SELECT blk_min AS doc_a, NULL AS doc_b, NULL AS edit_dist, blk_n
+         |FROM bn WHERE blk_n > $EditBlockCap
          |ORDER BY doc_a, doc_b""".stripMargin,
     "privacy_t_closeness" ->
       s"""WITH qi AS (

@@ -228,11 +228,47 @@ object Workers {
         // (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
         val total = df.count()
         val parseable = read("DROPMALFORMED", corruptCol = false).rdd.count()
-        val badCount = total - parseable
+        // allow_jagged_rows (storage_to_bq_importer.py:56-60 sets it —
+        // together with ignore_unknown_values — whenever the schema is
+        // explicit, so that is this param's default): a row whose ONLY
+        // defect is a token-count mismatch — short (missing trailing
+        // columns load as NULL) or long (extras ignored) — is accepted
+        // for free instead of consuming the bad-record budget. Decided
+        // per row by re-parsing the raw record against the all-STRING
+        // twin of the schema: strings always type-parse, so that parse's
+        // corrupt flag isolates the token-count signal, and a PRESENT
+        // field that type-failed shows as typed-NULL-but-string-non-NULL
+        // — those rows (and full-length rows with type errors) stay bad.
+        val corrupt = df("_corrupt_record")
+        val allowJagged = !isJson &&
+          bool(params, "allow_jagged_rows", default = !autodetect)
+        val jaggedOk: org.apache.spark.sql.Column = if (!allowJagged) {
+          org.apache.spark.sql.functions.lit(false)
+        } else {
+          import org.apache.spark.sql.functions.from_csv
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          val fields = df.schema.filterNot(_.name == "_corrupt_record").map(_.name)
+          val allStr = StructType(
+            fields.map(f => StructField(f, StringType)) :+
+              StructField("_cr_jag", StringType))
+          var opts = Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_cr_jag")
+          val nullMarker = str(params, "null_marker")
+          if (nullMarker.nonEmpty) opts += ("nullValue" -> nullMarker)
+          val fc = from_csv(corrupt, allStr, opts)
+          val typesOk = fields
+            .map(f => df(f).isNotNull || fc.getField(f).isNull)
+            .reduce(_ && _)
+          corrupt.isNotNull &&
+            fc.getField("_cr_jag").isNotNull && typesOk
+        }
+        val jaggedCount =
+          if (allowJagged) df.filter(jaggedOk).rdd.count() else 0L
+        val badCount = total - parseable - jaggedCount
         if (badCount > errorsToAllow)
           throw new RuntimeException(
             s"Too many bad records: $badCount > allowed $errorsToAllow")
-        val clean = df.filter(df("_corrupt_record").isNull).drop("_corrupt_record")
+        val clean = df.filter(corrupt.isNull || jaggedOk).drop("_corrupt_record")
         writeTable(clean, dest, overwrite = bool(params, "overwrite", default = true))
       } else {
         writeTable(df, dest, overwrite = bool(params, "overwrite", default = true))

@@ -56,6 +56,36 @@ class WorkersSpec extends AnyFunSuite with SparkFixture {
     intercept[RuntimeException] { runImport(allow = 0) }
   }
 
+  test("StorageImporter: allow_jagged_rows accepts short rows for free; type errors still bad") {
+    val dir = Files.createTempDirectory("graft_imp_jag")
+    // row 2 is JAGGED (2 of 3 columns, both type-valid) -> loads with a
+    // NULL tail at budget 0; row 4 is a type error (present field fails
+    // Long parse) -> still consumes the budget even with jagged on
+    Files.writeString(Paths.get(s"$dir/jag_1.csv"),
+      "1,alice,3.5\n2,bob\n3,carol,5.0\nnotanum,dave,1.0\n")
+    val schema =
+      """[{"name":"id","type":"INTEGER"},{"name":"name","type":"STRING"},
+        | {"name":"score","type":"FLOAT"}]""".stripMargin
+    def runImport(allow: Long, jagged: Option[Boolean]): Unit =
+      new Workers.StorageImporter(spark, Map(
+        "source_uris" -> WorkerValue.SL(Seq(s"$dir/jag_*.csv")),
+        "bq_table_id" -> WorkerValue.S(s"$dir/out_jag"),
+        "schema" -> WorkerValue.S(schema),
+        "errors_to_allow" -> WorkerValue.I(allow)) ++
+        jagged.map(j => "allow_jagged_rows" -> WorkerValue.B(j))).execute(noCtx)
+    // jagged defaults ON with an explicit schema (storage_to_bq_importer
+    // .py:56-60 forces it whenever autodetect is off): budget 1 absorbs
+    // ONLY the type-error row, the jagged row rides free
+    runImport(allow = 1, jagged = None)
+    val out = spark.read.parquet(s"$dir/out_jag")
+    assert(out.count() == 3, "jagged row is loaded, type-error row dropped")
+    assert(out.filter("id = 2 AND name = 'bob' AND score IS NULL").count() == 1,
+      "missing trailing column loads as NULL")
+    intercept[RuntimeException] { runImport(allow = 0, jagged = None) }
+    // jagged explicitly OFF: the short row consumes the budget too
+    intercept[RuntimeException] { runImport(allow = 1, jagged = Some(false)) }
+  }
+
   test("SqlScriptExecutor: dry_run does NOT execute DDL/DML") {
     val tbl = "dryrun_should_not_exist"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
