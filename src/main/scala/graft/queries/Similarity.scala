@@ -1294,14 +1294,25 @@ object Similarity {
     * driver's pandas compare cannot sort/hash `array<double>`): one
     * `(vec_id, coef, n2_orig, n2_resid, dim, resid)` row per residual
     * element. The scalar audit columns repeat per dim — redundant but
-    * deterministic, and the per-vector view is one groupBy away. */
-  def embedPcaDebiasRows(s: SparkSession, dir: String): DataFrame =
-    embedPcaDebias(s, dir)
+    * deterministic, and the per-vector view is one groupBy away.
+    *
+    * The per-vector result PERSISTS before the explode as an optimizer
+    * barrier (the dedupEditDistance candidate-persist lesson): without
+    * it CollapseProject folds the coef dot INTO the residual zip_with
+    * lambda and the n2 dots re-expand the whole residual array per
+    * element — O(dim²·dim) per row, measured 100 s at the 10× tile vs
+    * ~16 s with the barrier. */
+  def embedPcaDebiasRows(s: SparkSession, dir: String): DataFrame = {
+    val perVec = embedPcaDebias(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(perVec)
+    perVec
       .select(col("vec_id"), col("coef"), col("n2_orig"), col("n2_resid"),
         posexplode(col("resid")).as(Seq("dim", "resid")))
       .select(col("vec_id"), col("coef"), col("n2_orig"), col("n2_resid"),
         col("dim").cast("long").as("dim"), col("resid"))
       .orderBy(col("vec_id"), col("dim"))
+  }
 
   /** Random-projection output dimensionality (64 → 16, 4× cheaper). */
   private val RpK = 16
