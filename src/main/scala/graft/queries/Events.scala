@@ -169,6 +169,52 @@ object Events {
       .orderBy(col("touch_type"))
   }
 
+  /**
+   * Time-decay multi-touch attribution — [[qAttributionLinear]]'s
+   * recency-weighted sibling (the third classic credit model next to
+   * linear and U-shape): a touchpoint's credit halves for every day
+   * between it and the conversion (half-life = 1 day over the same
+   * 7-day lookback), so yesterday's click out-earns last week's view.
+   * Unmatched conversions keep full credit in the `direct` bucket.
+   *
+   * Same join shape as linear (user_id equi-join, window as residual
+   * predicate, per-conversion normalizer as a `conv_id` window).
+   * Determinism: the decay weight is an EXACT dyadic rational — w =
+   * 1/2^k with k = whole elapsed days (integer division of the raw
+   * nanosecond timestamps, capped at 2^20) — so the per-conversion Σw
+   * is exact in a double (common denominator 2^20, numerators ≪ 2^53)
+   * and the share w/Σw is one IEEE division on both engines; never a
+   * pow()/exp() whose libm could differ.
+   */
+  def qAttributionTimeDecay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir)
+    val conv = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("cts"), col("value"))
+    val touch = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tuid"), col("ts").as("tts"),
+        col("event_type").as("touch_type"))
+    val w = when(col("touch_type").isNull, lit(1.0d))
+      .otherwise(lit(1.0d) / expr(
+        "shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(least((cts - tts) DIV 86400000000000, 20) AS INT))")
+        .cast("double"))
+    conv.join(touch,
+        col("user_id") === col("tuid") &&
+          col("tts") < col("cts") && col("tts") >= col("cts") - lit(AttribWindowNs),
+        "left")
+      .withColumn("w", w)
+      .withColumn("sw", sum(col("w")).over(Window.partitionBy(col("conv_id"))))
+      .select(coalesce(col("touch_type"), lit("direct")).as("touch_type"),
+        round(col("value") * (col("w") / col("sw")), 6).as("credit"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("credit").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(30, 8))).cast("double"), 6).as("credited_value"))
+      .orderBy(col("touch_type"))
+  }
+
   /** RFM quintile count. */
   private val RfmBuckets = 5
 
@@ -1554,6 +1600,7 @@ object Events {
     "q_histogram" -> (qHistogram _),
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_attribution_ushape" -> (qAttributionUshape _),
+    "q_attribution_time_decay" -> (qAttributionTimeDecay _),
     "q_windowed_distinct" -> (qWindowedDistinct _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "interval_concurrency" -> (intervalConcurrency _),
@@ -2163,6 +2210,28 @@ object Events {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_attribution_time_decay" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS cts, value
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |t AS (SELECT user_id AS tuid, ts AS tts, event_type AS touch_type
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.conv_id, c.value, t.touch_type,
+        |    CASE WHEN t.touch_type IS NULL THEN 1.0
+        |      ELSE 1.0 / CAST(CAST(1 AS BIGINT) << CAST(least(
+        |        (epoch_ns(c.cts) - epoch_ns(t.tts)) // 86400000000000, 20)
+        |        AS INTEGER) AS DOUBLE) END AS w
+        |  FROM conv c LEFT JOIN t ON c.user_id = t.tuid
+        |    AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+        |n AS (SELECT conv_id, SUM(w) AS sw FROM j GROUP BY conv_id),
+        |cr AS (
+        |  SELECT COALESCE(j.touch_type, 'direct') AS touch_type,
+        |    round(j.value * (j.w / n.sw), 6) AS credit
+        |  FROM j JOIN n USING (conv_id))
+        |SELECT touch_type, COUNT(1) AS n_touches,
+        |  round(CAST(SUM(CAST(credit AS DECIMAL(30,8))) AS DOUBLE), 6) AS credited_value
+        |FROM cr GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "q_attribution_linear" ->
       """WITH conv AS (
         |  SELECT event_id AS conv_id, user_id, ts AS cts, value

@@ -1339,6 +1339,119 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // stats_spearman — rank correlation of length vs word count per source
+  // ---------------------------------------------------------------------
+
+  /**
+   * Spearman rank correlation between document length (n_chars) and
+   * whitespace word count, per source — the monotone-association audit
+   * that flags slices where the two size measures DECOUPLE (heavy
+   * markup/punctuation, CJK-like scripts, minified blobs: chars grow
+   * without words). Complements [[statsMannWhitney]] (cross-source
+   * location shift) with a within-source association number; tied
+   * values get average ranks (the textbook tie treatment).
+   *
+   * Exactness: doubled average ranks 2r = 2·cumBefore + c + 1 keep every
+   * rank an exact INTEGER (Spearman is scale-invariant, so ρ of 2r
+   * equals ρ of r); the five per-source sums accumulate in DECIMAL(38,0)
+   * and ρ's final Pearson form runs the same IEEE ops on exact sums cast
+   * to double once. Degenerate sources (either variable constant)
+   * report NULL.
+   *
+   * Scale: ranks come from per-source CUMULATIVE counts over the
+   * DISTINCT-value relation (the [[statsMannWhitney]] machinery —
+   * windows over value-domain-sized partitions, never a per-row window),
+   * joined back to the doc stream on (source, value) — two linear
+   * passes, one |sources|-group aggregate.
+   */
+  def statsSpearman(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = docs(s, dir)
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("x"),
+        size(Text.words(col("text"))).cast("long").as("y"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    def ranks(vc: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("source"), col(vc)).agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col("source"), col(vc),
+          (lit(2L) * col("cb") + col("c") + lit(1L)).as(out))
+    }
+    val joined = base
+      .join(ranks("x", "ra"), Seq("source", "x"))
+      .join(ranks("y", "rb"), Seq("source", "y"))
+    val g = joined.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("ra").cast(d38)).as("sa"),
+      sum(col("rb").cast(d38)).as("sb"),
+      sum((col("ra") * col("rb")).cast(d38)).as("sab"),
+      sum((col("ra") * col("ra")).cast(d38)).as("saa"),
+      sum((col("rb") * col("rb")).cast(d38)).as("sbb"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sab").cast("double") -
+      col("sa").cast("double") * col("sb").cast("double")
+    val va = nD * col("saa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double")
+    val vb = nD * col("sbb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double")
+    g.select(col("source"), col("n"),
+        round(when(va > 0 && vb > 0, cov / sqrt(va * vb)), 6)
+          .as("rho_spearman"))
+      .orderBy(col("source"))
+  }
+
+  private val statsSpearmanSql: String =
+    """WITH base AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT) AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      |gx AS (SELECT source, x, CAST(COUNT(1) AS BIGINT) AS c
+      |       FROM base GROUP BY 1, 2),
+      |rx AS (SELECT source, x,
+      |         2 * CAST(coalesce(SUM(c) OVER (PARTITION BY source ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) + c + 1 AS ra
+      |       FROM gx),
+      |gy AS (SELECT source, y, CAST(COUNT(1) AS BIGINT) AS c
+      |       FROM base GROUP BY 1, 2),
+      |ry AS (SELECT source, y,
+      |         2 * CAST(coalesce(SUM(c) OVER (PARTITION BY source ORDER BY y
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) + c + 1 AS rb
+      |       FROM gy),
+      |j AS (
+      |  SELECT base.source, ra, rb
+      |  FROM base
+      |  JOIN rx ON base.source = rx.source AND base.x = rx.x
+      |  JOIN ry ON base.source = ry.source AND base.y = ry.y),
+      |g AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+      |    SUM(CAST(ra AS DECIMAL(38,0))) AS sa,
+      |    SUM(CAST(rb AS DECIMAL(38,0))) AS sb,
+      |    SUM(CAST(ra * rb AS DECIMAL(38,0))) AS sab,
+      |    SUM(CAST(ra * ra AS DECIMAL(38,0))) AS saa,
+      |    SUM(CAST(rb * rb AS DECIMAL(38,0))) AS sbb
+      |  FROM j GROUP BY source)
+      |SELECT source, n,
+      |  round(CASE WHEN
+      |      CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+      |      AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+      |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+      |      / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) END, 6)
+      |    AS rho_spearman
+      |FROM g ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // stats_cramers_v — lang × source association strength
   // ---------------------------------------------------------------------
 
@@ -1577,6 +1690,7 @@ object Governance {
     "vocab_oov_rate" -> (vocabOovRate _),
     "stats_jackknife_mean" -> (statsJackknifeMean _),
     "stats_mann_whitney" -> (statsMannWhitney _),
+    "stats_spearman" -> (statsSpearman _),
     "stats_cramers_v" -> (statsCramersV _),
     "stats_welch_ttest" -> (statsWelchTtest _),
     "privacy_dp_count" -> (privacyDpCount _),
@@ -2167,6 +2281,7 @@ object Governance {
          |       WHEN rk * 10 <= n_src * $ValTenths THEN 'val'
          |       ELSE 'test' END AS split
          |FROM p ORDER BY doc_id""".stripMargin,
+    "stats_spearman" -> statsSpearmanSql,
     "stats_mann_whitney" ->
       """WITH l AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS v

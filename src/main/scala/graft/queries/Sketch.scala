@@ -553,7 +553,248 @@ object Sketch {
        |ORDER BY m.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sketch_hll_intersect — inclusion–exclusion intersection estimate
+  // ---------------------------------------------------------------------
+
+  /**
+   * HLL intersection estimate for every source pair by
+   * inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+   * est(A∪B) comes from the bucket-max MERGE of the two sources'
+   * register tables (never a second corpus pass) — audited against the
+   * exact vocabulary intersection. This is the standard (and standardly
+   * noisy) HLL set operation: the audit exists precisely because I–E
+   * inherits the union's error at the intersection's scale, so a
+   * governance layer needs the measured error before trusting sketch
+   * overlap numbers (the KMV twin [[sketchKmvJaccard]] estimates
+   * resemblance directly).
+   *
+   * Scale: register tables are ≤ m rows per source; the pair merge is
+   * register-space only (|pairs|·m rows, sources are metadata). The
+   * exact intersection is one word-equi self-join of the distinct
+   * (source, word) relation — linear in vocabulary, the
+   * corpus_source_overlap shape. Determinism: every harmonic sum is the
+   * integer-scaled BIGINT of [[sketchHllDistinct]]; the three estimates
+   * round to 6 dp BEFORE the I–E sum, so the output is arithmetic on
+   * already-pinned decimals.
+   */
+  def sketchHllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val w = sourceWords(s, dir)
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val rem = col("h48") % lit(4398046511104L)
+    val rho = when(rem === 0L, lit(43))
+      .otherwise(lit(43) - length(conv(rem, 10, 2)))
+    val regs = w.select(col("source"),
+        (col("h48") / lit(4398046511104L)).cast("long").as("bucket"), rho.as("rho"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m_j"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    def sTotalCol: Column =
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(43 - m_j AS INT))")) +
+        (lit(HllM.toLong) - count(lit(1))) * lit(8796093022208L)
+    val perSrc = regs.groupBy(col("source")).agg(sTotalCol.as("s_src"))
+    val srcs = perSrc.select(col("source"))
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+    // union registers: each source's registers fan out to its pairs
+    // (broadcast pair list), then bucket-max per pair
+    val uni = regs.join(broadcast(pairs),
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("bucket"))
+      .agg(max(col("m_j")).as("m_j"))
+      .groupBy(col("src_a"), col("src_b")).agg(sTotalCol.as("s_uni"))
+    val exact = w.select(col("source").as("src_a"), col("word"))
+      .join(w.select(col("source").as("src_b"), col("word")), Seq("word"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_inter"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    def est(sc: Column): Column =
+      round(alpha * lit(HllM.toDouble * HllM.toDouble) * lit(8796093022208.0d) / sc, 6)
+    pairs
+      .join(broadcast(perSrc.select(col("source").as("src_a"), col("s_src").as("sa"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"), col("s_src").as("sb"))), "src_b")
+      .join(uni, Seq("src_a", "src_b"))
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        est(col("sa")).as("est_a"), est(col("sb")).as("est_b"),
+        est(col("s_uni")).as("est_union"),
+        round(est(col("sa")) + est(col("sb")) - est(col("s_uni")), 6)
+          .as("est_inter"))
+      .withColumn("abs_err",
+        round(abs(col("est_inter") - col("n_inter").cast("double")), 6))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val sketchHllIntersectSql = {
+    val estExpr = (sc: String) =>
+      s"round((0.7213 / (1.0 + 1.079 / ${HllM}.0)) * ${HllM}.0 * ${HllM}.0 " +
+        s"* 8796093022208.0 / $sc, 6)"
+    s"""WITH h AS ($sourceWordsSql),
+       |b AS (SELECT source, h48 // 4398046511104 AS bucket,
+       |        CASE WHEN h48 % 4398046511104 = 0 THEN 43
+       |             ELSE 43 - length(bin(h48 % 4398046511104)) END AS rho
+       |      FROM h),
+       |regs AS (SELECT source, bucket, max(rho) AS m_j FROM b GROUP BY 1, 2),
+       |ps AS (SELECT source,
+       |         CAST(SUM(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER))
+       |           + ($HllM - COUNT(*)) * 8796093022208 AS BIGINT) AS s_src
+       |       FROM regs GROUP BY source),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+       |          FROM ps a JOIN ps b ON a.source < b.source),
+       |uregs AS (
+       |  SELECT p.src_a, p.src_b, r.bucket, max(r.m_j) AS m_j
+       |  FROM pairs p JOIN regs r
+       |    ON r.source = p.src_a OR r.source = p.src_b
+       |  GROUP BY 1, 2, 3),
+       |uni AS (SELECT src_a, src_b,
+       |          CAST(SUM(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER))
+       |            + ($HllM - COUNT(*)) * 8796093022208 AS BIGINT) AS s_uni
+       |        FROM uregs GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(1) AS BIGINT) AS n_inter
+       |  FROM h a JOIN h b ON a.word = b.word AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |  CAST(coalesce(ex.n_inter, 0) AS BIGINT) AS n_inter,
+       |  ${estExpr("sa.s_src")} AS est_a,
+       |  ${estExpr("sb.s_src")} AS est_b,
+       |  ${estExpr("uni.s_uni")} AS est_union,
+       |  round(${estExpr("sa.s_src")} + ${estExpr("sb.s_src")}
+       |    - ${estExpr("uni.s_uni")}, 6) AS est_inter,
+       |  round(abs(round(${estExpr("sa.s_src")} + ${estExpr("sb.s_src")}
+       |      - ${estExpr("uni.s_uni")}, 6)
+       |    - CAST(coalesce(ex.n_inter, 0) AS DOUBLE)), 6) AS abs_err
+       |FROM pairs p
+       |JOIN ps sa ON p.src_a = sa.source
+       |JOIN ps sb ON p.src_b = sb.source
+       |JOIN uni ON p.src_a = uni.src_a AND p.src_b = uni.src_b
+       |LEFT JOIN ex ON p.src_a = ex.src_a AND p.src_b = ex.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // sketch_quantile_audit — mergeable histogram quantiles vs exact
+  // ---------------------------------------------------------------------
+
+  /** Histogram bucket width for the quantile sketch (chars). */
+  private val QsWidth = 64L
+
+  /**
+   * Fixed-width histogram quantile sketch per source, audited against
+   * the EXACT order statistics — the mergeable one-pass structure (a
+   * bucket-count vector adds across shards, the property t-digest/GK
+   * sketches trade precision for) a 100 TB profiler uses for length
+   * medians instead of a global sort. Estimates p50/p90 by linear
+   * interpolation inside the covering bucket; exact values are the
+   * lower order statistics (ceil(q·n)-th smallest — no engine-defined
+   * interpolation).
+   *
+   * Scale: the histogram is one map-side-combined (source, bucket)
+   * count; cumulative walks run over the ≤(domain/width)-row bucket
+   * relation and the distinct-value relation (the [[sketchKmvDistinct]]
+   * window convention — value-domain partitions, never per-row).
+   * Determinism: targets are exact integer ceilings ((q·n + 99) DIV
+   * 100); the interpolation is integer arithmetic with one IEEE
+   * division.
+   */
+  def sketchQuantileAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    val gv = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val hb = d.groupBy(col("source"), expr(s"v DIV $QsWidth").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val n = gv.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    def target(q: Int): Column = expr(s"($q * n + 99) DIV 100")
+    def exactQ(q: Int, out: String): DataFrame =
+      gv.join(n, Seq("source"))
+        .filter(col("cum") >= target(q))
+        .groupBy(col("source")).agg(min(col("v")).as(out))
+    def estQ(q: Int, out: String): DataFrame =
+      hb.join(n, Seq("source"))
+        .filter(col("cum") >= target(q))
+        .groupBy(col("source"))
+        .agg(min(struct(col("bucket"), col("cum"), col("c"), col("n"))).as("st"))
+        .select(col("source"),
+          round(col("st.bucket").cast("double") * lit(QsWidth.toDouble) +
+            (lit(QsWidth.toDouble) *
+              (expr(s"($q * st.n + 99) DIV 100") - (col("st.cum") - col("st.c")))
+                .cast("double")) / col("st.c").cast("double"), 6).as(out))
+    n.join(exactQ(50, "exact_p50"), Seq("source"))
+      .join(estQ(50, "est_p50"), Seq("source"))
+      .join(exactQ(90, "exact_p90"), Seq("source"))
+      .join(estQ(90, "est_p90"), Seq("source"))
+      .select(col("source"), col("n"),
+        col("exact_p50"), col("est_p50"),
+        round(abs(col("est_p50") - col("exact_p50").cast("double")), 6)
+          .as("err_p50"),
+        col("exact_p90"), col("est_p90"),
+        round(abs(col("est_p90") - col("exact_p90").cast("double")), 6)
+          .as("err_p90"))
+      .orderBy(col("source"))
+  }
+
+  private val sketchQuantileAuditSql =
+    s"""WITH d AS (
+       |  SELECT source, CAST(n_chars AS BIGINT) AS v
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |gv AS (
+       |  SELECT source, v, CAST(COUNT(1) AS BIGINT) AS c,
+       |    CAST(SUM(COUNT(1)) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+       |      AS cum
+       |  FROM d GROUP BY 1, 2),
+       |hb AS (
+       |  SELECT source, v // $QsWidth AS bucket, CAST(COUNT(1) AS BIGINT) AS c,
+       |    CAST(SUM(COUNT(1)) OVER (PARTITION BY source ORDER BY v // $QsWidth)
+       |      AS BIGINT) AS cum
+       |  FROM d GROUP BY 1, 2),
+       |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM gv GROUP BY 1),
+       |e50 AS (SELECT gv.source, MIN(v) AS exact_p50
+       |        FROM gv JOIN n USING (source)
+       |        WHERE cum >= (50 * n + 99) // 100 GROUP BY 1),
+       |e90 AS (SELECT gv.source, MIN(v) AS exact_p90
+       |        FROM gv JOIN n USING (source)
+       |        WHERE cum >= (90 * n + 99) // 100 GROUP BY 1),
+       |f50 AS (SELECT hb.source, MIN(bucket) AS b FROM hb JOIN n USING (source)
+       |        WHERE cum >= (50 * n + 99) // 100 GROUP BY 1),
+       |s50 AS (SELECT hb.source,
+       |          round(CAST(hb.bucket * $QsWidth AS DOUBLE)
+       |            + CAST($QsWidth * ((50 * n + 99) // 100 - (cum - c)) AS DOUBLE)
+       |              / CAST(c AS DOUBLE), 6) AS est_p50
+       |        FROM hb JOIN n USING (source)
+       |        JOIN f50 ON hb.source = f50.source AND hb.bucket = f50.b),
+       |f90 AS (SELECT hb.source, MIN(bucket) AS b FROM hb JOIN n USING (source)
+       |        WHERE cum >= (90 * n + 99) // 100 GROUP BY 1),
+       |s90 AS (SELECT hb.source,
+       |          round(CAST(hb.bucket * $QsWidth AS DOUBLE)
+       |            + CAST($QsWidth * ((90 * n + 99) // 100 - (cum - c)) AS DOUBLE)
+       |              / CAST(c AS DOUBLE), 6) AS est_p90
+       |        FROM hb JOIN n USING (source)
+       |        JOIN f90 ON hb.source = f90.source AND hb.bucket = f90.b)
+       |SELECT n.source, n.n AS n, exact_p50, est_p50,
+       |  round(abs(est_p50 - CAST(exact_p50 AS DOUBLE)), 6) AS err_p50,
+       |  exact_p90, est_p90,
+       |  round(abs(est_p90 - CAST(exact_p90 AS DOUBLE)), 6) AS err_p90
+       |FROM n
+       |JOIN e50 USING (source) JOIN s50 USING (source)
+       |JOIN e90 USING (source) JOIN s90 USING (source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_intersect" -> (sketchHllIntersect _),
+    "sketch_quantile_audit" -> (sketchQuantileAudit _),
     "sketch_cms_heavy" -> (sketchCmsHeavy _),
     "sketch_bloom_fp" -> (sketchBloomFp _),
     "sketch_hll_merge" -> (sketchHllMerge _),
@@ -562,6 +803,8 @@ object Sketch {
     "sketch_kmv_jaccard" -> (sketchKmvJaccard _))
 
   val oracle: Map[String, String] = Map(
+    "sketch_hll_intersect" -> sketchHllIntersectSql,
+    "sketch_quantile_audit" -> sketchQuantileAuditSql,
     "sketch_cms_heavy" -> sketchCmsHeavySql,
     "sketch_bloom_fp" -> sketchBloomFpSql,
     "sketch_hll_merge" -> sketchHllMergeSql,

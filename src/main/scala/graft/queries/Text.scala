@@ -1282,7 +1282,162 @@ object Text {
       .orderBy(col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // sample_ess_audit — effective sample size of the importance weights
+  // ---------------------------------------------------------------------
+
+  /**
+   * Kish effective sample size of [[sampleQualityWeighted]]'s importance
+   * weights, per source — the variance audit that prices a weighted
+   * sampler BEFORE running it: ESS = (Σw)²/Σw² is the number of
+   * equal-weight samples the weighted set is statistically worth, and
+   * ESS/n → 1 means the weights are near-uniform (weighting buys
+   * nothing) while ESS/n → 0 means a few heavy docs dominate (the
+   * estimator's variance explodes). Weights are the same 0–5 rule-count
+   * the sampler uses, so the audit prices exactly the sampler that ships.
+   *
+   * Exactness: w ∈ {0..5} keeps Σw and Σw² in exact LONG arithmetic all
+   * the way; ESS is one integer cross-ratio per source, rounded once.
+   * Scale: one map-side-combined |sources|-group aggregate over the
+   * scan-local rule battery — a single linear pass.
+   */
+  def sampleEssAudit(s: SparkSession, dir: String): DataFrame = {
+    val qw = gopherPredicates.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+    docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), qw.as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("sum_w"),
+        sum(col("w") * col("w")).as("sum_w2"),
+        max(col("w")).as("w_max"))
+      .select(col("source"), col("n_docs"), col("sum_w"), col("sum_w2"),
+        col("w_max"),
+        round(when(col("sum_w2") > 0,
+          (col("sum_w") * col("sum_w")).cast("double") /
+            col("sum_w2").cast("double")), 6).as("ess"),
+        round(when(col("sum_w2") > 0,
+          (col("sum_w") * col("sum_w")).cast("double") /
+            (col("sum_w2") * col("n_docs")).cast("double")), 6)
+          .as("ess_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val sampleEssAuditSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+      |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT source,
+      |    CAST((CASE WHEN n_words >= 50 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 3 * n_words <= word_chars AND word_chars <= 10 * n_words THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 10 * sym_chars <= n_chars THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 5 * digit_chars <= n_chars THEN 1 ELSE 0 END) AS BIGINT) AS w
+      |  FROM f),
+      |g AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+      |    CAST(SUM(w) AS BIGINT) AS sum_w,
+      |    CAST(SUM(w * w) AS BIGINT) AS sum_w2,
+      |    CAST(MAX(w) AS BIGINT) AS w_max
+      |  FROM w GROUP BY source)
+      |SELECT source, n_docs, sum_w, sum_w2, w_max,
+      |  round(CASE WHEN sum_w2 > 0 THEN CAST(sum_w * sum_w AS DOUBLE)
+      |    / CAST(sum_w2 AS DOUBLE) END, 6) AS ess,
+      |  round(CASE WHEN sum_w2 > 0 THEN CAST(sum_w * sum_w AS DOUBLE)
+      |    / CAST(sum_w2 * n_docs AS DOUBLE) END, 6) AS ess_ratio
+      |FROM g ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // text_pmi_collocations — top-K pointwise-mutual-information bigrams
+  // ---------------------------------------------------------------------
+
+  /** Minimum bigram count for a PMI candidate (PMI of a hapax pair is
+    * pure noise — the standard collocation-extraction floor). */
+  private val PmiMinCount = 5L
+
+  /** Collocations reported. */
+  private val PmiTopK = 50
+
+  /**
+   * Top-[[PmiTopK]] collocations by pointwise mutual information over
+   * adjacent-token bigrams — the phrase-mining pass (Church & Hanks 1990)
+   * a tokenizer/vocab pipeline runs to find multi-word units worth
+   * single tokens, and a template detector reads for stamped-phrase
+   * signal. PMI = ln N·c(w1,w2)/(c(w1,·)·c(·,w2)) with both marginals
+   * taken over the SAME bigram stream (self-consistent — no separate
+   * unigram scan), floored at c ≥ [[PmiMinCount]].
+   *
+   * Scale: one bigram explode + map-side-combined groupBy; marginals
+   * RE-AGGREGATE from the bigram-count table (the [[lmCounts]] no-second-
+   * scan pattern) and join back on their key; N is a 1-row metadata
+   * scalar. The top-K is TakeOrdered — never a global sort. Determinism:
+   * PMI = ln c12 + ln N − ln c1 − ln c2 with each ln of an EXACT integer
+   * rounded to 8 dp before the sum (products like c12·N overflow a
+   * double's 53-bit mantissa at corpus scale; the log-sum never does),
+   * ties broken lexicographically.
+   */
+  def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val bi = explodeBigrams(
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(words(col("text")).as("ws")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val nRow = bi.agg(sum(col("c12"))).first()
+    if (nRow.isNullAt(0)) return bi.select(col("w1"), col("w2"), col("c12"),
+      col("c12").as("c1"), col("c12").as("c2"),
+      lit(null).cast("double").as("pmi")).limit(0)
+    val nBi = nRow.getLong(0)
+    val left = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = bi.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val lnN = round(log(lit(nBi.toDouble)), 8)
+    bi.filter(col("c12") >= PmiMinCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(round(log(col("c12").cast("double")), 8) + lnN -
+          round(log(col("c1").cast("double")), 8) -
+          round(log(col("c2").cast("double")), 8), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  private val textPmiCollocationsSql: String =
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |u AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+       |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
+       |  FROM t WHERE len(ws) >= 2),
+       |b AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM u),
+       |bi AS (
+       |  SELECT w1, w2, CAST(COUNT(1) AS BIGINT) AS c12
+       |  FROM b GROUP BY 1, 2),
+       |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS nbi FROM bi),
+       |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+       |r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY 1)
+       |SELECT bi.w1, bi.w2, c12, c1, c2,
+       |  round(round(ln(CAST(c12 AS DOUBLE)), 8)
+       |    + round(ln(CAST(nbi AS DOUBLE)), 8)
+       |    - round(ln(CAST(c1 AS DOUBLE)), 8)
+       |    - round(ln(CAST(c2 AS DOUBLE)), 8), 6) AS pmi
+       |FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+       |WHERE c12 >= $PmiMinCount
+       |ORDER BY pmi DESC, bi.w1, bi.w2
+       |LIMIT $PmiTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_ess_audit" -> (sampleEssAudit _),
+    "text_pmi_collocations" -> (textPmiCollocations _),
     "mix_doremi_step" -> (mixDoremiStep _),
     "tok_char_coverage" -> (tokCharCoverage _),
     "pipeline_curation_lm" -> (pipelineCurationLm _),
@@ -1386,6 +1541,8 @@ object Text {
       |GROUP BY w.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sample_ess_audit" -> sampleEssAuditSql,
+    "text_pmi_collocations" -> textPmiCollocationsSql,
     "tok_char_coverage" ->
       s"""WITH ch AS (
          |  SELECT unnest(string_split(text, '')) AS ch FROM documents),

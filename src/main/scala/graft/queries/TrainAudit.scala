@@ -897,7 +897,266 @@ object TrainAudit {
         .as("b1"))
   }
 
+  // ---------------------------------------------------------------------
+  // eval_avg_precision — PR-curve average precision (step-interpolated)
+  // ---------------------------------------------------------------------
+
+  /**
+   * Average precision (the area under the precision–recall curve in its
+   * step-interpolated form, AP = Σ_i ΔR_i · P_i over distinct score
+   * thresholds descending) for the same score/label relation as
+   * [[evalAucRoc]] — the imbalanced-data companion to ROC AUC (a quality
+   * classifier at 1% positive rate can hold AUC ≈ 0.9 while AP collapses;
+   * training-data gates watch both).
+   *
+   * Ties collapse to one block per DISTINCT score (the sklearn
+   * `average_precision_score` convention), so the result is
+   * permutation-independent: AP = Σ_blocks p_b · (cumPos_b / cumTotal_b)
+   * / n_pos with cumulative counts INCLUSIVE of the block.
+   *
+   * Scale: scores collapse to one row per distinct value first (map-side
+   * combined), then TWO distributed prefix sums over the collapsed
+   * relation ([[graft.operators.Quantiles.withRunningTotal]] — range
+   * partitioned, never a single-partition window; one pass per measure
+   * because the prefix kernel carries one LONG column). Determinism:
+   * counts are exact integers; each block term rounds to 8 dp DECIMAL;
+   * one final division.
+   */
+  def evalAvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val dec8 = DecimalType(30, 8)
+    val sc = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(element_at(col("embedding"), 1).cast("double").as("score"),
+        (col("label") % 2 === 1).cast("long").as("pos"))
+    val g = sc.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      // descending-threshold order spelled as an ascending range sort on
+      // the negated score (repartitionByRange needs a sortable key)
+      .withColumn("nscore", -col("score"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val r1 = graft.operators.Quantiles.withRunningTotal(
+      g, Seq(col("nscore")), "c", "cumc")
+    val r2 = graft.operators.Quantiles.withRunningTotal(
+      r1.withColumn("cumc2", col("cumc")).drop("cumc"),
+      Seq(col("nscore")), "p", "cump")
+    r2.agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("c")).as("n_total"),
+        sum(round(col("p").cast("double") *
+            (col("cump").cast("double") / col("cumc2").cast("double")), 8)
+          .cast(dec8)).as("ap_num"))
+      .select(col("n_pos"), col("n_total"),
+        round(when(col("n_pos") > 0,
+          col("ap_num").cast("double") / col("n_pos").cast("double")), 6)
+          .as("avg_precision"))
+  }
+
+  private val evalAvgPrecisionSql: String =
+    """WITH s AS (
+      |  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+      |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |g AS (SELECT score, CAST(COUNT(1) AS BIGINT) AS c,
+      |        CAST(SUM(pos) AS BIGINT) AS p
+      |      FROM s GROUP BY 1),
+      |r AS (SELECT c, p,
+      |        CAST(SUM(c) OVER (ORDER BY score DESC) AS BIGINT) AS cumc,
+      |        CAST(SUM(p) OVER (ORDER BY score DESC) AS BIGINT) AS cump
+      |      FROM g)
+      |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |  CAST(SUM(c) AS BIGINT) AS n_total,
+      |  round(CASE WHEN SUM(p) > 0 THEN
+      |    CAST(SUM(CAST(round(CAST(p AS DOUBLE)
+      |        * (CAST(cump AS DOUBLE) / CAST(cumc AS DOUBLE)), 8)
+      |      AS DECIMAL(30,8))) AS DOUBLE) / CAST(SUM(p) AS DOUBLE) END, 6)
+      |    AS avg_precision
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // eval_cohens_kappa — inter-annotator chance-corrected agreement
+  // ---------------------------------------------------------------------
+
+  /**
+   * Cohen's κ between two deterministic labelers of document quality —
+   * the inter-annotator-agreement gate an RLHF / labeled-data pipeline
+   * runs before trusting a label source (raw agreement overstates
+   * reliability when marginals are skewed; κ corrects for chance).
+   * Annotator A: n_chars ≥ 300; annotator B: word count ≥ 50 (the Gopher
+   * word-count rule) — two rule families that CORRELATE but disagree on
+   * short-word/long-text documents, per source.
+   *
+   * Exactness: κ = (N·(n11+n00) − (a1·b1 + a0·b0)) /
+   * (N² − (a1·b1 + a0·b0)) — the whole statistic is ONE exact-integer
+   * ratio (the po/pe divisions cancel against N²), so engines can only
+   * agree; a degenerate source (pe = 1: both annotators constant) reports
+   * NULL. Scale: one map-side-combined |sources|-group aggregate over a
+   * scan-local projection — a single linear pass, no shuffle beyond the
+   * group-by.
+   */
+  def evalCohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val a = (col("n_chars") >= 300L).cast("long")
+    val b = (size(Text.words(col("text"))).cast("long") >= 50L).cast("long")
+    val g = load(s, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), a.as("a"), b.as("b"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    val a1 = col("n11") + col("n10")
+    val b1 = col("n11") + col("n01")
+    val a0 = col("n01") + col("n00")
+    val b0 = col("n10") + col("n00")
+    val peNum = a1 * b1 + a0 * b0 // N²·pe as an exact integer
+    val num = col("n") * (col("n11") + col("n00")) - peNum
+    val den = col("n") * col("n") - peNum
+    g.select(col("source"), col("n"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        round((col("n11") + col("n00")).cast("double") /
+          col("n").cast("double"), 6).as("po"),
+        round(peNum.cast("double") /
+          (col("n") * col("n")).cast("double"), 6).as("pe"),
+        round(when(den =!= 0L,
+          num.cast("double") / den.cast("double")), 6).as("kappa"))
+      .orderBy(col("source"))
+  }
+
+  private val evalCohensKappaSql: String =
+    """WITH l AS (
+      |  SELECT source,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      >= 50 THEN 1 ELSE 0 END AS b
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |g AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+      |    CAST(SUM(a * b) AS BIGINT) AS n11,
+      |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+      |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+      |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM l GROUP BY source)
+      |SELECT source, n, n11, n10, n01, n00,
+      |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+      |  round(CAST((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) AS DOUBLE)
+      |    / CAST(n * n AS DOUBLE), 6) AS pe,
+      |  round(CASE WHEN n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) <> 0
+      |    THEN CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+      |        AS DOUBLE)
+      |      / CAST(n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+      |        AS DOUBLE) END, 6) AS kappa
+      |FROM g ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // pref_bt_step — Bradley–Terry strengths from pairwise preferences
+  // ---------------------------------------------------------------------
+
+  /** Bucket count for the pairwise-preference tournament. Prime so the
+    * md5 bucket spreads evenly; the PAIR stream is ≤ buckets·S²/2 rows
+    * (S = |sources|, metadata-sized), independent of corpus rows. */
+  private val BtBuckets = 997
+
+  /**
+   * Two MM iterations of a Bradley–Terry preference model (Hunter 2004)
+   * over deterministic document "matches" — the preference-data audit an
+   * RLHF pipeline runs on pairwise comparisons: which slice wins
+   * head-to-head, and do one-step and two-step strengths agree (a large
+   * w1→w2 move flags marginal-dominated win counts).
+   *
+   * Matches are bucket-champion tournaments, NOT row pairs: each source's
+   * champion in hash bucket k (max n_chars among its docs with
+   * md5(doc_id) mod [[BtBuckets]] = k) plays every other source's
+   * champion in the same bucket; longer text wins, equal lengths are
+   * undecided and dropped. The MM updates from uniform strengths:
+   * w1_i = W_i / Σ_j n_ij/2, then w2_i = W_i / Σ_j n_ij/(w1_i + w1_j).
+   *
+   * Scale: the champion table is one (bucket, source) max-aggregate
+   * (map-side combined, linear); the pair join is bucket-equi —
+   * ≤ [[BtBuckets]]·S²/2 rows no matter the corpus size; both MM steps
+   * run on the ≤S²-row pair-count relation with the ≤S-row strength
+   * vector broadcast back in. Determinism: wins/games are exact
+   * integers; w1 is one rounded division; w2's per-pair terms round to
+   * 8 dp DECIMAL before summing.
+   */
+  def prefBtStep(s: SparkSession, dir: String): DataFrame = {
+    val dec8 = DecimalType(30, 8)
+    val champs = load(s, dir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .groupBy(md5Mod(col("doc_id"), BtBuckets).as("bkt"), col("source"))
+      .agg(max(col("n_chars")).as("m"))
+    val a = champs.select(col("bkt"), col("source").as("src_i"), col("m").as("m_i"))
+    val b = champs.select(col("bkt"), col("source").as("src_j"), col("m").as("m_j"))
+    // symmetric per-(i, j) view (both orientations), decisive games only
+    val games = a.join(b, Seq("bkt"))
+      .filter(col("src_i") =!= col("src_j") && col("m_i") =!= col("m_j"))
+      .groupBy(col("src_i"), col("src_j"))
+      .agg(count(lit(1)).as("n_ij"),
+        sum((col("m_i") > col("m_j")).cast("long")).as("w_ij"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val w1 = games.groupBy(col("src_i"))
+      .agg(sum(col("w_ij")).as("n_wins"), sum(col("n_ij")).as("n_games"))
+      .withColumn("w1", round(lit(2.0d) * col("n_wins").cast("double") /
+        col("n_games").cast("double"), 8))
+    val w1j = w1.select(col("src_i").as("src_j"), col("w1").as("w1_j"))
+    val step2 = games
+      .join(broadcast(w1.select(col("src_i"), col("w1").as("w1_i"))), "src_i")
+      .join(broadcast(w1j), "src_j")
+      .select(col("src_i"),
+        round(col("n_ij").cast("double") / (col("w1_i") + col("w1_j")), 8)
+          .cast(dec8).as("d"))
+      .groupBy(col("src_i"))
+      .agg(sum(col("d")).as("den2"))
+    w1.join(step2, Seq("src_i"))
+      .select(col("src_i").as("source"), col("n_games"), col("n_wins"),
+        round(col("w1"), 6).as("w1"),
+        round(when(col("den2") > 0,
+          col("n_wins").cast("double") / col("den2").cast("double")), 6)
+          .as("w2"))
+      .orderBy(col("source"))
+  }
+
+  private val prefBtStepSql: String =
+    s"""WITH champs AS (
+       |  SELECT ${duckMd5ModExpr("doc_id", BtBuckets.toString)} AS bkt,
+       |    source, MAX(n_chars) AS m
+       |  FROM documents WHERE n_chars IS NOT NULL
+       |  GROUP BY 1, 2),
+       |games AS (
+       |  SELECT a.source AS src_i, b.source AS src_j,
+       |    CAST(COUNT(1) AS BIGINT) AS n_ij,
+       |    CAST(SUM(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS BIGINT) AS w_ij
+       |  FROM champs a JOIN champs b
+       |    ON a.bkt = b.bkt AND a.source <> b.source AND a.m <> b.m
+       |  GROUP BY 1, 2),
+       |s1 AS (
+       |  SELECT src_i, CAST(SUM(w_ij) AS BIGINT) AS n_wins,
+       |    CAST(SUM(n_ij) AS BIGINT) AS n_games,
+       |    round(2.0 * CAST(SUM(w_ij) AS DOUBLE) / CAST(SUM(n_ij) AS DOUBLE), 8)
+       |      AS w1
+       |  FROM games GROUP BY 1),
+       |s2 AS (
+       |  SELECT g.src_i,
+       |    SUM(CAST(round(CAST(g.n_ij AS DOUBLE) / (wi.w1 + wj.w1), 8)
+       |      AS DECIMAL(30,8))) AS den2
+       |  FROM games g
+       |  JOIN s1 wi ON g.src_i = wi.src_i
+       |  JOIN s1 wj ON g.src_j = wj.src_i
+       |  GROUP BY 1)
+       |SELECT s1.src_i AS source, n_games, n_wins,
+       |  round(w1, 6) AS w1,
+       |  round(CASE WHEN den2 > 0 THEN CAST(n_wins AS DOUBLE)
+       |    / CAST(den2 AS DOUBLE) END, 6) AS w2
+       |FROM s1 JOIN s2 ON s1.src_i = s2.src_i
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_avg_precision" -> (evalAvgPrecision _),
+    "eval_cohens_kappa" -> (evalCohensKappa _),
+    "pref_bt_step" -> (prefBtStep _),
     "ml_platt_step" -> (mlPlattStep _),
     "eval_auc_roc" -> (evalAucRoc _),
     "eval_ece_bins" -> (evalEceBins _),
@@ -913,6 +1172,9 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "eval_avg_precision" -> evalAvgPrecisionSql,
+    "eval_cohens_kappa" -> evalCohensKappaSql,
+    "pref_bt_step" -> prefBtStepSql,
     "ml_platt_step" ->
       """WITH base AS (
         |  SELECT
