@@ -215,6 +215,41 @@ object Events {
       .orderBy(col("touch_type"))
   }
 
+  /**
+   * Sample-ratio-mismatch (SRM) gate over the md5 user hash-split — the
+   * first thing an experimentation platform checks before reading ANY
+   * A/B metric: if the 50/50 assignment's realized unit counts fail a
+   * χ²(1) test, the experiment is corrupted (selective logging, bot
+   * filtering skew, assignment bug) and every downstream readout is
+   * invalid. Units are distinct users per event_type slice, assigned by
+   * the same md5-mod family as the ML train/test split, so the gate
+   * audits the split machinery the pipeline actually ships.
+   *
+   * Scale: one (event_type, arm) distinct-user aggregate — the
+   * countDistinct shuffles (user, type) pairs once; everything after is
+   * a ≤|event types|-row projection. Determinism: counts are exact
+   * integers; e = n/2 is an exact dyadic, the χ² is the same three IEEE
+   * ops on both engines; the 3.841459 flag threshold (χ²₀.₀₅,df=1)
+   * compares a rounded value.
+   */
+  def qAbTestSrm(s: SparkSession, dir: String): DataFrame = {
+    val arm = conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 2L
+    val g = ev(s, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id"), arm.as("arm"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(when(col("arm") === 0L, col("user_id"))).as("n_a"),
+        countDistinct(when(col("arm") === 1L, col("user_id"))).as("n_b"))
+    val e = (col("n_a") + col("n_b")).cast("double") / lit(2.0d)
+    val chi2 = (col("n_a").cast("double") - e) * (col("n_a").cast("double") - e) / e +
+      (col("n_b").cast("double") - e) * (col("n_b").cast("double") - e) / e
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+        round(chi2, 6).as("chi2"),
+        (round(chi2, 6) > lit(3.841459d)).as("srm_flag"))
+      .orderBy(col("event_type"))
+  }
+
   /** RFM quintile count. */
   private val RfmBuckets = 5
 
@@ -1601,6 +1636,7 @@ object Events {
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_attribution_ushape" -> (qAttributionUshape _),
     "q_attribution_time_decay" -> (qAttributionTimeDecay _),
+    "q_ab_test_srm" -> (qAbTestSrm _),
     "q_windowed_distinct" -> (qWindowedDistinct _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "interval_concurrency" -> (intervalConcurrency _),
@@ -2210,6 +2246,33 @@ object Events {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_ab_test_srm" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id,
+        |    CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |      AS UBIGINT) AS BIGINT) % 2 AS arm
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END) AS BIGINT)
+        |      AS n_b
+        |  FROM a GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  round((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |      / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |      / (CAST(n_a + n_b AS DOUBLE) / 2.0), 6) AS chi2,
+        |  round((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |      / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |      / (CAST(n_a + n_b AS DOUBLE) / 2.0), 6) > 3.841459 AS srm_flag
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_attribution_time_decay" ->
       """WITH conv AS (
         |  SELECT event_id AS conv_id, user_id, ts AS cts, value

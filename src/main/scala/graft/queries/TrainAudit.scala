@@ -1153,7 +1153,180 @@ object TrainAudit {
        |FROM s1 JOIN s2 ON s1.src_i = s2.src_i
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ml_feature_corr — per-source Pearson matrix over derived doc features
+  // ---------------------------------------------------------------------
+
+  /**
+   * Pearson correlation matrix over four derived document features
+   * (chars, words, digit chars, symbol chars), per source — the
+   * collinearity screen a feature pipeline runs before fitting anything
+   * linear: near-±1 pairs mean redundant features (drop one), and a pair
+   * whose correlation FLIPS between sources flags a slice where the
+   * feature means something different. Complements [[Governance.statsSpearman]]
+   * (monotone association of two fixed measures) with the full
+   * product-moment grid.
+   *
+   * Scale: ONE map-side-combined |sources|-group aggregate carries all
+   * 14 sums (4 linear + 10 upper-triangle products) in DECIMAL(38,0) —
+   * a single linear pass; the 6-row-per-source pair table unpivots from
+   * the aggregate with a literal stack, never a self-join of the data.
+   * Exactness: features are exact integers, so every sum is exact; each
+   * r is the same IEEE expression over exact sums cast to double once.
+   * A constant feature (zero variance) reports NULL.
+   */
+  def mlFeatureCorr(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val nChars = length(col("text")).cast("long")
+    val nWords = size(Text.words(col("text"))).cast("long")
+    val nDigit = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+    val nSym = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+      .cast("long")
+    val feats = Seq("chars" -> nChars, "words" -> nWords,
+      "digits" -> nDigit, "symbols" -> nSym)
+    val base = load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source") +: feats.map { case (n, c) => c.as(n) }: _*)
+    val sums = feats.map { case (n, _) => sum(col(n).cast(d38)).as(s"s_$n") }
+    val prods = for {
+      i <- feats.indices; j <- feats.indices if i <= j
+    } yield sum((col(feats(i)._1) * col(feats(j)._1)).cast(d38))
+      .as(s"p_${feats(i)._1}_${feats(j)._1}")
+    val g = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+    def r(a: String, b: String): Column = {
+      val nD = col("n").cast("double")
+      val cov = nD * col(s"p_${a}_$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      val va = nD * col(s"p_${a}_$a").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+      val vb = nD * col(s"p_${b}_$b").cast("double") -
+        col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+      round(when(va > 0 && vb > 0, cov / sqrt(va * vb)), 6)
+    }
+    val pairs = for {
+      i <- feats.indices; j <- feats.indices if i < j
+    } yield (feats(i)._1, feats(j)._1)
+    pairs.map { case (a, b) =>
+      g.select(col("source"), lit(a).as("feat_a"), lit(b).as("feat_b"),
+        col("n"), r(a, b).as("r"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("source"), col("feat_a"), col("feat_b"))
+  }
+
+  private val mlFeatureCorrSql: String = {
+    val feats = Seq("chars", "words", "digits", "symbols")
+    val pairSelects = (for {
+      i <- feats.indices; j <- feats.indices if i < j
+    } yield {
+      val (a, b) = (feats(i), feats(j))
+      s"""SELECT source, '$a' AS feat_a, '$b' AS feat_b, n,
+         |  round(CASE WHEN
+         |      CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE)
+         |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) > 0
+         |      AND CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE)
+         |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) > 0
+         |    THEN (CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)
+         |        - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |      / sqrt((CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE)
+         |          - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE)
+         |          - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) END, 6)
+         |    AS r
+         |FROM g""".stripMargin
+    }).mkString("\n|UNION ALL\n|")
+    val sumCols = feats.map(f => s"SUM(CAST($f AS DECIMAL(38,0))) AS s_$f")
+    val prodCols = (for {
+      i <- feats.indices; j <- feats.indices if i <= j
+    } yield s"SUM(CAST(${feats(i)} * ${feats(j)} AS DECIMAL(38,0))) " +
+      s"AS p_${feats(i)}_${feats(j)}").mkString(",\n|    ")
+    s"""WITH f AS (
+       |  SELECT source,
+       |    CAST(length(text) AS BIGINT) AS chars,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+       |      AS BIGINT) AS words,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS digits,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+       |      AS BIGINT) AS symbols
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+       |    ${sumCols.mkString(",\n|    ")},
+       |    $prodCols
+       |  FROM f GROUP BY source)
+       |SELECT * FROM (
+       |$pairSelects)
+       |ORDER BY source, feat_a, feat_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // eval_krippendorff — nominal Krippendorff's α over three annotators
+  // ---------------------------------------------------------------------
+
+  /**
+   * Krippendorff's α (nominal data) across THREE deterministic quality
+   * annotators — [[evalCohensKappa]]'s many-rater generalization, the
+   * reliability number labeling guidelines actually gate on (α ≥ 0.8
+   * publishable, 0.667 tentative; Krippendorff 2004). Annotators: chars
+   * ≥ 300, words ≥ 50, stopwords ≥ 2 — three correlated-but-disagreeing
+   * rule families, per source.
+   *
+   * Exactness: with m = 3 binary votes per unit the coincidence algebra
+   * collapses to integers — disagreement D = Σ_u o_u(3−o_u) (o_u =
+   * positive votes), marginals P1 = Σo_u, P0 = 3n−P1, and
+   * α = 1 − (3n−1)·D / (2·P1·P0) is ONE exact-integer ratio. A source
+   * where any margin is empty (all votes identical) reports NULL.
+   * Scale: one scan-local vote projection, one |sources|-group
+   * aggregate — a single linear pass.
+   */
+  def evalKrippendorff(s: SparkSession, dir: String): DataFrame = {
+    val w = Text.words(col("text"))
+    val votes =
+      (col("n_chars") >= 300L).cast("long") +
+      (size(w).cast("long") >= 50L).cast("long") +
+      (size(filter(w, x => x.isin("the", "of", "and", "to", "in")))
+        .cast("long") >= 2L).cast("long")
+    val g = load(s, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), votes.as("o"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o")).as("p1"),
+        sum(col("o") * (lit(3L) - col("o"))).as("d"))
+    val p0 = lit(3L) * col("n") - col("p1")
+    g.select(col("source"), col("n"), col("p1"), col("d"),
+        round(when(col("p1") > 0 && p0 > 0,
+          lit(1.0d) - ((lit(3L) * col("n") - 1L) * col("d")).cast("double") /
+            (lit(2L) * col("p1") * p0).cast("double")), 6).as("alpha"))
+      .orderBy(col("source"))
+  }
+
+  private val evalKrippendorffSql: String =
+    """WITH v AS (
+      |  SELECT source,
+      |    CAST((CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |          >= 50 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN len(list_filter(string_split(text, ' '),
+      |          w -> w IN ('the', 'of', 'and', 'to', 'in'))) >= 2
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS o
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |g AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+      |    CAST(SUM(o) AS BIGINT) AS p1,
+      |    CAST(SUM(o * (3 - o)) AS BIGINT) AS d
+      |  FROM v GROUP BY source)
+      |SELECT source, n, p1, d,
+      |  round(CASE WHEN p1 > 0 AND 3*n - p1 > 0 THEN
+      |    1.0 - CAST((3*n - 1) * d AS DOUBLE)
+      |      / CAST(2 * p1 * (3*n - p1) AS DOUBLE) END, 6) AS alpha
+      |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_feature_corr" -> (mlFeatureCorr _),
+    "eval_krippendorff" -> (evalKrippendorff _),
     "eval_avg_precision" -> (evalAvgPrecision _),
     "eval_cohens_kappa" -> (evalCohensKappa _),
     "pref_bt_step" -> (prefBtStep _),
@@ -1172,6 +1345,8 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "ml_feature_corr" -> mlFeatureCorrSql,
+    "eval_krippendorff" -> evalKrippendorffSql,
     "eval_avg_precision" -> evalAvgPrecisionSql,
     "eval_cohens_kappa" -> evalCohensKappaSql,
     "pref_bt_step" -> prefBtStepSql,

@@ -509,6 +509,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("bc"))
   }
 
+  /**
+   * Streaming histogram quantile sketch — the (source, bucket) count grid
+   * of [[graft.queries.Sketch.sketchQuantileAudit]] maintained
+   * incrementally over a document ingest stream (`source`, `n_chars`
+   * columns). Like [[cmsStream]], the sketch's value at stream scale is
+   * that state is the GRID, not the stream: one counter row per
+   * (source, bucket), complete-mode emission republishes the current
+   * histogram per micro-batch, and a drained stream's grid EQUALS the
+   * batch histogram over the same rows (counts add — the mergeability
+   * the batch audit certifies). A consumer interpolates p50/p90 from the
+   * emitted grid exactly as the batch estimator does.
+   */
+  def quantileHistStream(docs: DataFrame, width: Long = 64L): DataFrame =
+    docs.filter(col("n_chars").isNotNull)
+      .groupBy(col("source"),
+        expr(s"CAST(n_chars AS BIGINT) DIV $width").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** A document arriving on the ingest stream (the `documents` table's
     * streaming shape, token count precomputed by the ingest). */
   case class StreamDoc(doc_id: Long, source: String, n_tokens: Long)

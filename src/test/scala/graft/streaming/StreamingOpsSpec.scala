@@ -420,6 +420,33 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("quantileHistStream: drained grid equals the batch histogram; " +
+      "state is one row per (source, bucket)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = (1L to 300L).map(i => (s"src${i % 4}", i * 7 % 500))
+    val in = MemoryStream[(String, Long)]
+    val q = quantileHistStream(in.toDF().toDF("source", "n_chars")).writeStream
+      .format("memory").queryName("qhist").outputMode("complete").start()
+    try {
+      in.addData(rows.take(180): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(180): _*)
+      q.processAllAvailable()
+      val streamed = s.table("qhist").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = quantileHistStream(rows.toDF("source", "n_chars")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        "drained streaming histogram must equal the batch grid over the same rows")
+      // bounded state: one row per (source, bucket) — 4 sources, 500/64+1 buckets
+      assert(streamed.size <= 4 * 9)
+      // counts conserve: grid total equals the row count
+      assert(streamed.values.sum == rows.size)
+    } finally q.stop()
+  }
+
   test("mixSampleStream: kept set equals the batch filter over the same rows") {
     val s = spark
     import s.implicits._
