@@ -250,6 +250,229 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Channel taxonomy for the Markov attribution model — the
+    * non-absorbing event types of the reference event stream, FIXED (and
+    * lexicographic) so both engines iterate the same state order;
+    * events outside the taxonomy are ignored by contract. */
+  private val MarkovChannels = Seq("click", "error", "signup", "view")
+
+  /** Fixed-point iterations for the absorption solve (geometric
+    * convergence; 60 rounds drive the residual far below double ulp for
+    * any substochastic transient matrix). */
+  private val MarkovIters = 60
+
+  /**
+   * Markov removal-effect attribution — the DATA-DRIVEN credit model
+   * that completes the heuristic family ([[qAttributionLinear]] /
+   * [[qAttributionUshape]] / [[qAttributionTimeDecay]]): fit a
+   * first-order Markov chain on user journeys (start → touch types →
+   * purchase | null, truncated at the FIRST purchase — the
+   * q10_first_event convention), then price each channel by how much the
+   * start→purchase absorption probability DROPS when the channel is
+   * removed (its transitions redirect to null). Credit shares are the
+   * normalized removal effects; attributed value scales the exact
+   * DECIMAL total of first-purchase values.
+   *
+   * Spark-first scale shape: journey extraction is one user-partitioned
+   * window pass (transitions) + one terminal rollup; the collected
+   * transition matrix is ≤ (|taxonomy|+2)² rows — MODEL PARAMETERS (the
+   * k-means-centroid convention), never data. The absorption solve runs
+   * [[MarkovIters]] fixed-point rounds driver-side.
+   *
+   * Determinism: NO intermediate rounding anywhere — every iteration is
+   * the same left-to-right IEEE multiply-add chain over the same
+   * division-exact probabilities on both engines (the oracle replays the
+   * identical recursion in a recursive CTE), so raw doubles match to the
+   * bit; absent channels contribute exact +0.0 terms (IEEE identity).
+   */
+  def qAttributionMarkov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val taxonomy = MarkovChannels :+ "purchase"
+    val e = ev(s, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isin(taxonomy: _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val kept = e.join(fp, Seq("user_id"), "left")
+      .filter(col("fp").isNull || struct(col("ts"), col("event_id")) <= col("fp"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = kept
+      .withColumn("f",
+        coalesce(lag(col("event_type"), 1).over(w), lit("start")))
+      .select(col("f"), col("event_type").as("t"))
+    val terminals = kept.filter(col("fp").isNull)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"))
+      .select(col("l.event_type").as("f"), lit("null").as("t"))
+    val counts = steps.unionByName(terminals)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val vRow = kept.filter(col("event_type") === "purchase")
+      .agg(dsum(col("value"))).first()
+    val vTot = if (vRow.isNullAt(0)) 0.0 else vRow.getDouble(0)
+
+    val states = "start" +: MarkovChannels
+    val nOut: Map[String, Long] = states.map { st =>
+      st -> (MarkovChannels ++ Seq("purchase", "null"))
+        .map(t => counts.getOrElse((st, t), 0L)).sum
+    }.toMap
+    def p(i: String, j: String): Double = {
+      val n = nOut(i)
+      if (n == 0L) 0.0 else counts.getOrElse((i, j), 0L).toDouble / n.toDouble
+    }
+    // fixed-point absorption probability from `start`, optionally with one
+    // channel removed (its terms SKIPPED, not zeroed — the oracle's
+    // removal recursion drops the same terms so the add chains agree)
+    def absorb(removed: Option[String]): Double = {
+      var v: Map[String, Double] = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to MarkovIters) {
+        v = states.map { i =>
+          i -> (if (removed.contains(i)) 0.0
+          else {
+            var acc = p(i, "purchase")
+            MarkovChannels.foreach { j =>
+              if (!removed.contains(j)) acc = acc + p(i, j) * v(j)
+            }
+            acc
+          })
+        }.toMap
+      }
+      v("start")
+    }
+    val pBase = absorb(None)
+    val res = MarkovChannels.map(c => c -> absorb(Some(c))).toMap
+    val re: Map[String, Option[Double]] = MarkovChannels.map { c =>
+      c -> (if (pBase > 0.0) Some(1.0 - res(c) / pBase) else None)
+    }.toMap
+    // left-fold in channel order with exact +0.0 for NULL effects — the
+    // oracle's coalesce fold adds in the same order
+    val sumRe = MarkovChannels.foldLeft(0.0)((a, c) => a + re(c).getOrElse(0.0))
+    val rows = MarkovChannels.map { c =>
+      val nIn = ("start" +: MarkovChannels)
+        .map(i => counts.getOrElse((i, c), 0L)).sum
+      val share = re(c).flatMap(r => if (sumRe > 0.0) Some(r / sumRe) else None)
+      (c, nIn, pBase, res(c), re(c), share, share.map(sh => vTot * sh))
+    }
+    import s.implicits._
+    rows.toDF("channel", "n_in", "p_conv_base", "p_conv_removed",
+      "removal_effect", "share", "attributed_value")
+      .orderBy(col("channel"))
+  }
+
+  /** [[qAttributionMarkov]]'s oracle: the same journey extraction,
+    * division-exact probabilities and fixed-point recursions spelled in
+    * SQL (one recursive CTE per removal variant, identical add order). */
+  private val qAttributionMarkovSql: String = {
+    // state abbreviations: start→s plus channel initials; targets add p
+    val abbr = Map("start" -> "s", "click" -> "c", "error" -> "e",
+      "signup" -> "g", "view" -> "v", "purchase" -> "p")
+    val states = Seq("start", "click", "error", "signup", "view")
+    val chans = Seq("click", "error", "signup", "view")
+    val pCols = (for (i <- states; j <- chans :+ "purchase") yield
+      s"coalesce(MAX(CASE WHEN f = '$i' AND t = '$j' THEN " +
+        s"CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END), 0.0) " +
+        s"AS p_${abbr(i)}_${abbr(j)}").mkString(",\n|    ")
+    def update(i: String, removed: Option[String]): String = {
+      val terms = chans.filterNot(removed.contains)
+        .map(j => s"p_${abbr(i)}_${abbr(j)} * v${abbr(j)}")
+      (s"p_${abbr(i)}_p" +: terms).mkString(" + ")
+    }
+    def recursion(name: String, removed: Option[String]): String = {
+      val upd = states.map { i =>
+        if (removed.contains(i)) "CAST(0 AS DOUBLE)" else update(i, removed)
+      }.mkString(",\n|    ")
+      s"""$name AS (
+         |  SELECT 0 AS i, CAST(0 AS DOUBLE) AS vs, CAST(0 AS DOUBLE) AS vc,
+         |    CAST(0 AS DOUBLE) AS ve, CAST(0 AS DOUBLE) AS vg,
+         |    CAST(0 AS DOUBLE) AS vv
+         |  UNION ALL
+         |  SELECT i + 1,
+         |    $upd
+         |  FROM $name CROSS JOIN m WHERE i < 60)""".stripMargin
+    }
+    val recs = (recursion("itb", None) +:
+      chans.map(c => recursion(s"it${abbr(c)}", Some(c)))).mkString(",\n|")
+    val reExprs = chans.map { c =>
+      s"CASE WHEN (SELECT vs FROM itb WHERE i = 60) > 0 THEN " +
+        s"1.0 - (SELECT vs FROM it${abbr(c)} WHERE i = 60) " +
+        s"/ (SELECT vs FROM itb WHERE i = 60) END AS re_${abbr(c)}"
+    }.mkString(",\n|    ")
+    val sumRe = chans.map(c => s"coalesce(re_${abbr(c)}, 0.0)")
+      .reduce((a, b) => s"($a + $b)")
+    val chRows = chans.map(c => s"SELECT '$c' AS channel").mkString(" UNION ALL ")
+    val reOf = "CASE ch.channel " +
+      chans.map(c => s"WHEN '$c' THEN re_${abbr(c)}").mkString(" ") + " END"
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, ts, event_id, event_type, value FROM events
+       |  WHERE user_id IS NOT NULL
+       |    AND event_type IN ('click', 'error', 'signup', 'view', 'purchase')),
+       |fpx AS (
+       |  SELECT user_id, ts AS fts, event_id AS fid
+       |  FROM (SELECT user_id, ts, event_id,
+       |          row_number() OVER (PARTITION BY user_id
+       |            ORDER BY ts, event_id) AS rn
+       |        FROM e WHERE event_type = 'purchase')
+       |  WHERE rn = 1),
+       |kept AS (
+       |  SELECT e.user_id, e.ts, e.event_id, e.event_type, e.value,
+       |    (fts IS NOT NULL) AS converted
+       |  FROM e LEFT JOIN fpx USING (user_id)
+       |  WHERE fts IS NULL OR e.ts < fts OR (e.ts = fts AND e.event_id <= fid)),
+       |st AS (
+       |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id), 'start') AS f,
+       |    event_type AS t
+       |  FROM kept),
+       |term AS (
+       |  SELECT event_type AS f, 'null' AS t
+       |  FROM (SELECT event_type,
+       |          row_number() OVER (PARTITION BY user_id
+       |            ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM kept WHERE NOT converted)
+       |  WHERE rn = 1),
+       |tr AS (
+       |  SELECT f, t, CAST(COUNT(1) AS BIGINT) AS c
+       |  FROM (SELECT * FROM st UNION ALL SELECT * FROM term)
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT f, CAST(SUM(c) AS BIGINT) AS n FROM tr GROUP BY 1),
+       |m AS (
+       |  SELECT
+       |    $pCols
+       |  FROM tr JOIN nn USING (f)),
+       |$recs,
+       |vt AS (
+       |  SELECT coalesce(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+       |    AS vtot
+       |  FROM kept WHERE event_type = 'purchase'),
+       |res AS (
+       |  SELECT (SELECT vs FROM itb WHERE i = 60) AS p_base,
+       |    $reExprs),
+       |ni AS (SELECT t AS channel, CAST(SUM(c) AS BIGINT) AS n_in
+       |       FROM tr WHERE t IN ('click', 'error', 'signup', 'view')
+       |       GROUP BY t),
+       |ch AS ($chRows)
+       |SELECT ch.channel,
+       |  CAST(coalesce(ni.n_in, 0) AS BIGINT) AS n_in,
+       |  res.p_base AS p_conv_base,
+       |  CASE ch.channel
+       |    WHEN 'click' THEN (SELECT vs FROM itc WHERE i = 60)
+       |    WHEN 'error' THEN (SELECT vs FROM ite WHERE i = 60)
+       |    WHEN 'signup' THEN (SELECT vs FROM itg WHERE i = 60)
+       |    WHEN 'view' THEN (SELECT vs FROM itv WHERE i = 60)
+       |  END AS p_conv_removed,
+       |  $reOf AS removal_effect,
+       |  CASE WHEN $sumRe > 0 THEN ($reOf) / ($sumRe) END AS share,
+       |  CASE WHEN $sumRe > 0 THEN vt.vtot * (($reOf) / ($sumRe)) END
+       |    AS attributed_value
+       |FROM ch CROSS JOIN res CROSS JOIN vt
+       |LEFT JOIN ni ON ch.channel = ni.channel
+       |ORDER BY ch.channel""".stripMargin
+  }
+
   /** RFM quintile count. */
   private val RfmBuckets = 5
 
@@ -1637,6 +1860,7 @@ object Events {
     "q_attribution_ushape" -> (qAttributionUshape _),
     "q_attribution_time_decay" -> (qAttributionTimeDecay _),
     "q_ab_test_srm" -> (qAbTestSrm _),
+    "q_attribution_markov" -> (qAttributionMarkov _),
     "q_windowed_distinct" -> (qWindowedDistinct _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "interval_concurrency" -> (intervalConcurrency _),
@@ -2246,6 +2470,7 @@ object Events {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_attribution_markov" -> qAttributionMarkovSql,
     "q_ab_test_srm" ->
       """WITH a AS (
         |  SELECT event_type, user_id,
