@@ -115,4 +115,33 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     val (cand, bytes) = Sketches.bloomPrefilter(train, "sh", bench, "sh", 0L)
     assert(cand.count() == 0 && bytes == 0L)
   }
+
+  test("histogram quantile sketch: estimate within one bucket width of exact") {
+    // the covering bucket contains BOTH the exact order statistic and the
+    // interpolated estimate, so |est − exact| < width by construction —
+    // the bound a profiler quotes when it swaps the sort for the sketch
+    val rows = graft.queries.Sketch.sketchQuantileAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getDouble(4) < 64.0, s"$src: p50 error ${r.getDouble(4)} >= width")
+      assert(r.getDouble(7) < 64.0, s"$src: p90 error ${r.getDouble(7)} >= width")
+    }
+  }
+
+  test("HLL intersection: union estimate dominates both sides; full pair grid") {
+    // union registers are the bucket-max of the sides, so the union's
+    // harmonic sum can only shrink — est_union >= max(est_a, est_b) is a
+    // STRUCTURAL guarantee of the merge, not a statistical one
+    val rows = graft.queries.Sketch.sketchHllIntersect(spark, dir).collect()
+    val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2,
+      "one row per unordered source pair")
+    rows.foreach { r =>
+      val (ea, eb, eu) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(eu >= math.max(ea, eb) - 1e-6,
+        s"${r.getString(0)}x${r.getString(1)}: union estimate $eu below max($ea, $eb)")
+      assert(r.getLong(2) >= 0L)
+    }
+  }
 }
