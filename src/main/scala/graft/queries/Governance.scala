@@ -1452,6 +1452,127 @@ object Governance {
       |FROM g ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // stats_levene — Brown–Forsythe variance-equality across sources
+  // ---------------------------------------------------------------------
+
+  /**
+   * Brown–Forsythe test (Levene's test with the median center) for
+   * equality of length VARIANCES across sources — the spread-homogeneity
+   * gate that completes the location ([[statsWelchTtest]] /
+   * [[statsMannWhitney]]) and shape ([[statsKsDrift]]) families: slices
+   * can share a median length yet differ wildly in dispersion (one
+   * uniform template farm vs one organic crawl), and pooled-variance
+   * assumptions downstream break exactly there. F = [(N−k)/(k−1)] ·
+   * SS_between/SS_within over z = |x − median(source)|; the median
+   * center (Brown–Forsythe 1974) keeps the test robust to the heavy
+   * tails documents actually have.
+   *
+   * Exactness: the per-source median comes from cumulative counts over
+   * the DISTINCT-value relation (lower median, the stats_mad_outliers
+   * rank convention); z is an exact integer, so per-source Σz/Σz² are
+   * exact DECIMAL(38,0); the per-source F terms round to 8 dp DECIMAL
+   * before the cross-source fold (partial-sum order can't flip bits).
+   * Scale: two linear passes (median join-back, one group aggregate) +
+   * a ≤k-row fold; windows only over value-domain relations.
+   */
+  def statsLevene(s: SparkSession, dir: String): DataFrame = {
+    val dec8 = DecimalType(30, 8)
+    val base = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val gv = base.groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // lower median: smallest value whose cumulative count reaches rank
+    // (n+1) DIV 2 — identical to the stats_mad_outliers row_number cut
+    val med = gv.join(n, Seq("source"))
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy(col("source")).agg(min(col("x")).as("med"))
+    val z = base.join(med, Seq("source"))
+      .select(col("source"), abs(col("x") - col("med")).as("z"))
+    val perSrc = z.groupBy(col("source"))
+      .agg(count(lit(1)).as("ni"),
+        sum(col("z").cast(DecimalType(38, 0))).as("sz"),
+        sum((col("z") * col("z")).cast(DecimalType(38, 0))).as("szz"))
+    // per-source F ingredients as 8-dp DECIMAL terms: a_i = (Σz)²/n_i
+    // (the between/within building block), folded order-free
+    val ai = round(col("sz").cast("double") * col("sz").cast("double") /
+      col("ni").cast("double"), 8).cast(dec8)
+    val folded = perSrc.agg(
+      count(lit(1)).as("k"),
+      sum(col("ni")).as("n_total"),
+      sum(col("sz")).as("sz_tot"),
+      sum(col("szz").cast("double").cast(dec8)).as("szz_tot"),
+      sum(ai).as("a_tot"))
+    val nD = col("n_total").cast("double")
+    val kD = col("k").cast("double")
+    // SS terms are ≥ 0 mathematically; the 8-dp term rounding can push
+    // them a few ulp negative, and Spark/DuckDB disagree on the SIGN of a
+    // zero rounded from a tiny negative — clamp pins both engines to +0
+    val ssb = greatest(lit(0.0d), col("a_tot").cast("double") -
+      col("sz_tot").cast("double") * col("sz_tot").cast("double") / nD)
+    val ssw = greatest(lit(0.0d),
+      col("szz_tot").cast("double") - col("a_tot").cast("double"))
+    folded.select(col("k"), col("n_total"),
+        round(ssb, 6).as("ss_between"),
+        round(ssw, 6).as("ss_within"),
+        round(when(col("k") > 1 && ssw > 0,
+          (nD - kD) / (kD - lit(1.0d)) * (ssb / ssw)), 6).as("f_stat"))
+  }
+
+  private val statsLeveneSql: String =
+    """WITH base AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |gv AS (
+      |  SELECT source, x, CAST(COUNT(1) AS BIGINT) AS c,
+      |    CAST(SUM(COUNT(1)) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+      |      AS cum
+      |  FROM base GROUP BY 1, 2),
+      |nsrc AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n
+      |         FROM base GROUP BY 1),
+      |med AS (
+      |  SELECT gv.source, MIN(x) AS med
+      |  FROM gv JOIN nsrc USING (source)
+      |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |z AS (
+      |  SELECT base.source, abs(x - med) AS z
+      |  FROM base JOIN med USING (source)),
+      |ps AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS ni,
+      |    SUM(CAST(z AS DECIMAL(38,0))) AS sz,
+      |    SUM(CAST(z * z AS DECIMAL(38,0))) AS szz
+      |  FROM z GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(COUNT(1) AS BIGINT) AS k,
+      |    CAST(SUM(ni) AS BIGINT) AS n_total,
+      |    SUM(sz) AS sz_tot,
+      |    SUM(CAST(CAST(szz AS DOUBLE) AS DECIMAL(30,8))) AS szz_tot,
+      |    SUM(CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+      |      / CAST(ni AS DOUBLE), 8) AS DECIMAL(30,8))) AS a_tot
+      |  FROM ps)
+      |SELECT k, n_total,
+      |  round(greatest(0.0, CAST(a_tot AS DOUBLE)
+      |    - CAST(sz_tot AS DOUBLE) * CAST(sz_tot AS DOUBLE)
+      |      / CAST(n_total AS DOUBLE)), 6) AS ss_between,
+      |  round(greatest(0.0, CAST(szz_tot AS DOUBLE) - CAST(a_tot AS DOUBLE)), 6)
+      |    AS ss_within,
+      |  round(CASE WHEN k > 1 AND
+      |      greatest(0.0, CAST(szz_tot AS DOUBLE) - CAST(a_tot AS DOUBLE)) > 0
+      |    THEN (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))
+      |      / (CAST(k AS DOUBLE) - 1.0)
+      |      * (greatest(0.0, CAST(a_tot AS DOUBLE)
+      |          - CAST(sz_tot AS DOUBLE) * CAST(sz_tot AS DOUBLE)
+      |            / CAST(n_total AS DOUBLE))
+      |        / greatest(0.0, CAST(szz_tot AS DOUBLE) - CAST(a_tot AS DOUBLE)))
+      |    END, 6) AS f_stat
+      |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
   // stats_cramers_v — lang × source association strength
   // ---------------------------------------------------------------------
 
@@ -1691,6 +1812,7 @@ object Governance {
     "stats_jackknife_mean" -> (statsJackknifeMean _),
     "stats_mann_whitney" -> (statsMannWhitney _),
     "stats_spearman" -> (statsSpearman _),
+    "stats_levene" -> (statsLevene _),
     "stats_cramers_v" -> (statsCramersV _),
     "stats_welch_ttest" -> (statsWelchTtest _),
     "privacy_dp_count" -> (privacyDpCount _),
@@ -2282,6 +2404,7 @@ object Governance {
          |       ELSE 'test' END AS split
          |FROM p ORDER BY doc_id""".stripMargin,
     "stats_spearman" -> statsSpearmanSql,
+    "stats_levene" -> statsLeveneSql,
     "stats_mann_whitney" ->
       """WITH l AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS v

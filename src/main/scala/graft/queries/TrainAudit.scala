@@ -975,6 +975,103 @@ object TrainAudit {
       |FROM r""".stripMargin
 
   // ---------------------------------------------------------------------
+  // eval_cost_curve — expected-cost-optimal decision threshold
+  // ---------------------------------------------------------------------
+
+  /** Asymmetric decision costs: a missed positive (FN) costs 5× a false
+    * alarm (FP) — the usual shape when positives are rare and expensive
+    * (fraud, contamination, quality escapes). */
+  private val CostFp = 1L
+  private val CostFn = 5L
+
+  /**
+   * Expected-cost threshold tuning over the [[evalAucRoc]] score/label
+   * relation — the step that turns a ranked scorer into a DECISION: for
+   * every distinct score t (classify positive iff score ≥ t), the exact
+   * confusion counts and total cost [[CostFp]]·FP + [[CostFn]]·FN, plus
+   * the two degenerate policies (accept-all / reject-all) as baselines;
+   * the emitted row is the cost-minimizing threshold. AUC says the
+   * ranking is good; this says where to cut it and what the cut costs.
+   *
+   * Exactness: EVERYTHING is exact LONG arithmetic — confusion counts
+   * from two distributed prefix sums over the distinct-score relation,
+   * costs as integer linear combinations; the argmin tie-breaks on the
+   * higher threshold (fewer positives at equal cost). No float enters
+   * until never. Scale: distinct-score collapse first, two range-
+   * partitioned prefix passes ([[graft.operators.Quantiles]]), then a
+   * rank-1 cut on the collapsed relation.
+   */
+  def evalCostCurve(s: SparkSession, dir: String): DataFrame = {
+    val sc = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(element_at(col("embedding"), 1).cast("double").as("score"),
+        (col("label") % 2 === 1).cast("long").as("pos"))
+    val g = sc.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      .withColumn("nscore", -col("score"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val r1 = graft.operators.Quantiles.withRunningTotal(
+      g, Seq(col("nscore")), "c", "cumc")
+    val r2 = graft.operators.Quantiles.withRunningTotal(
+      r1.withColumn("cumc2", col("cumc")).drop("cumc"),
+      Seq(col("nscore")), "p", "cump")
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val totRow = r2.agg(sum(col("c")), sum(col("p"))).first()
+    if (totRow.isNullAt(0))
+      return r2.select(col("score").as("threshold"), col("cump").as("tp"),
+        col("cumc2").as("fp"), col("cump").as("fn"), col("cumc2").as("tn"),
+        col("cumc2").as("cost"), col("cumc2").as("cost_reject_all"),
+        col("cumc2").as("cost_accept_all")).limit(0)
+    val nTot = totRow.getLong(0)
+    val nPos = totRow.getLong(1)
+    val nNeg = nTot - nPos
+    val fp = col("cumc2") - col("cump")
+    val fn = lit(nPos) - col("cump")
+    val cost = lit(CostFp) * fp + lit(CostFn) * fn
+    r2.select(col("score").as("threshold"),
+        col("cump").as("tp"), fp.as("fp"), fn.as("fn"),
+        (lit(nNeg) - fp).as("tn"), cost.as("cost"),
+        lit(CostFn * nPos).as("cost_reject_all"),
+        lit(CostFp * nNeg).as("cost_accept_all"))
+      .withColumn("rn", row_number().over(Window.partitionBy(
+          Tables.zeroPart(col("threshold")))
+        .orderBy(col("cost"), col("threshold").desc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  private val evalCostCurveSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+       |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+       |g AS (SELECT score, CAST(COUNT(1) AS BIGINT) AS c,
+       |        CAST(SUM(pos) AS BIGINT) AS p
+       |      FROM s GROUP BY 1),
+       |r AS (SELECT score,
+       |        CAST(SUM(c) OVER (ORDER BY score DESC) AS BIGINT) AS cumc,
+       |        CAST(SUM(p) OVER (ORDER BY score DESC) AS BIGINT) AS cump
+       |      FROM g),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |          CAST(SUM(p) AS BIGINT) AS n_pos
+       |        FROM g),
+       |cand AS (
+       |  SELECT score AS threshold, cump AS tp,
+       |    cumc - cump AS fp, n_pos - cump AS fn,
+       |    (n - n_pos) - (cumc - cump) AS tn,
+       |    $CostFp * (cumc - cump) + $CostFn * (n_pos - cump) AS cost,
+       |    $CostFn * n_pos AS cost_reject_all,
+       |    $CostFp * (n - n_pos) AS cost_accept_all
+       |  FROM r CROSS JOIN tot)
+       |SELECT threshold, tp, fp, fn, tn, cost, cost_reject_all,
+       |  cost_accept_all
+       |FROM (SELECT *, row_number() OVER (ORDER BY cost, threshold DESC)
+       |        AS rn FROM cand)
+       |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // eval_cohens_kappa — inter-annotator chance-corrected agreement
   // ---------------------------------------------------------------------
 
@@ -1324,7 +1421,117 @@ object TrainAudit {
       |      / CAST(2 * p1 * (3*n - p1) AS DOUBLE) END, 6) AS alpha
       |FROM g ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ml_stump_split — CART root-node Gini stump over document length
+  // ---------------------------------------------------------------------
+
+  /**
+   * Best single-threshold decision stump (the CART root node, Breiman
+   * et al. 1984) of document length against the en-label, per source —
+   * the one-split feature screen a modeling pipeline runs before
+   * anything deeper: the threshold that maximizes Gini gain says where
+   * the feature separates the classes, and a near-zero best gain says
+   * the feature is useless for this slice. Every DISTINCT length is a
+   * candidate threshold (split = x ≤ t), evaluated exactly — no
+   * quantile-sampling of candidates.
+   *
+   * Scale: candidates collapse to the distinct-value relation first
+   * (map-side combined), cumulative class counts come from one
+   * value-domain window per source (never a per-row window), and the
+   * argmax is a rank-1 cut with deterministic tie-break (smaller
+   * threshold). Exactness: left/right class counts are exact integers;
+   * the split score Σ_child (pos²+neg²)/n_child uses exact-integer
+   * numerators with the same IEEE division order both engines, rounded
+   * to 8 dp before ranking so a sub-round tie cannot reorder engines.
+   */
+  def mlStumpSplit(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "documents")
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("x"),
+        (col("lang") === "en").cast("long").as("y"))
+    val gv = base.groupBy(col("source"), col("x"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+      .withColumn("nl", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pl", sum(col("p")).over(
+        Window.partitionBy(col("source")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val ql = col("nl") - col("pl")
+    val nr = col("n") - col("nl")
+    val pr = col("n_pos") - col("pl")
+    val qr = nr - pr
+    val score = (col("pl") * col("pl") + ql * ql).cast("double") /
+      col("nl").cast("double") +
+      (pr * pr + qr * qr).cast("double") / nr.cast("double")
+    val parent = (col("n_pos") * col("n_pos") +
+      (col("n") - col("n_pos")) * (col("n") - col("n_pos"))).cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    val cand = gv.join(tot, Seq("source"))
+      .filter(col("nl") < col("n")) // an empty right child is not a split
+      .select(col("source"), col("x"), col("nl"), col("pl"),
+        col("n"), col("n_pos"),
+        round(score, 8).as("score8"),
+        round(score / col("n").cast("double") - parent, 8).as("gain8"))
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score8").desc, col("x"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n"), col("n_pos"),
+        col("x").as("split_at"), col("nl").as("n_left"),
+        col("pl").as("pos_left"), round(col("gain8"), 6).as("gini_gain"))
+      .orderBy(col("source"))
+  }
+
+  private val mlStumpSplitSql: String =
+    """WITH base AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |gv AS (
+      |  SELECT source, x, CAST(COUNT(1) AS BIGINT) AS c,
+      |    CAST(SUM(y) AS BIGINT) AS p,
+      |    CAST(SUM(COUNT(1)) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+      |      AS nl,
+      |    CAST(SUM(SUM(y)) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+      |      AS pl
+      |  FROM base GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS n_pos
+      |  FROM base GROUP BY 1),
+      |cand AS (
+      |  SELECT gv.source, x, nl, pl, n, n_pos,
+      |    round(CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+      |        / CAST(nl AS DOUBLE)
+      |      + CAST((n_pos - pl) * (n_pos - pl)
+      |          + ((n - nl) - (n_pos - pl)) * ((n - nl) - (n_pos - pl))
+      |          AS DOUBLE)
+      |        / CAST(n - nl AS DOUBLE), 8) AS score8,
+      |    round((CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+      |        / CAST(nl AS DOUBLE)
+      |      + CAST((n_pos - pl) * (n_pos - pl)
+      |          + ((n - nl) - (n_pos - pl)) * ((n - nl) - (n_pos - pl))
+      |          AS DOUBLE)
+      |        / CAST(n - nl AS DOUBLE)) / CAST(n AS DOUBLE)
+      |      - CAST(n_pos * n_pos + (n - n_pos) * (n - n_pos) AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 8) AS gain8
+      |  FROM gv JOIN tot USING (source)
+      |  WHERE nl < n),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY score8 DESC, x) AS rn
+      |  FROM cand)
+      |SELECT source, n, n_pos, x AS split_at, nl AS n_left, pl AS pos_left,
+      |  round(gain8, 6) AS gini_gain
+      |FROM best WHERE rn = 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_stump_split" -> (mlStumpSplit _),
+    "eval_cost_curve" -> (evalCostCurve _),
     "ml_feature_corr" -> (mlFeatureCorr _),
     "eval_krippendorff" -> (evalKrippendorff _),
     "eval_avg_precision" -> (evalAvgPrecision _),
@@ -1345,6 +1552,8 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "ml_stump_split" -> mlStumpSplitSql,
+    "eval_cost_curve" -> evalCostCurveSql,
     "ml_feature_corr" -> mlFeatureCorrSql,
     "eval_krippendorff" -> evalKrippendorffSql,
     "eval_avg_precision" -> evalAvgPrecisionSql,
