@@ -68,7 +68,119 @@ object Multimodal {
         max(col("byte_len")).as("byte_len"))
       .orderBy(col("content_md5"))
 
+  /** Perceptual-hash banding: 4 bands × 8 bits of the 32-bit signature
+    * (pigeonhole: Hamming ≤ 3 guarantees one identical band — recall is
+    * complete below the threshold, before the bucket cap). */
+  private val PhashBands = 4
+  private val PhashHamMax = 3
+
+  /** Degenerate-band guard (the LSH MaxBucketSize / winnow
+    * stop-fingerprint precedent): a band bucket holding hundreds of
+    * payloads is a boilerplate cluster whose O(b²) pairs the banding
+    * exists to avoid. */
+  private val PhashBucketCap = 200L
+
+  /**
+   * Perceptual-hash near-dup over opaque payloads — the SECOND media
+   * dedup pass after [[mmDedupHash]]'s exact checksums: a 32-bit
+   * frequency-weighted SimHash of the payload's byte-histogram (two
+   * payloads differing in a few bytes keep nearly identical histograms
+   * → small Hamming distance), banded 8 bits × [[PhashBands]] so
+   * candidates come from an equi-join, then exact-verified with
+   * `bit_count(xor)` ≤ [[PhashHamMax]]. The real perceptual hash
+   * (pHash/aHash over decoded pixels) slots into the same plan by
+   * swapping the histogram for DCT coefficients behind the
+   * [[graft.operators.BinaryBatch]] decode — the banding, cap and
+   * verify stages are modality-independent.
+   *
+   * Scale: histogram collapse is map-side combined (≤ alphabet rows per
+   * doc); signatures are one 32-column conditional aggregate; the band
+   * join moves (doc, band) rows only — payloads never shuffle.
+   * Determinism: votes are exact integer sums; the signature, bands and
+   * Hamming distances are pure integer arithmetic on both engines.
+   */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chars = media(s, dir)
+      .select(col("doc_id"),
+        explode(split(decode(col("payload"), "UTF-8"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("ch")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val sig = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = chars.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until PhashBands).map(j =>
+          struct(lit(j).as("j"),
+            shiftright(col("sig"), 8 * j).bitwiseAND(255).as("v"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.j").as("j"), col("b.v").as("v"))
+    val capped = bands
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("j"), col("v"))))
+      .filter(col("bn") <= PhashBucketCap)
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashHamMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val mmPhashNeardupSql: String = {
+    val votes = (0 until 32)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS s$b")
+      .mkString(",\n|    ")
+    val sig = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ch0 AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |  FROM documents WHERE text IS NOT NULL),
+       |cnt AS (
+       |  SELECT doc_id, ch, CAST(COUNT(1) AS BIGINT) AS cnt
+       |  FROM ch0 WHERE ch <> '' GROUP BY 1, 2),
+       |h AS (
+       |  SELECT doc_id, cnt,
+       |    CAST(CAST('0x' || substring(md5(ch), 1, 8) AS UBIGINT) AS BIGINT) AS h
+       |  FROM cnt),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM votes),
+       |bands AS (
+       |  SELECT doc_id, sig, j, (sig >> (8 * j)) & 255 AS v
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(1) OVER (PARTITION BY j, v) AS bn FROM bands)
+       |  WHERE bn <= $PhashBucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM capped a JOIN capped b
+       |    ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= $PhashHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_neardup" -> (mmPhashNeardup _),
     "mm_decode" -> (mmDecode _),
     "mm_feature_agg" -> (mmFeatureAgg _),
     "mm_resize" -> (mmResize _),
@@ -84,6 +196,7 @@ object Multimodal {
   // NULL), resize → (NULL, NULL, 64, 64, 0), frame sample → no rows; NULL
   // payloads are excluded at the scan on both engines (media() filter).
   val oracle: Map[String, String] = Map(
+    "mm_phash_neardup" -> mmPhashNeardupSql,
     "mm_dedup_hash" ->
       """WITH b AS (
         |  SELECT doc_id, md5(text) AS content_md5,

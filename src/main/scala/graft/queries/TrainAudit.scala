@@ -1529,7 +1529,72 @@ object TrainAudit {
       |  round(gain8, 6) AS gini_gain
       |FROM best WHERE rn = 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // split_adversarial_auc — distinguishability audit of the md5 split
+  // ---------------------------------------------------------------------
+
+  /**
+   * Adversarial-validation AUC of the train/test split: how well does a
+   * feature (document length) DISTINGUISH split membership? A fair
+   * random split is indistinguishable (AUC ≈ 0.5); an AUC away from 0.5
+   * means the split is biased along that feature and every held-out
+   * metric inherits the bias. This is the one-feature core of the
+   * "adversarial validation" practice (fit a classifier to predict
+   * split membership; its AUC is the leakage score) applied to the SAME
+   * md5 split [[mlPsiDrift]] buckets — PSI sees marginal drift, AUC
+   * prices it as a classifier would.
+   *
+   * Machinery: the tie-corrected rank-sum identity of [[evalAucRoc]] on
+   * the (length, is_test) relation — distinct-value collapse, one
+   * distributed prefix sum, exact LONG arithmetic to a single division.
+   */
+  def splitAdversarialAuc(s: SparkSession, dir: String): DataFrame = {
+    val sc = load(s, dir, "documents")
+      .filter(col("n_chars").isNotNull)
+      .select(col("n_chars").cast("long").as("score"),
+        (md5Mod(col("doc_id"), 5) === 0L).cast("long").as("pos"))
+    val g = sc.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val r = graft.operators.Quantiles.withRunningTotal(
+      g, Seq(col("score")), "c", "cum")
+    val auc = round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+        .cast("double") /
+      (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)
+    r.agg(
+        sum(col("p") * (lit(2L) * (col("cum") - col("c")) +
+          col("c") + lit(1L))).as("s2"),
+        sum(col("p")).as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"), auc.as("auc"),
+        (abs(auc - lit(0.5d)) > lit(0.05d)).as("biased_flag"))
+  }
+
+  private val splitAdversarialAucSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(n_chars AS BIGINT) AS score,
+       |    CASE WHEN ${duckMd5ModExpr("doc_id", "5")} = 0 THEN 1 ELSE 0 END
+       |      AS pos
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |g AS (SELECT score, CAST(COUNT(1) AS BIGINT) AS c,
+       |        CAST(SUM(pos) AS BIGINT) AS p
+       |      FROM s GROUP BY 1),
+       |r AS (SELECT c, p,
+       |        CAST(coalesce(SUM(c) OVER (ORDER BY score
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS cb
+       |      FROM g),
+       |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |          CAST(COUNT(1) - SUM(pos) AS BIGINT) AS n_neg
+       |        FROM s)
+       |SELECT n_pos, n_neg,
+       |  round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
+       |    / CAST(2*n_pos*n_neg AS DOUBLE), 6) AS auc,
+       |  abs(round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
+       |    / CAST(2*n_pos*n_neg AS DOUBLE), 6) - 0.5) > 0.05 AS biased_flag
+       |FROM r CROSS JOIN tot GROUP BY n_pos, n_neg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_adversarial_auc" -> (splitAdversarialAuc _),
     "ml_stump_split" -> (mlStumpSplit _),
     "eval_cost_curve" -> (evalCostCurve _),
     "ml_feature_corr" -> (mlFeatureCorr _),
@@ -1552,6 +1617,7 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "split_adversarial_auc" -> splitAdversarialAucSql,
     "ml_stump_split" -> mlStumpSplitSql,
     "eval_cost_curve" -> evalCostCurveSql,
     "ml_feature_corr" -> mlFeatureCorrSql,
