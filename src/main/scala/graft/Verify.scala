@@ -16,6 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Farm/xxhash side tables the FARM_FINGERPRINT oracles join (the
+    // driver's DuckDB pass runs right after this dump on the same host)
+    try graft.queries.OracleAux.writeAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle aux failed: ${e.getMessage}")
+    }
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q1_agg,dedup_...
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries

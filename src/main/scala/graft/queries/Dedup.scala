@@ -459,17 +459,52 @@ object Dedup {
    * Jaccard. 3-word shingles → farm_fingerprint → 32 affine min-hashes →
    * 8 band keys → equi-join on (band, key) → minhash-agreement prefilter →
    * exact verify on surviving candidates.
-   * No oracle (DuckDB has no farmhash); semantics covered by DedupSpec and
-   * cross-checked against dedup_jaccard_words in spirit.
+   * Hash-checked: DuckDB has no farmhash/xxhash64, so the oracle joins the
+   * [[OracleAux]] side tables (golden-tested hash outputs emitted as data)
+   * and replays everything downstream of the opaque hashes itself.
    */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashLshPipeline(s, dir,
-      sh => {
-        val h = GraftFunctions.farm_fingerprint(sh)
-        // xor-fold to 32 bits (overflow-safe under ANSI for the affine step)
-        h.bitwiseXOR(shiftrightunsigned(h, 32)).bitwiseAND(lit(0xffffffffL))
-      },
-      cols => xxhash64(cols: _*))
+    minhashLshPipeline(s, dir, farmHash32, farmBandKey)
+
+  /** The production shingle hash: FARM_FINGERPRINT xor-folded to 32 bits
+    * (overflow-safe under ANSI for the affine minhash step). */
+  private val farmHash32: Column => Column = sh => {
+    val h = GraftFunctions.farm_fingerprint(sh)
+    h.bitwiseXOR(shiftrightunsigned(h, 32)).bitwiseAND(lit(0xffffffffL))
+  }
+
+  /** The production band key: xxhash64 of the band's 4 minhashes. */
+  private val farmBandKey: Seq[Column] => Column = cols => xxhash64(cols: _*)
+
+  /** [[OracleAux]] side tables for the farm LSH oracle: the corpus's
+    * distinct shingle→h32 map and the distinct per-band minhash-4-tuple→
+    * xxhash64 key map. Both are hash OUTPUTS emitted as data (farmhash is
+    * golden-tested vs Guava in FarmHashSpec; xxhash64 is Spark's
+    * published built-in) — the DuckDB oracle joins them and independently
+    * replays the whole pipeline downstream of the opaque hashes. */
+  private[graft] def writeFarmAux(s: SparkSession, dir: String,
+      auxDir: String): Unit = {
+    GraftFunctions.register(s)
+    val docs = spreadDocs(s, dir)
+    docs
+      .select(explode(GraftFunctions.shingle_set(col("text"), 3)).as("shingle"))
+      .distinct()
+      .withColumn("h32", farmHash32(col("shingle")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/farm_shingles.parquet")
+    val sigs = bandSignatures(docs, farmHash32, farmBandKey)
+      .select(col("mh"))
+    (0 until LshBands)
+      .map { b =>
+        sigs.select(col("mh")(b * 4).as("m1"), col("mh")(b * 4 + 1).as("m2"),
+          col("mh")(b * 4 + 2).as("m3"), col("mh")(b * 4 + 3).as("m4"))
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+      .withColumn("key", xxhash64(col("m1"), col("m2"), col("m3"), col("m4")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auxDir/farm_bandkeys.parquet")
+  }
 
   /** The LSH pipeline with a cross-engine (md5-derived) shingle hash and
     * band key, so the ENTIRE band-bucket pipeline — shingling, minhash,
@@ -1031,6 +1066,75 @@ object Dedup {
        |  WHERE bsz <= $MaxBucketSize)""".stripMargin
   }
 
+  /** [[minhashMd5SharedCtes]] for the PRODUCTION farm/xxhash family: the
+    * opaque hashes come in as [[OracleAux]] side-table joins (shingle→h32
+    * as a map lookup, minhash-4-tuple→band key as an equi-join) and
+    * everything downstream — shingling, the 32 affine permutations,
+    * banding, the bucket cap — is replayed independently in SQL. A doc
+    * whose minhashes are NULL (empty shingle set) drops at the band-key
+    * join; on the Spark side such docs keep a constant xxhash64 key but
+    * can never survive the ≥-agreement prefilter (NULL = NULL is not
+    * true), so the verified-pair output is identical. */
+  private def minhashFarmSharedCtes: String = {
+    val perms = (0 until MinhashPerms)
+      .map(j => s"list_min(list_transform(h32, h -> h * ${permA(j)} + ${permB(j)}))")
+      .mkString(",\n      ")
+    val bandKeys = (0 until LshBands).map { b =>
+      val on = (1 to 4).map(r => s"bk.m$r = t.mh[${b * 4 + r}]").mkString(" AND ")
+      s"SELECT t.doc_id, t.mh, $b AS band, bk.key AS key FROM mh t JOIN bk ON $on"
+    }.mkString("\n    UNION ALL\n    ")
+    s"""fsh AS (SELECT map(list(shingle), list(h32)) AS m
+       |        FROM ${OracleAux.duckAux("farm_shingles")}),
+       |bk AS (SELECT * FROM ${OracleAux.duckAux("farm_bandkeys")}),
+       |base AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+       |    WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+       |    ELSE list_transform(generate_series(1, len(words) - 2),
+       |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) END)) AS shingles
+       |  FROM base),
+       |hs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(shingles, s -> map_extract(fsh.m, s)[1]) AS h32
+       |  FROM sh, fsh),
+       |mh AS (
+       |  SELECT doc_id, [
+       |      $perms
+       |    ] AS mh
+       |  FROM hs),
+       |banded AS (
+       |    $bandKeys),
+       |pruned AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM banded)
+       |  WHERE bsz <= $MaxBucketSize)""".stripMargin
+  }
+
+  /** The farm-family LSH oracle — [[minhashLshMd5Oracle]]'s body over the
+    * side-table-backed CTEs. */
+  private def minhashLshFarmOracle: String =
+    s"""WITH $minhashFarmSharedCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM pruned x JOIN pruned y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashPerms),
+       |    i -> x.mh[i] = y.mh[i])) >= $minhashAgreeMin),
+       |verified AS (
+       |  SELECT da, db,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
+       |    CAST(len(a.shingles) + len(b.shingles) AS DOUBLE) AS szsum
+       |  FROM cand
+       |  JOIN sh a ON cand.da = a.doc_id
+       |  JOIN sh b ON cand.db = b.doc_id)
+       |SELECT da, db, round(inter / (szsum - inter), 6) AS jac
+       |FROM verified
+       |WHERE inter / (szsum - inter) >= 0.5
+       |ORDER BY da, db""".stripMargin
+
   /** DuckDB mirror of [[dedupLshAudit]]: exact ngram pairs (reusing the
     * shared block's `sh` shingle sets + lang from documents) LEFT JOIN the
     * verified LSH pairs, rolled up by similarity vigintile. */
@@ -1320,6 +1424,7 @@ object Dedup {
     "dedup_lsh_precision" -> dedupLshPrecisionOracle,
     "pipeline_dedup_reasons" -> pipelineDedupReasonsOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_minhash_lsh" -> minhashLshFarmOracle,
     "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle,
     "dedup_incremental_md5" -> dedupIncrementalMd5Oracle)
 }

@@ -1387,9 +1387,12 @@ object Governance {
       count(lit(1)).as("n"),
       sum(col("ra").cast(d38)).as("sa"),
       sum(col("rb").cast(d38)).as("sb"),
-      sum((col("ra") * col("rb")).cast(d38)).as("sab"),
-      sum((col("ra") * col("ra")).cast(d38)).as("saa"),
-      sum((col("rb") * col("rb")).cast(d38)).as("sbb"))
+      // cast ONE operand to DECIMAL(38,0) BEFORE the multiply: doubled
+      // ranks reach ~2n, so a LONG ra*rb wraps past ~1.5e9 rows while
+      // DuckDB raises — the decimal product keeps both engines exact
+      sum(col("ra").cast(d38) * col("rb")).as("sab"),
+      sum(col("ra").cast(d38) * col("ra")).as("saa"),
+      sum(col("rb").cast(d38) * col("rb")).as("sbb"))
     val nD = col("n").cast("double")
     val cov = nD * col("sab").cast("double") -
       col("sa").cast("double") * col("sb").cast("double")
@@ -1432,9 +1435,9 @@ object Governance {
       |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
       |    SUM(CAST(ra AS DECIMAL(38,0))) AS sa,
       |    SUM(CAST(rb AS DECIMAL(38,0))) AS sb,
-      |    SUM(CAST(ra * rb AS DECIMAL(38,0))) AS sab,
-      |    SUM(CAST(ra * ra AS DECIMAL(38,0))) AS saa,
-      |    SUM(CAST(rb * rb AS DECIMAL(38,0))) AS sbb
+      |    SUM(CAST(ra AS DECIMAL(38,0)) * rb) AS sab,
+      |    SUM(CAST(ra AS DECIMAL(38,0)) * ra) AS saa,
+      |    SUM(CAST(rb AS DECIMAL(38,0)) * rb) AS sbb
       |  FROM j GROUP BY source)
       |SELECT source, n,
       |  round(CASE WHEN

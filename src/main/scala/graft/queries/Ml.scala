@@ -54,7 +54,9 @@ object Ml {
   def mlPredictDataset(s: SparkSession, dir: String): DataFrame =
     MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), cfg(hashSplit = false, imbalance = 1), Predicting)
 
-  /** Split + rebalance path (rows-only: farmhash has no DuckDB oracle). */
+  /** Split + rebalance path. Hash-checked via the [[OracleAux]]
+    * farm_users side table: the oracle joins the golden-tested
+    * fingerprints as data and replays the 90/10 split + rebalance. */
   def mlTrainingRebalanced(s: SparkSession, dir: String): DataFrame =
     MlCompiler.dataset(s, Ga4.ga4EventsPartitioned(s, dir), cfg(hashSplit = true, imbalance = 4), Training)
 
@@ -454,7 +456,27 @@ object Ml {
       |    fe.unique_id
       |  FROM fe LEFT JOIN lab USING (unique_id) JOIN fp USING (unique_id)),""".stripMargin
 
+  /** abs(farm_fp(id)) % 100 via the [[OracleAux]] farm_users side table
+    * (correlated scalar lookup — DuckDB unnests it to a join). */
+  private def farmMod100(idExpr: String): String =
+    s"abs((SELECT f.fp FROM ${OracleAux.duckAux("farm_users")} f " +
+      s"WHERE f.unique_id = $idExpr)) % 100"
+
   val oracle: Map[String, String] = Map(
+    "ml_training_rebalanced" ->
+      s"""WITH ${duckCoreWith("", s"\n  AND ${farmMod100("user_pseudo_id")} < 90", defaultUv)}
+         |SELECT $trainingCols
+         |FROM fe
+         |JOIN ab ON fe.unique_id = ab.unique_id
+         |JOIN uv ON fe.unique_id = uv.unique_id
+         |WHERE uv.label > 0
+         |UNION ALL
+         |SELECT $trainingCols
+         |FROM fe
+         |JOIN ab ON fe.unique_id = ab.unique_id
+         |JOIN uv ON fe.unique_id = uv.unique_id
+         |WHERE uv.label = 0
+         |AND ${farmMod100("fe.unique_id")} <= 25""".stripMargin,
     "ml_training_rebalanced_md5" ->
       s"""WITH ${duckCoreWith("", s"\n  AND $md5Mod100 < 90", defaultUv)}
          |SELECT $trainingCols

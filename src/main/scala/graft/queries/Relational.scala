@@ -272,8 +272,9 @@ object Relational {
   }
 
   /** Deterministic hash-mod split on FARM_FINGERPRINT (model_bqml.sql:95-101).
-    * No oracle — DuckDB has no farmhash; value parity is covered by the
-    * guava golden tests in FarmHashSpec. */
+    * Hash-checked via the [[OracleAux]] farm_customer side table (the
+    * fingerprint itself is golden-tested vs Guava in FarmHashSpec; the
+    * oracle joins it as data and replays the split arithmetic). */
   def qHashSplit(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     load(s, dir, "customer")
@@ -590,6 +591,13 @@ object Relational {
     "q_hash_split_md5" -> (qHashSplitMd5 _))
 
   val oracle: Map[String, String] = Map(
+    "q_hash_split" ->
+      s"""SELECT CASE WHEN abs(f.fp) % 100 < 90
+        |  THEN 'train' ELSE 'holdout' END AS split,
+        |  CAST(COUNT(1) AS BIGINT) AS n
+        |FROM customer c JOIN ${OracleAux.duckAux("farm_customer")} f
+        |  ON f.c_name = c.c_name
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hash_split_md5" ->
       """SELECT CASE WHEN CAST(CAST('0x' || substring(md5(c_name), 1, 8)
         |    AS UBIGINT) AS BIGINT) % 100 < 90

@@ -282,6 +282,35 @@ object Similarity {
     * ~100k cells at web scale). */
   private[graft] val FineCellTarget = 256L
 
+  /** Exact half-up mean of 6-dp terms, safe against the half-way 7th
+    * digit that splits the engines' `round`: Spark re-derives the decimal
+    * from the double's SHORTEST repr (BigDecimal.valueOf) while DuckDB
+    * rounds the exact binary expansion, so a quotient like 0.0317195
+    * rounds to .031720 on one engine and .031719 on the other (measured
+    * at 10× on embed_kmeans_update). Both engines instead fold the sum
+    * as exact micro-units (terms have ≤6 dp, so sum·10⁶ is integral) and
+    * round half-away-from-zero in integer arithmetic — floor((2|T|+n)
+    * / (2n)) via an exactly-divisible pmod split, no double until the
+    * final /10⁶ which is the same IEEE op on both engines. */
+  private[graft] def microMean6(sumDec: Column, n: Column): Column = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val t = (sumDec * lit(1000000L)).cast(d38)
+    val num = when(t >= 0, lit(2L).cast(d38) * t + n.cast(d38))
+      .otherwise(lit(-2L).cast(d38) * t + n.cast(d38))
+    val den = lit(2L).cast(d38) * n.cast(d38)
+    val q = ((num - pmod(num, den)) / den).cast(d38)
+    (when(t >= 0, q).otherwise(-q).cast("double") / lit(1000000.0)) +
+      lit(0.0)
+  }
+
+  /** The DuckDB spelling of [[microMean6]] over a decimal sum expression
+    * and a BIGINT count expression. */
+  private[graft] def duckMicroMean6(sumSql: String, nSql: String): String =
+    s"(CAST(CASE WHEN CAST(($sumSql) * 1000000 AS HUGEINT) >= 0 THEN " +
+      s"(2 * CAST(($sumSql) * 1000000 AS HUGEINT) + ($nSql)) // (2 * ($nSql)) " +
+      s"ELSE -((-2 * CAST(($sumSql) * 1000000 AS HUGEINT) + ($nSql)) " +
+      s"// (2 * ($nSql))) END AS DOUBLE) / 1000000.0) + 0.0"
+
   /** Adaptive-k E-step: the same nearest-centroid assignment as
     * [[kmeansAssigned]], but the centroid set is the first
     * C = max(8, ceil(members/target)) embedding rows, so cells stay
@@ -306,7 +335,8 @@ object Similarity {
     val nMembers = e.filter(col("vec_id") >= 8).count()
     val c = math.max(8L, (nMembers + target - 1L) / target)
     if (c <= 8L)
-      (kmeansAssigned(s, dir).select(col("vec_id"), col("v"), col("cid")), c)
+      (kmeansAssigned(s, dir)
+        .select(col("vec_id"), col("v"), col("cid"), col("rd2")), c)
     else {
       val cents = e.filter(col("vec_id") < c)
         .select(col("vec_id").as("cid0"), dArr(col("embedding")).as("cv"))
@@ -322,7 +352,8 @@ object Similarity {
             (-col("cid0")).as("nj")).as("cand"))
         .groupBy(col("vec_id"))
         .agg(first(col("v")).as("v"), max(col("cand")).as("b"))
-        .select(col("vec_id"), col("v"), (-col("b.nj")).cast("long").as("cid"))
+        .select(col("vec_id"), col("v"), (-col("b.nj")).cast("long").as("cid"),
+          (round(-col("b.nd"), 6) + lit(0.0)).as("rd2"))
       (asg, c)
     }
   }
@@ -336,12 +367,12 @@ object Similarity {
       (s.sparkContext.defaultParallelism.toLong + cCells - 1L) / cCells)).toInt
 
   def embedKmeansAssign(s: SparkSession, dir: String): DataFrame =
-    kmeansAssigned(s, dir)
+    fineModel(s, dir)._1
       .select(col("cid"), col("rd2"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("rd2").cast(org.apache.spark.sql.types.DataTypes
-            .createDecimalType(30, 12))).cast("double") / count(lit(1)), 6)
+        microMean6(sum(col("rd2").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(30, 12))), count(lit(1)))
           .as("mean_d2"))
       .orderBy(col("cid"))
 
@@ -350,9 +381,11 @@ object Similarity {
    * silhouette — the O(n·k) form used at scale, where the classic O(n²)
    * pairwise silhouette is unpayable): the audited clustering is the
    * corpus's own `label` column (an externally-trained partition — the
-   * thing a curation team wants graded), the centroids are the anchor
-   * vectors (label j's centroid is anchor j, the [[simIvfTopk]]
-   * model-parameter convention). Per member: a = Euclidean distance to
+   * thing a curation team wants graded), the centroids are the first
+   * C = max(8, ceil(members/target)) embedding rows (label j's centroid
+   * is row j — the [[fineModel]] adaptive-k convention, so the audited
+   * model grows with the corpus instead of pinning k=8). Per member:
+   * a = Euclidean distance to
    * its OWN labeled centroid, b = distance to the nearest OTHER
    * centroid, s = (b − a) / max(a, b) ∈ [−1, 1]; the per-label audit
    * reports population, misfit count (s < 0 — the member sits closer to
@@ -361,40 +394,71 @@ object Similarity {
    * centroid are outside the audit (documented contract: the label
    * space may be wider than the trained k).
    *
-   * Scale: centroids are driver-constant codegen expressions — the full
-   * k-way distance profile is one per-row expression over the scan (no
-   * join); it materializes ONCE behind an explode-of-singleton barrier
-   * (Generate stops CollapseProject from re-inlining the distance tree
-   * per downstream reference — the measured PQ lesson), and the only
-   * shuffle is the ≤k-group map-side-combined rollup. Determinism: a/b
-   * pick on unrounded d² (the [[kmeansAssigned]] contract — b is a MIN
-   * of values, no id tiebreak needed), per-row s rounded to 6 dp,
-   * summed as exact DECIMAL; −0.0 canonicalized.
+   * Scale: at C = 8 centroids are driver-constant codegen expressions —
+   * the full k-way distance profile is one per-row expression over the
+   * scan (no join); it materializes ONCE behind an explode-of-singleton
+   * barrier (Generate stops CollapseProject from re-inlining the distance
+   * tree per downstream reference — the measured PQ lesson). Above C = 8
+   * (codegen'ing thousands of literal centroids would blow the JVM
+   * method-size limit — the [[fineModel]] switch) the profile becomes a
+   * broadcast cross join against the C-row centroid relation with a/b
+   * collapsed in ONE map-side-combinable aggregate (conditional MAX for
+   * the own-label distance, conditional MIN over the others), so the
+   * shuffle is |members|-sized, never |members·C|. The only other
+   * shuffle is the ≤k-group rollup. Determinism: a/b pick on unrounded
+   * d² in the same ‖v‖² − 2·v·c + ‖c‖² IEEE op order on both paths (the
+   * [[kmeansAssigned]] contract — b is a MIN of values, no id tiebreak
+   * needed), per-row s rounded to 6 dp, summed as exact DECIMAL; −0.0
+   * canonicalized.
    */
   def embedSilhouette(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cents = anchorVecs(s, dir)
-    // typed placeholder when there is no model — the guard below empties
-    // the relation before evaluation (b needs a second centroid to exist)
-    def dists(v: Column, vv: Column): Column =
-      if (cents.isEmpty) array(lit(0.0), lit(0.0))
-      else array(cents.map { c =>
-        val cl = typedLit(c)
-        vv - lit(2.0) * dot(v, cl) + dot(cl, cl)
-      }: _*)
-    val perRow = load(s, dir, "embeddings")
-      .filter(col("vec_id") >= 8 && col("embedding").isNotNull &&
-        col("label").isNotNull && col("label") >= 0 &&
-        col("label") < cents.size && lit(cents.size >= 2))
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        dArr(col("embedding")).as("v"))
-      .withColumn("vv", dot(col("v"), col("v")))
-      .select(col("vec_id"), col("label"),
-        explode(array(dists(col("v"), col("vv")))).as("da"))
-      .select(col("vec_id"), col("label"),
-        element_at(col("da"), (col("label") + 1).cast("int")).as("a2"),
-        array_min(filter(col("da"),
-          (_, i) => i.cast("long") =!= col("label"))).as("b2"))
+    val e = load(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val nMembers = e.filter(col("vec_id") >= 8).count()
+    val cK = math.max(8L, (nMembers + FineCellTarget - 1L) / FineCellTarget)
+    val perRow = if (cK <= 8L) {
+      val cents = anchorVecs(s, dir)
+      // typed placeholder when there is no model — the guard below empties
+      // the relation before evaluation (b needs a second centroid to exist)
+      def dists(v: Column, vv: Column): Column =
+        if (cents.isEmpty) array(lit(0.0), lit(0.0))
+        else array(cents.map { c =>
+          val cl = typedLit(c)
+          vv - lit(2.0) * dot(v, cl) + dot(cl, cl)
+        }: _*)
+      e
+        .filter(col("vec_id") >= 8 &&
+          col("label").isNotNull && col("label") >= 0 &&
+          col("label") < cents.size && lit(cents.size >= 2))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          dArr(col("embedding")).as("v"))
+        .withColumn("vv", dot(col("v"), col("v")))
+        .select(col("vec_id"), col("label"),
+          explode(array(dists(col("v"), col("vv")))).as("da"))
+        .select(col("vec_id"), col("label"),
+          element_at(col("da"), (col("label") + 1).cast("int")).as("a2"),
+          array_min(filter(col("da"),
+            (_, i) => i.cast("long") =!= col("label"))).as("b2"))
+    } else {
+      val cents = e.filter(col("vec_id") < cK)
+        .select(col("vec_id").as("cid0"), dArr(col("embedding")).as("cv"))
+        .withColumn("cc", dot(col("cv"), col("cv")))
+      val d2 = col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc")
+      e
+        .filter(col("vec_id") >= 8 &&
+          col("label").isNotNull && col("label") >= 0 && col("label") < cK)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          dArr(col("embedding")).as("v"))
+        .withColumn("vv", dot(col("v"), col("v")))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("cid0"), d2.as("d2"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("cid0") === col("label"), col("d2"))).as("a2"),
+          min(when(col("cid0") =!= col("label"), col("d2"))).as("b2"))
+        // a label with no centroid row (non-contiguous ids) is outside
+        // the audit — the same exclusion the coarse filter applies
+        .filter(col("a2").isNotNull && col("b2").isNotNull)
+    }
     val a = sqrt(greatest(col("a2"), lit(0.0)))
     val b = sqrt(greatest(col("b2"), lit(0.0)))
     val sil = round(when(greatest(a, b) > 0, (b - a) / greatest(a, b))
@@ -405,8 +469,7 @@ object Similarity {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_misfit"),
-        (round(sum(col("sil").cast(decS)).cast("double") / count(lit(1)), 6)
-          + lit(0.0)).as("mean_sil"))
+        microMean6(sum(col("sil").cast(decS)), count(lit(1))).as("mean_sil"))
       .orderBy(col("label"))
   }
 
@@ -812,13 +875,12 @@ object Similarity {
    */
   def embedKmeansUpdate(s: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
-    kmeansAssigned(s, dir)
+    fineModel(s, dir)._1
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("cid"), col("dim").cast("long").as("dim"), round(col("x"), 6).as("rx"))
       .groupBy(col("cid"), col("dim"))
       .agg(count(lit(1)).as("n"),
-        (round(sum(col("rx").cast(dec)).cast("double") / count(lit(1)), 6) + lit(0.0))
-          .as("c_new"))
+        microMean6(sum(col("rx").cast(dec)), count(lit(1))).as("c_new"))
       .orderBy(col("cid"), col("dim"))
   }
 
@@ -1402,7 +1464,7 @@ object Similarity {
    * engines) with (cnt desc, term) tiebreaks; output rounds at 6 dp.
    */
   def clusterTopics(s: SparkSession, dir: String): DataFrame = {
-    val assigned = kmeansAssigned(s, dir).select(col("vec_id"), col("cid"))
+    val assigned = fineModel(s, dir)._1.select(col("vec_id"), col("cid"))
     val toks = load(s, dir, "documents")
       .join(assigned, col("doc_id") === col("vec_id"))
       .select(col("cid"), explode(Text.words(col("text"))).as("term"))
@@ -2252,7 +2314,9 @@ object Similarity {
     },
     "cluster_topics" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+         |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
+         |       FROM e WHERE vec_id >= 8),
+         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
          |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
          |dots AS (
          |  SELECT m.vec_id, cent.cid0,
@@ -2288,9 +2352,11 @@ object Similarity {
          |SELECT cid, rk, term, cnt, round(lift, 6) AS lift
          |FROM k WHERE rk <= $TopicsPerCell ORDER BY cid, rk""".stripMargin,
     "embed_silhouette" ->
-      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
         |           WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
+        |       FROM e WHERE vec_id >= 8),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
         |nc AS (SELECT CAST(COUNT(1) AS BIGINT) AS k FROM cent),
         |m AS (
         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
@@ -2319,12 +2385,14 @@ object Similarity {
         |  FROM own JOIN oth USING (vec_id))
         |SELECT label, CAST(COUNT(1) AS BIGINT) AS n,
         |  CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit,
-        |  round(CAST(SUM(CAST(sil AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6)
-        |    + 0.0 AS mean_sil
+        |  ${duckMicroMean6("SUM(CAST(sil AS DECIMAL(30,8)))", "COUNT(1)")}
+        |    AS mean_sil
         |FROM sil GROUP BY label ORDER BY label""".stripMargin,
     "embed_kmeans_assign" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
+        |       FROM e WHERE vec_id >= 8),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
         |dots AS (
         |  SELECT m.vec_id, cent.cid0,
@@ -2339,11 +2407,14 @@ object Similarity {
         |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
         |  FROM dots)
         |SELECT cid0 AS cid, COUNT(1) AS n,
-        |  round(CAST(SUM(CAST(rd2 AS DECIMAL(30,12))) AS DOUBLE) / COUNT(1), 6) AS mean_d2
+        |  ${duckMicroMean6("SUM(CAST(rd2 AS DECIMAL(30,12)))", "COUNT(1)")}
+        |    AS mean_d2
         |FROM assign WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "embed_kmeans_update" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
+        |       FROM e WHERE vec_id >= 8),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
         |dots AS (
         |  SELECT m.vec_id, cent.cid0,
@@ -2363,7 +2434,8 @@ object Similarity {
         |  FROM assign a JOIN m USING (vec_id), generate_series(1, 64) t(i)
         |  WHERE a.rn = 1)
         |SELECT cid, dim, COUNT(1) AS n,
-        |  round(CAST(SUM(CAST(rx AS DECIMAL(30,8))) AS DOUBLE) / COUNT(1), 6) + 0.0 AS c_new
+        |  ${duckMicroMean6("SUM(CAST(rx AS DECIMAL(30,8)))", "COUNT(1)")}
+        |    AS c_new
         |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),

@@ -1557,9 +1557,13 @@ object TrainAudit {
       .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
     val r = graft.operators.Quantiles.withRunningTotal(
       g, Seq(col("score")), "c", "cum")
-    val auc = round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+    // NULL-on-degenerate (the kappa/alpha convention): an all-pos or
+    // all-neg split would divide by zero — Spark's Divide yields NULL but
+    // DuckDB's IEEE division yields inf/NaN, so gate BOTH engines
+    val auc = when(col("n_pos") > 0L && col("n_neg") > 0L,
+      round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
         .cast("double") /
-      (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)
+      (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
     r.agg(
         sum(col("p") * (lit(2L) * (col("cum") - col("c")) +
           col("c") + lit(1L))).as("s2"),
@@ -1587,10 +1591,13 @@ object TrainAudit {
        |          CAST(COUNT(1) - SUM(pos) AS BIGINT) AS n_neg
        |        FROM s)
        |SELECT n_pos, n_neg,
-       |  round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
-       |    / CAST(2*n_pos*n_neg AS DOUBLE), 6) AS auc,
-       |  abs(round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
-       |    / CAST(2*n_pos*n_neg AS DOUBLE), 6) - 0.5) > 0.05 AS biased_flag
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
+       |      / CAST(2*n_pos*n_neg AS DOUBLE), 6) END AS auc,
+       |  abs(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
+       |      / CAST(2*n_pos*n_neg AS DOUBLE), 6) END - 0.5) > 0.05
+       |    AS biased_flag
        |FROM r CROSS JOIN tot GROUP BY n_pos, n_neg""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

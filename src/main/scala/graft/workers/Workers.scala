@@ -263,7 +263,7 @@ object Workers {
             fc.getField("_cr_jag").isNotNull && typesOk
         }
         val jaggedCount =
-          if (allowJagged) df.filter(jaggedOk).rdd.count() else 0L
+          if (allowJagged) df.filter(jaggedOk).count() else 0L
         val badCount = total - parseable - jaggedCount
         if (badCount > errorsToAllow)
           throw new RuntimeException(

@@ -118,14 +118,16 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
 
   test("histogram quantile sketch: estimate within one bucket width of exact") {
     // the covering bucket contains BOTH the exact order statistic and the
-    // interpolated estimate, so |est − exact| < width by construction —
-    // the bound a profiler quotes when it swaps the sort for the sketch
+    // interpolated estimate, so |est − exact| <= width by construction
+    // (equality is reachable: target rank on the bucket's last row while
+    // every member sits on the lower edge) — the bound a profiler quotes
+    // when it swaps the sort for the sketch
     val rows = graft.queries.Sketch.sketchQuantileAudit(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val src = r.getString(0)
-      assert(r.getDouble(4) < 64.0, s"$src: p50 error ${r.getDouble(4)} >= width")
-      assert(r.getDouble(7) < 64.0, s"$src: p90 error ${r.getDouble(7)} >= width")
+      assert(r.getDouble(4) <= 64.0, s"$src: p50 error ${r.getDouble(4)} > width")
+      assert(r.getDouble(7) <= 64.0, s"$src: p90 error ${r.getDouble(7)} > width")
     }
   }
 
