@@ -202,8 +202,19 @@ object Curation {
     // expanded doc-pair graph: a 30-doc boilerplate cluster is 435 doc
     // pairs but ONE node), and membership expands only at the end.
     val (setPairs, groups) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
+    val spMin = setPairs
+      .select(array_min(col("ma")).as("sa"), array_min(col("mb")).as("sb"))
+    componentsFromGraph(s, dir, spMin, groups)
+  }
+
+  /** [[dedupComponentsCore]] over an already-built set graph (spMin =
+    * set-representative pairs, groups = the unique-set universe) — the
+    * seam [[pipelineDedupGraph]] uses to feed ONE pair-generation pass to
+    * both graph consumers. */
+  private def componentsFromGraph(s: SparkSession, dir: String,
+      spMin: DataFrame, groups: DataFrame): DataFrame = {
     val reps = groups.select(array_min(col("members")).as("doc_id"))
-    val edges = setPairs.select(array_min(col("ma")).as("da"), array_min(col("mb")).as("db"))
+    val edges = spMin.select(col("sa").as("da"), col("sb").as("db"))
     val comp = connectedComponents(reps, edges)
     val grouped = groups
       .select(array_min(col("members")).as("rep"), explode(col("members")).as("doc_id"))
@@ -423,6 +434,16 @@ object Curation {
       return load(s, dir, "documents")
         .select(col("doc_id"), lit(0L).as("deg"), lit(0.0).as("rank"))
     }
+    val (setPairs, groups) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
+    val spMin = setPairs
+      .select(array_min(col("ma")).as("sa"), array_min(col("mb")).as("sb"))
+    pagerankFromGraph(s, dir, spMin, groups, nDocs)
+  }
+
+  /** [[dedupGraphPagerank]] over an already-built set graph — the
+    * [[pipelineDedupGraph]] seam (see [[componentsFromGraph]]). */
+  private def pagerankFromGraph(s: SparkSession, dir: String,
+      spMin: DataFrame, groups: DataFrame, nDocs: Long): DataFrame = {
     val base = 0.15 / nDocs.toDouble // (1−d)/n — identical IEEE op in the oracle
     // Eager-checkpoint the edge list (same reliable/local switch as
     // [[iterativeComponents]]): without lineage truncation every
@@ -461,7 +482,6 @@ object Curation {
     // 11.6 s → ~3 s); at 100 TB it is the difference between the
     // iteration scaling with boilerplate CLIQUE AREA versus unique
     // content.
-    val (setPairs, groups) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
     val nodes = groups
       .select(array_min(col("members")).as("sid"),
         size(col("members")).cast("long").as("m"), col("members"))
@@ -470,8 +490,7 @@ object Curation {
     // materialize the set-pair projection ONCE before the two-direction
     // union (both branches reference it; unmaterialized, the whole pair
     // generation would run twice)
-    val sp = ckpt(setPairs.select(array_min(col("ma")).as("sa"),
-      array_min(col("mb")).as("sb")))
+    val sp = ckpt(spMin)
     val edges = ckpt(sp.select(col("sa").as("src"), col("sb").as("dst"))
       .unionByName(sp.select(col("sb").as("src"), col("sa").as("dst"))))
     freeCkpt(sp)
@@ -533,7 +552,43 @@ object Curation {
       .limit(PrTopK)
   }
 
+  /**
+   * The combined dedup-graph governance report: connected-component
+   * labels AND PageRank centrality from ONE pair-generation pass. Run
+   * standalone, [[dedupComponents]] and [[dedupGraphPagerank]] each pay
+   * the full Jaccard set-graph build (together 10.7 s of the sf0.1
+   * suite); the cross-query ownership contract forbids sharing a persist
+   * between them, so the sanctioned shape is this composition — the
+   * set-pair projection is persisted ONCE (query-owned) and feeds both
+   * the component iteration and the power iteration. Output: the
+   * [[PrTopK]] most central documents with their cluster id, size,
+   * canonicality, degree and rank — "which boilerplate hubs dominate
+   * which clusters", the page a dedup governance review reads first.
+   */
+  def pipelineDedupGraph(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val nDocs = load(s, dir, "documents").count()
+    if (nDocs == 0) {
+      return load(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("comp_id"),
+          lit(0L).as("cluster_size"), lit(true).as("is_canonical"),
+          lit(0L).as("deg"), lit(0.0).as("rank"))
+    }
+    val (setPairs, groups) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
+    val spMin = setPairs
+      .select(array_min(col("ma")).as("sa"), array_min(col("mb")).as("sb"))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(spMin)
+    val comp = componentsFromGraph(s, dir, spMin, groups)
+    val pr = pagerankFromGraph(s, dir, spMin, groups, nDocs)
+    pr.join(comp, Seq("doc_id"))
+      .select(col("doc_id"), col("comp_id"), col("cluster_size"),
+        col("is_canonical"), col("deg"), col("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dedup_graph" -> (pipelineDedupGraph _),
     "dedup_graph_pagerank" -> (dedupGraphPagerank _),
     "dedup_components" -> (dedupComponents _),
     "sample_weighted_k" -> (sampleWeightedK _),
@@ -566,17 +621,38 @@ object Curation {
 
   /** One PageRank round as a DuckDB CTE — the chained-CTE oracle recipe
     * (each round reads the previous round's 12-dp fixpoint). */
-  private def prIterSql(prev: String, iter: String): String =
+  private def prIterSql(prev: String, iter: String,
+      edgesRel: String = "edges"): String =
     s"""$iter AS (
        |  SELECT e.dst AS v,
        |    round(0.15 / CAST(nn.n AS DOUBLE) + $PrDamping *
        |      CAST(SUM(CAST(round(p.r / CAST(d.deg AS DOUBLE), 14)
        |        AS DECIMAL(38,16))) AS DOUBLE), 12) AS r
-       |  FROM edges e JOIN $prev p ON e.src = p.v
+       |  FROM $edgesRel e JOIN $prev p ON e.src = p.v
        |    JOIN deg d ON e.src = d.src CROSS JOIN nn
        |  GROUP BY e.dst, nn.n)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_dedup_graph" ->
+      s"""WITH RECURSIVE $duckComp,
+         |sz AS (SELECT comp_id, COUNT(1) AS cluster_size FROM comp GROUP BY comp_id),
+         |pedges AS (SELECT da AS src, db AS dst FROM pairsq
+         |           UNION ALL SELECT db, da FROM pairsq),
+         |deg AS (SELECT src, CAST(COUNT(1) AS BIGINT) AS deg
+         |        FROM pedges GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM documents),
+         |r0 AS (SELECT src AS v, 1.0 / CAST(n AS DOUBLE) AS r FROM deg, nn),
+         |${prIterSql("r0", "j1", "pedges")},
+         |${prIterSql("j1", "j2", "pedges")},
+         |${prIterSql("j2", "j3", "pedges")},
+         |pr AS (
+         |  SELECT j3.v AS doc_id, d.deg, j3.r AS rank
+         |  FROM j3 JOIN deg d ON j3.v = d.src
+         |  ORDER BY j3.r DESC, doc_id LIMIT $PrTopK)
+         |SELECT pr.doc_id, c.comp_id, sz.cluster_size,
+         |  c.doc_id = c.comp_id AS is_canonical, pr.deg, pr.rank
+         |FROM pr JOIN comp c USING (doc_id) JOIN sz USING (comp_id)
+         |ORDER BY pr.rank DESC, pr.doc_id""".stripMargin,
     "dedup_graph_pagerank" ->
       s"""WITH pairsq AS (${Dedup.jaccardWordsPairsSql}),
          |edges AS (SELECT da AS src, db AS dst FROM pairsq

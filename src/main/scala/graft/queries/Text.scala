@@ -747,6 +747,10 @@ object Text {
    * accepts for its per-touch division.
    */
   def textLmNll(s: SparkSession, dir: String): DataFrame = {
+    // NOTE deliberately NOT persisted: the vocab action and the bigram
+    // explode each tokenize the corpus, but caching the token arrays was
+    // MEASURED SLOWER at sf0.1 (9.9 s vs 8.3 s pipeline_curation_lm
+    // construct — array serialization costs more than the recompute)
     val withWs = docs(s, dir)
       .select(col("doc_id"), words(col("text")).as("ws"))
     // vocabulary size over ALL tokens (single-token docs included): the
