@@ -145,6 +145,87 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // Pareto-dominance source screen — mix_pareto_frontier
+  // ---------------------------------------------------------------------
+
+  /**
+   * Pareto frontier over the per-source (token mass, mean document
+   * length) plane — the shortlist screen a mixture planner runs before
+   * weighting: a source is DOMINATED if some other source has at least
+   * as much token mass AND at least as long documents (one strictly
+   * greater) — there is then no (size, quality)-monotone objective under
+   * which the dominated source is the best pick. Frontier members are
+   * the candidates worth a DoReMi/temperature pass; dominated rows keep
+   * their dominator count as the audit trail.
+   *
+   * Scale: the corpus collapses to ≤|sources| rows first (one map-side-
+   * combined aggregate); dominance is a ≤|sources|² broadcast self-join
+   * on metadata. Determinism: the mean-length comparison is the exact
+   * integer cross-multiplication chars_a·n_b vs chars_b·n_a (DECIMAL —
+   * products reach (Σchars)², past LONG at corpus scale); no division
+   * anywhere until the 6-dp display mean.
+   */
+  def mixParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("nc"),
+        size(Text.words(col("text"))).cast("long").as("nw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).cast(d38).as("tokens"),
+        sum(col("nc")).cast(d38).as("chars"))
+    val r = g.select(col("source").as("source_r"),
+      col("n_docs").as("n_r"), col("tokens").as("tokens_r"),
+      col("chars").as("chars_r"))
+    // b dominates a: tokens_b ≥ tokens_a AND mean_b ≥ mean_a (cross-mult)
+    // with at least one strict
+    val geTok = col("tokens_r") >= col("tokens")
+    val geLen = col("chars_r") * col("n_docs").cast(d38) >=
+      col("chars") * col("n_r").cast(d38)
+    val strict = col("tokens_r") > col("tokens") ||
+      col("chars_r") * col("n_docs").cast(d38) >
+        col("chars") * col("n_r").cast(d38)
+    val dom = g.join(broadcast(r),
+        col("source") =!= col("source_r") && geTok && geLen && strict)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dominators"))
+    g.join(dom, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        col("tokens").cast("long").as("tokens"),
+        round(col("chars").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_chars"),
+        coalesce(col("n_dominators"), lit(0L)).as("n_dominators"),
+        coalesce(col("n_dominators"), lit(0L)).===(0L).as("on_frontier"))
+      .orderBy(col("source"))
+  }
+
+  private val mixParetoFrontierSql: String =
+    """WITH g AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT)) AS DECIMAL(38,0)) AS tokens,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) AS DECIMAL(38,0)) AS chars
+      |  FROM documents WHERE n_chars IS NOT NULL
+      |  GROUP BY source),
+      |dom AS (
+      |  SELECT a.source, CAST(COUNT(1) AS BIGINT) AS n_dominators
+      |  FROM g a JOIN g b ON a.source <> b.source
+      |    AND b.tokens >= a.tokens
+      |    AND b.chars * CAST(a.n_docs AS DECIMAL(38,0))
+      |      >= a.chars * CAST(b.n_docs AS DECIMAL(38,0))
+      |    AND (b.tokens > a.tokens
+      |      OR b.chars * CAST(a.n_docs AS DECIMAL(38,0))
+      |        > a.chars * CAST(b.n_docs AS DECIMAL(38,0)))
+      |  GROUP BY a.source)
+      |SELECT g.source, g.n_docs, CAST(g.tokens AS BIGINT) AS tokens,
+      |  round(CAST(g.chars AS DOUBLE) / CAST(g.n_docs AS DOUBLE), 6)
+      |    AS mean_chars,
+      |  CAST(COALESCE(dom.n_dominators, 0) AS BIGINT) AS n_dominators,
+      |  COALESCE(dom.n_dominators, 0) = 0 AS on_frontier
+      |FROM g LEFT JOIN dom USING (source)
+      |ORDER BY g.source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Temperature-scaled mixture shares — mix_temperature
   // ---------------------------------------------------------------------
 
@@ -866,6 +947,7 @@ object Corpus {
     "text_seg_dedup" -> (textSegDedup _),
     "shuffle_order" -> (shuffleOrder _),
     "mix_weighted" -> (mixWeighted _),
+    "mix_pareto_frontier" -> (mixParetoFrontier _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "vocab_coverage" -> (vocabCoverage _),
     "decontam_overlap" -> (decontamOverlap _),
@@ -1098,6 +1180,7 @@ object Corpus {
          |  FROM r)
          |SELECT pos, doc_id, (pos - 1) % $Shards AS shard_id
          |FROM p ORDER BY pos""".stripMargin,
+    "mix_pareto_frontier" -> mixParetoFrontierSql,
     "mix_weighted" ->
       s"""WITH d AS (
          |  SELECT source, n_chars, $duckRate AS rate,

@@ -1139,6 +1139,58 @@ object Events {
   }
 
   /**
+   * Wald–Wolfowitz runs test over the daily series — the randomness
+   * check between [[statsDailyAnomaly]]'s spike fence and
+   * [[statsCusumShift]]'s drift alarm: too FEW runs of
+   * above/below-median days means the series trends or clusters (ingest
+   * ramps, batch-flush cadence), too MANY means oscillation
+   * (load-balancer flapping). Days equal to the median are dropped (the
+   * standard treatment); the median is the exact lower median (the
+   * stats_mad convention). z = (R − μ)/σ with μ = 1 + 2ab/m and
+   * σ² = 2ab(2ab − m) / (m²(m−1)), NULL on a degenerate sign split
+   * (a = 0, b = 0, or a = b = 1 where σ = 0).
+   *
+   * Scale shape: [[denseDaily]]'s collapsed calendar relation; the
+   * median is a cumulative window over (type, n) VALUE groups, the run
+   * count one LAG pass over calendar-bounded partitions; everything
+   * integer until the final pinned-order double expression, rounded at
+   * 6 dp.
+   */
+  def statsRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val dd = denseDaily(s, dir)
+    val wAll = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = dd.groupBy(col("event_type"), col("n")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(wAll))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("k", expr("(tot + 1) DIV 2"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("event_type")).agg(min(col("n")).as("med"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("dn"))
+    val runs = dd.join(med, "event_type")
+      .filter(col("n") =!= col("med"))
+      .select(col("event_type"), col("dn"), (col("n") > col("med")).as("above"))
+      .withColumn("chg", when(lag(col("above"), 1).over(wSeq).isNull ||
+        lag(col("above"), 1).over(wSeq) =!= col("above"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("above"), 1L).otherwise(0L)).as("n_below"),
+        sum(col("chg")).as("n_runs"))
+    val m = (col("n_above") + col("n_below")).cast("double")
+    val twoAB = (lit(2L) * col("n_above") * col("n_below")).cast("double")
+    val mu = lit(1.0) + twoAB / m
+    val varR = (twoAB * (twoAB - m)) / (m * m * (m - lit(1.0)))
+    runs
+      .select(col("event_type"), col("n_above"), col("n_below"), col("n_runs"),
+        round(when(col("n_above") > 0 && col("n_below") > 0 &&
+          lit(2L) * col("n_above") * col("n_below") >
+            col("n_above") + col("n_below"),
+          (col("n_runs").cast("double") - mu) / sqrt(varR)), 6).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
    * Inter-event gap profile per event type — the arrival-cadence data
    * card (bot-rate / scraper detection reads the p50; retention
    * heuristics read the p90): per-user consecutive-event gaps, bucketed
@@ -1865,6 +1917,7 @@ object Events {
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "interval_concurrency" -> (intervalConcurrency _),
     "stats_cusum_shift" -> (statsCusumShift _),
+    "stats_runs_test" -> (statsRunsTest _),
     "q_inter_event_gaps" -> (qInterEventGaps _),
     "q_did_lift" -> (qDidLift _),
     "stats_autocorr" -> (statsAutocorr _),
@@ -2135,6 +2188,60 @@ object Events {
         |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
         |  CAST(COUNT(1) AS BIGINT) AS n_boundaries
         |FROM c GROUP BY 1 ORDER BY day_num""".stripMargin,
+    "stats_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(dn) AS lo, MAX(dn) AS hi
+        |      FROM daily GROUP BY 1),
+        |sp AS (SELECT b.event_type,
+        |         CAST(unnest(generate_series(b.lo, b.hi)) AS BIGINT) AS dn
+        |       FROM b),
+        |dense AS (
+        |  SELECT sp.event_type, sp.dn, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM sp LEFT JOIN daily d USING (event_type, dn)),
+        |vg AS (
+        |  SELECT event_type, n, CAST(COUNT(1) AS BIGINT) AS cnt
+        |  FROM dense GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT event_type, n,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY n
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM vg),
+        |med AS (
+        |  SELECT event_type, MIN(n) AS med FROM cw
+        |  WHERE cum >= (tot + 1) // 2 GROUP BY event_type),
+        |sg AS (
+        |  SELECT d.event_type, d.dn, d.n > m.med AS above
+        |  FROM dense d JOIN med m USING (event_type)
+        |  WHERE d.n <> m.med),
+        |ch AS (
+        |  SELECT event_type, above,
+        |    CASE WHEN LAG(above, 1) OVER (PARTITION BY event_type
+        |        ORDER BY dn) IS DISTINCT FROM above THEN 1 ELSE 0 END AS chg
+        |  FROM sg),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+        |    CAST(SUM(chg) AS BIGINT) AS n_runs
+        |  FROM ch GROUP BY event_type)
+        |SELECT event_type, n_above, n_below, n_runs,
+        |  round(CASE WHEN n_above > 0 AND n_below > 0
+        |      AND 2 * n_above * n_below > n_above + n_below THEN
+        |    (CAST(n_runs AS DOUBLE) -
+        |      (1.0 + CAST(2 * n_above * n_below AS DOUBLE)
+        |        / CAST(n_above + n_below AS DOUBLE)))
+        |    / sqrt((CAST(2 * n_above * n_below AS DOUBLE)
+        |        * (CAST(2 * n_above * n_below AS DOUBLE)
+        |          - CAST(n_above + n_below AS DOUBLE)))
+        |      / (CAST(n_above + n_below AS DOUBLE)
+        |        * CAST(n_above + n_below AS DOUBLE)
+        |        * (CAST(n_above + n_below AS DOUBLE) - 1.0))) END, 6) AS z
+        |FROM r ORDER BY event_type""".stripMargin,
     "stats_cusum_shift" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -1406,6 +1406,110 @@ object Governance {
       .orderBy(col("source"))
   }
 
+  /**
+   * Kendall rank correlation τ-b per source, over the same
+   * (doc length, word count) pairing as [[statsSpearman]] — the
+   * tie-robust companion a drift audit reads next to ρ: τ counts pair
+   * ORDER agreements instead of rank covariances, so a few extreme
+   * documents cannot dominate the statistic.
+   *
+   * Scale: the corpus collapses to per-source (x, y) VALUE groups first
+   * (one map-side-combined groupBy), and the concordance join runs on
+   * that collapsed relation — value-group pairs², never doc pairs² (the
+   * Mann-Whitney collapse; the (n_chars × word-count) grid is bounded by
+   * the value domain, not the corpus). The join keeps the source
+   * equi-key with `x < xr` as a residual conjunct, so it hash-shuffles,
+   * never cartesians. Tie terms come from the 1-D marginals. Counts fold
+   * as DECIMAL(38,0) products (c_i·c_j and n(n−1) reach n² — LONG wraps
+   * past ~3e9 rows; DuckDB would raise). Determinism: all terms exact
+   * integers; τ-b = 2(nc−nd)/√((D0−D1)(D0−D2)) with the two factors cast
+   * to DOUBLE before the one multiply (pinned spelling), 6-dp round;
+   * NULL when either factor is 0 (a constant margin has no rank order).
+   */
+  def statsKendallTau(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = docs(s, dir)
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("x"),
+        size(Text.words(col("text"))).cast("long").as("y"))
+      .groupBy(col("source"), col("x"), col("y"))
+      .agg(count(lit(1)).cast(d38).as("c"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    // doubled pair counts (no /2 anywhere): D0 = n(n−1), D1/D2 = Σ t(t−1)
+    // over the x/y marginals — τ-b's (n0−n1)(n0−n2) = (D0−D1)(D0−D2)/4
+    val n = g.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    def tieTerm(vc: String, out: String): DataFrame = g
+      .groupBy(col("source"), col(vc)).agg(sum(col("c")).as("t"))
+      .groupBy(col("source")).agg(sum(col("t") * (col("t") - 1)).as(out))
+    // strict-x pairs only (x-ties live in D1): concordant vs discordant
+    // by the y order; y-ties under strict x belong to D2
+    val r = g.select(col("source").as("source_r"), col("x").as("xr"),
+      col("y").as("yr"), col("c").as("cr"))
+    val cd = g.join(r, col("source") === col("source_r") && col("x") < col("xr"))
+      .groupBy(col("source"))
+      .agg(
+        coalesce(sum(when(col("y") < col("yr"), col("c") * col("cr"))),
+          lit(java.math.BigDecimal.ZERO).cast(d38)).as("nc"),
+        coalesce(sum(when(col("y") > col("yr"), col("c") * col("cr"))),
+          lit(java.math.BigDecimal.ZERO).cast(d38)).as("nd"))
+    val d0 = (col("n") * (col("n") - 1)).cast(d38)
+    val f1 = (d0 - col("d1")).cast("double")
+    val f2 = (d0 - col("d2")).cast("double")
+    n
+      .join(tieTerm("x", "d1"), Seq("source"))
+      .join(tieTerm("y", "d2"), Seq("source"))
+      .join(cd, Seq("source"), "left")
+      .select(col("source"), col("n").cast("long").as("n"),
+        coalesce(col("nc"), lit(java.math.BigDecimal.ZERO).cast(d38))
+          .cast("long").as("n_concordant"),
+        coalesce(col("nd"), lit(java.math.BigDecimal.ZERO).cast(d38))
+          .cast("long").as("n_discordant"),
+        round(when(f1 > 0 && f2 > 0,
+          lit(2.0) * (coalesce(col("nc"), lit(java.math.BigDecimal.ZERO)
+              .cast(d38)) -
+            coalesce(col("nd"), lit(java.math.BigDecimal.ZERO).cast(d38)))
+            .cast("double") / sqrt(f1 * f2)), 6).as("tau_b"))
+      .orderBy(col("source"))
+  }
+
+  private val statsKendallTauSql: String =
+    """WITH base AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT) AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      |g AS (
+      |  SELECT source, x, y, CAST(COUNT(1) AS DECIMAL(38,0)) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |nn AS (SELECT source, SUM(c) AS n FROM g GROUP BY source),
+      |tx AS (SELECT source, SUM(t * (t - 1)) AS d1
+      |       FROM (SELECT source, x, SUM(c) AS t FROM g GROUP BY 1, 2)
+      |       GROUP BY source),
+      |ty AS (SELECT source, SUM(t * (t - 1)) AS d2
+      |       FROM (SELECT source, y, SUM(c) AS t FROM g GROUP BY 1, 2)
+      |       GROUP BY source),
+      |cd AS (
+      |  SELECT a.source,
+      |    COALESCE(SUM(CASE WHEN a.y < b.y THEN a.c * b.c END),
+      |      CAST(0 AS DECIMAL(38,0))) AS nc,
+      |    COALESCE(SUM(CASE WHEN a.y > b.y THEN a.c * b.c END),
+      |      CAST(0 AS DECIMAL(38,0))) AS nd
+      |  FROM g a JOIN g b ON a.source = b.source AND a.x < b.x
+      |  GROUP BY a.source)
+      |SELECT nn.source, CAST(nn.n AS BIGINT) AS n,
+      |  CAST(COALESCE(cd.nc, 0) AS BIGINT) AS n_concordant,
+      |  CAST(COALESCE(cd.nd, 0) AS BIGINT) AS n_discordant,
+      |  round(CASE WHEN CAST(nn.n * (nn.n - 1) - tx.d1 AS DOUBLE) > 0
+      |      AND CAST(nn.n * (nn.n - 1) - ty.d2 AS DOUBLE) > 0 THEN
+      |    2.0 * CAST(COALESCE(cd.nc, 0) - COALESCE(cd.nd, 0) AS DOUBLE)
+      |      / sqrt(CAST(nn.n * (nn.n - 1) - tx.d1 AS DOUBLE)
+      |        * CAST(nn.n * (nn.n - 1) - ty.d2 AS DOUBLE)) END, 6) AS tau_b
+      |FROM nn
+      |JOIN tx USING (source) JOIN ty USING (source)
+      |LEFT JOIN cd USING (source)
+      |ORDER BY nn.source""".stripMargin
+
   private val statsSpearmanSql: String =
     """WITH base AS (
       |  SELECT source, CAST(n_chars AS BIGINT) AS x,
@@ -1815,6 +1919,7 @@ object Governance {
     "stats_jackknife_mean" -> (statsJackknifeMean _),
     "stats_mann_whitney" -> (statsMannWhitney _),
     "stats_spearman" -> (statsSpearman _),
+    "stats_kendall_tau" -> (statsKendallTau _),
     "stats_levene" -> (statsLevene _),
     "stats_cramers_v" -> (statsCramersV _),
     "stats_welch_ttest" -> (statsWelchTtest _),
@@ -2407,6 +2512,7 @@ object Governance {
          |       ELSE 'test' END AS split
          |FROM p ORDER BY doc_id""".stripMargin,
     "stats_spearman" -> statsSpearmanSql,
+    "stats_kendall_tau" -> statsKendallTauSql,
     "stats_levene" -> statsLeveneSql,
     "stats_mann_whitney" ->
       """WITH l AS (

@@ -165,6 +165,93 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------------
+  // Rank-biased overlap — retrieval_rbo
+  // ---------------------------------------------------------------------
+
+  /** RBO persistence (Webber/Moffat/Zobel 2010's p = 0.9: the evaluator's
+    * attention decays geometrically down the ranking). */
+  private val RboP = 0.9
+  /** Evaluation depth. */
+  private val RboK = 20
+
+  /** Geometric depth weights w_d = (1−p)·p^(d−1), computed ONCE driver-
+    * side by repeated multiplication and embedded as the same literals in
+    * both engines — pow()'s last ulp is libm-defined and NOT portable. */
+  private val rboWeights: Seq[Double] = {
+    var w = 1.0 - RboP
+    (1 to RboK).map { _ => val cur = w; w = w * RboP; cur }
+  }
+  /** Residual weight mass past depth K: p^K, same repeated-multiply. */
+  private val rboResidual: Double =
+    (1 to RboK).foldLeft(1.0)((acc, _) => acc * RboP)
+
+  /**
+   * Rank-biased overlap between the lexical and the semantic retrieval
+   * lists (Webber et al. 2010) — the companion diagnostic to
+   * [[retrievalRrfFusion]]: RRF tells you what the fused list IS; RBO
+   * tells you how much the two rankers AGREE (top-weighted, so swapping
+   * tail results matters less than swapping the first page). Reported as
+   * the truncated lower bound RBO@[[RboK]] = Σ_{d≤K} w_d·(X_d/d) with
+   * X_d = |A_{1..d} ∩ B_{1..d}|, plus the unassigned residual mass p^K —
+   * the standard prefix-evaluation pair.
+   *
+   * Scale shape: both component lists are the TakeOrderedAndProject
+   * top-Ks [[retrievalRrfFusion]] builds; a shared doc enters the
+   * overlap at depth max(rank_A, rank_B), so X_d comes from ONE explode
+   * of ≤K depths per shared doc + a ≤K-group count — equi-joins only,
+   * no inequality join. Determinism: ranks are integer, weights are
+   * pinned literals; per-depth terms round to 8-dp DECIMAL before the
+   * order-free sum, final 6-dp round.
+   */
+  def retrievalRbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val bmRank = Window.partitionBy(zeroPart(col("doc_id")))
+      .orderBy(col("score").desc, col("doc_id"))
+    val bm = bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("bm25_rank", row_number().over(bmRank).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val anchors = Similarity.anchorVecsOf(load(s, dir, "embeddings"))
+    val a0 = anchors.headOption.getOrElse(Array.empty[Double])
+    val cosRank = Window.partitionBy(zeroPart(col("doc_id")))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val cos = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull &&
+        Similarity.noModel(anchors))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(Similarity.dArr(col("embedding")),
+          typedLit(a0)), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("cos_rank", row_number().over(cosRank).cast("long"))
+      .select(col("doc_id"), col("cos_rank"))
+    val xd = bm.join(cos, Seq("doc_id"))
+      .select(greatest(col("bm25_rank"), col("cos_rank")).as("entry"))
+      .filter(col("entry") <= RboK.toLong)
+      .select(explode(sequence(col("entry"), lit(RboK.toLong))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val wds = rboWeights.zipWithIndex
+      .map { case (w, i) => ((i + 1).toLong, w) }
+    val spine = s.createDataFrame(wds).toDF("d", "wd")
+    val dec8 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
+    val term = round(col("wd") *
+      (col("x").cast("double") / col("d").cast("double")), 8).cast(dec8)
+    broadcast(spine).join(xd, Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"), col("wd"))
+      .agg(
+        max(when(col("d") === RboK.toLong, col("x"))).as("x_k"),
+        sum(term).as("sdec"))
+      .select(lit(RboK.toLong).as("k"), col("x_k"),
+        round(col("x_k").cast("double") / lit(RboK.toDouble), 6)
+          .as("agreement_k"),
+        round(col("sdec").cast("double"), 6).as("rbo_lb"),
+        lit(rboResidual).as("residual_mass"))
+  }
+
+  // ---------------------------------------------------------------------
   // Maximal Marginal Relevance diversification — retrieval_mmr_diversify
   // ---------------------------------------------------------------------
 
@@ -362,9 +449,101 @@ object Retrieval {
     "text_bm25_topk" -> (textBm25Topk _),
     "retrieval_rrf_fusion" -> (retrievalRrfFusion _),
     "retrieval_mmr_diversify" -> (retrievalMmrDiversify _),
-    "retrieval_ndcg" -> (retrievalNdcg _))
+    "retrieval_ndcg" -> (retrievalNdcg _),
+    "retrieval_rbo" -> (retrievalRbo _))
+
+  /** The (d, w_d) weight spine as DuckDB VALUES rows — the same driver-
+    * computed literals the Spark side embeds (shortest-repr doubles
+    * round-trip exactly through both parsers). */
+  private def rboWeightsSql: String = rboWeights.zipWithIndex
+    .map { case (w, i) => s"(CAST(${i + 1} AS BIGINT), CAST($w AS DOUBLE))" }
+    .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "retrieval_rbo" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM t WHERE len(w) > 0),
+         |c AS (
+         |  SELECT CAST(COUNT(1) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS tot FROM b),
+         |tf AS (
+         |  SELECT doc_id, dl, term, CAST(COUNT(1) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM b)
+         |  WHERE term IN (${Bm25Query.map(q => s"'$q'").mkString(", ")})
+         |  GROUP BY doc_id, dl, term),
+         |df AS (
+         |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT doc_id, dl,
+         |    round(
+         |      ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |                 / (CAST(df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf AS DOUBLE) * $Bm25K1Plus1)
+         |         / (CAST(tf AS DOUBLE) + $Bm25K1
+         |            * ($Bm25OneMinusB + $Bm25B
+         |               * (CAST(dl AS DOUBLE)
+         |                  / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))), 6) AS ts
+         |  FROM tf JOIN df USING (term) CROSS JOIN c),
+         |bmscore AS (
+         |  SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(20,6))) AS DOUBLE) AS score
+         |  FROM sc GROUP BY doc_id, dl),
+         |bmtop AS (
+         |  SELECT doc_id, score FROM bmscore
+         |  ORDER BY score DESC, doc_id LIMIT $Bm25TopK),
+         |bmrank AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS bm25_rank
+         |  FROM bmtop),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE embedding IS NOT NULL),
+         |anch AS (SELECT embedding AS av FROM e WHERE vec_id < 8
+         |         ORDER BY vec_id LIMIT 1),
+         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+         |cd AS (
+         |  SELECT m.vec_id,
+         |    SUM(m.embedding[i]::DOUBLE * a.av[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(a.av[i]::DOUBLE * a.av[i]::DOUBLE) AS aa
+         |  FROM m, anch a, generate_series(1, 64) g(i)
+         |  GROUP BY 1),
+         |cs AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cd),
+         |ctop AS (
+         |  SELECT doc_id, sim FROM cs WHERE sim IS NOT NULL
+         |  ORDER BY sim DESC, doc_id LIMIT $Bm25TopK),
+         |crank AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+         |    AS BIGINT) AS cos_rank
+         |  FROM ctop),
+         |shared AS (
+         |  SELECT GREATEST(bm.bm25_rank, cr.cos_rank) AS entry
+         |  FROM bmrank bm JOIN crank cr USING (doc_id)
+         |  WHERE GREATEST(bm.bm25_rank, cr.cos_rank) <= $RboK),
+         |xd AS (
+         |  SELECT d, CAST(COUNT(1) AS BIGINT) AS x
+         |  FROM (SELECT CAST(unnest(generate_series(entry, CAST($RboK AS BIGINT)))
+         |          AS BIGINT) AS d
+         |        FROM shared)
+         |  GROUP BY d),
+         |w(d, wd) AS (VALUES $rboWeightsSql),
+         |terms AS (
+         |  SELECT w.d, COALESCE(xd.x, 0) AS x, w.wd
+         |  FROM w LEFT JOIN xd USING (d))
+         |SELECT CAST($RboK AS BIGINT) AS k,
+         |  CAST(MAX(CASE WHEN d = $RboK THEN x END) AS BIGINT) AS x_k,
+         |  round(CAST(MAX(CASE WHEN d = $RboK THEN x END) AS DOUBLE)
+         |    / CAST($RboK AS DOUBLE), 6) AS agreement_k,
+         |  round(CAST(SUM(CAST(round(wd * (CAST(x AS DOUBLE) / CAST(d AS DOUBLE)), 8)
+         |    AS DECIMAL(20,8))) AS DOUBLE), 6) AS rbo_lb,
+         |  CAST($rboResidual AS DOUBLE) AS residual_mass
+         |FROM terms""".stripMargin,
     "retrieval_ndcg" ->
       s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
          |           WHERE embedding IS NOT NULL),

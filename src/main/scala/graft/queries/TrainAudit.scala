@@ -1122,6 +1122,74 @@ object TrainAudit {
       .orderBy(col("source"))
   }
 
+  /**
+   * McNemar's paired-classifier test (with Edwards' continuity
+   * correction) per source — the "is gate B actually better than gate A"
+   * check a filter migration runs before swapping thresholds: against
+   * the five-rule gopher verdict as the reference judgment, classifier A
+   * is the char-length gate (n_chars ≥ 300) and classifier B the
+   * word-count gate (≥ 50 words) — [[evalCohensKappa]]'s pair, now
+   * scored against a truth instead of against each other. Only the
+   * DISCORDANT counts matter: b = A right / B wrong, c = B right /
+   * A wrong; χ² = (|b−c|−1)²/(b+c), NULL when b + c = 0 (no
+   * disagreement — the test is undefined, not zero).
+   *
+   * Scale: one pure-codegen predicate scan → per-source
+   * map-side-combined rollup; no window, no join. Determinism: integer
+   * counts end-to-end, one final double division, 6-dp round.
+   */
+  def evalMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val t = Text.gopherPredicates.reduce(_ && _)
+    val a = (col("n_chars") >= 300L) === t
+    val b = (size(Text.words(col("text"))).cast("long") >= 50L) === t
+    val g = load(s, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), a.as("a_ok"), b.as("b_ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("b_disc"),
+        sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("c_disc"))
+    val diff = abs(col("b_disc") - col("c_disc")) - lit(1L)
+    g.select(col("source"), col("n"), col("b_disc"), col("c_disc"),
+        round(when(col("b_disc") + col("c_disc") > 0L,
+          (diff * diff).cast("double") /
+            (col("b_disc") + col("c_disc")).cast("double")), 6)
+          .as("chi2_cc"))
+      .orderBy(col("source"))
+  }
+
+  private val evalMcnemarSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+      |    CAST(length(text) AS BIGINT) AS tchars,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+      |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop,
+      |    CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |p AS (
+      |  SELECT source,
+      |    (n_words >= 50 AND 3 * n_words <= word_chars
+      |      AND word_chars <= 10 * n_words AND 10 * sym_chars <= tchars
+      |      AND n_stop >= 2 AND 5 * digit_chars <= tchars) AS t,
+      |    n_chars >= 300 AS ca, n_words >= 50 AS cb
+      |  FROM f),
+      |g AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN (ca = t) AND NOT (cb = t) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b_disc,
+      |    CAST(SUM(CASE WHEN NOT (ca = t) AND (cb = t) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_disc
+      |  FROM p GROUP BY source)
+      |SELECT source, n, b_disc, c_disc,
+      |  round(CASE WHEN b_disc + c_disc > 0 THEN
+      |    CAST((abs(b_disc - c_disc) - 1) * (abs(b_disc - c_disc) - 1)
+      |      AS DOUBLE) / CAST(b_disc + c_disc AS DOUBLE) END, 6) AS chi2_cc
+      |FROM g ORDER BY source""".stripMargin
+
   private val evalCohensKappaSql: String =
     """WITH l AS (
       |  SELECT source,
@@ -1608,6 +1676,7 @@ object TrainAudit {
     "eval_krippendorff" -> (evalKrippendorff _),
     "eval_avg_precision" -> (evalAvgPrecision _),
     "eval_cohens_kappa" -> (evalCohensKappa _),
+    "eval_mcnemar" -> (evalMcnemar _),
     "pref_bt_step" -> (prefBtStep _),
     "ml_platt_step" -> (mlPlattStep _),
     "eval_auc_roc" -> (evalAucRoc _),
@@ -1631,6 +1700,7 @@ object TrainAudit {
     "eval_krippendorff" -> evalKrippendorffSql,
     "eval_avg_precision" -> evalAvgPrecisionSql,
     "eval_cohens_kappa" -> evalCohensKappaSql,
+    "eval_mcnemar" -> evalMcnemarSql,
     "pref_bt_step" -> prefBtStepSql,
     "ml_platt_step" ->
       """WITH base AS (
