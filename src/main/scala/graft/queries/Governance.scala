@@ -589,6 +589,100 @@ object Governance {
   }
 
   // ---------------------------------------------------------------------
+  // Two-sample Anderson–Darling drift — stats_anderson_darling
+  // ---------------------------------------------------------------------
+
+  /**
+   * Exact two-sample Anderson–Darling drift per source (Scholz &
+   * Stephens 1987, k = 2, right-continuous ECDF version): the
+   * TAIL-sensitive companion to [[statsKsDrift]] — KS reads the single
+   * largest CDF gap (mid-distribution by construction), AD integrates
+   * the squared gap with 1/(F(1−F)) weighting, so a new crawl slice
+   * whose length distribution matches in the middle but grows a heavy
+   * tail trips AD first. For k = 2 the two per-sample terms share one
+   * squared numerator, so A² = Σ_j ℓ_j·(N·M_j − n_a·B_j)² / (B_j(N−B_j))
+   * / (n_a·n_b) over the distinct pooled values with B_j < N (M = source
+   * cumulative, B = pooled cumulative, ℓ = pooled count at the value).
+   *
+   * Scale shape: the [[statsKsDrift]] machinery — lengths collapse to
+   * (source, value) counts, the evaluation grid is the driver-constant
+   * source list exploded over the value spine, cumulatives are windows
+   * over the collapsed relations. Determinism: numerator and denominator
+   * are exact DECIMAL integers (the numerator reaches N⁴ — far past
+   * LONG); each term is ONE pinned double expression rounded to 8-dp
+   * DECIMAL before the order-free sum; one final 6-dp division.
+   */
+  def statsAndersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val dec8 = DecimalType(38, 8)
+    val lens = docs(s, dir).select(col("source"), col("n_chars").as("v"))
+      .filter(col("v").isNotNull)
+    val sources: Seq[String] = lens.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    val nTot: Long = lens.count()
+    val sv = lens.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val g = sv.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum", sum(col("cv")).over(
+        Window.partitionBy(zeroPart(col("v"))).orderBy(col("v"))))
+    val grid = g.select(col("v"), col("cv"), col("cum"),
+      explode(typedLit(sources)).as("source"))
+    val cs = grid.join(sv, Seq("source", "v"), "left")
+      .withColumn("cs", sum(coalesce(col("c"), lit(0L))).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+    val ns = sv.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val num = lit(nTot).cast(d38) * col("cs").cast(d38) -
+      col("n_src").cast(d38) * col("cum").cast(d38)
+    val den = col("cum").cast(d38) * (lit(nTot).cast(d38) - col("cum").cast(d38))
+    val term = round(col("cv").cast("double") *
+      ((num * num).cast("double") / den.cast("double")), 8).cast(dec8)
+    cs.join(broadcast(ns), Seq("source"))
+      .filter(col("n_src") > 0 && col("n_src") < nTot && col("cum") < nTot)
+      .groupBy(col("source"), col("n_src"))
+      .agg(sum(term).as("sdec"))
+      .select(col("source"), col("n_src"),
+        (lit(nTot) - col("n_src")).as("n_rest"),
+        round(col("sdec").cast("double") /
+          (col("n_src").cast(d38) *
+            (lit(nTot) - col("n_src")).cast(d38)).cast("double"), 6)
+          .as("a2"))
+      .orderBy(col("source"))
+  }
+
+  private val statsAndersonDarlingSql: String =
+    """WITH l AS (
+      |  SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+      |sv AS (SELECT source, v, COUNT(1) AS c FROM l GROUP BY source, v),
+      |g AS (
+      |  SELECT v, cv, SUM(cv) OVER (ORDER BY v) AS cum FROM (
+      |    SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM sv GROUP BY v)),
+      |srcs AS (SELECT DISTINCT source FROM l),
+      |grid AS (SELECT s.source, g.v, g.cv, g.cum FROM srcs s CROSS JOIN g),
+      |cs AS (
+      |  SELECT source, v, cv, cum,
+      |    SUM(COALESCE(sv.c, 0)) OVER (PARTITION BY grid.source ORDER BY v) AS cs
+      |  FROM grid LEFT JOIN sv USING (source, v)),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM sv GROUP BY source),
+      |tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM l),
+      |t AS (
+      |  SELECT cs.source, ns.n_src, tot.n,
+      |    CAST(round(CAST(cv AS DOUBLE) *
+      |      (CAST((CAST(n AS DECIMAL(38,0)) * cs
+      |          - CAST(n_src AS DECIMAL(38,0)) * cum)
+      |        * (CAST(n AS DECIMAL(38,0)) * cs
+      |          - CAST(n_src AS DECIMAL(38,0)) * cum) AS DOUBLE)
+      |       / CAST(CAST(cum AS DECIMAL(38,0))
+      |          * (CAST(n AS DECIMAL(38,0)) - cum) AS DOUBLE)), 8)
+      |      AS DECIMAL(38,8)) AS term
+      |  FROM cs JOIN ns USING (source) CROSS JOIN tot
+      |  WHERE ns.n_src > 0 AND ns.n_src < tot.n AND cs.cum < tot.n)
+      |SELECT source, n_src, n - n_src AS n_rest,
+      |  round(CAST(SUM(term) AS DOUBLE)
+      |    / CAST(CAST(n_src AS DECIMAL(38,0))
+      |        * (CAST(n AS DECIMAL(38,0)) - n_src) AS DOUBLE), 6) AS a2
+      |FROM t GROUP BY source, n_src, n
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Dedup-aware mixture budget — mix_unique_budget
   // ---------------------------------------------------------------------
 
@@ -1920,6 +2014,7 @@ object Governance {
     "stats_mann_whitney" -> (statsMannWhitney _),
     "stats_spearman" -> (statsSpearman _),
     "stats_kendall_tau" -> (statsKendallTau _),
+    "stats_anderson_darling" -> (statsAndersonDarling _),
     "stats_levene" -> (statsLevene _),
     "stats_cramers_v" -> (statsCramersV _),
     "stats_welch_ttest" -> (statsWelchTtest _),
@@ -2513,6 +2608,7 @@ object Governance {
          |FROM p ORDER BY doc_id""".stripMargin,
     "stats_spearman" -> statsSpearmanSql,
     "stats_kendall_tau" -> statsKendallTauSql,
+    "stats_anderson_darling" -> statsAndersonDarlingSql,
     "stats_levene" -> statsLeveneSql,
     "stats_mann_whitney" ->
       """WITH l AS (

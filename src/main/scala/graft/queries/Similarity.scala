@@ -473,6 +473,106 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** k-center coreset size (greedy farthest-point picks). */
+  private val KcPicks = 8
+
+  /**
+   * Greedy k-center coreset (farthest-point traversal, the 2-approx of
+   * Gonzalez 1985) — the diversity-first subset selection a curation run
+   * uses to pick exemplar documents / seed centroids: start from the
+   * lowest-id member, then repeatedly take the vector FARTHEST from the
+   * chosen set (max over members of min d² to any pick). Each pick's r²
+   * is the covering radius the set had before absorbing it — the
+   * monotone curve a planner reads to choose the coreset size.
+   *
+   * Scale shape: the member scan persists ONCE (vec_id, v, ‖v‖²); each
+   * of the ≤[[KcPicks]] rounds is one scan with the chosen set folded in
+   * as driver constants (≤k·dim doubles — model parameters, the MMR /
+   * PCA-power convention) and a 1-row argmax collect. k scans of the
+   * cache, no joins, no windows. Determinism: argmax on the UNROUNDED
+   * min-d² (identical IEEE ‖v‖²−2·v·c+‖c‖² chains both engines; min is
+   * order-free) with vec_id as the tiebreak; display radius rounded at
+   * 6 dp; already-picked ids are excluded so an all-duplicates corpus
+   * yields distinct picks at r² = 0.
+   */
+  def embedKcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val m = load(s, dir, "embeddings")
+      .filter(col("vec_id") >= 8 && col("embedding").isNotNull)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .persist()
+    graft.core.QueryCaches.report(m)
+    val seed = m.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).collect().headOption
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Double])]
+    seed.foreach { row =>
+      var picks = Vector((row.getLong(0), row.getSeq[Double](1).toArray))
+      out += ((1L, row.getLong(0), None))
+      var done = false
+      while (!done && picks.size < KcPicks) {
+        val mind = picks.map { case (_, c) =>
+          val cl = typedLit(c)
+          col("vv") - lit(2.0) * dot(col("v"), cl) + dot(cl, cl)
+        }.reduce(least(_, _))
+        val picked = picks.map(_._1)
+        val best = m
+          .filter(!col("vec_id").isin(picked: _*))
+          .select(col("vec_id"), col("v"), mind.as("md"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1)
+          .collect()
+        if (best.isEmpty) done = true
+        else {
+          val b = best.head
+          picks = picks :+ ((b.getLong(0), b.getSeq[Double](1).toArray))
+          out += ((picks.size.toLong, b.getLong(0), Some(b.getDouble(2))))
+        }
+      }
+    }
+    out.toSeq
+      .map { case (p, id, r2) => (p, id, r2) }
+      .toDF("pick", "vec_id", "r2")
+      .select(col("pick"), col("vec_id"),
+        (round(col("r2"), 6) + lit(0.0)).as("r2"))
+      .orderBy(col("pick"))
+  }
+
+  /** DuckDB mirror of [[embedKcenterCoreset]]: one chained CTE block per
+    * round — round k computes every member's min d² against picks_{k−1}
+    * (the same ‖v‖²−2·v·c+‖c‖² spelling), argmaxes with the vec_id
+    * tiebreak excluding prior picks, and unions the pick in. */
+  private def kcenterOracleSql: String = {
+    val rounds = (2 to KcPicks).map { k =>
+      s"""d$k AS (
+         |  SELECT vid AS vec_id, MIN(vv - 2 * vc + cc) AS md FROM (
+         |    SELECT m.vec_id AS vid,
+         |      SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |      SUM(p.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vc,
+         |      SUM(p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE) AS cc
+         |    FROM m, picks${k - 1} p, generate_series(1, 64) t(i)
+         |    GROUP BY m.vec_id, p.vec_id)
+         |  GROUP BY vid),
+         |p$k AS (
+         |  SELECT m.vec_id, m.embedding, round(d.md, 6) + 0.0 AS r2,
+         |    CAST($k AS BIGINT) AS pick
+         |  FROM m JOIN d$k d USING (vec_id)
+         |  WHERE m.vec_id NOT IN (SELECT vec_id FROM picks${k - 1})
+         |  ORDER BY d.md DESC, m.vec_id LIMIT 1),
+         |picks$k AS (SELECT * FROM picks${k - 1} UNION ALL SELECT * FROM p$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+       |p1 AS (SELECT vec_id, embedding, CAST(NULL AS DOUBLE) AS r2,
+       |         CAST(1 AS BIGINT) AS pick
+       |       FROM m ORDER BY vec_id LIMIT 1),
+       |picks1 AS (SELECT * FROM p1),
+       |$rounds
+       |SELECT pick, vec_id, r2 FROM picks$KcPicks ORDER BY pick""".stripMargin
+  }
+
   /** PQ subspace count: 64-dim vectors → 8 subspaces × 8 dims. */
   private val PqM = 8
 
@@ -1669,6 +1769,7 @@ object Similarity {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "embed_quantize" -> (embedQuantize _),
     "embed_kmeans_assign" -> (embedKmeansAssign _),
+    "embed_kcenter_coreset" -> (embedKcenterCoreset _),
     "embed_silhouette" -> (embedSilhouette _),
     "embed_pq_assign" -> (embedPqAssign _),
     "sim_pq_adc_topk" -> (simPqAdcTopk _),
@@ -2388,6 +2489,7 @@ object Similarity {
         |  ${duckMicroMean6("SUM(CAST(sil AS DECIMAL(30,8)))", "COUNT(1)")}
         |    AS mean_sil
         |FROM sil GROUP BY label ORDER BY label""".stripMargin,
+    "embed_kcenter_coreset" -> kcenterOracleSql,
     "embed_kmeans_assign" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c

@@ -351,6 +351,130 @@ object Text {
        |ORDER BY round""".stripMargin
   }
 
+  /**
+   * BPE compression curve — the diminishing-returns audit next to
+   * [[bpeTrainMerges]]: after each of the [[BpeRounds]] merges, the
+   * corpus's total symbol count (Σ word_freq·|symbols|) and its ratio to
+   * the round-0 character baseline. The curve is what a tokenizer-budget
+   * planner actually reads — it shows where additional merges stop
+   * paying for their vocabulary slots.
+   *
+   * Scale shape: identical to the trainer — every round runs on the
+   * word-frequency DICTIONARY (vocab-bounded), never the corpus; each
+   * per-round total is a one-row aggregate collect (the model parameter
+   * being measured). Determinism: totals are exact integers; the ratio
+   * is one final double division rounded at 6 dp (NULL on an empty
+   * corpus).
+   */
+  def bpeCompressionCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val wc = docs(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var cur = wc.select(col("freq"),
+        regexp_replace(col("word"), "(.)", BpeSep + "$1" + BpeSep).as("repr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(cur)
+    def totalSyms(df: DataFrame): Long = df
+      .select(coalesce(sum(col("freq") *
+        size(split(trim(col("repr"), BpeSep), BpeSep + BpeSep))), lit(0L)))
+      .first().getLong(0)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val t0 = totalSyms(cur)
+    curve += ((0L, t0))
+    var rnd = 1
+    var exhausted = false
+    while (rnd <= BpeRounds && !exhausted) {
+      val syms = cur.select(col("freq"),
+          split(trim(col("repr"), BpeSep), BpeSep + BpeSep).as("sy"))
+        .filter(size(col("sy")) >= 2)
+      val top = syms
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS pa, sy[i+1] AS pb))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pa, pb) = (top(0).getString(0), top(0).getString(1))
+        val find = BpeSep + pa + BpeSep + BpeSep + pb + BpeSep
+        val repl = BpeSep + pa + pb + BpeSep
+        val next = cur.withColumn("repr",
+            org.apache.spark.sql.functions.replace(col("repr"), lit(find), lit(repl)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        graft.core.QueryCaches.report(next)
+        next.count()
+        cur.unpersist(false)
+        cur = next
+        curve += ((rnd.toLong, totalSyms(cur)))
+        rnd += 1
+      }
+    }
+    cur.unpersist(false)
+    curve.toSeq.toDF("round", "total_symbols")
+      .select(col("round"), col("total_symbols"),
+        round(when(lit(t0) > 0L,
+          col("total_symbols").cast("double") / lit(t0).cast("double")), 6)
+          .as("compression"))
+      .orderBy(col("round"))
+  }
+
+  /** The [[bpeCompressionCurve]] oracle — the [[bpeTrainSql]] stage chain
+    * with per-round symbol totals instead of the merge rows; a round
+    * whose pair count is empty emits NO row (the Spark loop's early
+    * stop). */
+  private def bpeCurveSql: String = {
+    val S = BpeSep
+    val stages = (1 to BpeRounds).map { r =>
+      s"""sy$r AS (
+         |  SELECT freq, string_split(trim(repr, '$S'), '$S$S') AS sy FROM w${r - 1}),
+         |c$r AS (
+         |  SELECT pa, pb, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i])) AS pa,
+         |      unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i+1])) AS pb
+         |    FROM sy$r WHERE len(sy) >= 2)
+         |  GROUP BY pa, pb),
+         |m$r AS (SELECT pa, pb, n FROM c$r ORDER BY n DESC, pa, pb LIMIT 1),
+         |w$r AS (
+         |  SELECT freq, CASE WHEN m.pa IS NULL THEN repr
+         |    ELSE replace(repr, '$S' || m.pa || '$S$S' || m.pb || '$S',
+         |                 '$S' || m.pa || m.pb || '$S') END AS repr
+         |  FROM w${r - 1} LEFT JOIN m$r m ON TRUE),
+         |t$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round,
+         |    CAST(COALESCE(SUM(freq * len(string_split(trim(repr, '$S'), '$S$S'))), 0)
+         |      AS BIGINT) AS total_symbols
+         |  FROM w$r WHERE EXISTS (SELECT 1 FROM m$r))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map(r => s"SELECT * FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT word, COUNT(1) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |    FROM documents) GROUP BY word),
+       |w0 AS (
+       |  SELECT freq, regexp_replace(word, '(.)', '$S\\1$S', 'g') AS repr FROM wc),
+       |t0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS round,
+       |    CAST(COALESCE(SUM(freq * len(string_split(trim(repr, '$S'), '$S$S'))), 0)
+       |      AS BIGINT) AS total_symbols
+       |  FROM w0),
+       |$stages,
+       |allr AS (SELECT * FROM t0
+       |UNION ALL $union)
+       |SELECT allr.round, allr.total_symbols,
+       |  round(CASE WHEN b.total_symbols > 0 THEN
+       |    CAST(allr.total_symbols AS DOUBLE) / CAST(b.total_symbols AS DOUBLE)
+       |    END, 6) AS compression
+       |FROM allr CROSS JOIN (SELECT total_symbols FROM t0) b
+       |ORDER BY allr.round""".stripMargin
+  }
+
   /** Sliding-window chunk size and stride (tokens). Overlap = size −
     * stride keeps boundary context shared between adjacent chunks. */
   private val ChunkWin = 32L
@@ -1445,6 +1569,7 @@ object Text {
     "mix_doremi_step" -> (mixDoremiStep _),
     "tok_char_coverage" -> (tokCharCoverage _),
     "pipeline_curation_lm" -> (pipelineCurationLm _),
+    "bpe_compression_curve" -> (bpeCompressionCurve _),
     "pack_pairs" -> (packPairs _),
     "quality_nll_calibration" -> (qualityNllCalibration _),
     "dsir_score" -> (dsirScore _),
@@ -1975,6 +2100,7 @@ object Text {
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM sel ORDER BY doc_id""".stripMargin,
     "bpe_train_merges" -> bpeTrainSql,
+    "bpe_compression_curve" -> bpeCurveSql,
     "bpe_pair_counts" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
