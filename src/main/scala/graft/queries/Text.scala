@@ -352,6 +352,109 @@ object Text {
   }
 
   /**
+   * Held-out bigram-LM evaluation — the proper train/test split
+   * [[textLmNll]] deliberately skips (it scores the corpus under its own
+   * model; this trains on the deterministic md5-bucket < 80 slice and
+   * scores ONLY the ≥ 80 slice): per source the test-doc count, mean
+   * held-out NLL, and the unseen-bigram rate — the generalization /
+   * memorization read a reference-LM quality gate needs before its
+   * thresholds can be trusted on NEW crawls (same-corpus NLL
+   * systematically flatters duplicated content).
+   *
+   * Scale shape: the [[textLmNll]] machinery with the split predicate
+   * pushed into the scan — model tables collapse the TRAIN slice to its
+   * vocabulary (map-side combined), the TEST stream joins them back on
+   * the bigram equi-key (unseen bigrams left-join to pure smoothing
+   * mass, [[lmTerm]]'s coalesce path — exercised here by construction,
+   * where the same-corpus scorer never takes it). Determinism: the usual
+   * LM recipe (6-dp DECIMAL terms, exact m weights, one final division);
+   * the vocab guard empties the output when the train slice is empty (a
+   * 0-vocab smoothing denominator is -ln(inf)).
+   */
+  def textLmHeldoutPpl(s: SparkSession, dir: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"),
+        Curation.md5Mod100(col("doc_id")).as("bkt"))
+    val train = base.filter(col("bkt") < 80)
+    val test = base.filter(col("bkt") >= 80)
+    val vocab = lmVocabSize(train)
+    val (cb, cu) = lmCounts(explodeBigrams(train))
+    val perDoc = explodeBigrams(test)
+      .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .filter(lit(vocab > 0L))
+      .select(col("doc_id"), col("source"), col("m"),
+        lmTerm(vocab).as("term"),
+        when(col("cb").isNull, col("m")).otherwise(0L).as("unseen"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * col("term")).cast("double") / sum(col("m")), 6)
+          .as("nll"),
+        sum(col("unseen")).as("n_unseen"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test_docs"),
+        round(sum(col("nll").cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"),
+        round(sum(col("n_unseen")).cast("double") /
+          sum(col("n_bigrams")).cast("double"), 6).as("unseen_rate"))
+      .orderBy(col("source"))
+  }
+
+  private def textLmHeldoutSql: String = {
+    val split = Curation.duckMd5Mod100("doc_id")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+       |    $split AS bkt
+       |  FROM documents),
+       |tr AS (SELECT * FROM t WHERE bkt < 80),
+       |te AS (SELECT * FROM t WHERE bkt >= 80),
+       |v AS (
+       |  SELECT COUNT(DISTINCT tok) AS vocab
+       |  FROM (SELECT unnest(ws) AS tok FROM tr)),
+       |btr AS (
+       |  SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+       |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+       |    FROM tr WHERE len(ws) >= 2)),
+       |cb AS (SELECT w1, w2, COUNT(1) AS cb FROM btr GROUP BY w1, w2),
+       |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY w1),
+       |bte AS (
+       |  SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2,
+       |    CAST(COUNT(1) AS BIGINT) AS m FROM (
+       |    SELECT doc_id, source,
+       |      unnest(list_transform(generate_series(1, len(ws) - 1),
+       |        i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+       |    FROM te WHERE len(ws) >= 2)
+       |  GROUP BY doc_id, source, p.w1, p.w2),
+       |sc AS (
+       |  SELECT bte.doc_id, bte.source, bte.m,
+       |    round(-ln((COALESCE(cb.cb, 0) + 1.0)
+       |      / (COALESCE(cu.cu, 0) + 1.0 * vocab)), 6) AS term,
+       |    CASE WHEN cb.cb IS NULL THEN bte.m ELSE 0 END AS unseen
+       |  FROM bte
+       |  LEFT JOIN cb ON bte.w1 = cb.w1 AND bte.w2 = cb.w2
+       |  LEFT JOIN cu ON bte.w1 = cu.w1
+       |  CROSS JOIN v WHERE v.vocab > 0),
+       |pd AS (
+       |  SELECT doc_id, source, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       |    round(CAST(SUM(m * CAST(term AS DECIMAL(20,6))) AS DOUBLE)
+       |      / CAST(SUM(m) AS DOUBLE), 6) AS nll,
+       |    CAST(SUM(unseen) AS BIGINT) AS n_unseen
+       |  FROM sc GROUP BY doc_id, source)
+       |SELECT source, CAST(COUNT(1) AS BIGINT) AS n_test_docs,
+       |  round(CAST(SUM(CAST(nll AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 6)
+       |    AS mean_nll,
+       |  round(CAST(SUM(n_unseen) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE), 6)
+       |    AS unseen_rate
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /**
    * BPE compression curve — the diminishing-returns audit next to
    * [[bpeTrainMerges]]: after each of the [[BpeRounds]] merges, the
    * corpus's total symbol count (Σ word_freq·|symbols|) and its ratio to
@@ -1570,6 +1673,7 @@ object Text {
     "tok_char_coverage" -> (tokCharCoverage _),
     "pipeline_curation_lm" -> (pipelineCurationLm _),
     "bpe_compression_curve" -> (bpeCompressionCurve _),
+    "text_lm_heldout_ppl" -> (textLmHeldoutPpl _),
     "pack_pairs" -> (packPairs _),
     "quality_nll_calibration" -> (qualityNllCalibration _),
     "dsir_score" -> (dsirScore _),
@@ -2101,6 +2205,7 @@ object Text {
         |FROM sel ORDER BY doc_id""".stripMargin,
     "bpe_train_merges" -> bpeTrainSql,
     "bpe_compression_curve" -> bpeCurveSql,
+    "text_lm_heldout_ppl" -> textLmHeldoutSql,
     "bpe_pair_counts" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

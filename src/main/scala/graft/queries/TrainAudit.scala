@@ -1123,6 +1123,71 @@ object TrainAudit {
   }
 
   /**
+   * Gwet's AC1 agreement (Gwet 2008) between [[evalCohensKappa]]'s two
+   * rule annotators — the prevalence-robust member of the agreement
+   * family (κ collapses toward 0 on skewed label distributions even when
+   * raters agree almost always — the "kappa paradox"; AC1's
+   * chance-agreement model 2π(1−π) stays calibrated). Reading κ and AC1
+   * together is the standard annotator-audit practice.
+   *
+   * Scale/determinism: the same one-pass contingency rollup as κ, and
+   * AC1 reduces to ONE exact integer ratio —
+   * (2n(n11+n00) − T(2n−T)) / (2n² − T(2n−T)) with T = a1+b1 — whose
+   * denominator (T−n)² + n² is never zero; DECIMAL(38,0) products since
+   * 2n² wraps LONG past ~2e9 rows.
+   */
+  def evalGwetAc1(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val a = (col("n_chars") >= 300L).cast("long")
+    val b = (size(Text.words(col("text"))).cast("long") >= 50L).cast("long")
+    val g = load(s, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), a.as("a"), b.as("b"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    val n = col("n").cast(d38)
+    val t = (col("n11") + col("n10") + col("n11") + col("n01")).cast(d38)
+    val num = lit(2L).cast(d38) * n * (col("n11") + col("n00")).cast(d38) -
+      t * (lit(2L).cast(d38) * n - t)
+    val den = lit(2L).cast(d38) * n * n - t * (lit(2L).cast(d38) * n - t)
+    g.select(col("source"), col("n"),
+        round((col("n11") + col("n00")).cast("double") /
+          col("n").cast("double"), 6).as("po"),
+        round(num.cast("double") / den.cast("double"), 6).as("ac1"))
+      .orderBy(col("source"))
+  }
+
+  private val evalGwetAc1Sql: String =
+    """WITH l AS (
+      |  SELECT source,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      >= 50 THEN 1 ELSE 0 END AS b
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |g AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+      |    CAST(SUM(a * b) AS BIGINT) AS n11,
+      |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+      |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+      |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM l GROUP BY source)
+      |SELECT source, n,
+      |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+      |  round(CAST(2 * CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+      |      - CAST(n11 + n10 + n11 + n01 AS DECIMAL(38,0))
+      |        * (2 * CAST(n AS DECIMAL(38,0)) - (n11 + n10 + n11 + n01))
+      |      AS DOUBLE)
+      |    / CAST(2 * CAST(n AS DECIMAL(38,0)) * n
+      |      - CAST(n11 + n10 + n11 + n01 AS DECIMAL(38,0))
+      |        * (2 * CAST(n AS DECIMAL(38,0)) - (n11 + n10 + n11 + n01))
+      |      AS DOUBLE), 6) AS ac1
+      |FROM g ORDER BY source""".stripMargin
+
+  /**
    * McNemar's paired-classifier test (with Edwards' continuity
    * correction) per source — the "is gate B actually better than gate A"
    * check a filter migration runs before swapping thresholds: against
@@ -1677,6 +1742,7 @@ object TrainAudit {
     "eval_avg_precision" -> (evalAvgPrecision _),
     "eval_cohens_kappa" -> (evalCohensKappa _),
     "eval_mcnemar" -> (evalMcnemar _),
+    "eval_gwet_ac1" -> (evalGwetAc1 _),
     "pref_bt_step" -> (prefBtStep _),
     "ml_platt_step" -> (mlPlattStep _),
     "eval_auc_roc" -> (evalAucRoc _),
@@ -1701,6 +1767,7 @@ object TrainAudit {
     "eval_avg_precision" -> evalAvgPrecisionSql,
     "eval_cohens_kappa" -> evalCohensKappaSql,
     "eval_mcnemar" -> evalMcnemarSql,
+    "eval_gwet_ac1" -> evalGwetAc1Sql,
     "pref_bt_step" -> prefBtStepSql,
     "ml_platt_step" ->
       """WITH base AS (
