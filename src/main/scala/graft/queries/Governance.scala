@@ -536,6 +536,63 @@ object Governance {
       .orderBy(col("pos"))
   }
 
+  /**
+   * Shard load-balance audit over [[curriculumOrder]]'s round-robin
+   * assignment — the straggler check a distributed trainer runs before
+   * committing a sharding: per shard the document count, token mass,
+   * load ratio vs the even split, and an over-1%-deviation flag. A
+   * curriculum that banded-then-shuffled SHOULD balance almost
+   * perfectly; a flag here means the band salt broke (or a pathological
+   * length distribution needs a token-aware packer instead).
+   *
+   * Scale: the ordering pipeline's output collapses to ≤[[
+   * CurriculumShards]] groups (map-side combined); the total is a
+   * zeroPart window over those ≤8 rows. Determinism: the flag is the
+   * exact integer cross-multiplication |tokens·S − total|·100 > total;
+   * the display ratio is one final 6-dp division.
+   */
+  def packShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val sh = curriculumOrder(s, dir)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val zw = Window.partitionBy(zeroPart(col("shard_id")))
+    val total = sum(col("tokens")).over(zw)
+    val dev = abs(col("tokens") * lit(CurriculumShards.toLong) - total)
+    sh
+      .select(col("shard_id"), col("n_docs"), col("tokens"),
+        round((col("tokens") * lit(CurriculumShards.toLong)).cast("double") /
+          total.cast("double"), 6).as("load_ratio"),
+        (dev * lit(100L) > total).as("over_1pct"))
+      .orderBy(col("shard_id"))
+  }
+
+  private val packShardBalanceSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0),
+       |nt AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(NTILE($CurriculumBands) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS band
+       |  FROM b),
+       |p AS (
+       |  SELECT doc_id, n_tok, band,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY band, md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+       |  FROM nt),
+       |sh AS (
+       |  SELECT (pos - 1) % $CurriculumShards AS shard_id,
+       |    CAST(COUNT(1) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tokens
+       |  FROM p GROUP BY 1),
+       |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM sh)
+       |SELECT shard_id, n_docs, tokens,
+       |  round(CAST(tokens * $CurriculumShards AS DOUBLE)
+       |    / CAST(total AS DOUBLE), 6) AS load_ratio,
+       |  abs(tokens * $CurriculumShards - total) * 100 > total AS over_1pct
+       |FROM sh CROSS JOIN t ORDER BY shard_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Two-sample KS drift — stats_ks_drift
   // ---------------------------------------------------------------------
@@ -2033,6 +2090,7 @@ object Governance {
     "corpus_zipf_fit" -> (corpusZipfFit _),
     "stats_ks_drift" -> (statsKsDrift _),
     "curriculum_order" -> (curriculumOrder _),
+    "pack_shard_balance" -> (packShardBalance _),
     "split_stratified_exact" -> (splitStratifiedExact _),
     "stats_gini" -> (statsGini _),
     "stats_heaps_fit" -> (statsHeapsFit _),
@@ -2351,6 +2409,7 @@ object Governance {
         |LEFT JOIN bt USING (source)
         |LEFT JOIN by USING (source)
         |ORDER BY tt.source""".stripMargin,
+    "pack_shard_balance" -> packShardBalanceSql,
     "curriculum_order" ->
       s"""WITH b AS (
          |  SELECT doc_id,
