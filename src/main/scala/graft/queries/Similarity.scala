@@ -316,18 +316,23 @@ object Similarity {
     * C = max(8, ceil(members/target)) embedding rows, so cells stay
     * ~target-sized at any corpus scale. At C = 8 (every sf the DuckDB
     * oracle checks) this IS kmeansAssigned — the bit-identical
-    * literal-codegen path. Above that the assignment switches to a
-    * broadcast cross join against the C-row centroid relation
-    * (codegen'ing thousands of literal centroids would blow the JVM
-    * method-size limit), with the argmin collapsed in ONE
-    * map-side-combinable max(struct) aggregate — partial agg leaves one
-    * row per member per map task, so the shuffle is |members|-sized, not
-    * |members·C|. d² uses the same ‖v‖² − 2·v·c + ‖c‖² expansion in the
-    * same IEEE op order, so the two paths agree bit-for-bit where they
-    * overlap (spec-checked parity). The sizing count is one column-pruned
-    * scan action — the same model-sizing driver decision as the anchor
-    * collect. Returns the assignment and C (consumers size their cell
-    * salts from it). */
+    * literal-codegen path. Above that the assignment is TWO-LEVEL
+    * (the IVF coarse-quantizer shape): members and centroids first
+    * coarse-assign to the K₁ = ⌈√C⌉ lowest-id centroids, then the fine
+    * argmin runs only within the member's coarse cell — an equi-join on
+    * the cell id, Θ(n·√C) distance work instead of the flat broadcast's
+    * Θ(n·C) = Θ(n²/target), which the 100× spot-scale pair measured at
+    * up to 3.9× over linear (BENCH_SF10, embed_kmeans_update 391× for
+    * 100× data). Both argmins collapse in map-side-combinable
+    * min/max(struct) aggregates, so every shuffle is |members|-sized.
+    * d² uses the same ‖v‖² − 2·v·c + ‖c‖² expansion in the same IEEE op
+    * order on both levels and both engines; ties break to the lower id.
+    * The oracle mirrors the two-level rule exactly and degenerates to
+    * the flat assignment at C ≤ 8 (K₁ = 1 — one coarse cell holds every
+    * centroid), which is why the coarse codegen path stays bit-identical.
+    * The sizing count is one column-pruned scan action — the same
+    * model-sizing driver decision as the anchor collect. Returns the
+    * assignment and C (consumers size their cell salts from it). */
   private[graft] def fineModel(s: SparkSession, dir: String,
       target: Long = FineCellTarget): (DataFrame, Long) = {
     graft.functions.GraftFunctions.register(s)
@@ -341,10 +346,30 @@ object Similarity {
       val cents = e.filter(col("vec_id") < c)
         .select(col("vec_id").as("cid0"), dArr(col("embedding")).as("cv"))
         .withColumn("cc", dot(col("cv"), col("cv")))
+      val k1 = math.max(1L, math.ceil(math.sqrt(c.toDouble)).toLong)
+      // coarse level: the first K₁ centroids by id (presence-robust rank
+      // over the model-parameter-sized centroid relation)
+      val coarse = cents
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(zeroPart(col("cid0"))).orderBy(col("cid0"))))
+        .filter(col("rk") <= k1)
+        .select(col("cid0").as("gid"), col("cv").as("gv"), col("cc").as("gg"))
+      // coarse cell of a (id, vec, ‖vec‖²) relation: min (d², gid) struct
+      def cellOf(df: DataFrame, idc: String, vc: String, vvc: String): DataFrame =
+        df.crossJoin(broadcast(coarse))
+          .select(col(idc), struct(
+            (col(vvc) - lit(2.0) * dot(col(vc), col("gv")) + col("gg")).as("d"),
+            col("gid").as("g")).as("cand"))
+          .groupBy(col(idc)).agg(min(col("cand")).as("b"))
+          .select(col(idc), col("b.g").as("g"))
       val members = e.filter(col("vec_id") >= 8)
         .select(col("vec_id"), dArr(col("embedding")).as("v"))
         .withColumn("vv", dot(col("v"), col("v")))
-      val asg = members.crossJoin(broadcast(cents))
+      val mg = cellOf(members, "vec_id", "v", "vv")
+      val cg = cellOf(cents, "cid0", "cv", "cc")
+      val centsG = cents.join(cg, "cid0")
+      val asg = members.join(mg, "vec_id")
+        .join(broadcast(centsG), "g")
         .select(col("vec_id"), col("v"),
           struct(
             (-(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc")))
@@ -357,6 +382,61 @@ object Similarity {
       (asg, c)
     }
   }
+
+  /** The two-level adaptive assignment as a shared DuckDB CTE chain —
+    * the oracle mirror of [[fineModel]], used by every fineModel
+    * consumer. Expects an `e(vec_id, embedding)` CTE already defined;
+    * ends with `m(vec_id, embedding)` and
+    * `assign(vec_id, cid, rd2, rn)` (take rn = 1). At C ≤ 8, K₁ = 1
+    * puts every centroid in one coarse cell, so the chain IS the flat
+    * argmin the coarse codegen path computes. */
+  private def fineAssignCtes: String =
+    """nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
+      |       FROM e WHERE vec_id >= 8),
+      |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
+      |k1 AS (SELECT CASE WHEN c <= 8 THEN CAST(1 AS BIGINT)
+      |         ELSE GREATEST(1, CAST(CEIL(SQRT(CAST(c AS DOUBLE))) AS BIGINT))
+      |       END AS k FROM nm),
+      |cor AS (SELECT cid0 AS gid, cv AS gv FROM (
+      |          SELECT cid0, cv, row_number() OVER (ORDER BY cid0) AS rk
+      |          FROM cent), k1
+      |        WHERE rk <= k1.k),
+      |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
+      |mgd AS (
+      |  SELECT m.vec_id, cor.gid,
+      |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+      |    SUM(cor.gv[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vc,
+      |    SUM(cor.gv[i]::DOUBLE * cor.gv[i]::DOUBLE) AS gg
+      |  FROM m, cor, generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2),
+      |mg AS (SELECT vec_id, gid FROM (
+      |  SELECT vec_id, gid, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY vv - 2 * vc + gg, gid) AS rn FROM mgd) WHERE rn = 1),
+      |cgd AS (
+      |  SELECT cent.cid0, cor.gid,
+      |    SUM(cent.cv[i]::DOUBLE * cent.cv[i]::DOUBLE) AS vv,
+      |    SUM(cor.gv[i]::DOUBLE * cent.cv[i]::DOUBLE) AS vc,
+      |    SUM(cor.gv[i]::DOUBLE * cor.gv[i]::DOUBLE) AS gg
+      |  FROM cent, cor, generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2),
+      |cg AS (SELECT cid0, gid FROM (
+      |  SELECT cid0, gid, row_number() OVER (PARTITION BY cid0
+      |    ORDER BY vv - 2 * vc + gg, gid) AS rn FROM cgd) WHERE rn = 1),
+      |dots AS (
+      |  SELECT m.vec_id, cent.cid0,
+      |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+      |    SUM(cent.cv[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vc,
+      |    SUM(cent.cv[i]::DOUBLE * cent.cv[i]::DOUBLE) AS cc
+      |  FROM m JOIN mg USING (vec_id)
+      |  JOIN cg ON cg.gid = mg.gid
+      |  JOIN cent ON cent.cid0 = cg.cid0,
+      |  generate_series(1, 64) t(i)
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, cid0 AS cid, round(vv - 2 * vc + cc, 6) + 0.0 AS rd2,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
+      |  FROM dots)""".stripMargin
 
   /** Salt count for a cid-bounded quadratic join: spread cells only as far
     * as needed to fill the cores — a coarse model (C ≪ cores) gets the
@@ -2051,27 +2131,12 @@ object Similarity {
          |FROM tf LEFT JOIN tt USING (qid, vec_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_pair_mining" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
-        |       FROM e WHERE vec_id >= 8),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
-        |m0 AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
-        |dots AS (
-        |  SELECT m0.vec_id, cent.cid0,
-        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
-        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
-        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
-        |  FROM m0, cent, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2),
-        |assign AS (
-        |  SELECT vec_id, cid0 AS cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
-        |  FROM dots),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |$fineAssignCtes,
         |am AS (
-        |  SELECT a.cid, m0.vec_id, m0.embedding, CAST(l.label AS BIGINT) AS label
-        |  FROM assign a JOIN m0 USING (vec_id)
-        |  JOIN embeddings l ON l.vec_id = m0.vec_id AND l.label IS NOT NULL
+        |  SELECT a.cid, m.vec_id, m.embedding, CAST(l.label AS BIGINT) AS label
+        |  FROM assign a JOIN m USING (vec_id)
+        |  JOIN embeddings l ON l.vec_id = m.vec_id AND l.label IS NOT NULL
         |  WHERE rn = 1),
         |pairs AS (
         |  SELECT x.vec_id AS anchor_id, x.label, y.vec_id AS vb, y.label AS lb,
@@ -2415,22 +2480,7 @@ object Similarity {
     },
     "cluster_topics" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-         |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
-         |       FROM e WHERE vec_id >= 8),
-         |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
-         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
-         |dots AS (
-         |  SELECT m.vec_id, cent.cid0,
-         |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
-         |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
-         |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
-         |  FROM m, cent, generate_series(1, 64) t(i)
-         |  GROUP BY 1, 2),
-         |assign AS (
-         |  SELECT vec_id, cid0 AS cid,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
-         |  FROM dots),
+         |$fineAssignCtes,
          |t AS (
          |  SELECT a.cid,
          |    unnest(list_filter(string_split(d.text, ' '), w -> w <> '')) AS term
@@ -2492,44 +2542,14 @@ object Similarity {
     "embed_kcenter_coreset" -> kcenterOracleSql,
     "embed_kmeans_assign" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
-        |       FROM e WHERE vec_id >= 8),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
-        |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
-        |dots AS (
-        |  SELECT m.vec_id, cent.cid0,
-        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
-        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
-        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
-        |  FROM m, cent, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2),
-        |assign AS (
-        |  SELECT vec_id, cid0, round(vv - 2 * vc + cc, 6) + 0.0 AS rd2,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
-        |  FROM dots)
-        |SELECT cid0 AS cid, COUNT(1) AS n,
+        |$fineAssignCtes
+        |SELECT cid, COUNT(1) AS n,
         |  ${duckMicroMean6("SUM(CAST(rd2 AS DECIMAL(30,12)))", "COUNT(1)")}
         |    AS mean_d2
         |FROM assign WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "embed_kmeans_update" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
-        |       FROM e WHERE vec_id >= 8),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
-        |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
-        |dots AS (
-        |  SELECT m.vec_id, cent.cid0,
-        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
-        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
-        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
-        |  FROM m, cent, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2),
-        |assign AS (
-        |  SELECT vec_id, cid0 AS cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
-        |  FROM dots),
+        |$fineAssignCtes,
         |x AS (
         |  SELECT a.cid, CAST(i - 1 AS BIGINT) AS dim,
         |    round(m.embedding[i]::DOUBLE, 6) AS rx
@@ -2540,23 +2560,8 @@ object Similarity {
         |    AS c_new
         |FROM x GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     "dedup_semantic" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-        |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
-        |       FROM e WHERE vec_id >= 8),
-        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e, nm WHERE vec_id < nm.c),
-        |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
-        |dots AS (
-        |  SELECT m.vec_id, cent.cid0,
-        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS vv,
-        |    SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS vc,
-        |    SUM(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
-        |  FROM m, cent, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2),
-        |assign AS (
-        |  SELECT vec_id, cid0 AS cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY vv - 2 * vc + cc ASC, cid0) AS rn
-        |  FROM dots),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |$fineAssignCtes,
         |am AS (SELECT a.cid, m.vec_id, m.embedding
         |       FROM assign a JOIN m USING (vec_id) WHERE rn = 1),
         |pairs AS (

@@ -379,18 +379,19 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((0L, 3L, 2L, 666666L)), s"got ${out.toSeq}")
   }
 
-  test("fineModel: join-path assignment matches the argmin-window spelling, default stays coarse") {
+  test("fineModel: two-level assignment matches the window spelling, default stays coarse") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.01"
     // default target at sf0.01: 492 members / 256 → C = 8, the
     // literal-codegen path the oracle already hash-checks
     assert(Similarity.fineModel(spark, dir)._2 == 8L)
-    // a 16-member target forces the adaptive broadcast-join path
+    // a 16-member target forces the adaptive two-level path
     val (asg, c) = Similarity.fineModel(spark, dir, target = 16L)
     assert(c > 8, s"expected adaptive C > 8, got $c")
-    // independent spelling of the same argmin: materialize every
-    // (member, centroid) distance, keep rn=1 under (d² asc, cid0 asc)
+    // independent spelling of the same two-level rule: coarse-assign
+    // members AND centroids to the first ⌈√C⌉ centroids with an
+    // argmin window, then the fine argmin runs within the coarse cell
     graft.functions.GraftFunctions.register(spark)
     def darr(cn: org.apache.spark.sql.Column) = transform(cn, x => x.cast("double"))
     def dotf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -401,8 +402,23 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       .select(col("vec_id").as("cid0"), darr(col("embedding")).as("cv"))
     val m = e.filter(col("vec_id") >= 8)
       .select(col("vec_id"), darr(col("embedding")).as("v"))
+    val k1 = math.max(1L, math.ceil(math.sqrt(c.toDouble)).toLong)
+    val coarse = cents.orderBy(col("cid0")).limit(k1.toInt)
+      .select(col("cid0").as("gid"), col("cv").as("gv"))
+    def cellOf(df: org.apache.spark.sql.DataFrame, idc: String,
+        vc: String): org.apache.spark.sql.DataFrame = {
+      val wg = Window.partitionBy(col(idc)).orderBy(col("gd2"), col("gid"))
+      df.crossJoin(coarse)
+        .withColumn("gd2", dotf(col(vc), col(vc))
+          - lit(2.0) * dotf(col(vc), col("gv")) + dotf(col("gv"), col("gv")))
+        .withColumn("rn", row_number().over(wg)).filter(col("rn") === 1)
+        .select(col(idc), col("gid").as("g"))
+    }
+    val mg = cellOf(m, "vec_id", "v")
+    val cg = cellOf(cents, "cid0", "cv")
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid0"))
-    val expected = m.crossJoin(cents)
+    val expected = m.join(mg, "vec_id")
+      .join(cents.join(cg, "cid0"), "g")
       .withColumn("d2", dotf(col("v"), col("v"))
         - lit(2.0) * dotf(col("v"), col("cv")) + dotf(col("cv"), col("cv")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
