@@ -656,6 +656,93 @@ object TrainAudit {
   }
 
   /**
+   * Isotonic (PAV) calibration over the [[evalEceBins]] deciles — the
+   * monotone recalibration map a scoring pipeline fits when the
+   * reliability table shows non-monotone bin accuracies: per present
+   * bin, the raw positive rate and the isotonic rate from the exact
+   * MINIMAX closed form iso(i) = max_{j≤i} min_{k≥i} mean(j..k) — the
+   * algebraic identity for pool-adjacent-violators output, which makes
+   * the sequential merge loop fully relational (no driver iteration,
+   * no recursion).
+   *
+   * Scale: everything after the one ≤10-group aggregate runs on the
+   * post-aggregation bin relation — prefix sums via zeroPart windows,
+   * the (j ≤ i ≤ k) grid ≤ bins³ rows. Determinism: block means are
+   * single divisions of exact integer prefix differences (identical
+   * IEEE both engines), so the min/max lattice and the 6-dp rounding
+   * agree exactly.
+   */
+  def mlIsotonicBins(s: SparkSession, dir: String): DataFrame = {
+    val prob = ((col("vec_id") * lit(2654435761L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0)
+    val bins = load(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("label").isNotNull)
+      .select(least(floor(prob * 10).cast("long"), lit(9L)).as("bin"),
+        (col("label") % 2 === 1).cast("long").as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val ord = Window.partitionBy(Tables.zeroPart(col("bin")))
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = bins
+      .withColumn("i", row_number().over(
+        Window.partitionBy(Tables.zeroPart(col("bin"))).orderBy(col("bin")))
+        .cast("long"))
+      .withColumn("cp", sum(col("p")).over(ord))
+      .withColumn("cn", sum(col("n")).over(ord))
+    val js = idx.select(col("i").as("j"),
+      (col("cp") - col("p")).as("cpb"), (col("cn") - col("n")).as("cnb"))
+    val ks = idx.select(col("i").as("k"), col("cp").as("cpk"), col("cn").as("cnk"))
+    val means = js.join(ks, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("cpb")).cast("double") /
+          (col("cnk") - col("cnb")).cast("double")).as("m"))
+    val spine = idx.select(col("i"), col("bin"), col("n"), col("p"))
+    val iso = spine.join(means, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("bin"), col("n"), col("p"), col("j"))
+      .agg(min(col("m")).as("inner"))
+      .groupBy(col("i"), col("bin"), col("n"), col("p"))
+      .agg(max(col("inner")).as("iso"))
+    iso.select(col("bin"), col("n"),
+        round(col("p").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
+  private val mlIsotonicBinsSql: String =
+    """WITH s AS (
+      |  SELECT LEAST(CAST(FLOOR(((vec_id * 2654435761) % 1000003)
+      |      / 1000003.0 * 10) AS BIGINT), 9) AS bin,
+      |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+      |b AS (SELECT bin, CAST(COUNT(1) AS BIGINT) AS n,
+      |        CAST(SUM(pos) AS BIGINT) AS p
+      |      FROM s GROUP BY bin),
+      |ix AS (
+      |  SELECT bin, n, p,
+      |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+      |    CAST(SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+      |    CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+      |  FROM b),
+      |mns AS (
+      |  SELECT j.i AS j, k.i AS k,
+      |    CAST(k.cp - (j.cp - j.p) AS DOUBLE)
+      |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS m
+      |  FROM ix j JOIN ix k ON j.i <= k.i),
+      |inner_min AS (
+      |  SELECT sp.i, sp.bin, sp.n, sp.p, mns.j, MIN(mns.m) AS inner_m
+      |  FROM ix sp JOIN mns ON mns.j <= sp.i AND mns.k >= sp.i
+      |  GROUP BY sp.i, sp.bin, sp.n, sp.p, mns.j),
+      |iso AS (
+      |  SELECT i, bin, n, p, MAX(inner_m) AS iso
+      |  FROM inner_min GROUP BY i, bin, n, p)
+      |SELECT bin, n,
+      |  round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+      |  round(iso, 6) AS iso_rate
+      |FROM iso ORDER BY bin""".stripMargin
+
+  /**
    * Murphy/binned Brier-score decomposition over the same synthetic
    * score/outcome relation as [[evalEceBins]] — the one-row calibration
    * summary an eval harness publishes next to the per-bin ECE table:
@@ -1743,6 +1830,7 @@ object TrainAudit {
     "eval_cohens_kappa" -> (evalCohensKappa _),
     "eval_mcnemar" -> (evalMcnemar _),
     "eval_gwet_ac1" -> (evalGwetAc1 _),
+    "ml_isotonic_bins" -> (mlIsotonicBins _),
     "pref_bt_step" -> (prefBtStep _),
     "ml_platt_step" -> (mlPlattStep _),
     "eval_auc_roc" -> (evalAucRoc _),
@@ -1768,6 +1856,7 @@ object TrainAudit {
     "eval_cohens_kappa" -> evalCohensKappaSql,
     "eval_mcnemar" -> evalMcnemarSql,
     "eval_gwet_ac1" -> evalGwetAc1Sql,
+    "ml_isotonic_bins" -> mlIsotonicBinsSql,
     "pref_bt_step" -> prefBtStepSql,
     "ml_platt_step" ->
       """WITH base AS (
