@@ -1021,6 +1021,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_lsh_md5" -> (dedupMinhashLshMd5 _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_incremental_md5" -> (dedupIncrementalMd5 _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_lsh_audit" -> (dedupLshAudit _))
@@ -1112,6 +1113,57 @@ object Dedup {
        |    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bsz FROM banded)
        |  WHERE bsz <= $MaxBucketSize)""".stripMargin
   }
+
+  /**
+   * Dedup-threshold sweep — the sizing table a curation planner reads
+   * before COMMITTING a near-dup threshold: over the verified
+   * ([[dedupMinhashLshMd5]]) pair relation, for each candidate Jaccard
+   * cut t ∈ {0.5 … 0.9} the surviving pair count and the documents a
+   * min-id-keeper policy would drop (distinct higher-id partners). One
+   * LSH pipeline run prices five thresholds — the sweep is a rollup,
+   * not five pipelines.
+   *
+   * Scale: the threshold spine is a 5-element literal explode over the
+   * already-bounded verified-pair stream; the rollup is a ≤5-group
+   * aggregate with a distinct-count per group. Determinism: jac is the
+   * pipeline's 6-dp-rounded value compared to exact literals.
+   */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLshMd5(s, dir).select(col("db"), col("jac"))
+    pairs
+      .select(col("db"), col("jac"),
+        explode(typedLit(Seq(0.5, 0.6, 0.7, 0.8, 0.9))).as("t"))
+      .filter(col("jac") >= col("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("db")).as("n_dropped"))
+      .orderBy(col("t"))
+  }
+
+  private def dedupThresholdSweepOracle: String =
+    s"""WITH $minhashMd5SharedCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM pruned x JOIN pruned y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashPerms),
+       |    i -> x.mh[i] = y.mh[i])) >= $minhashAgreeMin),
+       |verified AS (
+       |  SELECT da, db,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
+       |    CAST(len(a.shingles) + len(b.shingles) AS DOUBLE) AS szsum
+       |  FROM cand
+       |  JOIN sh a ON cand.da = a.doc_id
+       |  JOIN sh b ON cand.db = b.doc_id),
+       |pv AS (
+       |  SELECT db, round(inter / (szsum - inter), 6) AS jac
+       |  FROM verified WHERE inter / (szsum - inter) >= 0.5),
+       |ts(t) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
+       |  (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+       |SELECT ts.t, CAST(COUNT(1) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(DISTINCT db) AS BIGINT) AS n_dropped
+       |FROM pv JOIN ts ON pv.jac >= ts.t
+       |GROUP BY ts.t ORDER BY ts.t""".stripMargin
 
   /** The farm-family LSH oracle — [[minhashLshMd5Oracle]]'s body over the
     * side-table-backed CTEs. */
@@ -1425,6 +1477,7 @@ object Dedup {
     "pipeline_dedup_reasons" -> pipelineDedupReasonsOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_minhash_lsh" -> minhashLshFarmOracle,
+    "dedup_threshold_sweep" -> dedupThresholdSweepOracle,
     "dedup_minhash_lsh_md5" -> minhashLshMd5Oracle,
     "dedup_incremental_md5" -> dedupIncrementalMd5Oracle)
 }
