@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Pin the farm/xxhash oracle side-table location to THIS run's outDir
+    // BEFORE any oracle SQL is rendered — a world-shared /tmp path lets
+    // concurrent Verify runs (different sfDirs, parallel CI) overwrite
+    // each other's side tables and silently compare against another
+    // corpus's hash maps.
+    sys.props("graft.aux.dir") =
+      new java.io.File(outDir, "graft_aux").getAbsolutePath
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +27,17 @@ object Verify {
     // driver's DuckDB pass runs right after this dump on the same host)
     try graft.queries.OracleAux.writeAll(spark, sfDir)
     catch { case e: Throwable =>
-      System.err.println(s"[verify] oracle aux failed: ${e.getMessage}")
+      // a partial aux dir must not survive: the DuckDB pass would read
+      // STALE side tables and silently compare the three hash-checked
+      // queries against another corpus — delete it so those oracles
+      // fail loudly (missing parquet) instead
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(graft.queries.OracleAux.AuxDir))
+      System.err.println(s"[verify] oracle aux failed (aux dir deleted): " +
+        s"${e.getMessage}")
     }
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q1_agg,dedup_...
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -1126,17 +1126,27 @@ object Dedup {
    * Scale: the threshold spine is a 5-element literal explode over the
    * already-bounded verified-pair stream; the rollup is a ≤5-group
    * aggregate with a distinct-count per group. Determinism: jac is the
-   * pipeline's 6-dp-rounded value compared to exact literals.
+   * pipeline's 6-dp-rounded value compared to exact literals. The
+   * final spine left-join guarantees every candidate cut appears in
+   * the sizing table — a threshold that drops NOTHING reads (t, 0, 0)
+   * instead of silently vanishing (exactly the cut a planner most
+   * needs to see).
    */
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLshMd5(s, dir).select(col("db"), col("jac"))
-    pairs
+    val grp = pairs
       .select(col("db"), col("jac"),
         explode(typedLit(Seq(0.5, 0.6, 0.7, 0.8, 0.9))).as("t"))
       .filter(col("jac") >= col("t"))
       .groupBy(col("t"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("db")).as("n_dropped"))
+      .agg(count(lit(1)).as("np"),
+        countDistinct(col("db")).as("nd"))
+    val spine = pairs.sparkSession.range(1)
+      .select(explode(typedLit(Seq(0.5, 0.6, 0.7, 0.8, 0.9))).as("t"))
+    spine.join(grp, Seq("t"), "left_outer")
+      .select(col("t"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"))
       .orderBy(col("t"))
   }
 
@@ -1160,9 +1170,9 @@ object Dedup {
        |  FROM verified WHERE inter / (szsum - inter) >= 0.5),
        |ts(t) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
        |  (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
-       |SELECT ts.t, CAST(COUNT(1) AS BIGINT) AS n_pairs,
-       |  CAST(COUNT(DISTINCT db) AS BIGINT) AS n_dropped
-       |FROM pv JOIN ts ON pv.jac >= ts.t
+       |SELECT ts.t, CAST(COUNT(pv.jac) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(DISTINCT pv.db) AS BIGINT) AS n_dropped
+       |FROM ts LEFT JOIN pv ON pv.jac >= ts.t
        |GROUP BY ts.t ORDER BY ts.t""".stripMargin
 
   /** The farm-family LSH oracle — [[minhashLshMd5Oracle]]'s body over the

@@ -25,9 +25,13 @@ import graft.functions.GraftFunctions
  */
 object OracleAux {
 
-  /** Fixed aux location the oracle SQL strings embed (oracleSql is a
-    * static map — it cannot see the Verify outDir at build time). */
-  val AuxDir = "/tmp/graft_aux"
+  /** Aux location the oracle SQL strings embed. Keyed per-run via the
+    * `graft.aux.dir` system property, which [[graft.Verify]] pins to
+    * `<outDir>/graft_aux` BEFORE any oracle SQL is rendered — so two
+    * Verify runs on different sfDirs (or concurrent CI jobs on a shared
+    * host) can never overwrite each other's side tables mid-pass. The
+    * /tmp default only covers ad-hoc REPL use outside Verify. */
+  def AuxDir: String = sys.props.getOrElse("graft.aux.dir", "/tmp/graft_aux")
 
   /** DuckDB relation over a written side table (Spark writes a parquet
     * DIRECTORY; DuckDB globs the part files). */

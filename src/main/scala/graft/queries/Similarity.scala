@@ -523,10 +523,17 @@ object Similarity {
       val cents = e.filter(col("vec_id") < cK)
         .select(col("vec_id").as("cid0"), dArr(col("embedding")).as("cv"))
         .withColumn("cc", dot(col("cv"), col("cv")))
+      // label admission bound = the COUNT of centroid rows actually
+      // present (mirrors the oracle's nc.k and the coarse branch's
+      // cents.size), NOT the sizing-formula value cK: if any vec_id in
+      // [0, cK) is absent from embeddings the two quantities differ and
+      // the engines would admit different label sets. One column-pruned
+      // count action over the model-sized centroid relation.
+      val nCents = e.filter(col("vec_id") < cK).count()
       val d2 = col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc")
       e
         .filter(col("vec_id") >= 8 &&
-          col("label").isNotNull && col("label") >= 0 && col("label") < cK)
+          col("label").isNotNull && col("label") >= 0 && col("label") < nCents)
         .select(col("vec_id"), col("label").cast("long").as("label"),
           dArr(col("embedding")).as("v"))
         .withColumn("vv", dot(col("v"), col("v")))

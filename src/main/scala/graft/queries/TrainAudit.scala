@@ -576,15 +576,20 @@ object TrainAudit {
     // n_pos/n_neg fold into the SAME final aggregate over the grouped
     // relation (Σp and Σc−Σp), so the whole query is agg → prefix-sum →
     // agg with no join anywhere.
+    // NULL-on-degenerate (the splitAdversarialAuc convention): an
+    // all-pos or all-neg label column would divide by zero — Spark's
+    // Divide yields NULL but DuckDB's IEEE division yields inf/NaN, so
+    // gate BOTH engines explicitly.
     r.agg(
         sum(col("p") * (lit(2L) * (col("cum") - col("c")) +
           col("c") + lit(1L))).as("s2"),
         sum(col("p")).as("n_pos"),
         (sum(col("c")) - sum(col("p"))).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
-            .cast("double") /
-          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+              .cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
           .as("auc"))
   }
 
@@ -606,8 +611,9 @@ object TrainAudit {
       |          CAST(COUNT(1) - SUM(pos) AS BIGINT) AS n_neg
       |        FROM s)
       |SELECT n_pos, n_neg,
-      |  round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
-      |    / CAST(2*n_pos*n_neg AS DOUBLE), 6) AS auc
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    round(CAST(SUM(p * (2*cb + c + 1)) - n_pos*(n_pos+1) AS DOUBLE)
+      |      / CAST(2*n_pos*n_neg AS DOUBLE), 6) END AS auc
       |FROM r CROSS JOIN tot GROUP BY n_pos, n_neg""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -164,4 +164,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!got.exists { case (in, _, _) => in == 1L || in == 2L },
       s"unexpected containment rows: ${got.toSeq}")
   }
+
+  test("dedupThresholdSweep: every candidate cut appears, zero-pair cuts read 0") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // no near-dup pairs at all → the sizing table must still show all
+    // five thresholds with (0, 0), not vanish the rows a planner reads
+    val rows = Seq(
+      (0L, "completely unique text about alpine skiing and snow conditions",
+        "en", "s0", 60L),
+      (1L, "another unrelated document discussing tropical fish aquariums",
+        "en", "s0", 60L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Dedup.dedupThresholdSweep(spark, dir.toString).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(t => (t, 0L, 0L)),
+      s"got ${got.toSeq}")
+  }
 }

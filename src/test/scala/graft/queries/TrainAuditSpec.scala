@@ -140,4 +140,25 @@ class TrainAuditSpec extends AnyFunSuite with SparkFixture {
       ("view", 2L, 1L, 1L, 250000L, 1L)),
       s"got ${out.toSeq}")
   }
+
+  test("evalAucRoc: all-one-parity labels yield NULL, not a division blowup") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // every label even → n_pos = 0: Spark's Divide would NULL but DuckDB's
+    // IEEE division would NaN/inf — the guard must NULL on BOTH engines
+    val rows = (0L to 9L).map(i =>
+      (i, Seq.fill(4)(i.toFloat / 10f), (2 * i).toInt))
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val r = TrainAudit.evalAucRoc(spark, dir.toString).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 0L && r(0).getLong(1) == 10L) // n_pos, n_neg
+    assert(r(0).isNullAt(2), s"auc must be NULL on a degenerate split, got ${r(0)}")
+    // sanity: a mixed-parity corpus still produces a real AUC
+    val dir2 = tmpSfDir()
+    val mixed = (0L to 9L).map(i =>
+      (i, Seq.fill(4)(i.toFloat / 10f), i.toInt))
+    writeTable(dir2, "embeddings", mixed.toDF("vec_id", "embedding", "label"))
+    val r2 = TrainAudit.evalAucRoc(spark, dir2.toString).collect()
+    assert(!r2(0).isNullAt(2))
+  }
 }
