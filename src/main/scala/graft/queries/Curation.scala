@@ -29,10 +29,20 @@ import Tables._
  */
 object Curation {
 
-  /** Convergence backstop: dup-cluster graphs converge in 2-3 rounds;
-    * anything near this cap signals a pathological chain (switch to
-    * star-contraction before raising it). */
-  private val MaxIters = 25
+  /** Propagation budget: dup-cluster graphs (near-cliques) converge in
+    * 2-3 min-label rounds; a graph still moving after this many rounds
+    * has component diameter where per-hop propagation is the wrong
+    * asymptotic (rounds ∝ diameter, measured ~2× over linear at 100×),
+    * and [[iterativeComponents]] hands off to the O(log n)-round
+    * [[starContractionComponents]] fallback automatically. */
+  private val MaxIters = 8
+
+  /** Star-contraction round backstop. Alternating large-star/small-star
+    * provably converges in O(log n) rounds regardless of diameter
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — 60 rounds covers any graph that fits in a cluster; only
+    * a genuine algorithmic bug can trip this. */
+  private val StarMaxIters = 60
 
   /** Edge sets at or below this size are solved by union-find on the
     * driver — the edge relation is already COLLAPSED (unique-set graph),
@@ -98,6 +108,43 @@ object Curation {
     } finally if (edgeCollectCap > 0) cachedPairs.unpersist(false)
   }
 
+  /** `spark.graft.components.reliableCheckpoint` selects the per-round
+    * checkpoint flavor for the iterative component solvers:
+    *  - false (default): `localCheckpoint` — executor-memory blocks, the
+    *    right call on local mode and short iterations;
+    *  - true: reliable `checkpoint()` to the context's checkpoint dir —
+    *    the multi-executor-cluster setting, where an executor loss under
+    *    localCheckpoint would lose un-recomputable round state (lineage
+    *    was truncated). Requires `sc.setCheckpointDir` on a path all
+    *    executors can reach (HDFS/object store on a real cluster). */
+  private def useReliableCheckpoint(s: SparkSession): Boolean = {
+    val reliable = s.conf.getOption("spark.graft.components.reliableCheckpoint")
+      .exists(_.toBoolean)
+    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
+      "spark.graft.components.reliableCheckpoint=true requires " +
+        "SparkContext.setCheckpointDir (a fault-tolerant path every executor can reach)")
+    reliable
+  }
+
+  private def roundCheckpoint(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** The FINAL round's checkpoint RDD backs the returned plan for its
+    * whole lifetime — hand its release to the enclosing query scope
+    * (QueryCaches.owned unpersists it after the caller's first action). */
+  private def handOffCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        graft.core.QueryCaches.reportRdd(l.rdd)
+      case _ => ()
+    }
+
   /** The distributed propagation path (any edge-set size). */
   private[queries] def iterativeComponents(allDocs: DataFrame, pairs: DataFrame): DataFrame = {
     val s = allDocs.sparkSession
@@ -112,27 +159,11 @@ object Curation {
     // by round k Catalyst re-analyzes a depth-k tree and the fixed
     // per-round cost grows without bound (the classic iterative-DataFrame
     // lineage blow-up). The eager checkpoint materializes the round and
-    // TRUNCATES lineage, so every round is constant work. Two flavors,
-    // selected by `spark.graft.components.reliableCheckpoint`:
-    //  - false (default): `localCheckpoint` — executor-memory blocks, the
-    //    right call on local mode and short iterations;
-    //  - true: reliable `checkpoint()` to the context's checkpoint dir —
-    //    the multi-executor-cluster setting, where an executor loss under
-    //    localCheckpoint would lose un-recomputable round state (lineage
-    //    was truncated). Requires `sc.setCheckpointDir` on a path all
-    //    executors can reach (HDFS/object store on a real cluster).
-    val reliable = s.conf.getOption("spark.graft.components.reliableCheckpoint")
-      .exists(_.toBoolean)
-    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
-      "spark.graft.components.reliableCheckpoint=true requires " +
-        "SparkContext.setCheckpointDir (a fault-tolerant path every executor can reach)")
+    // TRUNCATES lineage, so every round is constant work (flavor selected
+    // by [[useReliableCheckpoint]]).
+    val reliable = useReliableCheckpoint(s)
     def roundCheckpoint(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    def freeCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
+      Curation.roundCheckpoint(df, reliable)
     var labels = roundCheckpoint(
       allDocs.select(col("doc_id"), col("doc_id").as("comp"))
         .repartition(parts, col("doc_id")))
@@ -164,21 +195,116 @@ object Curation {
       prevSum = sumNow
       iter += 1
     }
-    edges.unpersist(false)
-    // the FINAL round's checkpoint RDD backs the returned plan for its
-    // whole lifetime — hand its release to the enclosing query scope
-    // (QueryCaches.owned unpersists it after the caller's first action)
-    labels.queryExecution.analyzed.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        graft.core.QueryCaches.reportRdd(l.rdd)
-      case _ => ()
+    if (!done) {
+      // Propagation budget exhausted — component diameter exceeds the
+      // per-hop budget (rounds ∝ diameter: measured ~2× over linear at
+      // 100× on long-radius dup graphs, and unbounded for adversarial
+      // chains). Hand off to star contraction, whose round count is
+      // O(log n) REGARDLESS of diameter. The seed is the original edge
+      // set UNION the partial labels (each (doc_id, comp) is a valid
+      // same-component edge — comp is reachable from doc_id), so the
+      // hops already paid keep compressing the graph.
+      val seed = edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(labels.filter(col("comp") =!= col("doc_id"))
+          .select(col("doc_id").as("u"), col("comp").as("v")))
+      val out = starContractionComponents(allDocs, seed)
+      // star contraction checkpoints eagerly round-by-round, so by the
+      // time it returns nothing references the propagation state
+      edges.unpersist(false)
+      freeCheckpoint(labels)
+      out
+    } else {
+      edges.unpersist(false)
+      handOffCheckpoint(labels)
+      labels
     }
-    if (!done)
+  }
+
+  /**
+   * Connected components by alternating large-star/small-star contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14) — the diameter-independent solver: each round halves tree
+   * heights, so convergence is O(log n) rounds where min-label
+   * propagation needs Θ(diameter). The scale path for adversarial graphs
+   * (chain-shaped boilerplate clusters, crawl-ring link farms) that
+   * [[iterativeComponents]] falls back to when its per-hop budget runs
+   * out; near-clique dup graphs never get here (propagation converges in
+   * 2-3 rounds and its rounds are cheaper).
+   *
+   * Per round (all shuffles hash-partitioned on the node id, every round
+   * eagerly checkpointed — same lineage-truncation contract as the
+   * propagation path):
+   *  - large-star: every node attaches its strictly LARGER neighbors to
+   *    its minimum neighborhood node m(u) = min(Γ(u) ∪ {u});
+   *  - small-star: on the resulting high→low orientation, every node
+   *    attaches itself and its smaller neighbors to m(u).
+   * The fixpoint is a star forest rooted at each component's MINIMUM
+   * node (the [[connectedComponents]] label contract), detected by exact
+   * edge-set equality (count + anti-join — no hash-collision early
+   * stop). Labels = star edges left-joined onto the node universe,
+   * identity for untouched nodes.
+   *
+   * @param seedEdges undirected edges as (u, v); orientation, dups and
+   *                  self-loops are normalized away on entry
+   */
+  private[queries] def starContractionComponents(allDocs: DataFrame,
+      seedEdges: DataFrame): DataFrame = {
+    val s = allDocs.sparkSession
+    val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    val reliable = useReliableCheckpoint(s)
+    def ckpt(df: DataFrame): DataFrame =
+      roundCheckpoint(df.repartition(parts, col("u")), reliable)
+    // canonical high→low orientation, self-loops dropped, deduped
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // large-star: emitted (v, m(u)) pairs have v > u ≥ m(u), so the
+    // output is already high→low canonical; m(u) folds in one
+    // map-side-combinable min per node
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: the high→low orientation IS Γ⁻; attach u and each of
+    // its smaller neighbors to m(u) = min(Γ⁻(u) ∪ {u}) = min neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      e.join(m, "u").select(col("v").as("u"), col("mn").as("v"))
+        .unionByName(m.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = ckpt(canon(seedEdges))
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < StarMaxIters) {
+      val next = ckpt(smallStar(largeStar(edges)))
+      // exact fixpoint: same cardinality and no new edge — both sides are
+      // materialized checkpoints, so the counts and the anti-join probe
+      // cost one scan each, not a recompute
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      freeCheckpoint(edges)
+      edges = next
+      iter += 1
+    }
+    if (!converged)
       throw new IllegalStateException(
-        s"connected components did not converge in $MaxIters rounds — " +
-          "component diameter exceeds the propagation budget; use " +
-          "star-contraction (large-star/small-star) for this graph instead " +
-          "of returning silently split clusters")
+        s"star contraction did not converge in $StarMaxIters rounds — " +
+          "O(log n) convergence is a theorem, so this is a bug, not a " +
+          "graph-shape problem")
+    // at the fixpoint every non-root has exactly ONE out-edge, to its
+    // component's minimum node; untouched nodes label themselves
+    val labels = allDocs.select(col("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("cc")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("comp"))
+    handOffCheckpoint(edges)
     labels
   }
 

@@ -67,6 +67,38 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("1000-node chain (diameter >> propagation budget) solves via the star-contraction fallback") {
+    // per-hop propagation would need ~999 rounds; the automatic
+    // star-contraction fallback must solve it in O(log n) WITHOUT the
+    // old non-convergence IllegalStateException
+    val n = 1000L
+    val nodes = 1L to n
+    val edges = (1L until n).map(i => (i, i + 1))
+    val got = components(nodes, edges, edgeCollectCap = 0L)
+    assert(got.size == n.toInt)
+    assert(got.values.forall(_ == 1L), s"split labels: ${got.filter(_._2 != 1L).take(5)}")
+  }
+
+  test("starContractionComponents: direct — chains, cliques, singletons, empty") {
+    def star(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val docs = spark.createDataFrame(nodes.map(Tuple1(_))).toDF("doc_id")
+      val pairs = if (edges.isEmpty)
+        spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("u", "v")
+      else spark.createDataFrame(edges).toDF("u", "v")
+      Curation.starContractionComponents(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // chain out of id order + triangle + duplicate/self/reversed edges
+    val got = star(1L to 12L,
+      Seq((9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L), // chain 5..9
+        (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 1L), // triangle w/ noise
+        (11L, 12L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L,
+      10L -> 10L, 11L -> 11L, 12L -> 11L), s"got $got")
+    assert(star(Seq(3L, 4L), Seq.empty) == Map(3L -> 3L, 4L -> 4L))
+  }
+
   test("driver union-find fast path agrees with the distributed path") {
     val nodes = (1L to 40L)
     val edges = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), // chain
