@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Similarity.queries ++
+      graft.queries.KmeansFit.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.Ga4.queries ++
       graft.queries.Wildcard.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       graft.queries.Dedup.oracle ++
       graft.queries.Curation.oracle ++
       graft.queries.Similarity.oracle ++
+      graft.queries.KmeansFit.oracle ++
       graft.queries.Multimodal.oracle ++
       graft.queries.Ga4.oracle ++
       graft.queries.Wildcard.oracle ++

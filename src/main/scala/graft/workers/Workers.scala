@@ -340,6 +340,7 @@ object Workers {
     MlModelJobs.register(r, spark)
     CorpusMl.register(r, spark)
     CorpusLm.register(r, spark)
+    CorpusKmeans.register(r, spark)
     r
   }
 

@@ -48,7 +48,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "corpus_pivot", "mix_weighted", "mix_temperature", "mix_token_budget",
     "mix_epochs", "shuffle_order", "stats_length_pctl", "stats_percent_rank",
     "integrity_full_outer", "embed_quantize", "embed_dim_stats", "embed_source_drift",
-    "embed_kmeans_assign", "embed_kmeans_update",
+    "embed_kmeans_assign", "embed_kmeans_update", "embed_kmeans_fit",
     "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk", "sim_knn_accuracy")
 
   test("every corpus-family query returns (not throws) on fully empty tables") {
