@@ -92,6 +92,42 @@ object Bench {
       val ok = samples.filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
+
+    // Canonical plan fingerprint per query (VERDICT r10 item 6): an md5
+    // digest of the canonicalized optimized plan, so a cross-round bench
+    // diff can separate "same plan, host noise" from "plan changed"
+    // mechanically instead of via prose re-litigation. Computed AFTER the
+    // timed loop (construction is never charged to a measurement);
+    // canonicalization normalizes expression ids, and maxToStringFields
+    // is raised so wide plans aren't truncated into false-stable digests.
+    // Driver-side model constants (collected anchors/centroids) embed in
+    // the plan literals, so a fixture change shows up as a plan change —
+    // by design: the literal IS part of the executed plan.
+    val planFpOn = sys.env.getOrElse("SPARK_GRAFT_PLAN_FP", "1") == "1"
+    val planFps: Seq[(String, String)] = if (!planFpOn) Seq.empty else {
+      spark.conf.set("spark.sql.debug.maxToStringFields", 100000)
+      timed.map { case (name, fn) =>
+        spark.catalog.clearCache()
+        val fp = try {
+          // canonicalized normalizes exprIds in the LOGICAL tree, but a
+          // persisted intermediate embeds its cached PHYSICAL plan as a
+          // raw string (fresh #ids per construction) — strip the id
+          // numerals (attribute NAMES stay) so the digest is stable
+          // stripped run-scoped tokens: attribute-id numerals (#123) and
+          // physical plan_id tags — both are fresh per construction
+          val s = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
+            .replaceAll("#[0-9]+", "#")
+            .replaceAll("plan_id=[0-9]+", "plan_id=")
+          java.security.MessageDigest.getInstance("MD5").digest(
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString.take(12)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] plan_fp $name failed: ${e.getMessage}")
+          ""
+        }
+        name -> fp
+      }
+    }
     // Millisecond-rounded values keep the line ~40% shorter than raw
     // doubles: BENCH_r06.json lost 30/95 per-query entries to the driver's
     // fixed-size capture, and the map's tail is the first casualty. The
@@ -100,8 +136,9 @@ object Bench {
     // BENCH_LOCAL.json in the repo so a truncated capture never loses data.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fps = planFps.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"plan_fp":$fps}"""
     println(line)
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -507,6 +507,80 @@ object StreamingOps {
     branches.reduce(_ unionByName _)
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("bc"))
+  }
+
+  /**
+   * Streaming E-step of a FROZEN k-means model — the online serving twin
+   * of [[graft.workers.CorpusKmeans]]'s assigner (train on last month's
+   * corpus as a DAG step, assign this month's ingest as it arrives —
+   * the SemDeDup-style routing a continuously-curated corpus needs).
+   * Input: a vector ingest stream (`doc_id`, `ingest_ts`, `embedding`);
+   * `centDims` is the persisted model table (cid, dim, n, c_new).
+   * Output (append, STATELESS): (doc_id, cid, rd2).
+   *
+   * The assignment mirrors the batch two-level rule bit-for-bit with zero
+   * streaming state: the K₁ = ⌈√C⌉ (1 at C ≤ 8) lowest-cid coarse
+   * centroids fold in as driver-constant literals, so the stream side's
+   * coarse cell is a pure per-row codegen argmin; the static side
+   * pre-groups the centroids into ONE row per coarse cell
+   * (g → array<struct(cid, cv, cc)>), so the stream-static equi-join on
+   * `g` is 1:1 (no fan-out, no join state), and the fine argmin runs as a
+   * per-row `aggregate()` over the joined candidate array — same
+   * ‖v‖² − 2·v·c + ‖c‖² expansion, same lower-cid tie-break, no
+   * stream-side groupBy and therefore no watermark requirement. Scale:
+   * state is ZERO rows; the static side is the model (C rows pre-grouped
+   * to ≤ K₁ cells); per-row work is Θ(√C + cell size) — the batch
+   * assigner's per-member cost, row-at-a-time.
+   */
+  def kmeansAssignStream(newVecs: DataFrame, centDims: DataFrame,
+      onCache: DataFrame => Unit = _ => ()): DataFrame = {
+    import graft.queries.{KmeansFit, Similarity}
+    graft.functions.GraftFunctions.register(newVecs.sparkSession)
+    def dot(a: Column, b: Column): Column =
+      graft.functions.GraftFunctions.dot_f64(a, b)
+    val cents = KmeansFit.centRelOf(
+      centDims.select(col("cid"), col("dim"), col("c_new")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onCache(cents)
+    val cCount = cents.count()
+    val k1 = if (cCount <= 8L) 1L
+      else math.max(1L, math.ceil(math.sqrt(cCount.toDouble)).toLong)
+    // coarse model: K₁ lowest-cid centroids as driver constants
+    val coarse: Seq[(Long, Array[Double])] = cents
+      .orderBy(col("cid")).limit(k1.toInt)
+      .select(col("cid"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    def cellExpr(v: Column, vv: Column): Column =
+      if (coarse.isEmpty) lit(null).cast("long")
+      else (-array_max(array(coarse.map { case (gid, gv) =>
+        val gl = typedLit(gv)
+        val d = vv - lit(2.0) * dot(v, gl) + dot(gl, gl)
+        struct((-d).as("nd"), lit(-gid).as("ng"))
+      }: _*)).getField("ng")).cast("long")
+    // static side: centroids grouped to ONE row per coarse cell
+    val cellCents = cents
+      .withColumn("g", cellExpr(col("cv"), dot(col("cv"), col("cv"))))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("cc"))))
+        .as("cands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onCache(cellCents)
+    val worst = struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("cid"))
+    newVecs
+      .filter(col("embedding").isNotNull && Similarity.noModel(coarse))
+      .select(col("doc_id"), Similarity.dArr(col("embedding")).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("g", cellExpr(col("v"), col("vv")))
+      .join(cellCents, Seq("g"))
+      .withColumn("b", aggregate(col("cands"), worst, (acc, c) => {
+        val d2 = col("vv") - lit(2.0) * dot(col("v"), c.getField("cv")) +
+          c.getField("cc")
+        when(d2 < acc.getField("d") ||
+            (d2 === acc.getField("d") && c.getField("cid") < acc.getField("cid")),
+          struct(d2.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+      }))
+      .select(col("doc_id"), col("b.cid").as("cid"),
+        (round(col("b.d"), 6) + lit(0.0)).as("rd2"))
   }
 
   /**

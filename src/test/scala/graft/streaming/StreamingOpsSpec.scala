@@ -447,6 +447,54 @@ class StreamingOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("kmeansAssignStream: online assignments equal the frozen batch E-step (C > 8 and C <= 8)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 3 tight 2-d blobs + 9 seeds (the CorpusKmeansSpec geometry) force
+    // the two-level C > 8 model; sf0.001 exercises the literal C = 8 one
+    val rnd = new scala.util.Random(11)
+    def blob(cx: Double, cy: Double, n: Int, base: Long): Seq[(Long, Array[Float])] =
+      (0 until n).map(i => (base + i,
+        Array((cx + rnd.nextGaussian() * 0.05).toFloat,
+          (cy + rnd.nextGaussian() * 0.05).toFloat)))
+    val rows = (0L until 9L).map(i => (i,
+        Array((i % 3 * 5.0 - 5.0).toFloat, (i / 3 * 5.0 - 5.0).toFloat))) ++
+      blob(0, 0, 8, 100L) ++ blob(5, 5, 8, 200L) ++ blob(-5, 5, 8, 300L)
+    Seq(("synthetic C>8", rows.toDF("vec_id", "embedding").withColumn("label", lit(0)), 2L),
+        ("sf0.001 C=8",
+          s.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 256L))
+      .foreach { case (label, emb, target) =>
+        val cent = graft.queries.KmeansFit.fit(s, emb, 2, target)
+          .persist()
+        val batch = graft.queries.KmeansFit.assignCentroids(s, emb, cent)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val vecs = emb.filter(col("vec_id") >= 8 && col("embedding").isNotNull)
+          .select("vec_id", "embedding")
+          .as[(Long, Seq[Float])].collect().toSeq
+        val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+        val q = kmeansAssignStream(
+            in.toDF().toDF("doc_id", "embedding", "ingest_ts"), cent)
+          .writeStream.format("memory").queryName("kmassign")
+          .outputMode("append").start()
+        try {
+          val (a, b) = vecs.splitAt(vecs.length / 2)
+          in.addData(a.map { case (id, v) => (id, v, ts(0)) })
+          q.processAllAvailable()
+          in.addData(b.map { case (id, v) => (id, v, ts(60)) })
+          q.processAllAvailable()
+          val streamed = s.table("kmassign").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          assert(streamed == batch,
+            s"$label: streamed assignments must equal the frozen batch E-step")
+          assert(streamed.nonEmpty, s"$label: fixture sanity")
+        } finally {
+          q.stop()
+          s.catalog.clearCache()
+        }
+      }
+  }
+
   test("mixSampleStream: kept set equals the batch filter over the same rows") {
     val s = spark
     import s.implicits._
