@@ -113,11 +113,14 @@ object Bench {
           // persisted intermediate embeds its cached PHYSICAL plan as a
           // raw string (fresh #ids per construction) — strip the id
           // numerals (attribute NAMES stay) so the digest is stable
-          // stripped run-scoped tokens: attribute-id numerals (#123) and
-          // physical plan_id tags — both are fresh per construction
+          // stripped run-scoped tokens: attribute-id numerals (#123),
+          // physical plan_id tags, and JVM object identities (lambda
+          // class counters + @hash) — all fresh per construction/JVM
           val s = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
             .replaceAll("#[0-9]+", "#")
             .replaceAll("plan_id=[0-9]+", "plan_id=")
+            .replaceAll("\\$\\$Lambda\\$?[0-9]*/0x[0-9a-f]+", "\\$\\$Lambda")
+            .replaceAll("@[0-9a-f]{4,}", "@")
           java.security.MessageDigest.getInstance("MD5").digest(
             s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .map("%02x".format(_)).mkString.take(12)

@@ -154,7 +154,19 @@ object KmeansFit {
    */
   def fit(s: SparkSession, e0: DataFrame, rounds: Int,
       target: Long = Similarity.FineCellTarget,
-      onCache: DataFrame => Unit = graft.core.QueryCaches.report): DataFrame = {
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): DataFrame =
+    mStep(lloydChain(s, e0, rounds, target, onCache).last)
+      .orderBy(col("cid"), col("dim"))
+
+  /** The per-round assignment plans of a `rounds`-round Lloyd run: element
+    * r−1 is round r's E-step (vec_id, v, cid, rd2) against the round-(r−1)
+    * centroid set. Intermediate centroid sets materialize eagerly
+    * (driver literals at C ≤ 8, persisted model-sized relations above —
+    * every persist reports into `onCache`); each returned plan recomputes
+    * only ITS round's assignment from the persisted member relation. */
+  private[graft] def lloydChain(s: SparkSession, e0: DataFrame, rounds: Int,
+      target: Long = Similarity.FineCellTarget,
+      onCache: DataFrame => Unit = graft.core.QueryCaches.report): Seq[DataFrame] = {
     graft.functions.GraftFunctions.register(s)
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = e0.filter(col("embedding").isNotNull)
@@ -169,30 +181,53 @@ object KmeansFit {
         .select(col("vec_id"), Similarity.dArr(col("embedding")).as("cv"))
         .orderBy(col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      (1 until rounds).foreach { _ =>
-        cents = collectCents(mStep(assignLit(members, cents)))
+      (1 to rounds).map { r =>
+        val asg = assignLit(members, cents)
+        if (r < rounds) cents = collectCents(mStep(asg))
+        asg
       }
-      mStep(assignLit(members, cents)).orderBy(col("cid"), col("dim"))
     } else {
       // relation path: centroids stay distributed; eager persist + count
-      // per round truncates lineage (the components checkpoint contract)
+      // per round truncates lineage (the components checkpoint contract);
+      // every round's model stays persisted (model-parameter-sized) so
+      // each returned round plan replays against ITS centroid set
       var cents: DataFrame = e.filter(col("vec_id") < c0)
         .select(col("vec_id").as("cid"), Similarity.dArr(col("embedding")).as("cv"))
         .withColumn("cc", dot(col("cv"), col("cv")))
       cents.persist()
       onCache(cents)
       var cCount = cents.count()
-      (1 until rounds).foreach { _ =>
-        val next = centRelOf(mStep(assignRel(members, cents, cCount)))
-        next.persist()
-        onCache(next)
-        val nNext = next.count()
-        cents.unpersist()
-        cents = next
-        cCount = nNext
+      (1 to rounds).map { r =>
+        val asg = assignRel(members, cents, cCount)
+        if (r < rounds) {
+          val next = centRelOf(mStep(asg))
+          next.persist()
+          onCache(next)
+          cCount = next.count()
+          cents = next
+        }
+        asg
       }
-      mStep(assignRel(members, cents, cCount)).orderBy(col("cid"), col("dim"))
     }
+  }
+
+  /** Convergence audit of the Lloyd trainer: per round, the member count
+    * and the exact mean assigned d² (6-dp inertia) — the observable a
+    * pipeline checks before freezing a [[graft.workers.CorpusKmeans]]
+    * model (non-decreasing mean_d2 across rounds ⇒ converged / mis-sized
+    * k). One |members|-scan per round; each round's aggregate collapses
+    * map-side to a single row. */
+  def embedKmeansInertia(s: SparkSession, dir: String): DataFrame = {
+    val decI = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+    lloydChain(s, load(s, dir, "embeddings"), FitRounds)
+      .zipWithIndex.map { case (asg, i) =>
+        asg.agg(count(lit(1)).as("n"),
+          Similarity.microMean6(sum(col("rd2").cast(decI)), count(lit(1)))
+            .as("mean_d2"))
+          .select(lit((i + 1).toLong).as("round"), col("n"), col("mean_d2"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("round"))
   }
 
   /** E-step of a FROZEN model: assign every member of `e0` to its nearest
@@ -269,9 +304,10 @@ object KmeansFit {
       |  JOIN $prev c ON c.cid = cg$r.cid,
       |  generate_series(1, 64) t(i)
       |  GROUP BY 1, 2),
-      |a$r AS (SELECT vec_id, cid FROM (
-      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY vv - 2 * vc + cc, cid) AS rn FROM dots$r) WHERE rn = 1),
+      |a$r AS (SELECT vec_id, cid, rd2 FROM (
+      |  SELECT vec_id, cid, round(vv - 2 * vc + cc, 6) + 0.0 AS rd2,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY vv - 2 * vc + cc, cid) AS rn FROM dots$r) WHERE rn = 1),
       |c$r AS (
       |  SELECT a.cid, CAST(i - 1 AS BIGINT) AS dim, COUNT(1) AS n,
       |    ${Similarity.duckMicroMean6(
@@ -282,22 +318,37 @@ object KmeansFit {
       |ct$r AS (SELECT cid, list(c_new ORDER BY dim) AS cv FROM c$r GROUP BY cid)""".stripMargin
   }
 
-  private def fitOracleSql: String = {
+  /** The full WITH body: seeding + [[FitRounds]] unrolled rounds. */
+  private def chainCtes: String = {
     val rounds = (1 to FitRounds).map(roundCtes).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
       |nm AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS c
       |       FROM e WHERE vec_id >= 8),
       |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 8),
       |ct0 AS (SELECT vec_id AS cid,
       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
       |        FROM e, nm WHERE vec_id < nm.c),
-      |$rounds
-      |SELECT cid, dim, n, c_new FROM c$FitRounds ORDER BY cid, dim""".stripMargin
+      |$rounds""".stripMargin
   }
 
+  private def fitOracleSql: String =
+    s"WITH $chainCtes\n" +
+      s"SELECT cid, dim, n, c_new FROM c$FitRounds ORDER BY cid, dim"
+
+  private def inertiaOracleSql: String =
+    s"WITH $chainCtes\n" +
+      (1 to FitRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, COUNT(1) AS n, " +
+          Similarity.duckMicroMean6(
+            "SUM(CAST(rd2 AS DECIMAL(30,12)))", "COUNT(1)") +
+          s" AS mean_d2 FROM a$r"
+      }.mkString("\nUNION ALL\n") + "\nORDER BY round"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embed_kmeans_fit" -> (embedKmeansFit _))
+    "embed_kmeans_fit" -> (embedKmeansFit _),
+    "embed_kmeans_inertia" -> (embedKmeansInertia _))
 
   val oracle: Map[String, String] = Map(
-    "embed_kmeans_fit" -> fitOracleSql)
+    "embed_kmeans_fit" -> fitOracleSql,
+    "embed_kmeans_inertia" -> inertiaOracleSql)
 }

@@ -49,6 +49,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "mix_epochs", "shuffle_order", "stats_length_pctl", "stats_percent_rank",
     "integrity_full_outer", "embed_quantize", "embed_dim_stats", "embed_source_drift",
     "embed_kmeans_assign", "embed_kmeans_update", "embed_kmeans_fit",
+    "embed_kmeans_inertia",
     "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk", "sim_knn_accuracy")
 
   test("every corpus-family query returns (not throws) on fully empty tables") {
