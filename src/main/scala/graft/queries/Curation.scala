@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -713,9 +714,173 @@ object Curation {
       .orderBy(col("rank").desc, col("doc_id"))
   }
 
+  /**
+   * Transitivity audit of the near-dup graph — triangle vs wedge counts
+   * over the COLLAPSED set graph (supernodes = unique word sets, the
+   * [[dedupComponentsCore]] node universe): global clustering coefficient
+   * 3·triangles/wedges. High transitivity says the ≥0.8 Jaccard relation
+   * forms real near-clique clusters (canonical-doc selection is safe);
+   * low transitivity flags CHAINING — components glued by A~B~C paths
+   * where A and C are not actually similar, exactly the failure mode that
+   * makes min-label components over-merge. Identical-doc cliques are
+   * deliberately OUTSIDE the count (they're trivially transitive and
+   * O(cluster³) to enumerate); distinct-content structure is the signal.
+   *
+   * Scale: the standard degree-ordered orientation (each edge directed
+   * toward the higher-(degree, id) endpoint) bounds every node's
+   * out-degree by O(√m), so the wedge join is the O(m^1.5) compact-
+   * forward algorithm — never a hub's deg² explosion; each triangle is
+   * counted exactly once at its minimum-(deg, id) apex. Everything folds
+   * to a 4-row metric relation before the single-row output; counts are
+   * exact integers, the coefficient one final rounded division.
+   */
+  def dedupGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d38 = DecimalType(38, 0)
+    val (setPairs, _) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
+    // canonical undirected edges between set representatives; distinct
+    // guards the invariant the triangle counts need (each edge once) at
+    // set-pair cost, not corpus cost
+    val edges = setPairs
+      .select(least(array_min(col("ma")), array_min(col("mb"))).as("a"),
+        greatest(array_min(col("ma")), array_min(col("mb"))).as("b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(edges)
+    val deg = edges.select(col("a").as("u"))
+      .unionByName(edges.select(col("b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(deg)
+    // orient a→b toward the higher (deg, id); a<b by construction, so a
+    // degree tie keeps the id order
+    val oriented = edges
+      .join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") <= col("db"),
+        struct(col("a").as("s"), col("b").as("d"), col("db").as("dd")))
+        .otherwise(struct(col("b").as("s"), col("a").as("d"), col("da").as("dd"))).as("o"))
+      .select(col("o.s").as("src"), col("o.d").as("dst"), col("o.dd").as("dd"))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(oriented)
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    // ordered out-neighbor pairs at each apex; the closing edge {v,w} is
+    // necessarily oriented v→w because (deg,id)(v) < (deg,id)(w)
+    val tri = o1.join(o2, Seq("src"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_triangles").as("metric"), col("value"))
+    val degStats = deg.agg(count(lit(1)).cast("double").as("nn"),
+        sum(col("deg").cast(d38) * (col("deg") - 1L)).as("tw"))
+      .select(explode(array(
+        struct(lit("n_nodes").as("metric"), col("nn").as("value")),
+        struct(lit("n_wedges").as("metric"),
+          (coalesce(col("tw"), lit(0L).cast(d38)).cast("double") / lit(2.0d))
+            .as("value")))).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+    val edgeStats = edges.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_edges").as("metric"), col("value"))
+    degStats.unionByName(edgeStats).unionByName(tri)
+      .agg(max(when(col("metric") === "n_nodes", col("value"))).as("nn"),
+        max(when(col("metric") === "n_edges", col("value"))).as("ne"),
+        max(when(col("metric") === "n_wedges", col("value"))).as("nw"),
+        max(when(col("metric") === "n_triangles", col("value"))).as("nt"))
+      .select(col("nn").cast("long").as("n_nodes"),
+        col("ne").cast("long").as("n_edges"),
+        col("nw").cast("long").as("n_wedges"),
+        col("nt").cast("long").as("n_triangles"),
+        round(when(col("nw") > 0, lit(3.0d) * col("nt") / col("nw")), 6)
+          .as("transitivity"))
+  }
+
+  /**
+   * Source-mixing modularity of the near-dup graph — for every source,
+   * its endpoint-degree mass, its intra-source edge count, and its
+   * contribution eₛ/m − (dₛ/2m)² to Newman modularity of the SOURCE
+   * partition. Q ≈ 0 says near-duplication ignores source boundaries
+   * (cross-source syndication — dedup BEFORE mixing or the mixture
+   * weights double-count); Q near its maximum says dups live inside
+   * sources (per-source dedup suffices, a much cheaper 100 TB plan).
+   * This is the number that decides WHERE the dedup pass runs.
+   *
+   * Scale: the doc-pair relation is the family's verified boundary (the
+   * [[Dedup]] band/prefix-bounded pair generator — never all-pairs); the
+   * rollup collapses it to |sources| rows before any math, and the
+   * global 2m folds in via a deliberate zeroPart window over that
+   * metadata-sized relation. Counts exact; two rounded divisions per row.
+   */
+  def dedupGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir))
+    val srcs = Tables.spreadDocs(s, dir).select(col("doc_id"), col("source"))
+    val e = pairs.select(col("da"), col("db"))
+      .join(srcs.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+      .join(srcs.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(e)
+    val dtot = e.select(col("sa").as("source"))
+      .unionByName(e.select(col("sb").as("source")))
+      .groupBy(col("source")).agg(count(lit(1)).as("d_tot"))
+    val intra = e.filter(col("sa") <=> col("sb"))
+      .groupBy(col("sa").as("source")).agg(count(lit(1)).as("intra_edges"))
+    // null-safe source join: an unattributed slice is still a partition
+    // cell, and both engines must put it in the SAME cell
+    val per = dtot.alias("t")
+      .join(intra.alias("i"), col("t.source") <=> col("i.source"), "left")
+      .select(col("t.source").as("source"), col("d_tot"),
+        coalesce(col("i.intra_edges"), lit(0L)).as("intra_edges"))
+    val zw = Window.partitionBy(Tables.zeroPart(col("source")))
+    per.withColumn("two_m", sum(col("d_tot")).over(zw))
+      .select(col("source"), col("d_tot"), col("intra_edges"),
+        round(when(col("two_m") > 0,
+          lit(2.0d) * col("intra_edges").cast("double") / col("two_m").cast("double")
+            - (col("d_tot").cast("double") / col("two_m").cast("double"))
+              * (col("d_tot").cast("double") / col("two_m").cast("double"))), 6)
+          .as("q_contrib"))
+      .orderBy(col("source"))
+  }
+
+  /**
+   * Token-weighted dedup impact by source — the sizing table a 100 TB
+   * curation plan reads before scheduling the dedup pass: per source, how
+   * many documents and how many TOKENS the canonical-only corpus drops
+   * (min-id canonical, the [[dedupComponents]] convention). Doc counts
+   * alone mislead — a source whose dups are its longest documents loses
+   * far more training mass than its dup RATE suggests; token accounting
+   * is what the mixture re-weighting actually consumes.
+   *
+   * Scale: the component labels are the [[dedupComponentsCore]] relation
+   * (collapse → solve → expand, two longs per doc); the token counts ride
+   * the documents scan once; one |sources|-group rollup. Exact integer
+   * sums, one rounded percentage.
+   */
+  def dedupTokenSavings(s: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponentsCore(s, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val toks = Tables.spreadDocs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.words(col("text"))).cast("long").as("n_ws"))
+    comp.join(toks, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_ws")).as("tokens_total"),
+        sum(when(!col("is_canonical"), col("n_ws")).otherwise(0L)).as("tokens_dropped"))
+      .withColumn("savings_pct", when(col("tokens_total") > 0,
+        round(lit(100.0d) * col("tokens_dropped").cast("double") /
+          col("tokens_total").cast("double"), 6)))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_dedup_graph" -> (pipelineDedupGraph _),
     "dedup_graph_pagerank" -> (dedupGraphPagerank _),
+    "dedup_graph_triangles" -> (dedupGraphTriangles _),
+    "dedup_graph_modularity" -> (dedupGraphModularity _),
+    "dedup_token_savings" -> (dedupTokenSavings _),
     "dedup_components" -> (dedupComponents _),
     "sample_weighted_k" -> (sampleWeightedK _),
     "sample_stratified" -> (sampleStratified _),
@@ -779,6 +944,93 @@ object Curation {
          |  c.doc_id = c.comp_id AS is_canonical, pr.deg, pr.rank
          |FROM pr JOIN comp c USING (doc_id) JOIN sz USING (comp_id)
          |ORDER BY pr.rank DESC, pr.doc_id""".stripMargin,
+    "dedup_graph_triangles" ->
+      s"""WITH pairsq AS (${Dedup.jaccardWordsPairsSql}),
+         |dw2 AS (
+         |  SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY lang,
+         |      list_sort(list_distinct(list_filter(string_split(text, ' '),
+         |        w -> w <> '')))) AS rep
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0),
+         |tedges AS (
+         |  SELECT DISTINCT least(ra.rep, rb.rep) AS a, greatest(ra.rep, rb.rep) AS b
+         |  FROM pairsq p
+         |  JOIN dw2 ra ON p.da = ra.doc_id
+         |  JOIN dw2 rb ON p.db = rb.doc_id
+         |  WHERE ra.rep <> rb.rep),
+         |tdeg AS (
+         |  SELECT u, CAST(COUNT(1) AS BIGINT) AS deg FROM (
+         |    SELECT a AS u FROM tedges UNION ALL SELECT b FROM tedges)
+         |  GROUP BY u),
+         |o AS (
+         |  SELECT CASE WHEN dda.deg <= ddb.deg THEN a ELSE b END AS src,
+         |    CASE WHEN dda.deg <= ddb.deg THEN b ELSE a END AS dst,
+         |    CASE WHEN dda.deg <= ddb.deg THEN ddb.deg ELSE dda.deg END AS dd
+         |  FROM tedges
+         |  JOIN tdeg dda ON tedges.a = dda.u
+         |  JOIN tdeg ddb ON tedges.b = ddb.u),
+         |tri AS (
+         |  SELECT CAST(COUNT(1) AS BIGINT) AS n_triangles
+         |  FROM o o1
+         |  JOIN o o2 ON o1.src = o2.src
+         |    AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+         |  JOIN o oc ON oc.src = o1.dst AND oc.dst = o2.dst),
+         |ds AS (
+         |  SELECT CAST(COUNT(1) AS BIGINT) AS n_nodes,
+         |    CAST(COALESCE(SUM(deg * (deg - 1)), 0) // 2 AS BIGINT) AS n_wedges
+         |  FROM tdeg),
+         |es AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_edges FROM tedges)
+         |SELECT ds.n_nodes, es.n_edges, ds.n_wedges, tri.n_triangles,
+         |  round(CASE WHEN ds.n_wedges > 0 THEN
+         |    3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(ds.n_wedges AS DOUBLE)
+         |    END, 6) AS transitivity
+         |FROM ds CROSS JOIN es CROSS JOIN tri""".stripMargin,
+    "dedup_graph_modularity" ->
+      s"""WITH pairsq AS (${Dedup.jaccardWordsPairsSql}),
+         |e AS (
+         |  SELECT p.da, p.db, a.source AS sa, b.source AS sb
+         |  FROM pairsq p
+         |  JOIN documents a ON p.da = a.doc_id
+         |  JOIN documents b ON p.db = b.doc_id),
+         |dtot AS (
+         |  SELECT source, CAST(COUNT(1) AS BIGINT) AS d_tot FROM (
+         |    SELECT sa AS source FROM e UNION ALL SELECT sb FROM e)
+         |  GROUP BY source),
+         |intra AS (
+         |  SELECT sa AS source, CAST(COUNT(1) AS BIGINT) AS intra_edges
+         |  FROM e WHERE sa IS NOT DISTINCT FROM sb GROUP BY sa),
+         |per AS (
+         |  SELECT t.source, t.d_tot,
+         |    CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges
+         |  FROM dtot t
+         |  LEFT JOIN intra i ON t.source IS NOT DISTINCT FROM i.source),
+         |tm AS (SELECT CAST(SUM(d_tot) AS BIGINT) AS two_m FROM per)
+         |SELECT source, d_tot, intra_edges,
+         |  round(CASE WHEN two_m > 0 THEN
+         |    2.0 * CAST(intra_edges AS DOUBLE) / CAST(two_m AS DOUBLE)
+         |    - (CAST(d_tot AS DOUBLE) / CAST(two_m AS DOUBLE))
+         |      * (CAST(d_tot AS DOUBLE) / CAST(two_m AS DOUBLE)) END, 6)
+         |    AS q_contrib
+         |FROM per CROSS JOIN tm ORDER BY source""".stripMargin,
+    "dedup_token_savings" ->
+      s"""WITH RECURSIVE $duckComp,
+         |tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS n_ws
+         |  FROM documents)
+         |SELECT t.source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.doc_id <> c.comp_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(SUM(n_ws) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN c.doc_id <> c.comp_id THEN n_ws ELSE 0 END)
+         |    AS BIGINT) AS tokens_dropped,
+         |  round(CASE WHEN SUM(n_ws) > 0 THEN
+         |    100.0 * CAST(SUM(CASE WHEN c.doc_id <> c.comp_id THEN n_ws ELSE 0 END)
+         |      AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE) END, 6) AS savings_pct
+         |FROM tok t JOIN comp c USING (doc_id)
+         |GROUP BY t.source ORDER BY t.source""".stripMargin,
     "dedup_graph_pagerank" ->
       s"""WITH pairsq AS (${Dedup.jaccardWordsPairsSql}),
          |edges AS (SELECT da AS src, db AS dst FROM pairsq

@@ -1831,6 +1831,74 @@ object Governance {
       |FROM f""".stripMargin
 
   // ---------------------------------------------------------------------
+  // stats_kruskal_wallis — k-sample rank ANOVA across sources
+  // ---------------------------------------------------------------------
+
+  /**
+   * Kruskal–Wallis H over document length across ALL sources at once —
+   * the k-sample closure of the location family: [[statsMannWhitney]]
+   * prices every source PAIR, this one number answers "do the k length
+   * distributions share a location at all?" before anyone reads k(k−1)/2
+   * pairwise rows. Computed in the tie-corrected variance form
+   * H = (N−1)·Σnᵢ(r̄ᵢ−r̄)² / Σ(rⱼ−r̄)², which needs no separate tie term —
+   * ties enter through the average ranks themselves.
+   *
+   * Exactness: doubled average ranks 2r̄(v) = 2·cumBelow + c + 1 are exact
+   * INTEGERS over the distinct-value relation (the [[statsSpearman]]
+   * convention — H is invariant under the doubling); per-source doubled
+   * rank sums R2ᵢ and the global Σ(2r)² accumulate in DECIMAL(38,0); the
+   * per-source quadratic terms round to 8 dp DECIMAL before the
+   * cross-source fold (the [[statsLevene]] recipe — partial-sum order
+   * can't flip bits); H is ONE final double expression, NULL when the
+   * pooled ranks are constant (zero denominator) or k < 2.
+   *
+   * Scale: ranks come from ONE zeroPart cumulative window over the
+   * DISTINCT-value relation (value-domain-sized, the deliberate
+   * metadata-sized single group), joined back to per-(source, value)
+   * counts on the value key; everything else is one |sources|-group
+   * aggregate folded to a single row.
+   */
+  def statsKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val dec8 = DecimalType(30, 8)
+    val sv = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    // pooled per-value doubled average rank over the distinct-value domain
+    val wv = Window.partitionBy(Tables.zeroPart(col("v"))).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = sv.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum", coalesce(sum(col("cv")).over(wv), lit(0L)))
+      .select(col("v"), (lit(2L) * col("cum") + col("cv") + 1L).as("r2v"))
+    val perSrc = sv.join(r2, Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("ni"),
+        // cast BEFORE the quadratic multiply: c·(2r)² fits DECIMAL at any
+        // corpus size but overflows LONG near N ~ 10⁶
+        sum(col("c").cast(d38) * col("r2v")).as("rr2"),
+        sum(col("c").cast(d38) * col("r2v") * col("r2v")).as("s2i"))
+    // per-source quadratic term R2ᵢ²/nᵢ — 8-dp DECIMAL, folded order-free
+    val ai = round(col("rr2").cast("double") * col("rr2").cast("double") /
+      col("ni").cast("double"), 8).cast(dec8)
+    val folded = perSrc.agg(
+      count(lit(1)).as("k"),
+      sum(col("ni")).as("n_total"),
+      sum(col("s2i")).as("s2_tot"),
+      sum(ai).as("a_tot"))
+    val nD = col("n_total").cast("double")
+    // T = Σ2r = N(N+1) exactly; H = (N−1)(N·A − T²)/(N·S2 − T²)
+    val t2 = nD * (nD + lit(1.0d)) * nD * (nD + lit(1.0d))
+    val denom = nD * col("s2_tot").cast("double") - t2
+    folded.select(col("k"), col("n_total"),
+      round(when(col("k") > 1 && denom > 0,
+        (nD - lit(1.0d)) * (nD * col("a_tot").cast("double") - t2) / denom), 6)
+        .as("h_stat"))
+  }
+
+  // ---------------------------------------------------------------------
   // stats_cramers_v — lang × source association strength
   // ---------------------------------------------------------------------
 
@@ -2073,6 +2141,7 @@ object Governance {
     "stats_kendall_tau" -> (statsKendallTau _),
     "stats_anderson_darling" -> (statsAndersonDarling _),
     "stats_levene" -> (statsLevene _),
+    "stats_kruskal_wallis" -> (statsKruskalWallis _),
     "stats_cramers_v" -> (statsCramersV _),
     "stats_welch_ttest" -> (statsWelchTtest _),
     "privacy_dp_count" -> (privacyDpCount _),
@@ -2669,6 +2738,43 @@ object Governance {
     "stats_kendall_tau" -> statsKendallTauSql,
     "stats_anderson_darling" -> statsAndersonDarlingSql,
     "stats_levene" -> statsLeveneSql,
+    "stats_kruskal_wallis" ->
+      """WITH sv AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT v,
+        |    2 * COALESCE(CAST(SUM(cv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + cv + 1 AS r2v
+        |  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM sv GROUP BY v)),
+        |ps AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS ni,
+        |    SUM(CAST(CAST(c AS DECIMAL(38,0)) * r2v AS DECIMAL(38,0))) AS rr2,
+        |    SUM(CAST(CAST(c AS DECIMAL(38,0)) * r2v * r2v AS DECIMAL(38,0))) AS s2i
+        |  FROM sv JOIN r2 USING (v) GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(COUNT(1) AS BIGINT) AS k,
+        |    CAST(SUM(ni) AS BIGINT) AS n_total,
+        |    SUM(s2i) AS s2_tot,
+        |    SUM(CAST(round(CAST(rr2 AS DOUBLE) * CAST(rr2 AS DOUBLE)
+        |      / CAST(ni AS DOUBLE), 8) AS DECIMAL(30,8))) AS a_tot
+        |  FROM ps)
+        |SELECT k, n_total,
+        |  round(CASE WHEN k > 1 AND
+        |      CAST(n_total AS DOUBLE) * CAST(s2_tot AS DOUBLE)
+        |        - CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)
+        |          * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0) > 0
+        |    THEN (CAST(n_total AS DOUBLE) - 1.0)
+        |      * (CAST(n_total AS DOUBLE) * CAST(a_tot AS DOUBLE)
+        |         - CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)
+        |           * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+        |      / (CAST(n_total AS DOUBLE) * CAST(s2_tot AS DOUBLE)
+        |         - CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)
+        |           * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+        |    END, 6) AS h_stat
+        |FROM f""".stripMargin,
     "stats_mann_whitney" ->
       """WITH l AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS v

@@ -1299,6 +1299,100 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Largest probe depth the multiprobe sweep prices (cells 1..4 of 8). */
+  private val MultiprobeMax = 4
+
+  /**
+   * IVF nprobe tuning curve — the multi-probe sizing table [[simIvfRecall]]
+   * audits a single point of: for every probe depth 1..[[MultiprobeMax]],
+   * the recall@5 against the exact baseline, the number of candidate pairs
+   * actually scored, and that count as a fraction of the brute-force
+   * |C|·|Q| scan. This is the table that PRICES nprobe before a corpus
+   * commits to IVF as its only candidate generator — the single-probe
+   * coarse assignment is an approximation (a true neighbor can live in an
+   * unprobed cell), and this sweep shows exactly what each extra probe
+   * buys and costs.
+   *
+   * Scale: assignment and probe ranking are per-row codegen expressions
+   * over the scan (centroids are broadcast model constants); the candidate
+   * stream materializes each (query, candidate) pair ONCE with the probe
+   * rank that reaches it, then a per-row `sequence(prank, max)` generator
+   * fans it to the depths that include it — no per-depth re-join, no
+   * re-scan. The exact-truth side is the documented brute-force baseline
+   * (the audit's cost, not the hot path — same contract as
+   * [[simIvfRecall]]). |C| and |Q| are metadata-sized driver scalars (the
+   * AQE-statistics round-trip convention).
+   */
+  def simIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = anchorVecs(s, dir)
+    // (dot, -j) structs — the simIvfTopk ranking convention: max picks the
+    // highest dot, ties the SMALLEST centroid id; typed placeholder keeps
+    // the empty-model plan analyzable behind the noModel guard
+    def simsArr(v: Column): Column =
+      if (cents.isEmpty) array(struct(lit(0.0).as("d"), lit(0).as("nj")))
+      else array(cents.zipWithIndex.map { case (c, j) =>
+        struct(dot(v, typedLit(c)).as("d"), lit(-j).as("nj"))
+      }: _*)
+
+    val e = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && noModel(cents))
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val cands = e.filter(col("vec_id") >= 18)
+      .select(col("vec_id"), col("v"),
+        (-array_max(simsArr(col("v"))).getField("nj")).as("cid"))
+    val q = e.filter(col("vec_id").between(8, 17))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // |C|/|Q| — model-scale scalars for the scan-fraction denominator
+    val sizes = e.agg(
+      sum(when(col("vec_id") >= 18, 1L).otherwise(0L)),
+      sum(when(col("vec_id").between(8, 17), 1L).otherwise(0L))).first()
+    val nC = Option(sizes.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nQ = Option(sizes.get(1)).fold(0L)(_.asInstanceOf[Long])
+
+    // per-query probe list with its rank 1..MultiprobeMax
+    val probes = q
+      .select(col("qid"), col("qv"),
+        posexplode(slice(reverse(array_sort(simsArr(col("qv")))), 1, MultiprobeMax)))
+      .select(col("qid"), col("qv"), (-col("col.nj")).as("cid"),
+        (col("pos") + 1).as("prank"))
+    // each (query, candidate) pair exists at exactly ONE probe rank (a
+    // candidate has one cell); fan it to every depth that includes it
+    val pairs = probes.join(cands, "cid")
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("np", explode(sequence(col("prank"), lit(MultiprobeMax))))
+    val w = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val top = pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("np"), col("qid"), col("vec_id").as("neighbor"), lit(1L).as("hit"))
+    val scanned = pairs.groupBy(col("np")).agg(count(lit(1)).as("n_candidates"))
+
+    // exact truth (documented brute-force baseline), fanned to all depths
+    val wt = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val truth = cands.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wt))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        explode(sequence(lit(1), lit(MultiprobeMax))).as("np"))
+    truth
+      .join(top, Seq("np", "qid", "neighbor"), "left")
+      .groupBy(col("np"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .join(scanned, Seq("np"))
+      .select(col("np").cast("long").as("nprobe"), col("n_queries"),
+        col("n_candidates"),
+        when(lit(nC * nQ) > 0,
+          round(col("n_candidates").cast("double") / lit(nC * nQ).cast("double"), 6))
+          .as("scan_frac"),
+        round(col("n_found").cast("double") / col("n_true"), 6).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Variance floor for the whitening divisor (guards a constant dim). */
   private val WhitenEps = 1e-6
 
@@ -1849,6 +1943,7 @@ object Similarity {
     "cluster_topics" -> (clusterTopics _),
     "embed_whiten_apply" -> (embedWhitenApplyRows _),
     "sim_ivf_recall" -> (simIvfRecall _),
+    "sim_ivf_multiprobe" -> (simIvfMultiprobe _),
     "embed_pair_mining" -> (embedPairMining _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_buckets" -> (simLshBuckets _),
@@ -2250,6 +2345,90 @@ object Similarity {
         |FROM truth
         |LEFT JOIN ivf ON truth.qid = ivf.qid AND truth.neighbor = ivf.neighbor
         |GROUP BY truth.qid ORDER BY truth.qid""".stripMargin,
+    "sim_ivf_multiprobe" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid0, embedding AS cv FROM e WHERE vec_id < 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id BETWEEN 8 AND 17),
+        |c AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 18),
+        |sizes AS (
+        |  SELECT CAST(COUNT(CASE WHEN vec_id >= 18 THEN 1 END) AS BIGINT) AS n_c,
+        |    CAST(COUNT(CASE WHEN vec_id BETWEEN 8 AND 17 THEN 1 END) AS BIGINT) AS n_q
+        |  FROM e),
+        |cdots AS (
+        |  SELECT c.vec_id, cent.cid0, SUM(cv[i]::DOUBLE * embedding[i]::DOUBLE) AS d
+        |  FROM c, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cid0 AS cid FROM (
+        |    SELECT vec_id, cid0,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid0) AS rn
+        |    FROM cdots)
+        |  WHERE rn = 1),
+        |qdots AS (
+        |  SELECT qid, cent.cid0, SUM(cv[i]::DOUBLE * qv[i]::DOUBLE) AS d
+        |  FROM q, cent, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT qid, cid0 AS cid, rn AS prank FROM (
+        |    SELECT qid, cid0,
+        |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid0) AS rn
+        |    FROM qdots)
+        |  WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.qid, a.vec_id AS neighbor, p.prank,
+        |    SUM(q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE) AS d,
+        |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS qq,
+        |    SUM(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE) AS cc
+        |  FROM probes p
+        |  JOIN assign a USING (cid)
+        |  JOIN q ON p.qid = q.qid
+        |  JOIN c ON a.vec_id = c.vec_id,
+        |  generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2, 3),
+        |fan AS (
+        |  SELECT np, qid, neighbor, d / (sqrt(qq) * sqrt(cc)) AS sim
+        |  FROM pairs, generate_series(1, 4) s(np)
+        |  WHERE prank <= np),
+        |scanned AS (
+        |  SELECT np, CAST(COUNT(1) AS BIGINT) AS n_candidates
+        |  FROM fan GROUP BY np),
+        |top AS (
+        |  SELECT np, qid, neighbor FROM (
+        |    SELECT np, qid, neighbor,
+        |      row_number() OVER (PARTITION BY np, qid
+        |        ORDER BY sim DESC, neighbor) AS rnk
+        |    FROM fan)
+        |  WHERE rnk <= 5),
+        |el2 AS (
+        |  SELECT qid, c.vec_id AS neighbor,
+        |    SUM(qv[i]::DOUBLE * embedding[i]::DOUBLE) AS d,
+        |    SUM(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+        |    SUM(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS cc
+        |  FROM q, c, generate_series(1, 64) t(i)
+        |  GROUP BY qid, c.vec_id),
+        |truth AS (
+        |  SELECT np, qid, neighbor FROM (
+        |    SELECT qid, neighbor,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY d / (sqrt(qq) * sqrt(cc)) DESC, neighbor) AS rnk
+        |    FROM el2), generate_series(1, 4) s(np)
+        |  WHERE rnk <= 5),
+        |rec AS (
+        |  SELECT t.np, CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_queries,
+        |    COUNT(1) AS n_true,
+        |    SUM(CASE WHEN tp.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS n_found
+        |  FROM truth t
+        |  LEFT JOIN top tp ON t.np = tp.np AND t.qid = tp.qid
+        |    AND t.neighbor = tp.neighbor
+        |  GROUP BY t.np)
+        |SELECT CAST(rec.np AS BIGINT) AS nprobe, rec.n_queries, sc.n_candidates,
+        |  CASE WHEN sizes.n_c * sizes.n_q > 0 THEN
+        |    round(CAST(sc.n_candidates AS DOUBLE)
+        |      / CAST(sizes.n_c * sizes.n_q AS DOUBLE), 6) END AS scan_frac,
+        |  round(CAST(rec.n_found AS DOUBLE) / CAST(rec.n_true AS DOUBLE), 6)
+        |    AS recall
+        |FROM rec JOIN scanned sc ON rec.np = sc.np CROSS JOIN sizes
+        |ORDER BY nprobe""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
         |a AS (SELECT vec_id AS aid, embedding AS av FROM e WHERE vec_id < 8),

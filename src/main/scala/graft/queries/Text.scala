@@ -454,6 +454,149 @@ object Text {
        |FROM pd GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Kneser–Ney absolute discount (the standard 0.75, exactly binary-
+    * representable so both engines subtract the identical constant). */
+  private val KnDiscount = 0.75
+
+  /**
+   * Interpolated Kneser–Ney bigram LM on the held-out split — the
+   * smoothing-quality twin of [[textLmHeldoutPpl]]: same md5-bucket <80
+   * train / ≥80 test protocol, but the model is the absolute-discount
+   * interpolated KN estimator instead of add-one —
+   * p(w₂|w₁) = max(c(w₁,w₂)−D,0)/c(w₁) + (D·N₁₊(w₁·)/c(w₁))·p_cont(w₂),
+   * with the continuation distribution p_cont(w₂) =
+   * (N₁₊(·w₂)+1)/(B+V+1) add-one-smoothed over bigram TYPES so unseen
+   * test words keep positive mass, and a full back-off to p_cont for
+   * unseen histories. Reading this row against the add-one twin's is the
+   * smoothing A/B a perplexity quality gate runs before trusting either
+   * model's thresholds: KN's continuation counts famously dominate
+   * add-one on type-rich natural text.
+   *
+   * Scale shape: all three KN model relations derive from the ONE bigram
+   * count table (history totals AND distinct-continuation counts in the
+   * same re-aggregation; the continuation-type table is a second
+   * vocab-bounded re-aggregation) — no extra corpus scan vs the add-one
+   * twin; B and V are metadata-sized driver scalars (the AQE-statistics
+   * round-trip). Scoring is the identical test-side distinct-pair join
+   * shape. Determinism: the LM recipe — exact integer counts into one
+   * IEEE expression per distinct bigram, −ln rounded to 6-dp DECIMAL,
+   * m-weighted exact sums, single final divisions.
+   */
+  def textLmKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"),
+        Curation.md5Mod100(col("doc_id")).as("bkt"))
+    val train = base.filter(col("bkt") < 80)
+    val test = base.filter(col("bkt") >= 80)
+    val vocab = lmVocabSize(train)
+    // the single bigram-count model table; persisted because the type
+    // count (B), the history re-aggregation, the continuation
+    // re-aggregation, and the scoring join all read it
+    val cb = explodeBigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val bTypes = cb.count()
+    // history totals AND distinct-continuation counts in ONE re-agg
+    val cu = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1p"))
+    val nr = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1pr"))
+    val pcDen = (bTypes + vocab + 1).toDouble
+    val pCont = (coalesce(col("n1pr"), lit(0L)).cast("double") + lit(1.0d)) /
+      lit(pcDen)
+    val cuD = col("cu").cast("double")
+    val p = when(col("cu").isNotNull,
+      greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(KnDiscount),
+        lit(0.0d)) / cuD +
+        (lit(KnDiscount) * col("n1p").cast("double") / cuD) * pCont)
+      .otherwise(pCont)
+    val perDoc = explodeBigrams(test)
+      .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .join(nr, Seq("w2"), "left")
+      .filter(lit(vocab > 0L))
+      .select(col("doc_id"), col("source"), col("m"),
+        round(-log(p), 6).cast(dec6).as("term"),
+        when(col("cb").isNull, col("m")).otherwise(0L).as("backoff"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * col("term")).cast("double") / sum(col("m")), 6)
+          .as("nll"),
+        sum(col("backoff")).as("n_backoff"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test_docs"),
+        round(sum(col("nll").cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"),
+        round(sum(col("n_backoff")).cast("double") /
+          sum(col("n_bigrams")).cast("double"), 6).as("backoff_rate"))
+      .orderBy(col("source"))
+  }
+
+  private def textLmKneserNeySql: String = {
+    val split = Curation.duckMd5Mod100("doc_id")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+       |    $split AS bkt
+       |  FROM documents),
+       |tr AS (SELECT * FROM t WHERE bkt < 80),
+       |te AS (SELECT * FROM t WHERE bkt >= 80),
+       |v AS (
+       |  SELECT COUNT(DISTINCT tok) AS vocab
+       |  FROM (SELECT unnest(ws) AS tok FROM tr)),
+       |btr AS (
+       |  SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+       |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+       |    FROM tr WHERE len(ws) >= 2)),
+       |cb AS (SELECT w1, w2, CAST(COUNT(1) AS BIGINT) AS cb FROM btr GROUP BY w1, w2),
+       |bb AS (SELECT CAST(COUNT(1) AS BIGINT) AS b FROM cb),
+       |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu,
+       |         CAST(COUNT(1) AS BIGINT) AS n1p FROM cb GROUP BY w1),
+       |nr AS (SELECT w2, CAST(COUNT(1) AS BIGINT) AS n1pr FROM cb GROUP BY w2),
+       |bte AS (
+       |  SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2,
+       |    CAST(COUNT(1) AS BIGINT) AS m FROM (
+       |    SELECT doc_id, source,
+       |      unnest(list_transform(generate_series(1, len(ws) - 1),
+       |        i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+       |    FROM te WHERE len(ws) >= 2)
+       |  GROUP BY doc_id, source, p.w1, p.w2),
+       |sc AS (
+       |  SELECT bte.doc_id, bte.source, bte.m,
+       |    round(-ln(CASE WHEN cu.cu IS NOT NULL
+       |      THEN greatest(CAST(COALESCE(cb.cb, 0) AS DOUBLE) - 0.75, 0.0)
+       |          / CAST(cu.cu AS DOUBLE)
+       |        + (0.75 * CAST(cu.n1p AS DOUBLE) / CAST(cu.cu AS DOUBLE))
+       |          * ((CAST(COALESCE(nr.n1pr, 0) AS DOUBLE) + 1.0)
+       |             / (CAST(bb.b AS DOUBLE) + CAST(v.vocab AS DOUBLE) + 1.0))
+       |      ELSE (CAST(COALESCE(nr.n1pr, 0) AS DOUBLE) + 1.0)
+       |        / (CAST(bb.b AS DOUBLE) + CAST(v.vocab AS DOUBLE) + 1.0) END), 6)
+       |      AS term,
+       |    CASE WHEN cb.cb IS NULL THEN bte.m ELSE 0 END AS backoff
+       |  FROM bte
+       |  LEFT JOIN cb ON bte.w1 = cb.w1 AND bte.w2 = cb.w2
+       |  LEFT JOIN cu ON bte.w1 = cu.w1
+       |  LEFT JOIN nr ON bte.w2 = nr.w2
+       |  CROSS JOIN v CROSS JOIN bb WHERE v.vocab > 0),
+       |pd AS (
+       |  SELECT doc_id, source, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       |    round(CAST(SUM(m * CAST(term AS DECIMAL(20,6))) AS DOUBLE)
+       |      / CAST(SUM(m) AS DOUBLE), 6) AS nll,
+       |    CAST(SUM(backoff) AS BIGINT) AS n_backoff
+       |  FROM sc GROUP BY doc_id, source)
+       |SELECT source, CAST(COUNT(1) AS BIGINT) AS n_test_docs,
+       |  round(CAST(SUM(CAST(nll AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 6)
+       |    AS mean_nll,
+       |  round(CAST(SUM(n_backoff) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE), 6)
+       |    AS backoff_rate
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /**
    * BPE compression curve — the diminishing-returns audit next to
    * [[bpeTrainMerges]]: after each of the [[BpeRounds]] merges, the
@@ -1674,6 +1817,7 @@ object Text {
     "pipeline_curation_lm" -> (pipelineCurationLm _),
     "bpe_compression_curve" -> (bpeCompressionCurve _),
     "text_lm_heldout_ppl" -> (textLmHeldoutPpl _),
+    "text_lm_kneser_ney" -> (textLmKneserNey _),
     "pack_pairs" -> (packPairs _),
     "quality_nll_calibration" -> (qualityNllCalibration _),
     "dsir_score" -> (dsirScore _),
@@ -2206,6 +2350,7 @@ object Text {
     "bpe_train_merges" -> bpeTrainSql,
     "bpe_compression_curve" -> bpeCurveSql,
     "text_lm_heldout_ppl" -> textLmHeldoutSql,
+    "text_lm_kneser_ney" -> textLmKneserNeySql,
     "bpe_pair_counts" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

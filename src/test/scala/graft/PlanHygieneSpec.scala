@@ -36,9 +36,12 @@ class PlanHygieneSpec extends AnyFunSuite with SparkFixture {
   // the cross side is the BROADCAST per-source metadata relation (dozens
   // of rows), so the product is linear in the value domain — the O(V·S)
   // replacement for the O(V²) inequality cross it used to run
+  // sim_ivf_multiprobe's ground-truth side is the same documented
+  // brute-force baseline as sim_ivf_recall (the sweep it generalizes)
   private val crossJoinAllowed =
     Set("sim_bruteforce_topk", "sim_knn_accuracy", "sim_ivf_recall",
-      "sim_pq_recall", "eval_confusion_knn", "stats_mann_whitney")
+      "sim_pq_recall", "eval_confusion_knn", "stats_mann_whitney",
+      "sim_ivf_multiprobe")
 
   private def collectPlan(p: LogicalPlan): Seq[LogicalPlan] =
     (p +: p.children.flatMap(collectPlan)) ++ p.subqueries.flatMap(collectPlan)

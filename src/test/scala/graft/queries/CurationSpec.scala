@@ -166,4 +166,87 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((1L, 2L, rb), (0L, 1L, ra), (2L, 1L, rc)),
       s"got ${out.toSeq}; expected center ${rb}, leaves ${ra}")
   }
+
+  // ------------------------------------------------------ triangle audit
+
+  test("dedupGraphTriangles: counts a true triangle, not a chain, and collapses exact dups") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val base = (1 to 19).map(i => s"t$i").mkString(" ")
+    val bv = (1 to 20).map(i => s"v$i").mkString(" ")
+    val rows = Seq(
+      // triangle trio: pairwise J = 19/21 ≈ 0.905, three DISTINCT sets
+      (0L, s"$base ta", "en", "s0"),
+      (1L, s"$base tb", "en", "s0"),
+      (2L, s"$base tc", "en", "s0"),
+      // exact dups of doc 0 — same word set, collapse into its supernode
+      (3L, s"$base ta", "en", "s1"),
+      (4L, s"ta $base", "en", "s1"),
+      // chain on a disjoint vocabulary: A~B (18/22), B~C (18/22), A≁C (16/24)
+      (10L, ((1 to 18).map(i => s"v$i") ++ Seq("a1", "a2")).mkString(" "), "en", "s0"),
+      (11L, bv, "en", "s0"),
+      (12L, ((3 to 20).map(i => s"v$i") ++ Seq("c1", "c2")).mkString(" "), "en", "s0"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Curation.dedupGraphTriangles(spark, dir.toString).collect()
+    assert(r.length == 1)
+    val row = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getDouble(4))
+    // 6 supernodes touch edges; 3 trio + 2 chain edges; wedges 3 + 1;
+    // one triangle → transitivity 3·1/4
+    assert(row == ((6L, 5L, 4L, 1L, 0.75)), s"got $row")
+  }
+
+  test("dedupGraphTriangles: empty corpus folds to the zero row") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    writeTable(dir, "documents",
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Curation.dedupGraphTriangles(spark, dir.toString).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+      == ((0L, 0L, 0L, 0L)))
+    assert(r(0).isNullAt(4), "no wedges → NULL coefficient, not a division error")
+  }
+
+  // ------------------------------------------------- source-mix modularity
+
+  test("dedupGraphModularity: intra and cross edges split the degree mass per source") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      // intra-X dup pair, intra-Y dup pair, one cross X–Y pair; disjoint
+      // vocabularies keep the three pairs independent
+      (0L, "p1 p2 p3", "en", "X"), (1L, "p1 p2 p3", "en", "X"),
+      (2L, "q1 q2 q3", "en", "Y"), (3L, "q1 q2 q3", "en", "Y"),
+      (4L, "r1 r2 r3", "en", "X"), (5L, "r1 r2 r3", "en", "Y"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.dedupGraphModularity(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // m = 3 edges, each source: d = 3 endpoints, 1 intra edge:
+    // q = 1/3 − (3/6)² = 0.083333
+    assert(out == Map("X" -> ((3L, 1L, 0.083333)), "Y" -> ((3L, 1L, 0.083333))),
+      s"got $out")
+  }
+
+  // -------------------------------------------------- token-weighted savings
+
+  test("dedupTokenSavings: non-canonical members' tokens are the dropped mass") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (0L, ten, "en", "s1"), (1L, ten, "en", "s1"),       // dup pair: doc 1 dropped
+      (2L, "u1 u2 u3 u4 u5", "en", "s2"))                 // unique: nothing dropped
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.dedupTokenSavings(spark, dir.toString).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out == Map(
+      "s1" -> ((2L, 1L, 20L, 10L, 50.0)),
+      "s2" -> ((1L, 0L, 5L, 0L, 0.0))), s"got $out")
+  }
 }

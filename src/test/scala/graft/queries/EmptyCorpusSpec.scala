@@ -50,7 +50,9 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "integrity_full_outer", "embed_quantize", "embed_dim_stats", "embed_source_drift",
     "embed_kmeans_assign", "embed_kmeans_update", "embed_kmeans_fit",
     "embed_kmeans_inertia",
-    "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk", "sim_knn_accuracy")
+    "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk", "sim_knn_accuracy",
+    "sim_ivf_multiprobe", "stats_kruskal_wallis", "text_lm_kneser_ney",
+    "dedup_graph_triangles", "dedup_graph_modularity", "dedup_token_savings")
 
   test("every corpus-family query returns (not throws) on fully empty tables") {
     val dir = emptyDir()

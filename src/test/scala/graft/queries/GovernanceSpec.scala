@@ -648,4 +648,42 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
       ("web", 1L, 6L, 1L)),
       s"got ${out.toSeq}")
   }
+
+  test("statsKruskalWallis: textbook no-tie H on fully separated groups") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // A:{10,20} B:{30,40} C:{50,60} — ranks 1..6, no ties:
+    // H = 12/(6·7)·(3²/2 + 7²/2 + 11²/2) − 3·7 = 32/7 = 4.571429
+    val rows = Seq(
+      (0L, "t", "en", "a", 10L), (1L, "t", "en", "a", 20L),
+      (2L, "t", "en", "b", 30L), (3L, "t", "en", "b", 40L),
+      (4L, "t", "en", "c", 50L), (5L, "t", "en", "c", 60L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Governance.statsKruskalWallis(spark, dir.toString).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 3L && r(0).getLong(1) == 6L)
+    assert(r(0).getDouble(2) == 4.571429, s"got ${r(0).getDouble(2)}")
+  }
+
+  test("statsKruskalWallis: tie-corrected H via average ranks; NULL on constant values") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // A:{1,1} B:{1,2}: avg rank of the tied 1s is 2, of the 2 is 4.
+    // Uncorrected H = 0.6, tie factor C = 1 − 24/60 = 0.6 → H = 1.0 —
+    // the variance form produces the corrected value directly.
+    val rows = Seq(
+      (0L, "t", "en", "a", 1L), (1L, "t", "en", "a", 1L),
+      (2L, "t", "en", "b", 1L), (3L, "t", "en", "b", 2L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Governance.statsKruskalWallis(spark, dir.toString).collect()
+    assert(r.length == 1 && r(0).getDouble(2) == 1.0, s"got ${r(0)}")
+
+    val dir2 = tmpSfDir()
+    val const = Seq(
+      (0L, "t", "en", "a", 5L), (1L, "t", "en", "b", 5L), (2L, "t", "en", "c", 5L))
+    writeTable(dir2, "documents", const.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r2 = Governance.statsKruskalWallis(spark, dir2.toString).collect()
+    assert(r2.length == 1 && r2(0).isNullAt(2),
+      "constant pooled ranks have zero variance — H is NULL, not a division error")
+  }
 }

@@ -428,4 +428,53 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
       "adaptive-path cid assignment diverged from the window spelling")
   }
+
+  // ------------------------------------------------- Kneser–Ney held-out LM
+
+  /** The engines' md5-mod-100 split bucket, reimplemented independently so
+    * the fixtures can PLACE docs on either side of the 80 cut. */
+  private def md5Bucket(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 8), 16) % 100
+  }
+
+  test("textLmKneserNey: all-seen test bigrams score the hand-computed KN probability") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // every doc is "a b c": cb(a,b)=cb(b,c)=nTr, cu=nTr, N1+(w1·)=1,
+    // N1+(·w2)=1, B=2 bigram types, V=3
+    val ids = (0L until 50L)
+    val rows = ids.map(i => (i, "a b c", "en", "s0", 5L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val nTr = ids.count(md5Bucket(_) < 80)
+    val nTe = ids.size - nTr
+    assert(nTr > 0 && nTe > 0, "fixture must land docs on both sides of the split")
+    val pc = (1.0 + 1.0) / (2.0 + 3.0 + 1.0)
+    val p = (nTr - 0.75) / nTr + (0.75 * 1.0 / nTr) * pc
+    val term = BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val r = Text.textLmKneserNey(spark, dir.toString).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "s0" && r(0).getLong(1) == nTe.toLong)
+    assert(r(0).getDouble(2) == term, s"got ${r(0).getDouble(2)}, want $term")
+    assert(r(0).getDouble(3) == 0.0, "every test bigram was seen in training")
+  }
+
+  test("textLmKneserNey: an unseen history backs off to the continuation distribution") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // train corpus is all "a b" (B=1 type, V=2); one TEST-side doc "x y"
+    // whose history x was never seen → p = p_cont(y) = (0+1)/(1+2+1)
+    val trainIds = (0L until 40L)
+    val xyId = (100L until 200L).find(md5Bucket(_) >= 80).get
+    val rows = trainIds.map(i => (i, "a b", "en", "s1", 3L)) :+
+      ((xyId, "x y", "en", "s2", 3L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Text.textLmKneserNey(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val expected = BigDecimal(-math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("s2") == ((1L, expected, 1.0)), s"got ${out.get("s2")}")
+  }
 }
