@@ -714,6 +714,16 @@ object Curation {
       .orderBy(col("rank").desc, col("doc_id"))
   }
 
+  /** Triangle-enumeration apex budget: an oriented apex with more
+    * out-neighbors than this is EXCLUDED from wedge generation and
+    * reported in `n_apex_capped` instead (its wedge mass is C(od,2) —
+    * quadratic; a handful of mega-clique apexes is exactly where the
+    * O(m^1.5) bound stops being a comfort at 100× and where transitivity
+    * is trivially high anyway). Wedge volume is ≤ cap·m/2 by
+    * construction. The first sf10 run of the UNCAPPED join OOM'd the
+    * executor — this cap is the measured consequence, not a guess. */
+  private val TriApexOutCap = 32L
+
   /**
    * Transitivity audit of the near-dup graph — triangle vs wedge counts
    * over the COLLAPSED set graph (supernodes = unique word sets, the
@@ -728,11 +738,16 @@ object Curation {
    *
    * Scale: the standard degree-ordered orientation (each edge directed
    * toward the higher-(degree, id) endpoint) bounds every node's
-   * out-degree by O(√m), so the wedge join is the O(m^1.5) compact-
-   * forward algorithm — never a hub's deg² explosion; each triangle is
-   * counted exactly once at its minimum-(deg, id) apex. Everything folds
-   * to a 4-row metric relation before the single-row output; counts are
-   * exact integers, the coefficient one final rounded division.
+   * out-degree by O(√m) — and the explicit [[TriApexOutCap]] bounds it
+   * ABSOLUTELY: apexes above the cap (mega-clique interiors, which are
+   * trivially transitive) are excluded and REPORTED, so wedge volume is
+   * ≤ cap·m/2 at any graph size and the enumeration can't OOM. Each
+   * triangle is counted exactly once at its minimum-(deg, id) apex;
+   * `n_triangles` is exact when `n_apex_capped` = 0 and an honest lower
+   * bound otherwise (the coefficient reports NULL rather than a biased
+   * value — the capped columns tell the story). Wedge totals stay exact
+   * either way (Σ deg(deg−1)/2 — no enumeration). Counts are exact
+   * integers, the coefficient one final rounded division.
    */
   def dedupGraphTriangles(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -763,16 +778,28 @@ object Curation {
       .select(col("o.s").as("src"), col("o.d").as("dst"), col("o.dd").as("dd"))
       .persist(MEMORY_AND_DISK)
     graft.core.QueryCaches.report(oriented)
-    val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
-    val o2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
-    // ordered out-neighbor pairs at each apex; the closing edge {v,w} is
-    // necessarily oriented v→w because (deg,id)(v) < (deg,id)(w)
+    // the enumeration budget: apexes above the out-degree cap are
+    // excluded from wedge generation and reported, never enumerated
+    val outDeg = oriented.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(outDeg)
+    val okApex = outDeg.filter(col("od") <= TriApexOutCap).select(col("src"))
+    val o1 = oriented.join(okApex, Seq("src"))
+      .select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val o2 = oriented.join(okApex, Seq("src"))
+      .select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    // ordered out-neighbor pairs at each (uncapped) apex; the closing
+    // edge {v,w} is necessarily oriented v→w since (deg,id)(v) < (deg,id)(w)
     val tri = o1.join(o2, Seq("src"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("v"), col("w"))
       .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .agg(count(lit(1)).cast("double").as("value"))
       .select(lit("n_triangles").as("metric"), col("value"))
+    val capStats = outDeg.agg(
+        coalesce(sum(when(col("od") > TriApexOutCap, 1L).otherwise(0L)), lit(0L))
+          .cast("double").as("value"))
+      .select(lit("n_apex_capped").as("metric"), col("value"))
     val degStats = deg.agg(count(lit(1)).cast("double").as("nn"),
         sum(col("deg").cast(d38) * (col("deg") - 1L)).as("tw"))
       .select(explode(array(
@@ -783,17 +810,19 @@ object Curation {
       .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
     val edgeStats = edges.agg(count(lit(1)).cast("double").as("value"))
       .select(lit("n_edges").as("metric"), col("value"))
-    degStats.unionByName(edgeStats).unionByName(tri)
+    degStats.unionByName(edgeStats).unionByName(tri).unionByName(capStats)
       .agg(max(when(col("metric") === "n_nodes", col("value"))).as("nn"),
         max(when(col("metric") === "n_edges", col("value"))).as("ne"),
         max(when(col("metric") === "n_wedges", col("value"))).as("nw"),
-        max(when(col("metric") === "n_triangles", col("value"))).as("nt"))
+        max(when(col("metric") === "n_triangles", col("value"))).as("nt"),
+        max(when(col("metric") === "n_apex_capped", col("value"))).as("nc"))
       .select(col("nn").cast("long").as("n_nodes"),
         col("ne").cast("long").as("n_edges"),
         col("nw").cast("long").as("n_wedges"),
         col("nt").cast("long").as("n_triangles"),
-        round(when(col("nw") > 0, lit(3.0d) * col("nt") / col("nw")), 6)
-          .as("transitivity"))
+        col("nc").cast("long").as("n_apex_capped"),
+        round(when(col("nc") === 0 && col("nw") > 0,
+          lit(3.0d) * col("nt") / col("nw")), 6).as("transitivity"))
   }
 
   /**
@@ -970,9 +999,16 @@ object Curation {
          |  FROM tedges
          |  JOIN tdeg dda ON tedges.a = dda.u
          |  JOIN tdeg ddb ON tedges.b = ddb.u),
+         |odeg AS (SELECT src, CAST(COUNT(1) AS BIGINT) AS od FROM o GROUP BY src),
+         |ok AS (SELECT src FROM odeg WHERE od <= $TriApexOutCap),
+         |cap AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN od > $TriApexOutCap THEN 1
+         |    ELSE 0 END), 0) AS BIGINT) AS n_apex_capped
+         |  FROM odeg),
          |tri AS (
          |  SELECT CAST(COUNT(1) AS BIGINT) AS n_triangles
          |  FROM o o1
+         |  JOIN ok k1 ON o1.src = k1.src
          |  JOIN o o2 ON o1.src = o2.src
          |    AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
          |  JOIN o oc ON oc.src = o1.dst AND oc.dst = o2.dst),
@@ -982,10 +1018,11 @@ object Curation {
          |  FROM tdeg),
          |es AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_edges FROM tedges)
          |SELECT ds.n_nodes, es.n_edges, ds.n_wedges, tri.n_triangles,
-         |  round(CASE WHEN ds.n_wedges > 0 THEN
+         |  cap.n_apex_capped,
+         |  round(CASE WHEN cap.n_apex_capped = 0 AND ds.n_wedges > 0 THEN
          |    3.0 * CAST(tri.n_triangles AS DOUBLE) / CAST(ds.n_wedges AS DOUBLE)
          |    END, 6) AS transitivity
-         |FROM ds CROSS JOIN es CROSS JOIN tri""".stripMargin,
+         |FROM ds CROSS JOIN es CROSS JOIN tri CROSS JOIN cap""".stripMargin,
     "dedup_graph_modularity" ->
       s"""WITH pairsq AS (${Dedup.jaccardWordsPairsSql}),
          |e AS (

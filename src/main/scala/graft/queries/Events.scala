@@ -956,6 +956,77 @@ object Events {
       .select(col("event_type"), col("dn"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /**
+   * Friedman rank test across event types over daily blocks — "do the
+   * event types keep the same daily ordering?": each calendar day is a
+   * BLOCK, the types are the k treatments, the measurement is the day's
+   * count, and the tie-corrected Friedman χ²_F (Conover's form) says
+   * whether the per-day rankings are stable structure or noise. The
+   * k-sample repeated-measures closure of the daily-series monitors
+   * ([[statsCusumShift]] watches one type's level; this watches the
+   * RELATIVE ordering of all of them).
+   *
+   * Blocks form a complete design over the GLOBAL day range × the full
+   * type set — a type absent on a day is a true zero measurement (the
+   * [[denseDaily]] calendar convention, widened to a common spine so
+   * every block ranks all k treatments). Untyped events are outside the
+   * design.
+   *
+   * Exactness: within-block doubled average ranks are exact integers;
+   * per-type rank sums and Σ(2r)² accumulate in DECIMAL(38,0); the
+   * per-type squared rank sums round to 8 dp before the order-free fold
+   * (the Levene recipe); χ²_F = (k−1)(Σ(2R_j)² − n²k(k+1)²) /
+   * (Σ(2r)² − nk(k+1)²) is one final double expression, NULL when every
+   * block ranks all types identically (zero denominator) or k < 2.
+   * Scale: events collapse to the ≤days×types relation first; windows
+   * partition by day over ≤k rows; the type list is a metadata-sized
+   * driver constant.
+   */
+  def statsFriedman(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val daily = ev(s, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"),
+        datediff(to_date(timestamp_micros(epochUs())), lit("1970-01-01").cast("date"))
+          .cast("long").as("dn"))
+      .groupBy(col("event_type"), col("dn"))
+      .agg(count(lit(1)).as("x"))
+      .persist()
+    graft.core.QueryCaches.report(daily)
+    val types = daily.select(col("event_type")).distinct()
+      .orderBy(col("event_type")).collect().map(_.getString(0)).toSeq
+    val spine = daily.agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dn"))
+    val grid = spine
+      .select(col("dn"), explode(typedLit(types)).as("event_type"))
+      .join(daily, Seq("event_type", "dn"), "left")
+      .select(col("dn"), col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+    val wd = Window.partitionBy(col("dn")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = grid.groupBy(col("dn"), col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", coalesce(sum(col("c")).over(wd), lit(0L)))
+      .select(col("dn"), col("x"), (lit(2L) * col("cum") + col("c") + 1L).as("r2v"))
+    val perType = grid.join(r2, Seq("dn", "x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("r2v").cast(d38)).as("rr2"),
+        sum(col("r2v").cast(d38) * col("r2v")).as("a4j"))
+    val ai = round(col("rr2").cast("double") * col("rr2").cast("double"), 8)
+      .cast(dec8)
+    val folded = perType.agg(count(lit(1)).as("k"), max(col("nb")).as("n"),
+      sum(ai).as("sr2"), sum(col("a4j")).as("a4"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val num = col("sr2").cast("double") -
+      nD * nD * kD * (kD + lit(1.0d)) * (kD + lit(1.0d))
+    val den = col("a4").cast("double") -
+      nD * kD * (kD + lit(1.0d)) * (kD + lit(1.0d))
+    folded.select(col("k").as("k_treatments"), col("n").as("n_blocks"),
+      (round(when(col("k") > 1 && den > 0, (kD - lit(1.0d)) * num / den), 6)
+        + lit(0.0)).as("chi2_f"))
+  }
+
   /** Autocorrelation probe lags (days). */
   private val AcfMaxLag = 7
 
@@ -1917,6 +1988,7 @@ object Events {
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "interval_concurrency" -> (intervalConcurrency _),
     "stats_cusum_shift" -> (statsCusumShift _),
+    "stats_friedman" -> (statsFriedman _),
     "stats_runs_test" -> (statsRunsTest _),
     "q_inter_event_gaps" -> (qInterEventGaps _),
     "q_did_lift" -> (qDidLift _),
@@ -2242,6 +2314,50 @@ object Events {
         |        * CAST(n_above + n_below AS DOUBLE)
         |        * (CAST(n_above + n_below AS DOUBLE) - 1.0))) END, 6) AS z
         |FROM r ORDER BY event_type""".stripMargin,
+    "stats_friedman" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |    CAST(COUNT(1) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT MIN(dn) AS lo, MAX(dn) AS hi FROM daily),
+        |sp AS (SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS dn FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM daily),
+        |grid AS (
+        |  SELECT sp.dn, ty.event_type, CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+        |  FROM sp CROSS JOIN ty
+        |  LEFT JOIN daily d ON d.dn = sp.dn AND d.event_type = ty.event_type),
+        |r2 AS (
+        |  SELECT dn, x,
+        |    2 * COALESCE(CAST(SUM(c) OVER (PARTITION BY dn ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + c + 1 AS r2v
+        |  FROM (SELECT dn, x, CAST(COUNT(1) AS BIGINT) AS c
+        |        FROM grid GROUP BY 1, 2)),
+        |pt AS (
+        |  SELECT g.event_type, CAST(COUNT(1) AS BIGINT) AS nb,
+        |    SUM(CAST(r2.r2v AS DECIMAL(38,0))) AS rr2,
+        |    SUM(CAST(r2.r2v AS DECIMAL(38,0)) * r2.r2v) AS a4j
+        |  FROM grid g JOIN r2 ON g.dn = r2.dn AND g.x = r2.x
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(COUNT(1) AS BIGINT) AS k, CAST(MAX(nb) AS BIGINT) AS n,
+        |    SUM(CAST(round(CAST(rr2 AS DOUBLE) * CAST(rr2 AS DOUBLE), 8)
+        |      AS DECIMAL(30,8))) AS sr2,
+        |    SUM(a4j) AS a4
+        |  FROM pt)
+        |SELECT k AS k_treatments, n AS n_blocks,
+        |  round(CASE WHEN k > 1 AND
+        |      CAST(a4 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0) > 0
+        |    THEN (CAST(k AS DOUBLE) - 1.0)
+        |      * (CAST(sr2 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+        |         * (CAST(k AS DOUBLE) + 1.0))
+        |      / (CAST(a4 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+        |         * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0))
+        |    END, 6) + 0.0 AS chi2_f
+        |FROM f""".stripMargin,
     "stats_cusum_shift" ->
       """WITH daily AS (
         |  SELECT event_type,

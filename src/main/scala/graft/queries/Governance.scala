@@ -1893,9 +1893,74 @@ object Governance {
     val t2 = nD * (nD + lit(1.0d)) * nD * (nD + lit(1.0d))
     val denom = nD * col("s2_tot").cast("double") - t2
     folded.select(col("k"), col("n_total"),
-      round(when(col("k") > 1 && denom > 0,
+      (round(when(col("k") > 1 && denom > 0,
         (nD - lit(1.0d)) * (nD * col("a_tot").cast("double") - t2) / denom), 6)
-        .as("h_stat"))
+        + lit(0.0)).as("h_stat"))
+  }
+
+  // ---------------------------------------------------------------------
+  // stats_dunn_posthoc — pairwise rank z-tests after Kruskal–Wallis
+  // ---------------------------------------------------------------------
+
+  /**
+   * Dunn's post-hoc test — the pairwise follow-up [[statsKruskalWallis]]
+   * calls for: when the omnibus H rejects, WHICH source pairs differ?
+   * For every source pair, z = (r̄ᵢ − r̄ⱼ) / √σ² with the tie-corrected
+   * variance σ² = [N(N+1)/12 − Σ(t³−t)/(12(N−1))]·(1/nᵢ + 1/nⱼ), all
+   * ranks pooled across the full corpus (Dunn 1964 — the textbook
+   * companion; pairwise Mann–Whitney re-ranks each pair separately and
+   * answers a different question).
+   *
+   * Exactness: the same doubled-rank machinery as the omnibus test —
+   * mean ranks derive from exact DECIMAL rank sums; N and the tie sum
+   * Σ(t³−t) are exact 1-row model scalars folded in as literals; z is
+   * one final double expression per pair, NULL when the pooled ranks are
+   * constant (σ² = 0). Scale: the pair relation is the |sources|²
+   * self-join of a metadata-sized rollup — never a per-row window.
+   */
+  def statsDunnPosthoc(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val sv = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val vc = sv.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+    // N and the tie sum Σ(cv³−cv): exact 1-row model scalars
+    val tot = vc.agg(sum(col("cv")).as("n"),
+      sum(col("cv").cast(d38) * col("cv") * col("cv") - col("cv")).as("ts"))
+      .first()
+    val nTotal = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val tieSum = if (tot.isNullAt(1)) 0.0 else tot.getDecimal(1).doubleValue()
+    val nD = nTotal.toDouble
+    // tie-corrected pooled rank variance factor; 0 folds the z to NULL
+    // through the σ² > 0 guard below
+    val baseVar =
+      if (nTotal > 1) nD * (nD + 1.0) / 12.0 - tieSum / (12.0 * (nD - 1.0))
+      else 0.0
+    val wv = Window.partitionBy(Tables.zeroPart(col("v"))).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = vc
+      .withColumn("cum", coalesce(sum(col("cv")).over(wv), lit(0L)))
+      .select(col("v"), (lit(2L) * col("cum") + col("cv") + 1L).as("r2v"))
+    val perSrc = sv.join(r2, Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("c").cast(d38) * col("r2v")).as("rr2"))
+    val a = perSrc.select(col("source").as("src_a"), col("n").as("n_a"),
+      col("rr2").as("rr2_a"))
+    val b = perSrc.select(col("source").as("src_b"), col("n").as("n_b"),
+      col("rr2").as("rr2_b"))
+    val ma = col("rr2_a").cast("double") / (lit(2.0d) * col("n_a").cast("double"))
+    val mb = col("rr2_b").cast("double") / (lit(2.0d) * col("n_b").cast("double"))
+    val sig2 = lit(baseVar) *
+      (lit(1.0d) / col("n_a").cast("double") + lit(1.0d) / col("n_b").cast("double"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_rank_a"),
+        round(mb, 6).as("mean_rank_b"),
+        (round(when(sig2 > 0, (ma - mb) / sqrt(sig2)), 6) + lit(0.0)).as("z"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   // ---------------------------------------------------------------------
@@ -2142,6 +2207,7 @@ object Governance {
     "stats_anderson_darling" -> (statsAndersonDarling _),
     "stats_levene" -> (statsLevene _),
     "stats_kruskal_wallis" -> (statsKruskalWallis _),
+    "stats_dunn_posthoc" -> (statsDunnPosthoc _),
     "stats_cramers_v" -> (statsCramersV _),
     "stats_welch_ttest" -> (statsWelchTtest _),
     "privacy_dp_count" -> (privacyDpCount _),
@@ -2738,6 +2804,46 @@ object Governance {
     "stats_kendall_tau" -> statsKendallTauSql,
     "stats_anderson_darling" -> statsAndersonDarlingSql,
     "stats_levene" -> statsLeveneSql,
+    "stats_dunn_posthoc" ->
+      """WITH sv AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |vc AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM sv GROUP BY v),
+        |tot AS (
+        |  SELECT CAST(SUM(cv) AS BIGINT) AS n,
+        |    SUM(CAST(cv AS DECIMAL(38,0)) * cv * cv - cv) AS ts
+        |  FROM vc),
+        |bse AS (
+        |  SELECT CASE WHEN n > 1 THEN
+        |      CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+        |      - CAST(ts AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0))
+        |    ELSE 0.0 END AS basev
+        |  FROM tot),
+        |r2 AS (
+        |  SELECT v,
+        |    2 * COALESCE(CAST(SUM(cv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + cv + 1 AS r2v
+        |  FROM vc),
+        |ps AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * r2v) AS rr2
+        |  FROM sv JOIN r2 USING (v) GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+        |  round(CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE)), 6)
+        |    AS mean_rank_a,
+        |  round(CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE)), 6)
+        |    AS mean_rank_b,
+        |  round(CASE WHEN basev * (1.0 / CAST(a.n AS DOUBLE)
+        |      + 1.0 / CAST(b.n AS DOUBLE)) > 0 THEN
+        |    (CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE))
+        |     - CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE)))
+        |    / sqrt(basev * (1.0 / CAST(a.n AS DOUBLE)
+        |        + 1.0 / CAST(b.n AS DOUBLE)))
+        |    END, 6) + 0.0 AS z
+        |FROM ps a JOIN ps b ON a.source < b.source CROSS JOIN bse
+        |ORDER BY src_a, src_b""".stripMargin,
     "stats_kruskal_wallis" ->
       """WITH sv AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS v,
@@ -2773,7 +2879,7 @@ object Governance {
         |      / (CAST(n_total AS DOUBLE) * CAST(s2_tot AS DOUBLE)
         |         - CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)
         |           * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
-        |    END, 6) AS h_stat
+        |    END, 6) + 0.0 AS h_stat
         |FROM f""".stripMargin,
     "stats_mann_whitney" ->
       """WITH l AS (

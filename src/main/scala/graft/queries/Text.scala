@@ -597,6 +597,51 @@ object Text {
        |FROM pd GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** MATTR sliding-window width (Covington & McFall's standard 25–100
+    * band, small end — the corpus's docs are short). */
+  private val MattrWindow = 25
+
+  /**
+   * Lexical diversity per document — plain type-token ratio and MATTR
+   * (moving-average TTR, window [[MattrWindow]]): the length-robust
+   * diversity score a quality battery wants where raw TTR is useless
+   * (TTR falls with length for ANY text, so a threshold on it is really
+   * a length filter; MATTR compares docs of different lengths on equal
+   * footing). Low MATTR flags template/keyword-stuffed text that passes
+   * the length and stopword gates.
+   *
+   * Scale shape: one scan, zero shuffles before the ordered output —
+   * the window sum is a per-row expression over the token array
+   * (O(n·W) per doc, bounded work per row). Docs shorter than the
+   * window report NULL mattr (the statistic is undefined there; ttr
+   * still covers them). Exactness: integer distinct counts; one rounded
+   * division each for ttr and mattr; NULL text propagates NULL.
+   */
+  def textMattr(s: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val n = size(ws)
+    val nwin = n - lit(MattrWindow) + lit(1)
+    val winSum = aggregate(
+      transform(sequence(lit(1), nwin),
+        i => size(array_distinct(slice(ws, i, lit(MattrWindow)))).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    docs(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_types"),
+        when(n >= MattrWindow, winSum).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("ttr"),
+        when(col("n_tokens") >= MattrWindow,
+          round(col("wsum").cast("double") /
+            (lit(25.0d) * (col("n_tokens") - lit(24L)).cast("double")), 6))
+          .as("mattr"))
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * BPE compression curve — the diminishing-returns audit next to
    * [[bpeTrainMerges]]: after each of the [[BpeRounds]] merges, the
@@ -1818,6 +1863,7 @@ object Text {
     "bpe_compression_curve" -> (bpeCompressionCurve _),
     "text_lm_heldout_ppl" -> (textLmHeldoutPpl _),
     "text_lm_kneser_ney" -> (textLmKneserNey _),
+    "text_mattr" -> (textMattr _),
     "pack_pairs" -> (packPairs _),
     "quality_nll_calibration" -> (qualityNllCalibration _),
     "dsir_score" -> (dsirScore _),
@@ -2351,6 +2397,27 @@ object Text {
     "bpe_compression_curve" -> bpeCurveSql,
     "text_lm_heldout_ppl" -> textLmHeldoutSql,
     "text_lm_kneser_ney" -> textLmKneserNeySql,
+    "text_mattr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+        |    CASE WHEN len(ws) >= 25 THEN
+        |      CAST(list_sum(list_transform(generate_series(1, len(ws) - 24),
+        |        i -> len(list_distinct(ws[i:i+24])))) AS BIGINT) END AS wsum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    END AS ttr,
+        |  CASE WHEN n_tokens >= 25 THEN
+        |    round(CAST(wsum AS DOUBLE)
+        |      / (25.0 * CAST(n_tokens - 24 AS DOUBLE)), 6) END AS mattr
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "bpe_pair_counts" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

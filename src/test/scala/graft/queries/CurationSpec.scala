@@ -191,10 +191,10 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val r = Curation.dedupGraphTriangles(spark, dir.toString).collect()
     assert(r.length == 1)
     val row = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
-      r(0).getDouble(4))
+      r(0).getLong(4), r(0).getDouble(5))
     // 6 supernodes touch edges; 3 trio + 2 chain edges; wedges 3 + 1;
-    // one triangle → transitivity 3·1/4
-    assert(row == ((6L, 5L, 4L, 1L, 0.75)), s"got $row")
+    // one triangle, nothing capped → transitivity 3·1/4
+    assert(row == ((6L, 5L, 4L, 1L, 0L, 0.75)), s"got $row")
   }
 
   test("dedupGraphTriangles: empty corpus folds to the zero row") {
@@ -205,9 +205,29 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val r = Curation.dedupGraphTriangles(spark, dir.toString).collect()
     assert(r.length == 1)
-    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
-      == ((0L, 0L, 0L, 0L)))
-    assert(r(0).isNullAt(4), "no wedges → NULL coefficient, not a division error")
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(r(0).isNullAt(5), "no wedges → NULL coefficient, not a division error")
+  }
+
+  test("dedupGraphTriangles: mega-clique apexes hit the out-degree cap and are reported") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // a 40-set near-clique (pairwise J = 39/41): every node has degree 39;
+    // orientation ties break by id, so node k has out-degree 39−k —
+    // k=0..6 exceed the 32 cap. Triangle enumeration keeps the apexes
+    // k≥7 → C(33,3); wedge/edge totals stay exact; coefficient is NULL.
+    val base = (1 to 39).map(i => s"w$i").mkString(" ")
+    val rows = (0L until 40L).map(k => (k, s"$base u$k", "en", "s0"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Curation.dedupGraphTriangles(spark, dir.toString).collect()
+    assert(r.length == 1)
+    val row = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4))
+    assert(row == ((40L, 780L, 29640L, 5456L, 7L)), s"got $row")
+    assert(r(0).isNullAt(5),
+      "a capped enumeration must not report a biased coefficient")
   }
 
   // ------------------------------------------------- source-mix modularity

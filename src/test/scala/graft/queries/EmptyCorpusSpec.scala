@@ -52,7 +52,8 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "embed_kmeans_inertia",
     "sim_bruteforce_topk", "sim_lsh_buckets", "sim_ivf_topk", "sim_knn_accuracy",
     "sim_ivf_multiprobe", "stats_kruskal_wallis", "text_lm_kneser_ney",
-    "dedup_graph_triangles", "dedup_graph_modularity", "dedup_token_savings")
+    "dedup_graph_triangles", "dedup_graph_modularity", "dedup_token_savings",
+    "text_mattr", "stats_dunn_posthoc")
 
   test("every corpus-family query returns (not throws) on fully empty tables") {
     val dir = emptyDir()
@@ -80,7 +81,7 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkFixture {
     "q24_json_props", "q25_hour_buckets", "q_asof_join", "q_asof_fwd",
     "q_funnel", "q_gap_fill", "q_range_frame", "q_cohort_retention", "q_rfm_segments",
     "q_attribution_linear", "q_cohort_ltv", "ml_split_leakage", "stats_key_skew",
-    "seq_transition_matrix")
+    "seq_transition_matrix", "stats_friedman")
 
   test("event-analytics queries return (not throws) on an empty events table") {
     val dir = tmpSfDir()

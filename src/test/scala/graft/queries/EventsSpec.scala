@@ -50,6 +50,56 @@ class EventsSpec extends AnyFunSuite with SparkFixture {
       out(1L).getLong(3) == usOf(3 * H))
   }
 
+  test("statsFriedman: textbook no-tie chi2 on a stable daily ranking") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val day = 24 * 60L
+    // day0: A=1, B=2; day1: A=1, B=3 — B out-ranks A in both blocks:
+    // R_A=2, R_B=4 → chi2_F = 12/(2·2·3)·(4+16) − 3·2·3 = 2
+    val rows = Seq(
+      (1L, 1L, tsNs(0 * day + 1), "A", 1.0),
+      (2L, 1L, tsNs(0 * day + 2), "B", 1.0),
+      (3L, 1L, tsNs(0 * day + 3), "B", 1.0),
+      (4L, 1L, tsNs(1 * day + 1), "A", 1.0),
+      (5L, 1L, tsNs(1 * day + 2), "B", 1.0),
+      (6L, 1L, tsNs(1 * day + 3), "B", 1.0),
+      (7L, 1L, tsNs(1 * day + 4), "B", 1.0))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val r = Events.statsFriedman(spark, dir.toString).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2)) == ((2L, 2L, 2.0)),
+      s"got ${r(0)}")
+  }
+
+  test("statsFriedman: tied and zero-filled blocks use average ranks; k=1 is NULL") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val day = 24 * 60L
+    // day0: A=1, B=1 (tied block); day1: NO events (zero-zero tie after
+    // the calendar fill); day2: A absent (true zero) vs B=2.
+    // Doubled ranks: (3,3), (3,3), (2,4) → R2_A=8, R2_B=10 → chi2 = 1.0
+    val rows = Seq(
+      (1L, 1L, tsNs(0 * day + 1), "A", 1.0),
+      (2L, 1L, tsNs(0 * day + 2), "B", 1.0),
+      (3L, 1L, tsNs(2 * day + 1), "B", 1.0),
+      (4L, 1L, tsNs(2 * day + 2), "B", 1.0))
+    writeTable(dir, "events",
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val r = Events.statsFriedman(spark, dir.toString).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2)) == ((2L, 3L, 1.0)),
+      s"got ${r(0)}")
+
+    val dir2 = tmpSfDir()
+    writeTable(dir2, "events",
+      Seq((1L, 1L, tsNs(1), "A", 1.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val r2 = Events.statsFriedman(spark, dir2.toString).collect()
+    assert(r2.length == 1 && r2(0).getLong(0) == 1L && r2(0).isNullAt(2),
+      "a single treatment has no ranking to test — NULL, not a division error")
+  }
+
   test("qGapFill: dense panel zero-fills and carries the last active day forward") {
     import spark.implicits._
     val dir = tmpSfDir()

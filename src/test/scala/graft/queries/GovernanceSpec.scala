@@ -686,4 +686,40 @@ class GovernanceSpec extends AnyFunSuite with SparkFixture {
     assert(r2.length == 1 && r2(0).isNullAt(2),
       "constant pooled ranks have zero variance — H is NULL, not a division error")
   }
+
+  test("statsDunnPosthoc: pairwise z from pooled mean ranks, no ties") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // A:{10,20} B:{30,40} C:{50,60} — mean ranks 1.5 / 3.5 / 5.5,
+    // σ² = (6·7/12)·(1/2+1/2) = 3.5 for every pair
+    val rows = Seq(
+      (0L, "t", "en", "a", 10L), (1L, "t", "en", "a", 20L),
+      (2L, "t", "en", "b", 30L), (3L, "t", "en", "b", 40L),
+      (4L, "t", "en", "c", 50L), (5L, "t", "en", "c", 60L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val zNear = rnd(-2.0 / math.sqrt(3.5))
+    val zFar = rnd(-4.0 / math.sqrt(3.5))
+    val out = Governance.statsDunnPosthoc(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1.5, 3.5, zNear)),
+      ("a", "c") -> ((1.5, 5.5, zFar)),
+      ("b", "c") -> ((3.5, 5.5, zNear))), s"got $out")
+  }
+
+  test("statsDunnPosthoc: fully tied corpus has zero rank variance — z is NULL") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    val rows = Seq(
+      (0L, "t", "en", "a", 7L), (1L, "t", "en", "a", 7L),
+      (2L, "t", "en", "b", 7L))
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Governance.statsDunnPosthoc(spark, dir.toString).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(4) == r(0).getDouble(5), "everyone shares the mean rank")
+    assert(r(0).isNullAt(6), "σ² = 0 — NULL, not a division error")
+  }
 }

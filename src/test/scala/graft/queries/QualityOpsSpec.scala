@@ -429,6 +429,33 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       "adaptive-path cid assignment diverged from the window spelling")
   }
 
+  test("textMattr: windows average the distinct counts; short docs get TTR only") {
+    import spark.implicits._
+    val dir = tmpSfDir()
+    // 26 tokens, one repeat at the front: window [1..25] has 24 types,
+    // window [2..26] has 25 → MATTR = 49/50; TTR = 25/26
+    val long26 = ("a" +: "a" +: (3 to 26).map(i => s"w$i")).mkString(" ")
+    val rows = Seq(
+      (0L, long26, "en", "s0"),
+      (1L, "a b a", "en", "s0"),   // short: TTR 2/3, MATTR undefined
+      (2L, "", "en", "s0"),        // empty: 0 tokens, both NULL
+      (3L, null.asInstanceOf[String], "en", "s0"))
+      .map { case (id, t, l, s) =>
+        (id, t, l, s, Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+    writeTable(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Text.textMattr(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 26L)
+    assert(out(0L).getDouble(2) == 0.961538 && out(0L).getDouble(3) == 0.98,
+      s"got ${out(0L)}")
+    assert(out(1L).getLong(1) == 3L && out(1L).getDouble(2) == 0.666667
+      && out(1L).isNullAt(3), "short doc: TTR only, MATTR undefined")
+    assert(out(2L).getLong(1) == 0L && out(2L).isNullAt(2) && out(2L).isNullAt(3))
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3),
+      "NULL text propagates NULL accounting")
+  }
+
   // ------------------------------------------------- Kneser–Ney held-out LM
 
   /** The engines' md5-mod-100 split bucket, reimplemented independently so
