@@ -904,7 +904,152 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Fixed peel budget for [[dedupGraphKcore]] — both engines run exactly
+    * this many rounds and publish a convergence flag, so a
+    * deeper-than-budget peel is VISIBLE, never silently wrong. */
+  private val KcorePeelRounds = 8
+
+  /** The bounded 2-core peel loop on a directed-both-ways edge relation
+    * (s, d): runs the fixed [[KcorePeelRounds]] schedule with an early
+    * exit once the survivor count stabilizes (peeling is monotone, so
+    * count-stable = set-stable = the round-R set). Returns the surviving
+    * node set and whether rounds R−1 and R agree. Factored out so specs
+    * can drive it with synthetic graphs (chains that exhaust the budget,
+    * cliques that converge immediately) without a document corpus. */
+  private[queries] def kcorePeel(edges: DataFrame, deg0: DataFrame)
+      : (DataFrame, Boolean) = {
+    var surv = deg0.filter(col("deg0") >= 2L).select(col("s"))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(surv)
+    var prevN = surv.count()
+    var converged = false
+    var i = 2
+    while (i <= KcorePeelRounds && !converged) {
+      val next = edges
+        .join(surv, Seq("s"), "left_semi")
+        .join(surv.select(col("s").as("d")), Seq("d"), "left_semi")
+        .groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2L).select(col("s"))
+        .persist(MEMORY_AND_DISK)
+      graft.core.QueryCaches.report(next)
+      val n = next.count()
+      if (n == prevN) converged = true
+      prevN = n
+      surv = next
+      i += 1
+    }
+    (surv, converged)
+  }
+
+  // ---------------------------------------------------------------------
+  // dedup_graph_kcore — 2-core of the dup-pair graph (bounded peeling)
+  // ---------------------------------------------------------------------
+
+  /**
+   * 2-core decomposition of the Jaccard dup-pair graph: iteratively peel
+   * nodes with degree < 2 until fixpoint (bounded at
+   * [[KcorePeelRounds]] rounds) — the dense-dup-community detector that
+   * separates PAIRWISE accidents (a doc with one near-dup — deg-1
+   * pendant, gone after one peel) from template FAMILIES (mutually-
+   * near-dup clusters, which survive every peel). The 2-core is exactly
+   * the part of the graph where [[dedupGraphTriangles]] and
+   * [[dedupGraphModularity]] read their structure; a curation planner
+   * treats in-core docs as template populations (drop-all-but-one) and
+   * pendants as ordinary near-dup pairs (keep-best).
+   *
+   * Correctness: both engines run the IDENTICAL fixed peel schedule
+   * (s_{i+1} = {v ∈ s_i : deg within s_i ≥ 2}); `converged` reports
+   * whether rounds R−1 and R agree, so an adversarially deep peel
+   * (a long chain burns one round per 2 hops) degrades to a VISIBLE
+   * under-peel, never a silent wrong answer. The Spark loop exits early
+   * once stable — peeling is monotone, so the early exit IS the round-R
+   * set. Scale: each round is one semi-join-bounded degree count over
+   * the capped pair relation (map-side combine; edges are
+   * band-bucket-bounded upstream), persisted + counted per round — the
+   * [[dedupComponents]] checkpoint discipline, but with a FIXED round
+   * budget, so no diameter cliff exists here.
+   */
+  def dedupGraphKcore(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir))
+      .select(col("da"), col("db"))
+    val edges = pairs.select(col("da").as("s"), col("db").as("d"))
+      .unionByName(pairs.select(col("db").as("s"), col("da").as("d")))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(edges)
+    val deg0 = edges.groupBy(col("s")).agg(count(lit(1)).as("deg0"))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(deg0)
+    val (surv, converged) = kcorePeel(edges, deg0)
+    val core = edges
+      .join(surv, Seq("s"), "left_semi")
+      .join(surv.select(col("s").as("d")), Seq("d"), "left_semi")
+      .groupBy(col("s")).agg(count(lit(1)).as("core_deg"))
+    deg0
+      .join(surv.withColumn("ic", lit(true)), Seq("s"), "left")
+      .join(core, Seq("s"), "left")
+      .select(col("s").as("doc_id"), col("deg0"),
+        coalesce(col("ic"), lit(false)).as("in_core2"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        lit(converged).as("converged"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // dedup_graph_assortativity — degree assortativity of the dup graph
+  // ---------------------------------------------------------------------
+
+  /**
+   * Degree assortativity coefficient of the Jaccard dup-pair graph
+   * (Newman 2002): the Pearson correlation of endpoint degrees over the
+   * symmetrized edge list. Positive r ⇒ hubs link to hubs (one giant
+   * template family — expect a dense core the [[dedupGraphKcore]] peel
+   * retains); negative r ⇒ star shapes (one canonical doc with many
+   * pendant variants — components collapse cheaply). The single-number
+   * STRUCTURE summary that tells a curation planner which graph regime
+   * the cluster machinery is about to face.
+   *
+   * Exactness: degrees are exact integer counts; the five correlation
+   * sums fold in DECIMAL(38,0) (degree products wrap LONG past ~3·10⁹
+   * on a hub pair); r is one final double expression, NULL when either
+   * marginal is constant (a perfect clique graph). Scale: one degree
+   * rollup + two (doc_id)-keyed equi-joins onto the capped pair
+   * relation + one global fold — no window, no self-join beyond the
+   * edge list itself.
+   */
+  def dedupGraphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d38 = DecimalType(38, 0)
+    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir))
+      .select(col("da"), col("db"))
+    val edges = pairs.select(col("da").as("s"), col("db").as("d"))
+      .unionByName(pairs.select(col("db").as("s"), col("da").as("d")))
+      .persist(MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(edges)
+    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("dg"))
+    val g = edges
+      .join(deg, Seq("s"))
+      .join(deg.select(col("s").as("d"), col("dg").as("dh")), Seq("d"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dg").cast(d38)).as("sx"),
+        sum(col("dh").cast(d38)).as("sy"),
+        sum(col("dg").cast(d38) * col("dh")).as("sxy"),
+        sum(col("dg").cast(d38) * col("dg")).as("sxx"),
+        sum(col("dh").cast(d38) * col("dh")).as("syy"))
+    val num = (col("m").cast(d38) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val dx = (col("m").cast(d38) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val dy = (col("m").cast(d38) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    g.select(col("m").as("m_directed"),
+      (round(when(col("m") > 0L && dx > 0 && dy > 0,
+        num / (sqrt(dx) * sqrt(dy))), 6) + lit(0.0)).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_graph_assortativity" -> (dedupGraphAssortativity _),
+    "dedup_graph_kcore" -> (dedupGraphKcore _),
     "pipeline_dedup_graph" -> (pipelineDedupGraph _),
     "dedup_graph_pagerank" -> (dedupGraphPagerank _),
     "dedup_graph_triangles" -> (dedupGraphTriangles _),
@@ -952,7 +1097,63 @@ object Curation {
        |    JOIN deg d ON e.src = d.src CROSS JOIN nn
        |  GROUP BY e.dst, nn.n)""".stripMargin
 
+  /** One 2-core peel round as a DuckDB CTE: survivors of `prev` whose
+    * degree WITHIN `prev` is still ≥ 2. */
+  private def kcorePeelSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT e.s FROM edges e
+       |  JOIN $prev a ON e.s = a.s JOIN $prev b ON e.d = b.s
+       |  GROUP BY e.s HAVING COUNT(1) >= 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_graph_assortativity" ->
+      s"""WITH pairsq AS MATERIALIZED (${Dedup.jaccardWordsPairsSql}),
+         |edges AS MATERIALIZED (SELECT da AS s, db AS d FROM pairsq
+         |          UNION ALL SELECT db, da FROM pairsq),
+         |deg AS MATERIALIZED (SELECT s, CAST(COUNT(1) AS BIGINT) AS dg
+         |       FROM edges GROUP BY s),
+         |g AS (
+         |  SELECT CAST(COUNT(1) AS BIGINT) AS m,
+         |    SUM(CAST(a.dg AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(b.dg AS DECIMAL(38,0))) AS sy,
+         |    SUM(CAST(a.dg AS DECIMAL(38,0)) * b.dg) AS sxy,
+         |    SUM(CAST(a.dg AS DECIMAL(38,0)) * a.dg) AS sxx,
+         |    SUM(CAST(b.dg AS DECIMAL(38,0)) * b.dg) AS syy
+         |  FROM edges e JOIN deg a ON e.s = a.s JOIN deg b ON e.d = b.s)
+         |SELECT m AS m_directed,
+         |  round(CASE WHEN m > 0
+         |      AND CAST(CAST(m AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) > 0
+         |      AND CAST(CAST(m AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) > 0
+         |    THEN CAST(CAST(m AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+         |         * sqrt(CAST(CAST(m AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)))
+         |    END, 6) + 0.0 AS assortativity
+         |FROM g""".stripMargin,
+    "dedup_graph_kcore" ->
+      s"""WITH pairsq AS MATERIALIZED (${Dedup.jaccardWordsPairsSql}),
+         |edges AS MATERIALIZED (SELECT da AS s, db AS d FROM pairsq
+         |          UNION ALL SELECT db, da FROM pairsq),
+         |deg0 AS MATERIALIZED (SELECT s, CAST(COUNT(1) AS BIGINT) AS deg0
+         |         FROM edges GROUP BY s),
+         |s1 AS MATERIALIZED (SELECT s FROM deg0 WHERE deg0 >= 2),
+         |${(2 to KcorePeelRounds).map(i => kcorePeelSql(s"s${i - 1}", s"s$i"))
+           .mkString(",\n")},
+         |core AS (
+         |  SELECT e.s, CAST(COUNT(1) AS BIGINT) AS core_deg FROM edges e
+         |  JOIN s$KcorePeelRounds a ON e.s = a.s
+         |  JOIN s$KcorePeelRounds b ON e.d = b.s
+         |  GROUP BY e.s),
+         |conv AS (
+         |  SELECT (SELECT COUNT(1) FROM s${KcorePeelRounds - 1})
+         |    = (SELECT COUNT(1) FROM s$KcorePeelRounds) AS converged)
+         |SELECT d.s AS doc_id, d.deg0, (m.s IS NOT NULL) AS in_core2,
+         |  CAST(COALESCE(c.core_deg, 0) AS BIGINT) AS core_deg,
+         |  conv.converged
+         |FROM deg0 d
+         |LEFT JOIN s$KcorePeelRounds m ON d.s = m.s
+         |LEFT JOIN core c ON d.s = c.s
+         |CROSS JOIN conv
+         |ORDER BY doc_id""".stripMargin,
     "pipeline_dedup_graph" ->
       s"""WITH RECURSIVE $duckComp,
          |sz AS (SELECT comp_id, COUNT(1) AS cluster_size FROM comp GROUP BY comp_id),

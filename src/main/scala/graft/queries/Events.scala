@@ -1970,7 +1970,180 @@ object Events {
         col("da").as("pair_da"), col("db").as("pair_db"))
   }
 
+  // ---------------------------------------------------------------------
+  // stats_wilcoxon_signed — week-over-week paired signed-rank test
+  // ---------------------------------------------------------------------
+
+  /**
+   * Wilcoxon signed-rank test on week-over-week PAIRED daily volumes per
+   * event type: day d pairs with day d+7 on the dense grid, zero
+   * differences drop (the textbook Wilcoxon treatment), |d| gets
+   * average ranks, and z normal-approximates W⁺ with the tie-corrected
+   * variance n(n+1)(2n+1)/24 − Σ(t³−t)/48. The PAIRED complement to
+   * [[statsSeasonalityDow]] (which tests day-of-week level differences
+   * unpaired): a significant z here says the series is NOT
+   * week-stationary even after pairing away the weekday effect.
+   *
+   * Exactness: doubled average ranks 2r = 2·cumBefore + c + 1 stay
+   * integers, 2·W⁺ = Σ c_pos·2r accumulates as exact LONG sums, and the
+   * tie sum Σ(t³−t) folds in DECIMAL(38,0); one final double expression
+   * per event type, NULL when every |d| ties into a single block
+   * (σ² = 0) or no nonzero pairs survive. Scale: the pair relation is
+   * the ≤|days| dense grid self-joined at lag 7 — date-range-sized, not
+   * row-sized; ranks come from a cumulative window over the per-type
+   * |d|-value domain (the [[graft.queries.Governance]] doubled-rank
+   * machinery), never a per-row global window.
+   */
+  def statsWilcoxonSigned(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dense = denseDaily(s, dir)
+    val pairs = dense
+      .join(dense.select(col("event_type"), (col("dn") - 7L).as("dn"),
+        col("n").as("y")), Seq("event_type", "dn"))
+      .select(col("event_type"), (col("y") - col("n")).as("d"))
+      .filter(col("d") =!= 0L)
+    val vc = pairs
+      .select(col("event_type"), abs(col("d")).as("ad"),
+        when(col("d") > 0L, 1L).otherwise(0L).as("ip"))
+      .groupBy(col("event_type"), col("ad"))
+      .agg(count(lit(1)).as("c"), sum(col("ip")).as("cp"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = vc
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .select(col("event_type"), col("c"), col("cp"),
+        (lit(2L) * col("cb") + col("c") + lit(1L)).as("r2"))
+    val g = r.groupBy(col("event_type")).agg(
+      sum(col("c")).as("n"),
+      sum(col("cp") * col("r2")).as("w2p"),
+      sum(col("c").cast(d38) * col("c") * col("c") - col("c")).as("ts"))
+    val nD = col("n").cast("double")
+    val sig2 = nD * (nD + lit(1.0d)) * (lit(2.0d) * nD + lit(1.0d)) / lit(24.0d) -
+      col("ts").cast("double") / lit(48.0d)
+    g.select(col("event_type"), col("n").as("n_pairs"),
+        (col("w2p").cast("double") / lit(2.0d)).as("w_plus"),
+        (round(when(sig2 > 0,
+          (col("w2p").cast("double") / lit(2.0d) -
+            nD * (nD + lit(1.0d)) / lit(4.0d)) / sqrt(sig2)), 6) + lit(0.0)).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------------
+  // stats_changepoint_binseg — one binary-segmentation step (level shift)
+  // ---------------------------------------------------------------------
+
+  /**
+   * One binary-segmentation changepoint step on the dense global daily
+   * series: the split that maximizes the SSE reduction
+   * S_l²/k + S_r²/(T−k) − S²/T (least-squares level-shift detection —
+   * the single step the CUSUM fence in [[statsCusumShift]] only
+   * approximates; full binseg recursion would re-run this on each half).
+   * Reports the split day (last day of the left segment), both segment
+   * means, and the gain — the "did traffic step-change, and when"
+   * readout a pipeline monitor acts on.
+   *
+   * Determinism: candidate scores are IEEE expressions over exact LONG
+   * prefix sums (identical operand order in both engines), ranked after
+   * an 8 dp round with the day as tie-break. Scale: the series is the
+   * date-range-sized dense spine (≤|days| rows) — cumulative window +
+   * rank run over a metadata-sized relation; the only data-sized work
+   * is the one daily-count aggregate.
+   */
+  def statsChangepointBinseg(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .select(datediff(to_date(timestamp_micros(epochUs())),
+        lit("1970-01-01").cast("date")).cast("long").as("dn"))
+      .groupBy(col("dn")).agg(count(lit(1)).as("n"))
+    val spine = daily
+      .agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dn"))
+    val dense = spine.join(daily, Seq("dn"), "left_outer")
+      .select(col("dn"), coalesce(col("n"), lit(0L)).as("n"))
+    val zw = Window.partitionBy(Tables.zeroPart(col("dn")))
+    val cw = zw.orderBy(col("dn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rw = zw.orderBy(col("dn"))
+    val cum = dense
+      .withColumn("k", row_number().over(rw).cast("long"))
+      .withColumn("sl", sum(col("n")).over(cw))
+      .withColumn("t", count(lit(1)).over(zw))
+      .withColumn("st", sum(col("n")).over(zw))
+      .filter(col("k") < col("t")) // both segments non-empty
+    val kD = col("k").cast("double")
+    val tD = col("t").cast("double")
+    val slD = col("sl").cast("double")
+    val srD = (col("st") - col("sl")).cast("double")
+    val gain = slD * slD / kD + srD * srD / (tD - kD) -
+      col("st").cast("double") * col("st").cast("double") / tD
+    val ow = Window.partitionBy(Tables.zeroPart(col("dn")))
+      .orderBy(round(gain, 8).desc, col("dn"))
+    cum
+      .withColumn("rn", row_number().over(ow))
+      .filter(col("rn") === 1)
+      .select(col("t").as("n_days"), col("dn").as("split_dn"),
+        col("k").as("n_left"),
+        round(slD / kD, 6).as("mean_left"),
+        round(srD / (tD - kD), 6).as("mean_right"),
+        (round(gain, 6) + lit(0.0)).as("sse_gain"))
+  }
+
+  // ---------------------------------------------------------------------
+  // stats_page_hinkley — sequential upward-drift detector on the series
+  // ---------------------------------------------------------------------
+
+  /**
+   * Page–Hinkley upward-drift statistic on the dense global daily series
+   * (Page 1954; the sequential test the streaming-drift literature
+   * standardizes on, e.g. Gama 2014): mₜ = Σᵢ≤ₜ (xᵢ − μ̂ᵢ) with μ̂ᵢ the
+   * running mean, and PH = maxₜ (mₜ − minₛ≤ₜ mₛ) — how far the series
+   * has climbed above its own historical mean, cumulatively. The
+   * SEQUENTIAL complement to [[statsChangepointBinseg]] (which picks the
+   * single best retrospective split): PH is what a monitor evaluates
+   * day-by-day, and `alarm_dn` is the day the evidence peaked.
+   *
+   * Determinism: per-day deviations xᵢ − Sᵢ/i round to 8 dp into
+   * DECIMAL before the cumulative fold (running-mean divisions are the
+   * only non-integer step); final stat one 6 dp round; argmax ties break
+   * on the earlier day. Scale: three cumulative windows over the
+   * date-range-sized dense spine — metadata-sized; the one data-sized
+   * pass is the daily count aggregate.
+   */
+  def statsPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val daily = ev(s, dir)
+      .select(datediff(to_date(timestamp_micros(epochUs())),
+        lit("1970-01-01").cast("date")).cast("long").as("dn"))
+      .groupBy(col("dn")).agg(count(lit(1)).as("n"))
+    val spine = daily
+      .agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dn"))
+    val dense = spine.join(daily, Seq("dn"), "left_outer")
+      .select(col("dn"), coalesce(col("n"), lit(0L)).as("n"))
+    val zw = Window.partitionBy(Tables.zeroPart(col("dn")))
+    val cw = zw.orderBy(col("dn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = dense
+      .withColumn("t", row_number().over(zw.orderBy(col("dn"))).cast("long"))
+      .withColumn("st", sum(col("n")).over(cw))
+      .withColumn("d8",
+        round(col("n").cast("double") -
+          col("st").cast("double") / col("t").cast("double"), 8).cast(dec8))
+    val m = dev
+      .withColumn("m", sum(col("d8")).over(cw))
+      .withColumn("mmin", min(col("m")).over(cw))
+      .select(col("dn"), (col("m") - col("mmin")).as("ph"))
+    val ow = zw.orderBy(col("ph").desc, col("dn"))
+    m.withColumn("rn", row_number().over(ow))
+      .withColumn("nd", count(lit(1)).over(zw))
+      .filter(col("rn") === 1)
+      .select(col("nd").as("n_days"), col("dn").as("alarm_dn"),
+        round(col("ph").cast("double"), 6).as("ph_stat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_page_hinkley" -> (statsPageHinkley _),
+    "stats_changepoint_binseg" -> (statsChangepointBinseg _),
+    "stats_wilcoxon_signed" -> (statsWilcoxonSigned _),
     "stats_theil_sen" -> (statsTheilSen _),
     "q_survival_km" -> (qSurvivalKm _),
     "stats_bootstrap_ci" -> (statsBootstrapCi _),
@@ -2017,6 +2190,125 @@ object Events {
     "q_gap_fill" -> (qGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "stats_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(dn) AS lo, MAX(dn) AS hi FROM daily),
+        |sp AS (SELECT CAST(unnest(generate_series(b.lo, b.hi)) AS BIGINT)
+        |         AS dn FROM b),
+        |dense AS (
+        |  SELECT sp.dn, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM sp LEFT JOIN daily d USING (dn)),
+        |dev AS (
+        |  SELECT dn,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      - CAST(SUM(n) OVER (ORDER BY dn
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / CAST(ROW_NUMBER() OVER (ORDER BY dn) AS DOUBLE), 8)
+        |      AS DECIMAL(30,8)) AS d8
+        |  FROM dense),
+        |mm AS (
+        |  SELECT dn,
+        |    SUM(d8) OVER (ORDER BY dn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM dev),
+        |m AS (
+        |  SELECT dn,
+        |    m - MIN(m) OVER (ORDER BY dn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        |  FROM mm),
+        |best AS (
+        |  SELECT dn, ph,
+        |    ROW_NUMBER() OVER (ORDER BY ph DESC, dn) AS rn,
+        |    CAST(COUNT(1) OVER () AS BIGINT) AS nd
+        |  FROM m)
+        |SELECT nd AS n_days, dn AS alarm_dn,
+        |  round(CAST(ph AS DOUBLE), 6) AS ph_stat
+        |FROM best WHERE rn = 1""".stripMargin,
+    "stats_changepoint_binseg" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(dn) AS lo, MAX(dn) AS hi FROM daily),
+        |sp AS (SELECT CAST(unnest(generate_series(b.lo, b.hi)) AS BIGINT)
+        |         AS dn FROM b),
+        |dense AS (
+        |  SELECT sp.dn, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM sp LEFT JOIN daily d USING (dn)),
+        |cum AS (
+        |  SELECT dn,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY dn) AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER (ORDER BY dn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sl,
+        |    CAST(COUNT(1) OVER () AS BIGINT) AS t,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS st
+        |  FROM dense),
+        |cand AS (
+        |  SELECT dn, k, sl, t, st,
+        |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(k AS DOUBLE)
+        |    + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |      / (CAST(t AS DOUBLE) - CAST(k AS DOUBLE))
+        |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(t AS DOUBLE)
+        |      AS gain
+        |  FROM cum WHERE k < t),
+        |best AS (
+        |  SELECT dn, k, sl, t, st, gain,
+        |    ROW_NUMBER() OVER (ORDER BY round(gain, 8) DESC, dn) AS rn
+        |  FROM cand)
+        |SELECT t AS n_days, dn AS split_dn, k AS n_left,
+        |  round(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_left,
+        |  round(CAST(st - sl AS DOUBLE)
+        |    / (CAST(t AS DOUBLE) - CAST(k AS DOUBLE)), 6) AS mean_right,
+        |  round(gain, 6) + 0.0 AS sse_gain
+        |FROM best WHERE rn = 1""".stripMargin,
+    "stats_wilcoxon_signed" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(dn) AS lo, MAX(dn) AS hi
+        |      FROM daily GROUP BY 1),
+        |sp AS (SELECT b.event_type,
+        |         CAST(unnest(generate_series(b.lo, b.hi)) AS BIGINT) AS dn
+        |       FROM b),
+        |dense AS (
+        |  SELECT sp.event_type, sp.dn, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM sp LEFT JOIN daily d USING (event_type, dn)),
+        |pr AS (
+        |  SELECT x.event_type, y.n - x.n AS d
+        |  FROM dense x JOIN dense y
+        |    ON y.event_type = x.event_type AND y.dn = x.dn + 7
+        |  WHERE y.n <> x.n),
+        |vc AS (
+        |  SELECT event_type, abs(d) AS ad, CAST(COUNT(1) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+        |  FROM pr GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, c, cp,
+        |    2 * COALESCE(CAST(SUM(c) OVER (PARTITION BY event_type
+        |      ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + c + 1 AS r2
+        |  FROM vc),
+        |g AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(cp * r2) AS BIGINT) AS w2p,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * c * c - c) AS ts
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n AS n_pairs, CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |      - CAST(ts AS DOUBLE) / 48.0 > 0 THEN
+        |    (CAST(w2p AS DOUBLE) / 2.0
+        |      - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+        |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |      - CAST(ts AS DOUBLE) / 48.0) END, 6) + 0.0 AS z
+        |FROM g ORDER BY event_type""".stripMargin,
     "stats_theil_sen" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(1) AS BIGINT) AS n

@@ -2196,7 +2196,102 @@ object Governance {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------------
+  // stats_cohens_d — standardized mean-difference effect size per pair
+  // ---------------------------------------------------------------------
+
+  /**
+   * Cohen's d (and the small-sample Hedges' g correction) on document
+   * length for every source pair — the EFFECT-SIZE companion to
+   * [[statsWelchTtest]]: with corpus-scale n, every t-test rejects, and
+   * the decision a mixture designer actually makes ("are these slices
+   * practically different?") reads d, not p. d = (m_a − m_b)/s_pooled
+   * with the pooled SD over both slices; g = d·(1 − 3/(4(n_a+n_b)−9))
+   * (Hedges 1981).
+   *
+   * Exactness: per-source moments Σv, Σv² fold in DECIMAL(38,0) (sums
+   * of squares of 10⁵-char docs wrap LONG near 10⁸ rows); each sum of
+   * squares n·Σv² − (Σv)² stays exact DECIMAL until ONE cast to double;
+   * NULL when a pair has no variance or n_a+n_b ≤ 2. Scale: the pair
+   * relation is the |sources|² self-join of a metadata-sized rollup.
+   */
+  def statsCohensD(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = docs(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("sx"),
+        sum(col("v").cast(d38) * col("v")).as("sxx"))
+    val a = g.select(col("source").as("src_a"), col("n").as("n_a"),
+      col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = g.select(col("source").as("src_b"), col("n").as("n_b"),
+      col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    def ss(n: String, sx: String, sxx: String) =
+      (col(n).cast(d38) * col(sxx) - col(sx) * col(sx)).cast("double") /
+        col(n).cast("double")
+    val ma = col("sx_a").cast("double") / col("n_a").cast("double")
+    val mb = col("sx_b").cast("double") / col("n_b").cast("double")
+    val pooled = (ss("n_a", "sx_a", "sxx_a") + ss("n_b", "sx_b", "sxx_b")) /
+      (col("n_a") + col("n_b") - lit(2L)).cast("double")
+    val d = (ma - mb) / sqrt(pooled)
+    val corr = lit(1.0d) -
+      lit(3.0d) / (lit(4.0d) * (col("n_a") + col("n_b")).cast("double") - lit(9.0d))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        (round(when(col("n_a") + col("n_b") > 2L && pooled > 0, d), 6)
+          + lit(0.0)).as("cohens_d"),
+        (round(when(col("n_a") + col("n_b") > 2L && pooled > 0, d * corr), 6)
+          + lit(0.0)).as("hedges_g"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // stats_bh_fdr — Benjamini–Hochberg step-up over the Dunn battery
+  // ---------------------------------------------------------------------
+
+  /**
+   * Benjamini–Hochberg FDR control over the [[statsDunnPosthoc]] pairwise
+   * battery — the multiplicity step every multi-slice audit needs before
+   * acting on "source A differs from source B" claims: p-values from the
+   * Dunn z (two-sided, via the logistic approximation
+   * Φ(x) ≈ 1/(1+e^(−1.702x)) — elementary-function-only, so BOTH engines
+   * evaluate the identical expression; Bowling 2009 pins the max abs
+   * error at 0.0095, far coarser than any decision boundary here), ranked
+   * ascending; reject all pairs at rank ≤ k* where k* = max{k : p_(k) ≤
+   * k·α/m}, α = 0.05 (Benjamini–Hochberg 1995 step-up).
+   *
+   * Determinism: p is rounded to 8 dp from the PUBLISHED 6-dp z (the
+   * self-consistency convention), rank ties break on (p, src_a, src_b);
+   * NULL-z pairs (degenerate pooled ranks) are excluded from the battery
+   * — m counts tested pairs only. Scale: the battery is the
+   * |sources|²-row Dunn output — metadata-sized; zeroPart windows.
+   */
+  def statsBhFdr(s: SparkSession, dir: String): DataFrame = {
+    val base = statsDunnPosthoc(s, dir)
+      .select(col("src_a"), col("src_b"), col("z"))
+      .filter(col("z").isNotNull)
+    val p = round(lit(2.0d) / (lit(1.0d) + exp(lit(1.702d) * abs(col("z")))), 8)
+    val ow = Window.partitionBy(Tables.zeroPart(col("src_a")))
+      .orderBy(col("p"), col("src_a"), col("src_b"))
+    val zw = Window.partitionBy(Tables.zeroPart(col("src_a")))
+    base.withColumn("p", p)
+      .withColumn("rk", row_number().over(ow).cast("long"))
+      .withColumn("m", count(lit(1)).over(zw))
+      .withColumn("bh_crit",
+        round(col("rk").cast("double") * lit(0.05d) / col("m").cast("double"), 8))
+      .withColumn("kmax",
+        max(when(col("p") <= col("bh_crit"), col("rk")).otherwise(0L)).over(zw))
+      .select(col("src_a"), col("src_b"), col("z"), col("p").as("p_value"),
+        col("rk"), col("m"), col("bh_crit"),
+        (col("rk") <= col("kmax")).as("reject"))
+      .orderBy(col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cohens_d" -> (statsCohensD _),
+    "stats_bh_fdr" -> (statsBhFdr _),
     "corpus_datacard" -> (corpusDatacard _),
     "stats_good_turing" -> (statsGoodTuring _),
     "vocab_oov_rate" -> (vocabOovRate _),
@@ -2245,6 +2340,47 @@ object Governance {
        |        lower($c), '[0-9]+', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
        |        ' +', ' ', 'g')))
        |      END""".stripMargin
+
+  private val statsDunnPosthocSql: String =
+    """WITH sv AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |vc AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM sv GROUP BY v),
+        |tot AS (
+        |  SELECT CAST(SUM(cv) AS BIGINT) AS n,
+        |    SUM(CAST(cv AS DECIMAL(38,0)) * cv * cv - cv) AS ts
+        |  FROM vc),
+        |bse AS (
+        |  SELECT CASE WHEN n > 1 THEN
+        |      CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+        |      - CAST(ts AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0))
+        |    ELSE 0.0 END AS basev
+        |  FROM tot),
+        |r2 AS (
+        |  SELECT v,
+        |    2 * COALESCE(CAST(SUM(cv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + cv + 1 AS r2v
+        |  FROM vc),
+        |ps AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * r2v) AS rr2
+        |  FROM sv JOIN r2 USING (v) GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+        |  round(CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE)), 6)
+        |    AS mean_rank_a,
+        |  round(CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE)), 6)
+        |    AS mean_rank_b,
+        |  round(CASE WHEN basev * (1.0 / CAST(a.n AS DOUBLE)
+        |      + 1.0 / CAST(b.n AS DOUBLE)) > 0 THEN
+        |    (CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE))
+        |     - CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE)))
+        |    / sqrt(basev * (1.0 / CAST(a.n AS DOUBLE)
+        |        + 1.0 / CAST(b.n AS DOUBLE)))
+        |    END, 6) + 0.0 AS z
+        |FROM ps a JOIN ps b ON a.source < b.source CROSS JOIN bse
+        |ORDER BY src_a, src_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "corpus_datacard" ->
@@ -2804,45 +2940,67 @@ object Governance {
     "stats_kendall_tau" -> statsKendallTauSql,
     "stats_anderson_darling" -> statsAndersonDarlingSql,
     "stats_levene" -> statsLeveneSql,
-    "stats_dunn_posthoc" ->
-      """WITH sv AS (
-        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
-        |    CAST(COUNT(1) AS BIGINT) AS c
-        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
-        |vc AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM sv GROUP BY v),
-        |tot AS (
-        |  SELECT CAST(SUM(cv) AS BIGINT) AS n,
-        |    SUM(CAST(cv AS DECIMAL(38,0)) * cv * cv - cv) AS ts
-        |  FROM vc),
-        |bse AS (
-        |  SELECT CASE WHEN n > 1 THEN
-        |      CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
-        |      - CAST(ts AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0))
-        |    ELSE 0.0 END AS basev
-        |  FROM tot),
-        |r2 AS (
-        |  SELECT v,
-        |    2 * COALESCE(CAST(SUM(cv) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |      + cv + 1 AS r2v
-        |  FROM vc),
-        |ps AS (
-        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
-        |    SUM(CAST(c AS DECIMAL(38,0)) * r2v) AS rr2
-        |  FROM sv JOIN r2 USING (v) GROUP BY 1)
-        |SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
-        |  round(CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE)), 6)
-        |    AS mean_rank_a,
-        |  round(CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE)), 6)
-        |    AS mean_rank_b,
-        |  round(CASE WHEN basev * (1.0 / CAST(a.n AS DOUBLE)
-        |      + 1.0 / CAST(b.n AS DOUBLE)) > 0 THEN
-        |    (CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE))
-        |     - CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.n AS DOUBLE)))
-        |    / sqrt(basev * (1.0 / CAST(a.n AS DOUBLE)
-        |        + 1.0 / CAST(b.n AS DOUBLE)))
-        |    END, 6) + 0.0 AS z
-        |FROM ps a JOIN ps b ON a.source < b.source CROSS JOIN bse
+    "stats_dunn_posthoc" -> statsDunnPosthocSql,
+    "stats_bh_fdr" ->
+      s"""WITH dunn AS (SELECT * FROM ($statsDunnPosthocSql)),
+         |base AS (SELECT src_a, src_b, z FROM dunn WHERE z IS NOT NULL),
+         |pq AS (
+         |  SELECT src_a, src_b, z,
+         |    round(2.0 / (1.0 + exp(1.702 * abs(z))), 8) AS p
+         |  FROM base),
+         |rk AS (
+         |  SELECT src_a, src_b, z, p,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY p, src_a, src_b) AS BIGINT) AS rk,
+         |    CAST(COUNT(1) OVER () AS BIGINT) AS m
+         |  FROM pq),
+         |fl AS (
+         |  SELECT src_a, src_b, z, p, rk, m,
+         |    round(CAST(rk AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 8) AS bh_crit
+         |  FROM rk),
+         |km AS (
+         |  SELECT src_a, src_b, z, p, rk, m, bh_crit,
+         |    CAST(MAX(CASE WHEN p <= bh_crit THEN rk ELSE 0 END)
+         |      OVER () AS BIGINT) AS kmax
+         |  FROM fl)
+         |SELECT src_a, src_b, z, p AS p_value, rk, m, bh_crit,
+         |  (rk <= kmax) AS reject
+         |FROM km ORDER BY rk""".stripMargin,
+    "stats_cohens_d" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS sxx
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS mean_a,
+        |  round(CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS mean_b,
+        |  round(CASE WHEN a.n + b.n > 2 AND
+        |      (CAST(CAST(a.n AS DECIMAL(38,0)) * a.sxx - a.sx * a.sx AS DOUBLE)
+        |         / CAST(a.n AS DOUBLE)
+        |       + CAST(CAST(b.n AS DECIMAL(38,0)) * b.sxx - b.sx * b.sx AS DOUBLE)
+        |         / CAST(b.n AS DOUBLE)) / CAST(a.n + b.n - 2 AS DOUBLE) > 0
+        |    THEN (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |          - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |      / sqrt((CAST(CAST(a.n AS DECIMAL(38,0)) * a.sxx - a.sx * a.sx AS DOUBLE)
+        |           / CAST(a.n AS DOUBLE)
+        |         + CAST(CAST(b.n AS DECIMAL(38,0)) * b.sxx - b.sx * b.sx AS DOUBLE)
+        |           / CAST(b.n AS DOUBLE)) / CAST(a.n + b.n - 2 AS DOUBLE))
+        |    END, 6) + 0.0 AS cohens_d,
+        |  round(CASE WHEN a.n + b.n > 2 AND
+        |      (CAST(CAST(a.n AS DECIMAL(38,0)) * a.sxx - a.sx * a.sx AS DOUBLE)
+        |         / CAST(a.n AS DOUBLE)
+        |       + CAST(CAST(b.n AS DECIMAL(38,0)) * b.sxx - b.sx * b.sx AS DOUBLE)
+        |         / CAST(b.n AS DOUBLE)) / CAST(a.n + b.n - 2 AS DOUBLE) > 0
+        |    THEN ((CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |          - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |      / sqrt((CAST(CAST(a.n AS DECIMAL(38,0)) * a.sxx - a.sx * a.sx AS DOUBLE)
+        |           / CAST(a.n AS DOUBLE)
+        |         + CAST(CAST(b.n AS DECIMAL(38,0)) * b.sxx - b.sx * b.sx AS DOUBLE)
+        |           / CAST(b.n AS DOUBLE)) / CAST(a.n + b.n - 2 AS DOUBLE)))
+        |      * (1.0 - 3.0 / (4.0 * CAST(a.n + b.n AS DOUBLE) - 9.0))
+        |    END, 6) + 0.0 AS hedges_g
+        |FROM g a JOIN g b ON a.source < b.source
         |ORDER BY src_a, src_b""".stripMargin,
     "stats_kruskal_wallis" ->
       """WITH sv AS (

@@ -445,7 +445,78 @@ object Retrieval {
   // Registration
   // ---------------------------------------------------------------------
 
+  private val MrrK = 100L
+
+  // ---------------------------------------------------------------------
+  // retrieval_mrr — mean-reciprocal-rank panel over the embedding queries
+  // ---------------------------------------------------------------------
+
+  /**
+   * MRR@[[MrrK]] / hit@k panel over the [[retrievalNdcg]] query set: for
+   * each labeled query anchor (vec_id < 8), rank all candidates by
+   * cosine, find the FIRST candidate sharing the query's label, and
+   * report its rank, the reciprocal rank (0 when no relevant candidate
+   * lands in the top [[MrrK]] — the MRR@K truncation convention), and
+   * hit@1/5/10 flags. The first-answer-quality readout nDCG's graded sum
+   * blurs: a RAG pipeline that only ever reads the top hit cares about
+   * exactly this number.
+   *
+   * Determinism: cosines round to 6 dp BEFORE ranking (ties then break
+   * on vec_id — the family convention), reciprocal ranks are exact
+   * 1/rank divisions rounded once. Scale: the query panel is a ≤8-row
+   * driver constant folded into a codegen'd `coalesce(when...)` — the
+   * candidate stream fans out |panel|×, ranks inside per-qid window
+   * partitions, and everything after the rank filter is
+   * ≤|panel|·[[MrrK]] rows.
+   */
+  def retrievalMrr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = load(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val qs: Seq[(Long, Array[Double], Int)] = e
+      .filter(col("vec_id") < 8 && col("label").isNotNull)
+      .select(col("vec_id"), Similarity.dArr(col("embedding")), col("label"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2))).toSeq
+    if (qs.isEmpty) {
+      return e.select(col("vec_id").as("qid"),
+        lit(null).cast("long").as("first_rel_rank"), lit(0.0).as("rr"),
+        lit(false).as("hit_at_1"), lit(false).as("hit_at_5"),
+        lit(false).as("hit_at_10")).limit(0)
+    }
+    val cands = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), Similarity.dArr(col("embedding")).as("v"),
+        col("label"))
+    val fan = cands
+      .withColumn("q", explode(typedLit(qs.map { case (q, _, l) => (q, l) })))
+      .select(col("vec_id"), col("label"), col("v"),
+        col("q._1").as("qid"), col("q._2").as("qlabel"))
+    val sim = coalesce(qs.map { case (q, v0, _) =>
+      when(col("qid") === q, Similarity.cosine(col("v"), typedLit(v0)))
+    }: _*)
+    val rankW = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val fr = fan
+      .withColumn("sim", round(sim, 6))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= MrrK && col("label") === col("qlabel"))
+      .groupBy(col("qid"))
+      .agg(min(col("rank")).as("first_rel_rank"))
+    val panel = s.createDataFrame(qs.map { case (q, _, l) => (q, l) })
+      .toDF("qid", "qlabel")
+    panel
+      .join(fr, Seq("qid"), "left_outer")
+      .select(col("qid"), col("first_rel_rank"),
+        coalesce(round(lit(1.0d) / col("first_rel_rank").cast("double"), 6),
+          lit(0.0)).as("rr"),
+        coalesce(col("first_rel_rank") <= 1L, lit(false)).as("hit_at_1"),
+        coalesce(col("first_rel_rank") <= 5L, lit(false)).as("hit_at_5"),
+        coalesce(col("first_rel_rank") <= 10L, lit(false)).as("hit_at_10"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieval_mrr" -> (retrievalMrr _),
     "text_bm25_topk" -> (textBm25Topk _),
     "retrieval_rrf_fusion" -> (retrievalRrfFusion _),
     "retrieval_mmr_diversify" -> (retrievalMmrDiversify _),
@@ -460,6 +531,39 @@ object Retrieval {
     .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "retrieval_mrr" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+         |           WHERE embedding IS NOT NULL),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |      FROM e WHERE vec_id < 8 AND label IS NOT NULL),
+         |m AS (SELECT vec_id, embedding, label FROM e WHERE vec_id >= 8),
+         |cd AS (
+         |  SELECT q.qid, q.qlabel, m.vec_id, m.label,
+         |    SUM(m.embedding[i]::DOUBLE * q.qv[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS aa
+         |  FROM m, q, generate_series(1, 64) g(i)
+         |  GROUP BY 1, 2, 3, 4),
+         |cs AS (
+         |  SELECT qid, qlabel, vec_id, label,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cd),
+         |rk AS (
+         |  SELECT qid, qlabel, vec_id, label, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM cs WHERE sim IS NOT NULL),
+         |fr AS (
+         |  SELECT qid, CAST(MIN(rank) AS BIGINT) AS first_rel_rank
+         |  FROM rk WHERE rank <= $MrrK AND label = qlabel GROUP BY 1)
+         |SELECT q.qid, fr.first_rel_rank,
+         |  COALESCE(round(1.0 / CAST(fr.first_rel_rank AS DOUBLE), 6), 0.0)
+         |    AS rr,
+         |  COALESCE(fr.first_rel_rank <= 1, FALSE) AS hit_at_1,
+         |  COALESCE(fr.first_rel_rank <= 5, FALSE) AS hit_at_5,
+         |  COALESCE(fr.first_rel_rank <= 10, FALSE) AS hit_at_10
+         |FROM q LEFT JOIN fr USING (qid) ORDER BY qid""".stripMargin,
     "retrieval_rbo" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -1933,7 +1933,68 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Neighborhood size for the LID estimator. */
+  private val LidK = 20
+
+  // ---------------------------------------------------------------------
+  // embed_ann_lid — local intrinsic dimensionality (MLE) per query anchor
+  // ---------------------------------------------------------------------
+
+  /**
+   * Local intrinsic dimensionality by the maximum-likelihood estimator
+   * (Levina & Bickel 2004; Amsaleg et al. 2015):
+   * LID(q) = −k / Σᵢ ln(rᵢ/r_k) over q's k nearest cosine DISTANCES
+   * (r = 1 − cos, the [[simBruteforceTopk]] neighbor order). The
+   * embedding-health number that PREDICTS how hard ANN indexing will be
+   * in each query's neighborhood: high LID ⇒ distances concentrate ⇒
+   * IVF/LSH recall degrades — read it next to [[simIvfRecall]] before
+   * trusting a low-nprobe configuration.
+   *
+   * Determinism: similarities round to 6 dp BEFORE ranking and before
+   * the distance transform; ln(rᵢ/r_k) folds as the exact difference of
+   * two 8-dp-rounded DECIMAL ln terms (Σln rᵢ − k·ln r_k). Zero
+   * distances (exact duplicates of the query) are excluded — the
+   * estimator's own convention, ln(0) diverges. NULL when fewer than 2
+   * positive-distance neighbors exist or every neighbor ties r_k.
+   * Scale: the query panel is a broadcast anchor cross (whitelisted
+   * family); per-qid rank windows; everything after the rank filter is
+   * ≤|panel|·k rows.
+   */
+  def embedAnnLid(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dec8 = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 8)
+    val e = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), dArr(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("r"), col("vec_id"))
+    val nn = c.crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col("qv"), col("v")), 6))
+      .filter(col("sim").isNotNull)
+      .withColumn("r", lit(1.0d) - col("sim"))
+      .filter(col("r") > 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LidK)
+    nn.groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_used"),
+        max(col("r")).as("r_k"),
+        sum(round(log(col("r")), 8).cast(dec8)).as("sln"))
+      .select(col("qid"), col("k_used"), round(col("r_k"), 6).as("r_k"),
+        (round(when(col("k_used") >= 2L &&
+          col("sln").cast("double") -
+            col("k_used").cast("double") *
+            round(log(col("r_k")), 8) < 0,
+          -col("k_used").cast("double") /
+            (col("sln").cast("double") -
+              col("k_used").cast("double") * round(log(col("r_k")), 8))), 6)
+          + lit(0.0)).as("lid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_ann_lid" -> (embedAnnLid _),
     "sim_hamming_recall" -> (simHammingRecall _),
     "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
     "embed_rp_project" -> (embedRpProjectRows _),
@@ -2133,6 +2194,40 @@ object Similarity {
       |FROM best WHERE vr = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embed_ann_lid" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE embedding IS NOT NULL),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 10),
+         |m AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 10),
+         |cd AS (
+         |  SELECT q.qid, m.vec_id,
+         |    SUM(m.embedding[i]::DOUBLE * q.qv[i]::DOUBLE) AS vc,
+         |    SUM(m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE) AS vv,
+         |    SUM(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE) AS aa
+         |  FROM m, q, generate_series(1, 64) g(i)
+         |  GROUP BY 1, 2),
+         |cs AS (
+         |  SELECT qid, vec_id,
+         |    round(CASE WHEN sqrt(vv) * sqrt(aa) > 0
+         |      THEN vc / (sqrt(vv) * sqrt(aa)) END, 6) AS sim
+         |  FROM cd),
+         |rk AS (
+         |  SELECT qid, vec_id, 1.0 - sim AS r,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY 1.0 - sim, vec_id) AS BIGINT) AS rank
+         |  FROM cs WHERE sim IS NOT NULL AND 1.0 - sim > 0),
+         |top AS (SELECT qid, r FROM rk WHERE rank <= $LidK),
+         |g2 AS (
+         |  SELECT qid, CAST(COUNT(1) AS BIGINT) AS k_used, MAX(r) AS rk,
+         |    SUM(CAST(round(ln(r), 8) AS DECIMAL(30,8))) AS sln
+         |  FROM top GROUP BY 1)
+         |SELECT qid, k_used, round(rk, 6) AS r_k,
+         |  round(CASE WHEN k_used >= 2 AND CAST(sln AS DOUBLE)
+         |      - CAST(k_used AS DOUBLE) * round(ln(rk), 8) < 0 THEN
+         |    -CAST(k_used AS DOUBLE) / (CAST(sln AS DOUBLE)
+         |      - CAST(k_used AS DOUBLE) * round(ln(rk), 8)) END, 6) + 0.0
+         |    AS lid
+         |FROM g2 ORDER BY qid""".stripMargin,
     "sim_hamming_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
          |           WHERE embedding IS NOT NULL),

@@ -1854,7 +1854,120 @@ object Text {
        |ORDER BY pmi DESC, bi.w1, bi.w2
        |LIMIT $PmiTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_yules_k — Yule's K lexical-repetitiveness characteristic
+  // ---------------------------------------------------------------------
+
+  /**
+   * Yule's K per source: K = 10⁴·(Σ_types c² − N)/N² over the whitespace
+   * token stream — the classic length-invariant repetitiveness
+   * characteristic (Yule 1944; K is the scaled second moment of the word
+   * frequency spectrum, so it reads "how concentrated is this slice's
+   * vocabulary" without the sample-size bias that makes raw TTR
+   * incomparable across sources — the corpus-level complement to the
+   * per-document window normalization in [[textMattr]]). High-K slices
+   * are template/boilerplate-heavy; a K jump between crawl snapshots is
+   * the same drift signal [[statsHeapsFit]] reads from the type-growth
+   * side.
+   *
+   * Exactness: c² sums fold in DECIMAL(38,0) (a 10⁹-token hot word wraps
+   * LONG); one final double expression, NULL only for an empty slice.
+   * Scale: (source, word) hash aggregate with map-side combine → one
+   * |sources|-group rollup; no window, no join.
+   */
+  def textYulesK(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val tf = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("c").cast(d38) * col("c")).as("s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(when(col("n_tokens") > 0L,
+          lit(10000.0d) *
+            (col("s2").cast("double") - col("n_tokens").cast("double")) /
+            (col("n_tokens").cast("double") * col("n_tokens").cast("double"))),
+          6).as("yules_k"))
+      .orderBy(col("source"))
+  }
+
+  /** RAKE phrase-boundary stopword set — the gopher stopword quintet, so
+    * the operator needs no external lexicon (Rose et al. 2010 uses a
+    * full stoplist; the boundary MECHANISM is what's implemented). */
+  private val RakeStop = Seq("the", "of", "and", "to", "in")
+  private val RakeTopK = 25
+  private val RakeMaxLen = 8
+
+  // ---------------------------------------------------------------------
+  // text_rake_keywords — RAKE keyword/phrase extraction
+  // ---------------------------------------------------------------------
+
+  /**
+   * RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+   * maximal stopword-free token runs; each word scores deg/freq (degree
+   * = Σ length of phrases it appears in); a phrase scores the sum of
+   * its member word scores; top-[[RakeTopK]] phrases win. The unsupervised
+   * "what is this corpus about" readout that complements
+   * [[textPmiCollocations]] (PMI finds surprising PAIRS; RAKE finds the
+   * salient multi-word TERMS).
+   *
+   * Determinism: word scores round to 8 dp into DECIMAL before the
+   * phrase sum (identical phrase text ⇒ bit-identical score, so the
+   * cross-doc phrase collapse can take max); final 6 dp round, ties
+   * break on the phrase string. Scale: phrase segmentation is a
+   * cumulative stopword count over per-doc token windows (doc-length
+   * bounded, the [[textMattr]] convention); everything downstream is
+   * (word)- or (doc, phrase)-keyed hash aggregation with map-side
+   * combine; phrases cap at [[RakeMaxLen]] tokens so a stopword-free
+   * megadoc cannot mint an unbounded phrase string.
+   */
+  def textRakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
+    val toks = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .withColumnRenamed("col", "w")
+      .withColumn("is_stop", col("w").isInCollection(RakeStop))
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val nz = toks
+      .withColumn("grp", sum(col("is_stop").cast("long")).over(gw))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("grp"), col("pos"), col("w"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val pl = nz.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"))
+      .filter(col("len") <= RakeMaxLen)
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val tk = nz.join(pl.select(col("doc_id"), col("grp"), col("len")),
+      Seq("doc_id", "grp"))
+    val wscore = tk.groupBy(col("w"))
+      .agg(round(sum(col("len")).cast("double") / count(lit(1)), 8)
+        .cast(dec8).as("wscore"))
+    val ps = tk.join(wscore, Seq("w"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("wscore")).as("pscore"))
+    pl.join(ps, Seq("doc_id", "grp"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("pscore")).as("ps"))
+      .select(col("phrase"), col("n_occ"),
+        round(col("ps").cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(RakeTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> (textRakeKeywords _),
+    "text_yules_k" -> (textYulesK _),
     "sample_ess_audit" -> (sampleEssAudit _),
     "text_pmi_collocations" -> (textPmiCollocations _),
     "mix_doremi_step" -> (mixDoremiStep _),
@@ -2397,6 +2510,62 @@ object Text {
     "bpe_compression_curve" -> bpeCurveSql,
     "text_lm_heldout_ppl" -> textLmHeldoutSql,
     "text_lm_kneser_ney" -> textLmKneserNeySql,
+    "text_rake_keywords" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |tok AS (
+         |  SELECT doc_id, pos, ws[pos] AS w,
+         |    (ws[pos] IN (${RakeStop.map(w => s"'$w'").mkString(", ")}))
+         |      AS is_stop
+         |  FROM (SELECT doc_id, ws,
+         |          CAST(unnest(generate_series(1, len(ws))) AS BIGINT) AS pos
+         |        FROM t)),
+         |g AS (
+         |  SELECT doc_id, pos, w, is_stop,
+         |    CAST(SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS grp
+         |  FROM tok),
+         |nz AS (SELECT doc_id, grp, pos, w FROM g WHERE NOT is_stop),
+         |pl AS (
+         |  SELECT doc_id, grp, CAST(COUNT(1) AS BIGINT) AS len,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase
+         |  FROM nz GROUP BY 1, 2 HAVING COUNT(1) <= $RakeMaxLen),
+         |tk AS (
+         |  SELECT nz.doc_id, nz.grp, nz.w, pl.len
+         |  FROM nz JOIN pl USING (doc_id, grp)),
+         |ws2 AS (
+         |  SELECT w, CAST(round(CAST(SUM(len) AS DOUBLE)
+         |    / CAST(COUNT(1) AS DOUBLE), 8) AS DECIMAL(20,8)) AS wscore
+         |  FROM tk GROUP BY w),
+         |ps AS (
+         |  SELECT tk.doc_id, tk.grp, SUM(ws2.wscore) AS pscore
+         |  FROM tk JOIN ws2 USING (w) GROUP BY 1, 2)
+         |SELECT pl.phrase, CAST(COUNT(1) AS BIGINT) AS n_occ,
+         |  round(CAST(MAX(ps.pscore) AS DOUBLE), 6) AS score
+         |FROM pl JOIN ps USING (doc_id, grp)
+         |GROUP BY pl.phrase
+         |ORDER BY score DESC, phrase LIMIT $RakeTopK""".stripMargin,
+    "text_yules_k" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT source, word, CAST(COUNT(1) AS BIGINT) AS c
+        |       FROM w GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n_types,
+        |        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        SUM(CAST(c AS DECIMAL(38,0)) * c) AS s2
+        |      FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  round(CASE WHEN n_tokens > 0 THEN
+        |    10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+        |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END, 6)
+        |    AS yules_k
+        |FROM g ORDER BY source""".stripMargin,
     "text_mattr" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -1826,7 +1826,321 @@ object TrainAudit {
        |    AS biased_flag
        |FROM r CROSS JOIN tot GROUP BY n_pos, n_neg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // eval_matthews_corr — MCC of the cheap length rule vs the gopher label
+  // ---------------------------------------------------------------------
+
+  /**
+   * Matthews correlation coefficient of the cheap length rule
+   * (n_chars ≥ 300) against the full gopher-rules verdict, per source —
+   * the single-number confusion summary that stays honest under class
+   * imbalance (accuracy and F1 both inflate when one class dominates a
+   * slice; MCC = 0 for any constant predictor). The same
+   * predictor/label pairing [[evalMcnemar]] tests for DISAGREEMENT
+   * direction; MCC grades overall agreement strength.
+   *
+   * Exactness: the four confusion cells are exact integer counts from
+   * one aggregate; the numerator tp·tn − fp·fn folds in DECIMAL(38,0)
+   * (cell products wrap LONG past ~3·10⁹ rows/source), the denominator
+   * multiplies four separate square roots (√ of each margin — the
+   * textbook overflow-free factoring), NULL when any margin is zero.
+   * Scale: one |sources|-group hash aggregate with map-side combine.
+   */
+  def evalMatthewsCorr(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val t = Text.gopherPredicates.reduce(_ && _)
+    val pred = col("n_chars") >= 300L
+    val g = load(s, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), pred.as("p"), t.as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p") && col("y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p") && !col("y"), 1L).otherwise(0L)).as("tn"))
+    val num = (col("tp").cast(d38) * col("tn") -
+      col("fp").cast(d38) * col("fn")).cast("double")
+    val den = sqrt((col("tp") + col("fp")).cast("double")) *
+      sqrt((col("tp") + col("fn")).cast("double")) *
+      sqrt((col("tn") + col("fp")).cast("double")) *
+      sqrt((col("tn") + col("fn")).cast("double"))
+    g.select(col("source"), col("n"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        (round(when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L &&
+          col("tn") + col("fp") > 0L && col("tn") + col("fn") > 0L,
+          num / den), 6) + lit(0.0)).as("mcc"))
+      .orderBy(col("source"))
+  }
+
+  private val evalMatthewsCorrSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+      |    CAST(length(text) AS BIGINT) AS tchars,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+      |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS sym_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop,
+      |    CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |p AS (
+      |  SELECT source,
+      |    (n_words >= 50 AND 3 * n_words <= word_chars
+      |      AND word_chars <= 10 * n_words AND 10 * sym_chars <= tchars
+      |      AND n_stop >= 2 AND 5 * digit_chars <= tchars) AS y,
+      |    n_chars >= 300 AS p
+      |  FROM f),
+      |g AS (
+      |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM p GROUP BY source)
+      |SELECT source, n, tp, fp, fn, tn,
+      |  round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+      |      AND tn + fp > 0 AND tn + fn > 0 THEN
+      |    CAST(CAST(tp AS DECIMAL(38,0)) * tn
+      |      - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+      |    / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+      |       * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)))
+      |    END, 6) + 0.0 AS mcc
+      |FROM g ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // eval_lift_deciles — score-ranked decile lift / cumulative-gains table
+  // ---------------------------------------------------------------------
+
+  /**
+   * Decile lift and cumulative-gains table for the deterministic
+   * Knuth-hash score against the parity label (the [[evalEceBins]]
+   * score/label pairing): rank all rows by score DESCENDING, cut into 10
+   * equal-population deciles, and report each decile's response rate,
+   * lift over the base rate, and the cumulative gain curve — the
+   * campaign-targeting readout the reference's conversion pipelines feed
+   * into audience sizing (top-decile lift decides how deep to mail).
+   *
+   * Determinism: deciles derive from EXACT integer ranks — scores
+   * collapse to one row per distinct hash value, the inclusive prefix
+   * count comes from [[graft.operators.Quantiles.withRunningTotal]]
+   * (range-partitioned distributed prefix sum, ordered by the negated
+   * hash so decile 1 is the TOP of the score range), and the decile is
+   * the pure-integer ⌈10·cum/n⌉ = (10·cum + n − 1) div n — a
+   * value-group straddling a boundary lands in its LAST element's
+   * decile on both engines. n and total positives fold in as 1-row
+   * driver scalars; cumulative columns are windows over the ≤10-row
+   * decile relation.
+   */
+  def evalLiftDeciles(s: SparkSession, dir: String): DataFrame = {
+    val k = (col("vec_id") * lit(2654435761L)) % lit(1000003L)
+    val base = load(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("label").isNotNull)
+      .select((-k).as("nk"), (col("label") % 2 === 1).cast("long").as("pos"))
+    val g = base.groupBy(col("nk"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    // n / total positives: exact 1-row model scalars (the Dunn convention)
+    val tot = g.agg(sum(col("c")), sum(col("p"))).first()
+    val n = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val np = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    if (n == 0L) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("decile", LongType),
+          StructField("n", LongType), StructField("n_pos", LongType),
+          StructField("resp_rate", DoubleType), StructField("lift", DoubleType),
+          StructField("cum_gain", DoubleType), StructField("cum_pct", DoubleType))))
+    }
+    val r = graft.operators.Quantiles.withRunningTotal(
+      g, Seq(col("nk")), "c", "cum")
+    val agg = r
+      .select(expr(s"(10 * cum + ${n - 1L}) div ${n}").as("decile"),
+        col("c"), col("p"))
+      .groupBy(col("decile"))
+      .agg(sum(col("c")).as("n_d"), sum(col("p")).as("pos_d"))
+    val cw = Window.partitionBy(Tables.zeroPart(col("decile")))
+      .orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val baseRate = lit(np.toDouble) / lit(n.toDouble)
+    agg
+      .withColumn("cum_pos", sum(col("pos_d")).over(cw))
+      .withColumn("cum_n", sum(col("n_d")).over(cw))
+      .select(col("decile"), col("n_d").as("n"), col("pos_d").as("n_pos"),
+        round(col("pos_d").cast("double") / col("n_d").cast("double"), 6)
+          .as("resp_rate"),
+        round(when(lit(np) > 0L,
+          col("pos_d").cast("double") / col("n_d").cast("double") / baseRate), 6)
+          .as("lift"),
+        round(when(lit(np) > 0L,
+          col("cum_pos").cast("double") / lit(np.toDouble)), 6).as("cum_gain"),
+        round(col("cum_n").cast("double") / lit(n.toDouble), 6).as("cum_pct"))
+      .orderBy(col("decile"))
+  }
+
+  private val evalLiftDecilesSql: String =
+    """WITH s AS (
+      |  SELECT -((vec_id * 2654435761) % 1000003) AS nk,
+      |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings
+      |  WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+      |g AS (SELECT nk, CAST(COUNT(1) AS BIGINT) AS c,
+      |        CAST(SUM(pos) AS BIGINT) AS p
+      |      FROM s GROUP BY 1),
+      |r AS (SELECT c, p,
+      |        CAST(SUM(c) OVER (ORDER BY nk
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS cum
+      |      FROM g),
+      |tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
+      |          CAST(SUM(pos) AS BIGINT) AS np
+      |        FROM s),
+      |dd AS (SELECT (10 * cum + n - 1) // n AS decile, c, p
+      |       FROM r CROSS JOIN tot),
+      |agg AS (SELECT decile, CAST(SUM(c) AS BIGINT) AS n_d,
+      |          CAST(SUM(p) AS BIGINT) AS pos_d
+      |        FROM dd GROUP BY 1)
+      |SELECT decile, n_d AS n, pos_d AS n_pos,
+      |  round(CAST(pos_d AS DOUBLE) / CAST(n_d AS DOUBLE), 6) AS resp_rate,
+      |  round(CASE WHEN np > 0 THEN CAST(pos_d AS DOUBLE) / CAST(n_d AS DOUBLE)
+      |    / (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS lift,
+      |  round(CASE WHEN np > 0 THEN
+      |    CAST(SUM(pos_d) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(np AS DOUBLE) END, 6) AS cum_gain,
+      |  round(CAST(SUM(n_d) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(n AS DOUBLE), 6) AS cum_pct
+      |FROM agg CROSS JOIN tot ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ml_adaboost_step — one boosting round: best stump, α, reweighting
+  // ---------------------------------------------------------------------
+
+  /**
+   * One AdaBoost.M1 round (Freund & Schapire 1997) from uniform weights:
+   * scan every threshold stump x ≤ t (both polarities) over document
+   * length vs the is-English label, pick the minimum-error stump, and
+   * report ε, α = ½ln((1−ε)/ε), and the NORMALIZED per-example weights
+   * the next round would train against. Complements [[mlStumpSplit]]
+   * (one Gini tree split per source) with the boosting-loop step — and
+   * exposes the AdaBoost invariant directly: after reweighting, the
+   * wrong and right halves each carry total mass ½, so the per-example
+   * weights are pure count arithmetic, 1/(2·n_err) and 1/(2·(n−n_err)).
+   *
+   * Determinism: stump errors are EXACT integers from the cumulative
+   * (value, count, pos) relation — candidate selection happens entirely
+   * in integer space (tie-break: error, threshold, polarity); ε/α/weights
+   * are one final double expression each, NULL α when the stump is
+   * perfect or useless (ε ∈ {0, 1} — log diverges). Scale: cumulative
+   * counts window over the DISTINCT length domain (the
+   * [[graft.queries.Governance]] value-domain convention), candidates =
+   * 2·|domain| rows; n/n_pos fold in as 1-row driver scalars.
+   */
+  def mlAdaboostStep(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "documents")
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(col("n_chars").cast("long").as("x"),
+        (col("lang") === "en").cast("long").as("y"))
+    val gv = base.groupBy(col("x"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val tot = gv.agg(sum(col("c")), sum(col("p"))).first()
+    val n = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val nPos = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    if (n == 0L) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("n", LongType), StructField("n_pos", LongType),
+          StructField("split_at", LongType), StructField("polarity", LongType),
+          StructField("n_err", LongType), StructField("eps", DoubleType),
+          StructField("alpha", DoubleType),
+          StructField("w_wrong_each", DoubleType),
+          StructField("w_correct_each", DoubleType))))
+    }
+    val cw = Window.partitionBy(Tables.zeroPart(col("x"))).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gv
+      .withColumn("nl", sum(col("c")).over(cw))
+      .withColumn("pl", sum(col("p")).over(cw))
+      .filter(col("nl") < lit(n)) // an empty right child is not a split
+    // predict-1-left errors: negatives left + positives right (exact ints)
+    val errP = (col("nl") - col("pl")) + (lit(nPos) - col("pl"))
+    val cand = cum.select(col("x"),
+        explode(array(
+          struct(lit(1L).as("polarity"), errP.as("n_err")),
+          struct(lit(-1L).as("polarity"), (lit(n) - errP).as("n_err"))))
+          .as("s"))
+      .select(col("x"), col("s.polarity").as("polarity"),
+        col("s.n_err").as("n_err"))
+    val ow = Window.partitionBy(Tables.zeroPart(col("x")))
+      .orderBy(col("n_err"), col("x"), col("polarity").desc)
+    val eps = col("n_err").cast("double") / lit(n.toDouble)
+    cand
+      .withColumn("rn", row_number().over(ow))
+      .filter(col("rn") === 1)
+      .select(lit(n).as("n"), lit(nPos).as("n_pos"), col("x").as("split_at"),
+        col("polarity"), col("n_err"),
+        round(eps, 6).as("eps"),
+        (round(when(col("n_err") > 0L && col("n_err") < lit(n),
+          lit(0.5d) * log((lit(1.0d) - eps) / eps)), 6) + lit(0.0)).as("alpha"),
+        round(when(col("n_err") > 0L,
+          lit(1.0d) / (lit(2.0d) * col("n_err").cast("double"))), 6)
+          .as("w_wrong_each"),
+        round(when(col("n_err") < lit(n),
+          lit(1.0d) / (lit(2.0d) * (lit(n) - col("n_err")).cast("double"))), 6)
+          .as("w_correct_each"))
+  }
+
+  private def mlAdaboostStepSql: String =
+    """WITH base AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS x,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |gv AS (SELECT x, CAST(COUNT(1) AS BIGINT) AS c,
+      |         CAST(SUM(y) AS BIGINT) AS p
+      |       FROM base GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |          CAST(SUM(p) AS BIGINT) AS np FROM gv),
+      |cum AS (
+      |  SELECT x,
+      |    CAST(SUM(c) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+      |    CAST(SUM(p) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+      |  FROM gv),
+      |cand AS (
+      |  SELECT x, 1 AS polarity, (nl - pl) + (np - pl) AS n_err
+      |  FROM cum CROSS JOIN tot WHERE nl < n
+      |  UNION ALL
+      |  SELECT x, -1 AS polarity, n - ((nl - pl) + (np - pl)) AS n_err
+      |  FROM cum CROSS JOIN tot WHERE nl < n),
+      |best AS (
+      |  SELECT x, polarity, n_err,
+      |    ROW_NUMBER() OVER (ORDER BY n_err, x, polarity DESC) AS rn
+      |  FROM cand)
+      |SELECT n, np AS n_pos, x AS split_at, CAST(polarity AS BIGINT)
+      |    AS polarity, n_err,
+      |  round(CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE), 6) AS eps,
+      |  round(CASE WHEN n_err > 0 AND n_err < n THEN
+      |    0.5 * ln((1.0 - CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE))) END, 6) + 0.0
+      |    AS alpha,
+      |  round(CASE WHEN n_err > 0 THEN
+      |    1.0 / (2.0 * CAST(n_err AS DOUBLE)) END, 6) AS w_wrong_each,
+      |  round(CASE WHEN n_err < n THEN
+      |    1.0 / (2.0 * CAST(n - n_err AS DOUBLE)) END, 6) AS w_correct_each
+      |FROM best CROSS JOIN tot WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_adaboost_step" -> (mlAdaboostStep _),
+    "eval_matthews_corr" -> (evalMatthewsCorr _),
+    "eval_lift_deciles" -> (evalLiftDeciles _),
     "split_adversarial_auc" -> (splitAdversarialAuc _),
     "ml_stump_split" -> (mlStumpSplit _),
     "eval_cost_curve" -> (evalCostCurve _),
@@ -1853,6 +2167,9 @@ object TrainAudit {
     "seq_transition_matrix" -> (seqTransitionMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "ml_adaboost_step" -> mlAdaboostStepSql,
+    "eval_matthews_corr" -> evalMatthewsCorrSql,
+    "eval_lift_deciles" -> evalLiftDecilesSql,
     "split_adversarial_auc" -> splitAdversarialAucSql,
     "ml_stump_split" -> mlStumpSplitSql,
     "eval_cost_curve" -> evalCostCurveSql,

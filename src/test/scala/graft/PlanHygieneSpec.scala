@@ -38,10 +38,13 @@ class PlanHygieneSpec extends AnyFunSuite with SparkFixture {
   // replacement for the O(V²) inequality cross it used to run
   // sim_ivf_multiprobe's ground-truth side is the same documented
   // brute-force baseline as sim_ivf_recall (the sweep it generalizes)
+  // embed_ann_lid ranks the same broadcast query⨯candidate cross as
+  // sim_knn_accuracy (≤10 anchor rows broadcast; product linear in the
+  // candidate stream)
   private val crossJoinAllowed =
     Set("sim_bruteforce_topk", "sim_knn_accuracy", "sim_ivf_recall",
       "sim_pq_recall", "eval_confusion_knn", "stats_mann_whitney",
-      "sim_ivf_multiprobe")
+      "sim_ivf_multiprobe", "embed_ann_lid")
 
   private def collectPlan(p: LogicalPlan): Seq[LogicalPlan] =
     (p +: p.children.flatMap(collectPlan)) ++ p.subqueries.flatMap(collectPlan)

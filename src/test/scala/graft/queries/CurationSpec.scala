@@ -269,4 +269,37 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       "s1" -> ((2L, 1L, 20L, 10L, 50.0)),
       "s2" -> ((1L, 0L, 5L, 0L, 0.0))), s"got $out")
   }
+
+  // -------------------------------------------------- bounded 2-core peel
+
+  private def kcore(edges0: Seq[(Long, Long)]): (Set[Long], Boolean) = {
+    val pairs = spark.createDataFrame(edges0).toDF("da", "db")
+    val edges = pairs.select(col("da").as("s"), col("db").as("d"))
+      .unionByName(pairs.select(col("db").as("s"), col("da").as("d")))
+    val deg0 = edges.groupBy(col("s")).agg(count(lit(1)).as("deg0"))
+    val (surv, conv) = Curation.kcorePeel(edges, deg0)
+    (surv.collect().map(_.getLong(0)).toSet, conv)
+  }
+
+  test("kcorePeel: triangle survives, pendant peels, converges") {
+    val (core, conv) = kcore(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(core == Set(1L, 2L, 3L), s"got $core")
+    assert(conv)
+  }
+
+  test("kcorePeel: short chain peels to nothing and converges") {
+    // 1-2-3-4-5: s1={2,3,4}, s2={3}, s3=∅, s4=∅ → stable inside budget
+    val (core, conv) = kcore(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(core.isEmpty, s"got $core")
+    assert(conv)
+  }
+
+  test("kcorePeel: 21-chain exhausts the budget and says so") {
+    // each round peels the two current endpoints: |s_i| = 21 − 2i, so the
+    // 8-round budget ends at 5 survivors with rounds 7 and 8 UNEQUAL —
+    // the under-peel must be visible, not silent
+    val (core, conv) = kcore((1L to 20L).map(i => (i, i + 1)))
+    assert(core == (9L to 13L).toSet, s"got $core")
+    assert(!conv)
+  }
 }
