@@ -907,7 +907,7 @@ object Curation {
   /** Fixed peel budget for [[dedupGraphKcore]] — both engines run exactly
     * this many rounds and publish a convergence flag, so a
     * deeper-than-budget peel is VISIBLE, never silently wrong. */
-  private val KcorePeelRounds = 8
+  private[queries] val KcorePeelRounds = 8
 
   /** The bounded 2-core peel loop on a directed-both-ways edge relation
     * (s, d): runs the fixed [[KcorePeelRounds]] schedule with an early
@@ -918,23 +918,78 @@ object Curation {
     * cliques that converge immediately) without a document corpus. */
   private[queries] def kcorePeel(edges: DataFrame, deg0: DataFrame)
       : (DataFrame, Boolean) = {
-    var surv = deg0.filter(col("deg0") >= 2L).select(col("s"))
-      .persist(MEMORY_AND_DISK)
-    graft.core.QueryCaches.report(surv)
+    // rounds eagerly checkpoint (lineage truncation): a per-round persist
+    // NESTS every earlier round's plan into the next — by round 8 the
+    // plan string alone OOMs the driver (the r11 finding that motivated
+    // the [[kcorePeelSuper]] rewrite; this doc-level reference is kept
+    // for the spec's equivalence tests and gets the same discipline)
+    var surv = roundCheckpoint(
+      deg0.filter(col("deg0") >= 2L).select(col("s")), reliable = false)
     var prevN = surv.count()
     var converged = false
     var i = 2
     while (i <= KcorePeelRounds && !converged) {
-      val next = edges
+      val next = roundCheckpoint(edges
         .join(surv, Seq("s"), "left_semi")
         .join(surv.select(col("s").as("d")), Seq("d"), "left_semi")
         .groupBy(col("s")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2L).select(col("s"))
-        .persist(MEMORY_AND_DISK)
-      graft.core.QueryCaches.report(next)
+        .filter(col("c") >= 2L).select(col("s")), reliable = false)
       val n = next.count()
       if (n == prevN) converged = true
       prevN = n
+      freeCheckpoint(surv)
+      surv = next
+      i += 1
+    }
+    handOffCheckpoint(surv)
+    (surv, converged)
+  }
+
+  /** SUPERNODE form of [[kcorePeel]] (optimization r11): the peel runs on
+    * the COLLAPSED unique-word-set graph instead of the expanded doc-pair
+    * graph. Exactness argument (the [[pagerankFromGraph]] exchangeability
+    * induction): every member of one unique word set has the same neighbor
+    * multiset — (m_S − 1) clique siblings plus all m_T members of each
+    * qualifying partner set — so all members share one degree, survive or
+    * peel together, and the doc-level round
+    * `surv_{i+1} = {u ∈ surv_i : deg_within(surv_i)(u) ≥ 2}` collapses to
+    * the set-level round
+    * `surv_{i+1} = {S ∈ surv_i : (m_S − 1) + Σ_{T ∈ adj(S) ∩ surv_i} m_T ≥ 2}`.
+    * The early exit compares DOC counts (Σ m over surviving sets), the
+    * same scalar the doc-level loop counted; peeling is monotone, so
+    * count-stable = set-stable. Rounds eagerly checkpoint ([[roundCheckpoint]]
+    * — the [[iterativeComponents]] lineage discipline): with a per-round
+    * persist instead, round R's plan NESTS every earlier round plus the
+    * full pair-generation tree (measured: a 139k-line final plan and a
+    * 725 s cache-free re-execution at sf0.1).
+    *
+    * @param act   participating sets: (sid, m) — m ≥ 2 or ≥ 1 cross edge
+    * @param edges set-level directed edges (src, dst), both directions
+    * @return (surviving (sid, m) — checkpointed, release via
+    *         [[handOffCheckpoint]] —, converged flag) */
+  private[queries] def kcorePeelSuper(act: DataFrame, edges: DataFrame,
+      reliable: Boolean): (DataFrame, Boolean) = {
+    def docCount(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("m")), lit(0L))).first().getLong(0)
+    var surv = roundCheckpoint(
+      act.filter(col("m") - 1 + col("cmass") >= 2L).select(col("sid"), col("m")),
+      reliable)
+    var prevN = docCount(surv)
+    var converged = false
+    var i = 2
+    while (i <= KcorePeelRounds && !converged) {
+      val cm = edges
+        .join(surv.select(col("sid").as("dst"), col("m").as("md")), "dst")
+        .groupBy(col("src")).agg(sum(col("md")).as("cm"))
+      val next = roundCheckpoint(
+        surv.join(cm.withColumnRenamed("src", "sid"), Seq("sid"), "left")
+          .filter(col("m") - 1 + coalesce(col("cm"), lit(0L)) >= 2L)
+          .select(col("sid"), col("m")),
+        reliable)
+      val n = docCount(next)
+      if (n == prevN) converged = true
+      prevN = n
+      freeCheckpoint(surv)
       surv = next
       i += 1
     }
@@ -969,30 +1024,124 @@ object Curation {
    * [[dedupComponents]] checkpoint discipline, but with a FIXED round
    * budget, so no diameter cliff exists here.
    */
-  def dedupGraphKcore(s: SparkSession, dir: String): DataFrame = {
+  def dedupGraphKcore(s: SparkSession, dir: String): DataFrame =
+    dedupGraphKcoreImpl(s, dir, EdgeCollectCap)
+
+  /** [[dedupGraphKcore]] with the driver fast-path cap exposed (tests pin
+    * it to 0 to force the distributed peel). */
+  private[queries] def dedupGraphKcoreImpl(s: SparkSession, dir: String,
+      collectCap: Long): DataFrame = {
+    require(collectCap < Int.MaxValue,
+      s"collectCap must be < Int.MaxValue (driver collect); got $collectCap")
     GraftFunctions.register(s)
-    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir))
-      .select(col("da"), col("db"))
-    val edges = pairs.select(col("da").as("s"), col("db").as("d"))
-      .unionByName(pairs.select(col("db").as("s"), col("da").as("d")))
+    // Optimization r11: peel on the COLLAPSED set graph ([[kcorePeelSuper]]
+    // — exactness argued there), never the expanded doc-pair graph. The
+    // doc-level answer is reconstructed exactly: every member of set S
+    // shares deg0 = (m_S − 1) + Σ_{T adj} m_T, the survive/peel decision,
+    // and the final core degree — expansion is one explode at the end.
+    // Metadata-sized set graphs (≤ [[EdgeCollectCap]] participating sets
+    // AND set edges) peel on the DRIVER — the [[connectedComponents]]
+    // union-find fast-path convention: no per-round distributed jobs at
+    // all; above the cap the distributed supernode peel runs.
+    // Before: 10.9 s at sf0.1 (expanded edges persisted per round, plan
+    // nesting); after: see OPTIMIZATION_r11.md.
+    val (setPairs, groups) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
+    val reliable = useReliableCheckpoint(s)
+    // materialize the canonical set-pair projection once; every consumer
+    // below (cmass, peel rounds or driver collect) re-reads the checkpoint
+    val sp = roundCheckpoint(setPairs
+      .select(array_min(col("ma")).as("sa"), array_min(col("mb")).as("sb")),
+      reliable)
+    val edges = sp.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(sp.select(col("sb").as("src"), col("sa").as("dst")))
+    val nodes = groups.select(array_min(col("members")).as("sid"),
+        size(col("members")).cast("long").as("m"), col("members"))
       .persist(MEMORY_AND_DISK)
-    graft.core.QueryCaches.report(edges)
-    val deg0 = edges.groupBy(col("s")).agg(count(lit(1)).as("deg0"))
+    graft.core.QueryCaches.report(nodes)
+    val cmass = edges
+      .join(nodes.select(col("sid").as("dst"), col("m").as("md")), "dst")
+      .groupBy(col("src")).agg(sum(col("md")).as("cmass"))
+    // participating sets = docs with ≥ 1 edge: an intra clique (m ≥ 2)
+    // or ≥ 1 cross edge — the doc-level deg0 population
+    val act = nodes.select(col("sid"), col("m"))
+      .join(cmass.withColumnRenamed("src", "sid"), Seq("sid"), "left")
+      .select(col("sid"), col("m"), coalesce(col("cmass"), lit(0L)).as("cmass"))
+      .filter(col("m") >= 2L || col("cmass") > 0L)
+      .withColumn("deg0", col("m") - 1 + col("cmass"))
       .persist(MEMORY_AND_DISK)
-    graft.core.QueryCaches.report(deg0)
-    val (surv, converged) = kcorePeel(edges, deg0)
-    val core = edges
-      .join(surv, Seq("s"), "left_semi")
-      .join(surv.select(col("s").as("d")), Seq("d"), "left_semi")
-      .groupBy(col("s")).agg(count(lit(1)).as("core_deg"))
-    deg0
-      .join(surv.withColumn("ic", lit(true)), Seq("s"), "left")
-      .join(core, Seq("s"), "left")
-      .select(col("s").as("doc_id"), col("deg0"),
-        coalesce(col("ic"), lit(false)).as("in_core2"),
-        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
-        lit(converged).as("converged"))
-      .orderBy(col("doc_id"))
+    graft.core.QueryCaches.report(act)
+    val smallAct =
+      if (collectCap > 0)
+        Some(act.limit(collectCap.toInt + 1).collect())
+          .filter(_.length <= collectCap)
+      else None
+    val smallSp = smallAct.flatMap { _ =>
+      Some(sp.limit(collectCap.toInt + 1).collect())
+        .filter(_.length <= collectCap)
+    }
+    val out = (smallAct, smallSp) match {
+      case (Some(actRows), Some(spRows)) =>
+        // driver peel over the metadata-sized collapsed graph
+        val m = actRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+        spRows.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          adj(a) = b :: adj.getOrElse(a, Nil)
+          adj(b) = a :: adj.getOrElse(b, Nil)
+        }
+        def docCount(surv: Set[Long]): Long = surv.iterator.map(m).sum
+        var surv = actRows.filter(_.getLong(3) >= 2L).map(_.getLong(0)).toSet
+        var prevN = docCount(surv)
+        var converged = false
+        var i = 2
+        while (i <= KcorePeelRounds && !converged) {
+          val next = surv.filter(sid => m(sid) - 1 +
+            adj.getOrElse(sid, Nil).iterator.filter(surv).map(m).sum >= 2L)
+          val n = docCount(next)
+          if (n == prevN) converged = true
+          prevN = n
+          surv = next
+          i += 1
+        }
+        val survF = surv
+        val lookup = actRows.toSeq.map { r =>
+          val sid = r.getLong(0)
+          val ic = survF.contains(sid)
+          val coreDeg = if (ic) m(sid) - 1 +
+            adj.getOrElse(sid, Nil).iterator.filter(survF).map(m).sum
+          else 0L
+          (sid, r.getLong(3), ic, coreDeg)
+        }
+        import s.implicits._
+        nodes.join(broadcast(lookup
+            .toDF("sid", "deg0", "in_core2", "core_deg")), Seq("sid"))
+          .select(explode(col("members")).as("doc_id"), col("deg0"),
+            col("in_core2"), col("core_deg"), lit(converged).as("converged"))
+          .orderBy(col("doc_id"))
+      case _ =>
+        val edgesC = roundCheckpoint(edges, reliable)
+        val (surv, converged) = kcorePeelSuper(act, edgesC, reliable)
+        // core degree within the FINAL survivor set, survivors only
+        val cmR = edgesC
+          .join(surv.select(col("sid").as("dst"), col("m").as("md")), "dst")
+          .groupBy(col("src")).agg(sum(col("md")).as("cmr"))
+        val res = act
+          .join(surv.select(col("sid"), lit(true).as("ic")), Seq("sid"), "left")
+          .join(cmR.withColumnRenamed("src", "sid"), Seq("sid"), "left")
+          .join(nodes.select(col("sid"), col("members")), Seq("sid"))
+          .select(explode(col("members")).as("doc_id"), col("deg0"),
+            coalesce(col("ic"), lit(false)).as("in_core2"),
+            when(coalesce(col("ic"), lit(false)),
+              col("m") - 1 + coalesce(col("cmr"), lit(0L))).otherwise(0L)
+              .as("core_deg"),
+            lit(converged).as("converged"))
+          .orderBy(col("doc_id"))
+        handOffCheckpoint(edgesC)
+        handOffCheckpoint(surv)
+        res
+    }
+    handOffCheckpoint(sp)
+    out
   }
 
   // ---------------------------------------------------------------------
@@ -1020,31 +1169,65 @@ object Curation {
   def dedupGraphAssortativity(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val d38 = DecimalType(38, 0)
-    val pairs = Dedup.jaccardPairs(Dedup.docWords(s, dir))
-      .select(col("da"), col("db"))
-    val edges = pairs.select(col("da").as("s"), col("db").as("d"))
-      .unionByName(pairs.select(col("db").as("s"), col("da").as("d")))
+    // Optimization r11: the correlation sums fold on the COLLAPSED set
+    // graph. Every member of set S has the same degree
+    // D_S = (m_S − 1) + Σ_{T adj} m_T, so over the symmetrized doc-pair
+    // edge list (the oracle's relation):
+    //   m   = Σ_S m_S·D_S                      (directed edge count)
+    //   sx  = sy  = Σ_S m_S·D_S²               (edge set is symmetric)
+    //   sxx = syy = Σ_S m_S·D_S³
+    //   sxy = Σ_S m_S·D_S·((m_S − 1)·D_S + W_S),  W_S = Σ_{T adj} m_T·D_T
+    // — all integer-exact DECIMAL folds, so the five sums are bit-equal to
+    // the doc-level aggregation and the final double expression is the
+    // oracle's. Before: 5.6 s at sf0.1 (expanded + two degree joins over
+    // the doc-pair list); after: see OPTIMIZATION_r11.md.
+    val (setPairs, groups) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
+    val reliable = useReliableCheckpoint(s)
+    val sp = roundCheckpoint(setPairs
+      .select(array_min(col("ma")).as("sa"), array_min(col("mb")).as("sb")),
+      reliable)
+    val edges = roundCheckpoint(
+      sp.select(col("sa").as("src"), col("sb").as("dst"))
+        .unionByName(sp.select(col("sb").as("src"), col("sa").as("dst"))),
+      reliable)
+    freeCheckpoint(sp)
+    val nodes = groups.select(array_min(col("members")).as("sid"),
+      size(col("members")).cast("long").as("m"))
+    val cmass = edges
+      .join(nodes.select(col("sid").as("dst"), col("m").as("md")), "dst")
+      .groupBy(col("src")).agg(sum(col("md")).as("cmass"))
+    val act = nodes
+      .join(cmass.withColumnRenamed("src", "sid"), Seq("sid"), "left")
+      .select(col("sid"), col("m"), coalesce(col("cmass"), lit(0L)).as("cmass"))
+      .filter(col("m") >= 2L || col("cmass") > 0L)
+      .withColumn("dg", col("m") - 1 + col("cmass"))
       .persist(MEMORY_AND_DISK)
-    graft.core.QueryCaches.report(edges)
-    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("dg"))
-    val g = edges
-      .join(deg, Seq("s"))
-      .join(deg.select(col("s").as("d"), col("dg").as("dh")), Seq("d"))
-      .agg(count(lit(1)).as("m"),
-        sum(col("dg").cast(d38)).as("sx"),
-        sum(col("dh").cast(d38)).as("sy"),
-        sum(col("dg").cast(d38) * col("dh")).as("sxy"),
-        sum(col("dg").cast(d38) * col("dg")).as("sxx"),
-        sum(col("dh").cast(d38) * col("dh")).as("syy"))
-    val num = (col("m").cast(d38) * col("sxy") - col("sx") * col("sy"))
+    graft.core.QueryCaches.report(act)
+    // W_S = Σ_{T adj S} m_T·D_T (exact decimal; one set-edge join)
+    val g = act
+      .join(edges
+        .join(act.select(col("sid").as("dst"),
+          (col("m").cast(d38) * col("dg")).as("md")), "dst")
+        .groupBy(col("src")).agg(sum(col("md")).as("w"))
+        .withColumnRenamed("src", "sid"), Seq("sid"), "left")
+      .agg(coalesce(sum(col("m") * col("dg")), lit(0L)).as("m"),
+        sum(col("m").cast(d38) * col("dg") * col("dg")).as("sx"),
+        sum(col("m").cast(d38) * col("dg") * col("dg") * col("dg")).as("sxx"),
+        sum(col("m").cast(d38) * col("dg") *
+          ((col("m") - 1).cast(d38) * col("dg") +
+            coalesce(col("w"), lit(0L).cast(d38)))).as("sxy"))
+    val num = (col("m").cast(d38) * col("sxy") - col("sx") * col("sx"))
       .cast("double")
     val dx = (col("m").cast(d38) * col("sxx") - col("sx") * col("sx"))
       .cast("double")
-    val dy = (col("m").cast(d38) * col("syy") - col("sy") * col("sy"))
-      .cast("double")
-    g.select(col("m").as("m_directed"),
-      (round(when(col("m") > 0L && dx > 0 && dy > 0,
-        num / (sqrt(dx) * sqrt(dy))), 6) + lit(0.0)).as("assortativity"))
+    // dy == dx exactly (the directed edge set is symmetric, so sy = sx and
+    // syy = sxx as integers on both engines) — the oracle's
+    // sqrt(dx)·sqrt(dy) is bit-equal to sqrt(dx)·sqrt(dx)
+    val out = g.select(col("m").as("m_directed"),
+      (round(when(col("m") > 0L && dx > 0,
+        num / (sqrt(dx) * sqrt(dx))), 6) + lit(0.0)).as("assortativity"))
+    handOffCheckpoint(edges)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

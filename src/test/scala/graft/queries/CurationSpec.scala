@@ -302,4 +302,109 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(core == (9L to 13L).toSet, s"got $core")
     assert(!conv)
   }
+
+  // ------------------------- supernode peel ≡ doc-level peel (r11 rewrite)
+
+  /** Runs the doc-level reference peel AND the supernode peel on the same
+    * logical graph (sets with multiplicities + cross set edges, expanded
+    * to all doc pairs for the reference) and asserts identical surviving
+    * doc sets and convergence flags. */
+  private def kcoreSuperVsDoc(sets: Seq[(Long, Long)],
+      setEdges: Seq[(Long, Long)]): Unit = {
+    val members: Map[Long, Seq[Long]] =
+      sets.map { case (sid, m) => sid -> (0L until m).map(k => sid * 100 + k) }.toMap
+    val intra = members.values.toSeq.flatMap(ms =>
+      for (i <- ms.indices; j <- i + 1 until ms.size) yield (ms(i), ms(j)))
+    val cross = setEdges.flatMap { case (a, b) =>
+      for (x <- members(a); y <- members(b)) yield (x, y) }
+    val (survDoc, convDoc) = kcore(intra ++ cross)
+    val ndf = spark.createDataFrame(sets).toDF("sid", "m")
+    val se =
+      if (setEdges.nonEmpty) spark.createDataFrame(setEdges).toDF("sa", "sb")
+      else spark.createDataFrame(Seq((0L, 0L))).toDF("sa", "sb").limit(0)
+    val edgesSet = se.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(se.select(col("sb").as("src"), col("sa").as("dst")))
+    val cmass = edgesSet
+      .join(ndf.select(col("sid").as("dst"), col("m").as("md")), "dst")
+      .groupBy(col("src")).agg(sum(col("md")).as("cmass"))
+    val act = ndf
+      .join(cmass.withColumnRenamed("src", "sid"), Seq("sid"), "left")
+      .select(col("sid"), col("m"), coalesce(col("cmass"), lit(0L)).as("cmass"))
+      .filter(col("m") >= 2L || col("cmass") > 0L)
+    val (survSet, convSet) = Curation.kcorePeelSuper(act, edgesSet, reliable = false)
+    val expanded = survSet.collect().flatMap(r => members(r.getLong(0))).toSet
+    assert(expanded == survDoc, s"supernode $expanded != doc-level $survDoc")
+    assert(convSet == convDoc, s"converged: supernode $convSet != doc-level $convDoc")
+  }
+
+  test("kcorePeelSuper ≡ doc-level peel: clique set survives alone") {
+    // one m=5 identical-doc clique (deg 4 — survives), one m=2 pair
+    // (deg 1 — peels), one singleton with no edges (not a participant)
+    kcoreSuperVsDoc(Seq((1L, 5L), (2L, 2L), (3L, 1L)), Seq.empty)
+  }
+
+  test("kcorePeelSuper ≡ doc-level peel: pendant set peels off a clique") {
+    // m=3 clique with a pendant singleton: the pendant's doc deg is 3 but
+    // within-survivor deg falls to 3 after... the clique keeps it alive
+    // (every clique member has deg ≥ 2 forever) — both engines must agree
+    kcoreSuperVsDoc(Seq((1L, 3L), (2L, 1L)), Seq((1L, 2L)))
+  }
+
+  test("kcorePeelSuper ≡ doc-level peel: singleton chain peels to nothing") {
+    // 5 singleton sets in a path — the kcorePeel chain scenario expressed
+    // through the supernode machinery (m = 1 everywhere)
+    kcoreSuperVsDoc((1L to 5L).map(i => (i, 1L)),
+      (1L to 4L).map(i => (i, i + 1)))
+  }
+
+  test("kcoreSuperVsDoc: star of singleton sets through a clique hub") {
+    // hub m=2 clique with three singleton leaves: leaves have doc deg 2
+    // (both hub members) so they survive round 1, and keep surviving (the
+    // hub never peels) — a shape where intra and cross mass interact
+    kcoreSuperVsDoc(Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)),
+      Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
+
+  test("dedupGraphKcore: driver fast path ≡ forced distributed peel") {
+    // a corpus with an identical-doc clique (m=3), a near-dup cross edge,
+    // and a pendant — the full output (deg0 / in_core2 / core_deg /
+    // converged) must be identical whichever path computes it
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kcorefp")
+    val clique = "p q r s t u v w x y"
+    val rows = Seq(
+      (1L, clique, "en", "s1"), (2L, clique, "en", "s1"), (3L, clique, "en", "s1"),
+      (4L, "p q r s t u v w x", "en", "s1"), // J = 9/10 vs the clique set
+      (5L, "lonely words here", "en", "s2"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents",
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val fast = Curation.dedupGraphKcore(spark, dir.toString).collect().toSeq
+    val dist = Curation.dedupGraphKcoreImpl(spark, dir.toString, 0L).collect().toSeq
+    assert(fast == dist, s"fast $fast != distributed $dist")
+    assert(fast.nonEmpty && fast.forall(_.getBoolean(4)), "expected convergence")
+  }
+
+  test("dedupGraphAssortativity: star graph reports r = −1") {
+    // three docs whose word sets form a star at Jaccard ≥ 0.8:
+    //   x = {a..j}     (10 words) — center
+    //   y = {a..i}     (9 words):  J(x,y) = 9/10  = 0.9   → edge
+    //   z = {a..h,j,k} (10 words): J(x,z) = 9/11 ≈ 0.818  → edge
+    //   J(y,z) = 8/11 ≈ 0.727                             → no edge
+    // degrees: x=2, y=z=1 → the classic star, assortativity exactly −1;
+    // m_directed = 4. Pins the r11 supernode-formula rewrite.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("assort")
+    val x = "a b c d e f g h i j"
+    val y = "a b c d e f g h i"
+    val z = "a b c d e f g h j k"
+    val rows = Seq((1L, x, "en", "s1"), (2L, y, "en", "s1"), (3L, z, "en", "s1"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents",
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.dedupGraphAssortativity(spark, dir.toString).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 4L, s"m_directed ${out(0).getLong(0)}")
+    assert(out(0).getDouble(1) == -1.0, s"assortativity ${out(0).getDouble(1)}")
+  }
 }
