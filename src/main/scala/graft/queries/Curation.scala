@@ -53,6 +53,10 @@ object Curation {
     * identity-labelled without ever leaving the executors). */
   private val EdgeCollectCap = 1 << 20
 
+  /** [[EdgeCollectCap]] exposed for specs that exercise the driver
+    * fast paths against their distributed twins. */
+  private[queries] def testEdgeCollectCap: Long = EdgeCollectCap
+
   /**
    * Connected components by iterative min-label propagation, with a
    * driver-side union-find fast path for metadata-sized edge sets.
@@ -569,8 +573,11 @@ object Curation {
 
   /** [[dedupGraphPagerank]] over an already-built set graph — the
     * [[pipelineDedupGraph]] seam (see [[componentsFromGraph]]). */
-  private def pagerankFromGraph(s: SparkSession, dir: String,
-      spMin: DataFrame, groups: DataFrame, nDocs: Long): DataFrame = {
+  private[queries] def pagerankFromGraph(s: SparkSession, dir: String,
+      spMin: DataFrame, groups: DataFrame, nDocs: Long,
+      collectCap: Long = EdgeCollectCap): DataFrame = {
+    require(collectCap < Int.MaxValue,
+      s"collectCap must be < Int.MaxValue (driver collect); got $collectCap")
     val base = 0.15 / nDocs.toDouble // (1−d)/n — identical IEEE op in the oracle
     // Eager-checkpoint the edge list (same reliable/local switch as
     // [[iterativeComponents]]): without lineage truncation every
@@ -616,11 +623,12 @@ object Curation {
     graft.core.QueryCaches.report(nodes)
     // materialize the set-pair projection ONCE before the two-direction
     // union (both branches reference it; unmaterialized, the whole pair
-    // generation would run twice)
+    // generation would run twice). Both directions read the checkpoint,
+    // so the union itself needs no second materialization unless the
+    // distributed iteration (which re-reads it every round) runs.
     val sp = ckpt(spMin)
-    val edges = ckpt(sp.select(col("sa").as("src"), col("sb").as("dst"))
-      .unionByName(sp.select(col("sb").as("src"), col("sa").as("dst"))))
-    freeCkpt(sp)
+    val edges = sp.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(sp.select(col("sb").as("src"), col("sa").as("dst")))
     // participating sets: an intra clique (m ≥ 2) or ≥1 cross edge
     val crossMass = edges
       .join(nodes.select(col("sid").as("dst"), col("m").as("m_dst")), "dst")
@@ -634,49 +642,117 @@ object Curation {
         (col("m") - 1 + col("cmass")).as("deg"))
       .persist(MEMORY_AND_DISK)
     graft.core.QueryCaches.report(act)
-    // t as DECIMAL(17,16) (ranks are < 1, so 16 fractional digits is the
-    // full 16-dp rounding the member-level DECIMAL(38,16) cast applied)
-    // × m as DECIMAL(20,0) → DECIMAL(38,16): precision 17+20+1 = 38 fits
-    // EXACTLY — no scale reduction, so t·m is bit-equal to summing m
-    // copies of t, which is the member-level oracle's arithmetic.
-    val decT = org.apache.spark.sql.types.DataTypes.createDecimalType(17, 16)
-    val decM = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0)
-    var ranks = ckpt(act.select(col("sid").as("v"),
-      (lit(1.0) / lit(nDocs.toDouble)).as("r")))
-    for (_ <- 1 to PrIters) {
-      val withT = ranks
-        .join(act.withColumnRenamed("sid", "v"), "v")
-        .select(col("v"),
-          round(col("r") / col("deg").cast("double"), 14).cast(decT).as("t"),
-          col("m"))
-      val cross = edges
-        .join(withT.select(col("v").as("src"),
-          (col("t") * col("m").cast(decM)).as("c")), "src")
-        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-        .withColumnRenamed("dst", "v")
-      val next = ckpt(withT
-        .select(col("v"), (col("t") * (col("m") - 1).cast(decM)).as("cself"))
-        .join(cross, Seq("v"), "left")
-        .select(col("v"), round(lit(base) + lit(PrDamping) *
-          (coalesce(col("cin"),
-            lit(java.math.BigDecimal.ZERO)
-              .cast(org.apache.spark.sql.types.DataTypes
-                .createDecimalType(38, 16))) +
-            col("cself")).cast("double"), 12).as("r")))
-      freeCkpt(ranks)
-      ranks = next
+    // Driver fast path (optimization r11, the [[connectedComponents]] /
+    // [[dedupGraphKcore]] cap convention): when the participating-set
+    // relation AND the set-pair list are both metadata-sized, the three
+    // power-iteration rounds run on the driver with the IDENTICAL
+    // arithmetic chain — java.math.BigDecimal.valueOf(d).setScale(n,
+    // HALF_UP) is exactly Spark's Round-on-double and double→DECIMAL cast
+    // (both go through Double.toString), decimal ×/+ are exact, and
+    // Decimal.toDouble is BigDecimal.doubleValue — so every intermediate
+    // matches the distributed iteration bit for bit. Saves ~3 jobs per
+    // round plus the per-round checkpoint barriers; above the cap the
+    // distributed iteration below is unchanged.
+    val smallAct =
+      if (collectCap > 0)
+        Some(act.limit(collectCap.toInt + 1).collect())
+          .filter(_.length <= collectCap)
+      else None
+    val smallSp = smallAct.flatMap { _ =>
+      Some(sp.limit(collectCap.toInt + 1).collect())
+        .filter(_.length <= collectCap)
     }
-    // the final round's and the edge list's checkpoint RDDs back the
-    // returned plan — hand their release to the enclosing query scope
-    handOff(ranks)
-    handOff(edges)
-    // expand supernode ranks back to member documents
-    ranks
-      .join(act.withColumnRenamed("sid", "v").select(col("v"), col("deg")), "v")
-      .join(nodes.select(array_min(col("members")).as("v"), col("members")), "v")
-      .select(explode(col("members")).as("doc_id"), col("deg"), col("r").as("rank"))
-      .orderBy(col("rank").desc, col("doc_id"))
-      .limit(PrTopK)
+    val result = (smallAct, smallSp) match {
+      case (Some(actRows), Some(spRows)) =>
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        def round(d: Double, s: Int): Double =
+          JBD.valueOf(d).setScale(s, RoundingMode.HALF_UP).doubleValue
+        val m = actRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val deg = actRows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+        spRows.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          adj(a) = b :: adj.getOrElse(a, Nil)
+          adj(b) = a :: adj.getOrElse(b, Nil)
+        }
+        val sids = actRows.map(_.getLong(0))
+        var r = sids.map(_ -> 1.0 / nDocs.toDouble).toMap
+        for (_ <- 1 to PrIters) {
+          // t = round(r/deg, 14) then cast DECIMAL(17,16): double →
+          // Double.toString → setScale, Spark's exact chain
+          val t = r.map { case (v, rv) =>
+            v -> JBD.valueOf(round(rv / deg(v).toDouble, 14))
+              .setScale(16, RoundingMode.HALF_UP)
+          }
+          r = sids.map { v =>
+            val cself = t(v).multiply(JBD.valueOf(m(v) - 1))
+            val cin = adj.getOrElse(v, Nil).iterator
+              .map(u => t(u).multiply(JBD.valueOf(m(u))))
+              .foldLeft(JBD.ZERO.setScale(16))(_.add(_))
+            v -> round(base + PrDamping * cin.add(cself).doubleValue, 12)
+          }.toMap
+        }
+        import s.implicits._
+        val lookup = sids.toSeq.map(v => (v, deg(v), r(v)))
+          .toDF("sid", "deg", "rank")
+        handOff(sp)
+        nodes.join(broadcast(lookup), Seq("sid"))
+          .select(explode(col("members")).as("doc_id"), col("deg"), col("rank"))
+          .orderBy(col("rank").desc, col("doc_id"))
+          .limit(PrTopK)
+      case _ =>
+        // t as DECIMAL(17,16) (ranks are < 1, so 16 fractional digits is
+        // the full 16-dp rounding the member-level DECIMAL(38,16) cast
+        // applied) × m as DECIMAL(20,0) → DECIMAL(38,16): precision
+        // 17+20+1 = 38 fits EXACTLY — no scale reduction, so t·m is
+        // bit-equal to summing m copies of t, which is the member-level
+        // oracle's arithmetic.
+        val decT = org.apache.spark.sql.types.DataTypes.createDecimalType(17, 16)
+        val decM = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0)
+        val edgesC = ckpt(edges)
+        // sp must outlive the first action: the persisted `act` may be
+        // only partially cached by the probe's limit-collect, and its
+        // remaining partitions recompute through the un-checkpointed
+        // union over sp
+        handOff(sp)
+        var ranks = ckpt(act.select(col("sid").as("v"),
+          (lit(1.0) / lit(nDocs.toDouble)).as("r")))
+        for (_ <- 1 to PrIters) {
+          val withT = ranks
+            .join(act.withColumnRenamed("sid", "v"), "v")
+            .select(col("v"),
+              round(col("r") / col("deg").cast("double"), 14).cast(decT).as("t"),
+              col("m"))
+          val cross = edgesC
+            .join(withT.select(col("v").as("src"),
+              (col("t") * col("m").cast(decM)).as("c")), "src")
+            .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+            .withColumnRenamed("dst", "v")
+          val next = ckpt(withT
+            .select(col("v"), (col("t") * (col("m") - 1).cast(decM)).as("cself"))
+            .join(cross, Seq("v"), "left")
+            .select(col("v"), round(lit(base) + lit(PrDamping) *
+              (coalesce(col("cin"),
+                lit(java.math.BigDecimal.ZERO)
+                  .cast(org.apache.spark.sql.types.DataTypes
+                    .createDecimalType(38, 16))) +
+                col("cself")).cast("double"), 12).as("r")))
+          freeCkpt(ranks)
+          ranks = next
+        }
+        // the final round's and the edge list's checkpoint RDDs back the
+        // returned plan — hand their release to the enclosing query scope
+        handOff(ranks)
+        handOff(edgesC)
+        // expand supernode ranks back to member documents
+        ranks
+          .join(act.withColumnRenamed("sid", "v").select(col("v"), col("deg")), "v")
+          .join(nodes.select(array_min(col("members")).as("v"), col("members")), "v")
+          .select(explode(col("members")).as("doc_id"), col("deg"), col("r").as("rank"))
+          .orderBy(col("rank").desc, col("doc_id"))
+          .limit(PrTopK)
+    }
+    result
   }
 
   /**

@@ -385,6 +385,37 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(fast.nonEmpty && fast.forall(_.getBoolean(4)), "expected convergence")
   }
 
+  test("pagerank driver fast path ≡ forced distributed iteration") {
+    // the r11 driver fast path replays Spark's exact rounding chain
+    // (valueOf → setScale HALF_UP → doubleValue); every rank must be
+    // bit-identical to the distributed DECIMAL iteration
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prfp")
+    val clique = "p q r s t u v w x y"
+    val rows = Seq(
+      (1L, clique, "en", "s1"), (2L, clique, "en", "s1"), (3L, clique, "en", "s1"),
+      (4L, "p q r s t u v w x", "en", "s1"),
+      (5L, "lonely words here", "en", "s2"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents",
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def run(cap: Long) = {
+      spark.catalog.clearCache()
+      val nDocs = Tables.load(spark, dir.toString, "documents").count()
+      val (setPairs, groups) =
+        Dedup.jaccardSetGraph(Dedup.docWords(spark, dir.toString))
+      val spMin = setPairs
+        .select(array_min(col("ma")).as("sa"), array_min(col("mb")).as("sb"))
+      Curation.pagerankFromGraph(spark, dir.toString, spMin, groups, nDocs, cap)
+        .collect().toSeq
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val fast = run(Curation.testEdgeCollectCap)
+    val dist = run(0L)
+    assert(fast == dist, s"fast $fast != distributed $dist")
+    assert(fast.nonEmpty)
+  }
+
   test("dedupGraphAssortativity: star graph reports r = −1") {
     // three docs whose word sets form a star at Jaccard ≥ 0.8:
     //   x = {a..j}     (10 words) — center
