@@ -825,7 +825,15 @@ object Curation {
    * either way (Σ deg(deg−1)/2 — no enumeration). Counts are exact
    * integers, the coefficient one final rounded division.
    */
-  def dedupGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+  def dedupGraphTriangles(s: SparkSession, dir: String): DataFrame =
+    dedupGraphTrianglesImpl(s, dir, EdgeCollectCap)
+
+  /** [[dedupGraphTriangles]] with the driver fast-path cap exposed (tests
+    * pin it to 0 to force the distributed enumeration). */
+  private[queries] def dedupGraphTrianglesImpl(s: SparkSession, dir: String,
+      collectCap: Long): DataFrame = {
+    require(collectCap < Int.MaxValue,
+      s"collectCap must be < Int.MaxValue (driver collect); got $collectCap")
     GraftFunctions.register(s)
     val d38 = DecimalType(38, 0)
     val (setPairs, _) = Dedup.jaccardSetGraph(Dedup.docWords(s, dir))
@@ -838,6 +846,66 @@ object Curation {
       .distinct()
       .persist(MEMORY_AND_DISK)
     graft.core.QueryCaches.report(edges)
+    // Driver fast path (optimization r11, the EdgeCollectCap convention):
+    // the orientation, wedge generation and closing-edge probe are pure
+    // integer logic over the collapsed set graph — below the cap they run
+    // on the driver (apex cap and tie-break rules replicated verbatim),
+    // and only the final one-row select (with Spark's own round()) builds
+    // a plan. Above the cap the distributed enumeration below is unchanged.
+    val smallEdges =
+      if (collectCap > 0)
+        Some(edges.limit(collectCap.toInt + 1).collect())
+          .filter(_.length <= collectCap)
+      else None
+    smallEdges match {
+      case Some(rows) =>
+        val deg = scala.collection.mutable.Map.empty[Long, Long]
+        rows.foreach { r =>
+          deg(r.getLong(0)) = deg.getOrElse(r.getLong(0), 0L) + 1
+          deg(r.getLong(1)) = deg.getOrElse(r.getLong(1), 0L) + 1
+        }
+        // orient a→b toward the higher (deg, id); a<b so ties keep id order
+        val oriented = rows.map { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          if (deg(a) <= deg(b)) (a, b) else (b, a)
+        }
+        val orientedSet = oriented.toSet
+        val outN = oriented.groupBy(_._1).map { case (src, es) => src -> es.map(_._2) }
+        val nApexCapped = outN.count(_._2.length > TriApexOutCap)
+        var nTri = 0L
+        outN.foreach { case (_, dsts) =>
+          if (dsts.length <= TriApexOutCap) {
+            val byOrd = dsts.sortBy(v => (deg(v), v))
+            var i = 0
+            while (i < byOrd.length) {
+              var j = i + 1
+              while (j < byOrd.length) {
+                if (orientedSet.contains((byOrd(i), byOrd(j)))) nTri += 1
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        val twoWedges = deg.valuesIterator
+          .foldLeft(java.math.BigDecimal.ZERO)((acc, d) =>
+            acc.add(java.math.BigDecimal.valueOf(d)
+              .multiply(java.math.BigDecimal.valueOf(d - 1))))
+        // identical final expression as the distributed tail, over literals
+        return s.range(1).select(
+          lit(deg.size.toLong).as("n_nodes"),
+          lit(rows.length.toLong).as("n_edges"),
+          (lit(twoWedges).cast(d38).cast("double") / lit(2.0d))
+            .cast("long").as("n_wedges"),
+          lit(nTri).as("n_triangles"),
+          lit(nApexCapped.toLong).as("n_apex_capped"),
+          round(when(lit(nApexCapped) === 0 &&
+              lit(twoWedges).cast(d38).cast("double") / lit(2.0d) > 0,
+            lit(3.0d) * lit(nTri.toDouble) /
+              (lit(twoWedges).cast(d38).cast("double") / lit(2.0d))), 6)
+            .as("transitivity"))
+      case None => ()
+    }
     val deg = edges.select(col("a").as("u"))
       .unionByName(edges.select(col("b").as("u")))
       .groupBy(col("u")).agg(count(lit(1)).as("deg"))

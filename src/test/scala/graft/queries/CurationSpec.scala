@@ -385,6 +385,29 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(fast.nonEmpty && fast.forall(_.getBoolean(4)), "expected convergence")
   }
 
+  test("dedupGraphTriangles: driver fast path ≡ forced distributed enumeration") {
+    // a triangle of near-dup sets plus an identical-doc clique (outside
+    // the triangle count by design) — counts, caps and the coefficient
+    // must match whichever path computes them
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trifp")
+    // x,y,z pairwise Jaccard ≥ 0.8 (triangle); w,w dup clique (no cross)
+    val x = "a b c d e f g h i j k l m n o p q r s t"       // 20 words
+    val y = "a b c d e f g h i j k l m n o p q r s"         // 19: J=19/20
+    val z = "a b c d e f g h i j k l m n o p q r s t u"     // 21: J(x,z)=20/21, J(y,z)=19/21≈0.905
+    val rows = Seq(
+      (1L, x, "en", "s1"), (2L, y, "en", "s1"), (3L, z, "en", "s1"),
+      (4L, "aa bb cc dd ee", "en", "s2"), (5L, "aa bb cc dd ee", "en", "s2"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    writeTable(dir, "documents",
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val fast = Curation.dedupGraphTriangles(spark, dir.toString).collect().toSeq
+    spark.catalog.clearCache()
+    val dist = Curation.dedupGraphTrianglesImpl(spark, dir.toString, 0L).collect().toSeq
+    assert(fast == dist, s"fast $fast != distributed $dist")
+    assert(fast.head.getLong(3) == 1L, s"expected 1 triangle, got ${fast.head}")
+  }
+
   test("pagerank driver fast path ≡ forced distributed iteration") {
     // the r11 driver fast path replays Spark's exact rounding chain
     // (valueOf → setScale HALF_UP → doubleValue); every rank must be
