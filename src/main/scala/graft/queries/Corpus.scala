@@ -635,22 +635,45 @@ object Corpus {
    * stream, tagged by n), then one two-level (n, gram) aggregate;
    * map-side combine collapses repeats before the shuffle.
    */
-  def corpusDistinctCurve(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(Text.words(col("text")).as("w"))
-      .select(explode(expr(
-        """flatten(transform(array(1, 2, 3, 4, 5), n ->
-          |  if(size(w) >= n,
-          |     transform(sequence(1, size(w) - n + 1),
-          |       i -> named_struct('n', n, 'g', array_join(slice(w, i, n), ' '))),
-          |     array())))""".stripMargin)).as("t"))
-      .select(col("t.n").cast("long").as("n"), col("t.g").as("g"))
-      .groupBy(col("n"))
-      .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("n_distinct"))
+  def corpusDistinctCurve(s: SparkSession, dir: String): DataFrame = {
+    // Optimization r11: the original single-Generate spelling evaluated a
+    // NESTED higher-order lambda per emitted gram (interpreted, never
+    // codegen) and shuffled every occurrence. Split the two quantities:
+    //  - total n-grams is CLOSED FORM — Σ_docs max(|w| − n + 1, 0) — one
+    //    scan, five sums, no explode at all;
+    //  - distinct n-grams ride the codegen [[GraftFunctions.shingle_set]]
+    //    kernel (per-doc distinct, so the distinct aggregate sees only
+    //    unique-per-doc grams). Docs shorter than n are filtered BEFORE
+    //    the kernel (its short-doc whole-text shingle is a fingerprint
+    //    convention the curve must not count).
+    // Row set, values and dup_rate expression are unchanged: an order n
+    // appears iff ≥ 1 gram exists (inner join on the distinct side).
+    graft.functions.GraftFunctions.register(s)
+    val nw = size(Text.words(col("text"))).cast("long")
+    val orders = 1 to 5
+    val totals = docs(s, dir)
+      .select(nw.as("nw"))
+      .agg(sum(greatest(col("nw") - lit(0L), lit(0L))).as("t1"),
+        sum(greatest(col("nw") - lit(1L), lit(0L))).as("t2"),
+        sum(greatest(col("nw") - lit(2L), lit(0L))).as("t3"),
+        sum(greatest(col("nw") - lit(3L), lit(0L))).as("t4"),
+        sum(greatest(col("nw") - lit(4L), lit(0L))).as("t5"))
+      .select(explode(array(orders.map(n =>
+        struct(lit(n.toLong).as("n"), col(s"t$n").as("total"))): _*)).as("kv"))
+      .select(col("kv.n").as("n"), col("kv.total").as("total"))
+    val dn = orders.map { n =>
+        val base = docs(s, dir).select(col("text"))
+        val guarded = if (n == 1) base else base.filter(nw >= n)
+        guarded.select(lit(n.toLong).as("n"),
+          explode(graft.functions.GraftFunctions.shingle_set(col("text"), n)).as("g"))
+      }.reduce(_.unionByName(_))
+      .groupBy(col("n")).agg(countDistinct(col("g")).as("n_distinct"))
+    totals.join(dn, Seq("n"))
       .select(col("n"), col("total"), col("n_distinct"),
         round(lit(1.0d) - col("n_distinct").cast("double") / col("total"), 6)
           .as("dup_rate"))
       .orderBy(col("n"))
+  }
 
   // ---------------------------------------------------------------------
   // Shingle-set algebra — shingle_except / shingle_intersect
