@@ -264,8 +264,103 @@ object Text {
    * and each round's dictionary is re-persisted and the previous
    * released, so the lineage stays one round deep.
    */
+  /** Driver fast-path cap for the BPE loops (the
+    * [[Curation.connectedComponents]] EdgeCollectCap convention): a
+    * word-frequency dictionary at or below this many rows is collected
+    * and the merge rounds run on the driver; above it the distributed
+    * per-round loop runs unchanged. */
+  private val BpeCollectCap = 1 << 20
+
+  /** The initial (freq, delimiter-wrapped repr) dictionary, collected if
+    * metadata-sized. The wrap regex runs in Spark (same engine either
+    * path). */
+  private def bpeDriverDict(s: SparkSession, dir: String,
+      cap: Int): Option[Array[(Long, String)]] = {
+    val rows = docs(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        regexp_replace(col("word"), "(.)", BpeSep + "$1" + BpeSep).as("repr"))
+      .limit(cap + 1).collect()
+    if (rows.length <= cap) Some(rows.map(r => (r.getLong(0), r.getString(1))))
+    else None
+  }
+
+  /** `trim(repr, BpeSep)` then `split(BpeSep+BpeSep, -1)` exactly as the
+    * distributed spelling (same Java regex engine, limit −1). */
+  private def bpeSyms(repr: String): Array[String] = {
+    var from = 0
+    var to = repr.length
+    while (from < to && repr.charAt(from) == BpeSep.charAt(0)) from += 1
+    while (to > from && repr.charAt(to - 1) == BpeSep.charAt(0)) to -= 1
+    repr.substring(from, to).split(BpeSep + BpeSep, -1)
+  }
+
+  /** One driver BPE round over the dictionary: adjacent-pair frequency
+    * sums, argmax by (n desc, pa, pb) with the tie-break compared in UTF8
+    * BINARY order (Spark's string ordering — java String compareTo would
+    * diverge on supplementary code points), and the same literal
+    * non-overlapping replace. None when no word has ≥ 2 symbols. */
+  private def bpeDriverRound(dict: Array[(Long, String)])
+      : Option[(String, String, Long, Array[(Long, String)])] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    dict.foreach { case (freq, repr) =>
+      val sy = bpeSyms(repr)
+      if (sy.length >= 2) {
+        var i = 0
+        while (i < sy.length - 1) {
+          val k = (sy(i), sy(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          i += 1
+        }
+      }
+    }
+    if (counts.isEmpty) None
+    else {
+      var best: ((String, String), Long) = null
+      counts.foreach { case (k, n) =>
+        val better = best == null || n > best._2 || (n == best._2 && {
+          val ca = UTF8String.fromString(k._1)
+            .compareTo(UTF8String.fromString(best._1._1))
+          ca < 0 || (ca == 0 && UTF8String.fromString(k._2)
+            .compareTo(UTF8String.fromString(best._1._2)) < 0)
+        })
+        if (better) best = (k, n)
+      }
+      val ((pa, pb), n) = best
+      val find = BpeSep + pa + BpeSep + BpeSep + pb + BpeSep
+      val repl = BpeSep + pa + pb + BpeSep
+      Some((pa, pb, n, dict.map { case (f, r) => (f, r.replace(find, repl)) }))
+    }
+  }
+
   def bpeTrainMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Optimization r11: the dictionary is vocab-bounded — when it fits
+    // the collect cap the whole merge loop runs on the driver (one job
+    // total instead of ~3 per round). Semantics replicated exactly; the
+    // distributed loop below is the >cap fallback, unchanged.
+    bpeDriverDict(s, dir, BpeCollectCap) match {
+      case Some(d0) =>
+        var dict = d0
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, String, Long)]
+        var round = 1
+        var exhausted = false
+        while (round <= BpeRounds && !exhausted) {
+          bpeDriverRound(dict) match {
+            case None => exhausted = true
+            case Some((pa, pb, n, nd)) =>
+              merges += ((round.toLong, pa, pb, pa + pb, n))
+              dict = nd
+              round += 1
+          }
+        }
+        return merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "n")
+          .orderBy(col("round"))
+      case None => ()
+    }
     import org.apache.spark.storage.StorageLevel
     val wc = docs(s, dir)
       .select(explode(words(col("text"))).as("word"))
@@ -659,6 +754,35 @@ object Text {
    */
   def bpeCompressionCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Optimization r11: same driver fast path as [[bpeTrainMerges]] — the
+    // per-round totals are Σ freq·|symbols| over the collected dictionary.
+    bpeDriverDict(s, dir, BpeCollectCap) match {
+      case Some(d0) =>
+        var dict = d0
+        def totalSyms(d: Array[(Long, String)]): Long =
+          d.foldLeft(0L) { case (acc, (f, r)) => acc + f * bpeSyms(r).length }
+        val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val t0d = totalSyms(dict)
+        curve += ((0L, t0d))
+        var rnd = 1
+        var exhausted = false
+        while (rnd <= BpeRounds && !exhausted) {
+          bpeDriverRound(dict) match {
+            case None => exhausted = true
+            case Some((_, _, _, nd)) =>
+              dict = nd
+              curve += ((rnd.toLong, totalSyms(dict)))
+              rnd += 1
+          }
+        }
+        return curve.toSeq.toDF("round", "total_symbols")
+          .select(col("round"), col("total_symbols"),
+            round(when(lit(t0d) > 0L,
+              col("total_symbols").cast("double") / lit(t0d).cast("double")), 6)
+              .as("compression"))
+          .orderBy(col("round"))
+      case None => ()
+    }
     import org.apache.spark.storage.StorageLevel
     val wc = docs(s, dir)
       .select(explode(words(col("text"))).as("word"))
