@@ -1876,21 +1876,29 @@ object Events {
     val decY = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6)
     val h = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % lit(1000003L)
-    // spread before the 100× replica explode: the whole resample fuses
-    // into the scan stage otherwise (adaptive — passthrough at scale)
-    val base = Tables.spreadBy(s, ev(s, dir).filter(col("value").isNotNull))
-      .select(h.as("h"), round(col("value"), 6).cast(decY).as("y"))
-    val rep = base.select(col("h"), col("y"),
+    // Optimization r11 (guide §2.3, aggregate before you shuffle): the
+    // replicate weight only depends on h MOD 1000 — u = (h(2b+1)+7919b)
+    // mod 1000 = ((h mod 1000)(2b+1)+7919b) mod 1000 — so the corpus
+    // collapses to ≤1000 residue groups (Σy as exact DECIMAL, row count)
+    // in ONE map-side-combined pass BEFORE the ×100 replica explode.
+    // W·Σy (int × decimal) equals the per-row Σ(w·y) exactly, so mean_b
+    // and everything downstream is bit-identical; the explode shrinks
+    // from |events|×100 rows to ≤100k.
+    val base = ev(s, dir).filter(col("value").isNotNull)
+      .select((h % lit(1000L)).as("r"), round(col("value"), 6).cast(decY).as("y"))
+      .groupBy(col("r"))
+      .agg(sum(col("y")).as("ys"), count(lit(1)).as("nr"))
+    val rep = base.select(col("r"), col("ys"), col("nr"),
       explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
-    val u = (col("h") * (lit(2) * col("b") + lit(1)) + col("b") * lit(7919)) %
+    val u = (col("r") * (lit(2) * col("b") + lit(1)) + col("b") * lit(7919)) %
       lit(1000)
     val w = when(u < 368, 0).when(u < 736, 1).when(u < 920, 2)
       .when(u < 981, 3).when(u < 996, 4).otherwise(5)
     val means = rep
-      .select(col("b"), col("y"), w.cast("long").as("w"))
+      .select(col("b"), col("ys"), col("nr"), w.cast("long").as("w"))
       .groupBy(col("b"))
-      .agg(round(sum(col("w") * col("y")).cast("double") /
-        sum(col("w")).cast("double"), 6).as("mean_b"))
+      .agg(round(sum(col("w") * col("ys")).cast("double") /
+        sum(col("w") * col("nr")).cast("double"), 6).as("mean_b"))
     val rnW = Window.partitionBy(zeroPart(col("b")))
       .orderBy(col("mean_b"), col("b"))
     means.withColumn("rn", row_number().over(rnW))
