@@ -559,12 +559,25 @@ object Dedup {
   private def bandedFor(s: SparkSession, dir: String,
       hash32: Column => Column,
       bandKey: Seq[Column] => Column): (DataFrame, DataFrame) = {
+    // Persisted (optimization r11): the signature computation (shingle
+    // kernel + 32 affine minhashes + band keys) feeds FOUR consumers in
+    // one action — the two sides of the candidate self-join and the two
+    // shingle re-attach joins of the exact verify — and Catalyst reuses
+    // none of them (projection pruning makes every subtree differ;
+    // measured: 8 parquet scans / 6 shingle_set evaluations in the
+    // dedup_minhash_lsh_md5 plan). One row per doc, query-owned release.
     val sigs = bandSignatures(spreadDocs(s, dir), hash32, bandKey)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.QueryCaches.report(sigs)
     val base = sigs.select(col("doc_id"), col("shingles"))
     // Candidate generation stays NARROW: (band, key, doc_id, mh[32]) flows
     // through the join — shingle arrays re-attach by doc_id only for
     // candidates that survive. Oversized buckets (degenerate boilerplate
-    // clusters) are dropped before the quadratic pair expansion.
+    // clusters) are dropped before the quadratic pair expansion. The
+    // banded relation itself is NOT persisted: its consumers filter it
+    // down first (precision samples 2 of 8 bands, the incremental probe
+    // splits it), and re-running the explode+window over the cached sigs
+    // is cheaper than caching 8 mh-array rows per doc (measured).
     val banded = sigs
       .select(col("doc_id"), col("mh"), explode(col("bands")).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"), col("mh"))
