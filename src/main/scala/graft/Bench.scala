@@ -115,12 +115,21 @@ object Bench {
           // numerals (attribute NAMES stay) so the digest is stable
           // stripped run-scoped tokens: attribute-id numerals (#123),
           // physical plan_id tags, and JVM object identities (lambda
-          // class counters + @hash) — all fresh per construction/JVM
+          // class counters + @hash) — all fresh per construction/JVM.
+          // ALL digit runs are then normalized (r11): driver-collected
+          // artifacts embedded as literals — range-partition offset maps,
+          // sampled boundaries — depend on the JVM's global RDD-id counter
+          // (RangePartitioner seeds by rdd.id), so their VALUES flip with
+          // whatever ran earlier in the session; ~40 fingerprints flapped
+          // between two full benches of identical code. The digest is a
+          // plan-STRUCTURE fingerprint (operator tree, column names, join
+          // strategies), which is what the cross-round noise-vs-change
+          // separation needs.
           val s = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
-            .replaceAll("#[0-9]+", "#")
             .replaceAll("plan_id=[0-9]+", "plan_id=")
             .replaceAll("\\$\\$Lambda\\$?[0-9]*/0x[0-9a-f]+", "\\$\\$Lambda")
             .replaceAll("@[0-9a-f]{4,}", "@")
+            .replaceAll("[0-9]+", "#")
           java.security.MessageDigest.getInstance("MD5").digest(
             s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .map("%02x".format(_)).mkString.take(12)
