@@ -1330,11 +1330,10 @@ object Curation {
     val sp = roundCheckpoint(setPairs
       .select(array_min(col("ma")).as("sa"), array_min(col("mb")).as("sb")),
       reliable)
-    val edges = roundCheckpoint(
-      sp.select(col("sa").as("src"), col("sb").as("dst"))
-        .unionByName(sp.select(col("sb").as("src"), col("sa").as("dst"))),
-      reliable)
-    freeCheckpoint(sp)
+    // both directions read the materialized checkpoint — no second
+    // checkpoint needed (the driver fast path below collects sp directly)
+    val edges = sp.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(sp.select(col("sb").as("src"), col("sa").as("dst")))
     val nodes = groups.select(array_min(col("members")).as("sid"),
       size(col("members")).cast("long").as("m"))
     val cmass = edges
@@ -1347,30 +1346,84 @@ object Curation {
       .withColumn("dg", col("m") - 1 + col("cmass"))
       .persist(MEMORY_AND_DISK)
     graft.core.QueryCaches.report(act)
-    // W_S = Σ_{T adj S} m_T·D_T (exact decimal; one set-edge join)
-    val g = act
-      .join(edges
-        .join(act.select(col("sid").as("dst"),
-          (col("m").cast(d38) * col("dg")).as("md")), "dst")
-        .groupBy(col("src")).agg(sum(col("md")).as("w"))
-        .withColumnRenamed("src", "sid"), Seq("sid"), "left")
-      .agg(coalesce(sum(col("m") * col("dg")), lit(0L)).as("m"),
-        sum(col("m").cast(d38) * col("dg") * col("dg")).as("sx"),
-        sum(col("m").cast(d38) * col("dg") * col("dg") * col("dg")).as("sxx"),
-        sum(col("m").cast(d38) * col("dg") *
-          ((col("m") - 1).cast(d38) * col("dg") +
-            coalesce(col("w"), lit(0L).cast(d38)))).as("sxy"))
-    val num = (col("m").cast(d38) * col("sxy") - col("sx") * col("sx"))
-      .cast("double")
-    val dx = (col("m").cast(d38) * col("sxx") - col("sx") * col("sx"))
-      .cast("double")
-    // dy == dx exactly (the directed edge set is symmetric, so sy = sx and
-    // syy = sxx as integers on both engines) — the oracle's
-    // sqrt(dx)·sqrt(dy) is bit-equal to sqrt(dx)·sqrt(dx)
-    val out = g.select(col("m").as("m_directed"),
-      (round(when(col("m") > 0L && dx > 0,
-        num / (sqrt(dx) * sqrt(dx))), 6) + lit(0.0)).as("assortativity"))
-    handOffCheckpoint(edges)
+    // Driver fast path (the EdgeCollectCap convention): the folds are
+    // pure integer arithmetic over the collapsed graph — below the cap
+    // they run as exact BigInteger sums on the driver (bit-equal: the
+    // distributed DECIMAL(38,0) folds are the same integers, and below
+    // the cap no sum can approach the 10^38 overflow bound), and the
+    // final division reuses Spark's own expression over literals.
+    val smallAct =
+      if (EdgeCollectCap > 0)
+        Some(act.limit(EdgeCollectCap + 1).collect())
+          .filter(_.length <= EdgeCollectCap)
+      else None
+    val smallSp = smallAct.flatMap { _ =>
+      Some(sp.limit(EdgeCollectCap + 1).collect())
+        .filter(_.length <= EdgeCollectCap)
+    }
+    val out = (smallAct, smallSp) match {
+      case (Some(actRows), Some(spRows)) =>
+        import java.math.BigInteger
+        val m = actRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dg = actRows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+        val w = scala.collection.mutable.Map.empty[Long, BigInteger]
+        spRows.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val mda = BigInteger.valueOf(m(a)).multiply(BigInteger.valueOf(dg(a)))
+          val mdb = BigInteger.valueOf(m(b)).multiply(BigInteger.valueOf(dg(b)))
+          w(a) = w.getOrElse(a, BigInteger.ZERO).add(mdb)
+          w(b) = w.getOrElse(b, BigInteger.ZERO).add(mda)
+        }
+        var mDir = 0L
+        var sx = BigInteger.ZERO
+        var sxx = BigInteger.ZERO
+        var sxy = BigInteger.ZERO
+        actRows.foreach { r =>
+          val sid = r.getLong(0)
+          val (mi, di) = (BigInteger.valueOf(m(sid)), BigInteger.valueOf(dg(sid)))
+          mDir += m(sid) * dg(sid)
+          sx = sx.add(mi.multiply(di).multiply(di))
+          sxx = sxx.add(mi.multiply(di).multiply(di).multiply(di))
+          sxy = sxy.add(mi.multiply(di).multiply(
+            mi.subtract(BigInteger.ONE).multiply(di)
+              .add(w.getOrElse(sid, BigInteger.ZERO))))
+        }
+        // identical final expression over literals (Decimal.toDouble is
+        // BigDecimal.doubleValue — lit(java BigDecimal) reproduces it)
+        def dlit(v: BigInteger) = lit(new java.math.BigDecimal(v)).cast(d38)
+        val numL = (dlit(BigInteger.valueOf(mDir)) * dlit(sxy) - dlit(sx) * dlit(sx))
+          .cast("double")
+        val dxL = (dlit(BigInteger.valueOf(mDir)) * dlit(sxx) - dlit(sx) * dlit(sx))
+          .cast("double")
+        s.range(1).select(lit(mDir).as("m_directed"),
+          (round(when(lit(mDir) > 0L && dxL > 0,
+            numL / (sqrt(dxL) * sqrt(dxL))), 6) + lit(0.0)).as("assortativity"))
+      case _ =>
+        // W_S = Σ_{T adj S} m_T·D_T (exact decimal; one set-edge join)
+        val g = act
+          .join(edges
+            .join(act.select(col("sid").as("dst"),
+              (col("m").cast(d38) * col("dg")).as("md")), "dst")
+            .groupBy(col("src")).agg(sum(col("md")).as("w"))
+            .withColumnRenamed("src", "sid"), Seq("sid"), "left")
+          .agg(coalesce(sum(col("m") * col("dg")), lit(0L)).as("m"),
+            sum(col("m").cast(d38) * col("dg") * col("dg")).as("sx"),
+            sum(col("m").cast(d38) * col("dg") * col("dg") * col("dg")).as("sxx"),
+            sum(col("m").cast(d38) * col("dg") *
+              ((col("m") - 1).cast(d38) * col("dg") +
+                coalesce(col("w"), lit(0L).cast(d38)))).as("sxy"))
+        val num = (col("m").cast(d38) * col("sxy") - col("sx") * col("sx"))
+          .cast("double")
+        val dx = (col("m").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+        // dy == dx exactly (the directed edge set is symmetric, so sy = sx
+        // and syy = sxx as integers on both engines) — the oracle's
+        // sqrt(dx)·sqrt(dy) is bit-equal to sqrt(dx)·sqrt(dx)
+        g.select(col("m").as("m_directed"),
+          (round(when(col("m") > 0L && dx > 0,
+            num / (sqrt(dx) * sqrt(dx))), 6) + lit(0.0)).as("assortativity"))
+    }
+    handOffCheckpoint(sp)
     out
   }
 
