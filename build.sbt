@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through VERBATIM. sbt's default
+// LoggedOutput prefixes every forked-stdout line with "[info] ", which
+// breaks any line-wise json.loads of the bench's one-line JSON contract —
+// the driver's bench parse has recorded "parsed": null every round while
+// the JSON line was visibly printed (BENCH_r01..r11), and the [info]
+// prefix is the one constant across them.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -140,31 +140,45 @@ object Bench {
         name -> fp
       }
     }
+    // Output contract (reworked r12 — measurement CHANNEL only, the timed
+    // loop above is untouched):
+    //  1. sbt no longer prefixes forked stdout with "[info] " (build.sbt
+    //     outputStrategy), so every line below is raw JSON a line-wise
+    //     json.loads can parse — the driver recorded "parsed": null every
+    //     round (BENCH_r01..r11) while the JSON was visibly printed, and
+    //     the sbt prefix is the one constant across those failures.
+    //  2. A compact summary line prints FIRST (tail-safe: the driver's
+    //     2000-char capture keeps the END of stdout).
+    //  3. The FULL contract line {"metric","value","unit","queries","sf"}
+    //     prints LAST, per the driver contract ("ONE JSON line ... with
+    //     per-query seconds"). Plan fingerprints moved OUT of the stdout
+    //     line into the file artifacts — they tripled the line length and
+    //     are repo-forensics, not driver contract.
+    //  4. Both lines are mirrored to files (BENCH_LOCAL.json full incl.
+    //     plan_fp, BENCH_SUMMARY.json compact) so no stdout capture limit
+    //     can lose data.
     // Millisecond-rounded values keep the line ~40% shorter than raw
-    // doubles: BENCH_r06.json lost 30/95 per-query entries to the driver's
-    // fixed-size capture, and the map's tail is the first casualty. The
-    // summary fields ("metric"/"value"/"sf") sit BEFORE the per-query map
-    // for the same reason, and the full line is also written to
-    // BENCH_LOCAL.json in the repo so a truncated capture never loses data.
+    // doubles (BENCH_r06.json lost 30/95 per-query entries to truncation).
+    // NOTE on plan_fp: fingerprints are CORE-COUNT-SENSITIVE — the same
+    // code produced 143/307 differing digests between the driver's 32-core
+    // and 8-core runs (legitimate AQE/partition-spread plan differences).
+    // Only compare fingerprints between runs with equal SPARK_GRAFT_CPUS.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fps = planFps.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"plan_fp":$fps}"""
-    println(line)
-    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
-    // Tail-safe summary printed LAST: the driver's fixed-size output
-    // capture keeps the END of stdout, and with 240+ queries the full
-    // line above outgrows it — BENCH_r07/r08 both recorded
-    // "parsed": null because the head (where the summary fields sit) was
-    // cut off. This compact line always fits the tail and parses; the
-    // per-query map lives in the full line and in the repo artifact.
     val nFail = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"queries_artifact":"$artifact"}""")
+    val contractLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"plan_fp":$fps}"""
+    val summaryLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"queries_artifact":"BENCH_LOCAL.json"}"""
+    def writeFile(path: String, s: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] artifact write failed ($path): ${e.getMessage}") }
+    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"), fullLine)
+    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/BENCH_SUMMARY.json"), summaryLine)
+    println(summaryLine)
+    println(contractLine)
     Console.out.flush()
     spark.stop()
   }

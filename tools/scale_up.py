@@ -145,7 +145,18 @@ def main(outdir: str, tiles: int, src: str) -> None:
 
 
 if __name__ == "__main__":
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    tiles = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    main(outdir, tiles, src)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Tile the sf0.1 tables K x into an output dir "
+                    "(see module docstring for the per-table shape rules).")
+    ap.add_argument("outdir", nargs="?", default="/tmp/sf1",
+                    help="output directory (default /tmp/sf1)")
+    ap.add_argument("tiles", nargs="?", type=int, default=10,
+                    help="number of tiles (default 10)")
+    ap.add_argument("src", nargs="?", default="/root/testdata/sf0.1",
+                    help="source data dir (default /root/testdata/sf0.1)")
+    args = ap.parse_args()
+    if args.outdir.startswith("-"):
+        ap.error(f"refusing option-like outdir {args.outdir!r}")
+    main(args.outdir, args.tiles, args.src)
