@@ -473,8 +473,17 @@ object Text {
         Curation.md5Mod100(col("doc_id")).as("bkt"))
     val train = base.filter(col("bkt") < 80)
     val test = base.filter(col("bkt") >= 80)
-    val vocab = lmVocabSize(train)
-    val (cb, cu) = lmCounts(explodeBigrams(train))
+    // the bigram model table is vocab-bounded — persist it so the vocab
+    // action (r12, [[lmVocabViaBigrams]]: train tokenized ONCE, not
+    // twice), the history re-aggregation, and the scoring join all read
+    // the materialized rows
+    val cb = explodeBigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .persist()
+      .transform { df => graft.core.QueryCaches.report(df); df }
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = lmVocabViaBigrams(
+      docs(s, dir).filter(Curation.md5Mod100(col("doc_id")) < 80), cb)
     val perDoc = explodeBigrams(test)
       .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
@@ -584,14 +593,17 @@ object Text {
         Curation.md5Mod100(col("doc_id")).as("bkt"))
     val train = base.filter(col("bkt") < 80)
     val test = base.filter(col("bkt") >= 80)
-    val vocab = lmVocabSize(train)
-    // the single bigram-count model table; persisted because the type
-    // count (B), the history re-aggregation, the continuation
-    // re-aggregation, and the scoring join all read it
+    // the single bigram-count model table; persisted because the vocab
+    // action, the type count (B), the history re-aggregation, the
+    // continuation re-aggregation, and the scoring join all read it
     val cb = explodeBigrams(train)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
       .persist()
       .transform { df => graft.core.QueryCaches.report(df); df }
+    // vocab from the persisted model table + the one-token train sliver
+    // (r12, [[lmVocabViaBigrams]]) — train is tokenized once, not twice
+    val vocab = lmVocabViaBigrams(
+      docs(s, dir).filter(Curation.md5Mod100(col("doc_id")) < 80), cb)
     val bTypes = cb.count()
     // history totals AND distinct-continuation counts in ONE re-agg
     val cu = cb.groupBy(col("w1"))
@@ -1248,6 +1260,33 @@ object Text {
     .select(explode(col("ws")).as("t"))
     .agg(countDistinct(col("t"))).first().getLong(0)
 
+  /** [[lmVocabSize]] WITHOUT its dedicated corpus tokenize pass
+    * (optimization r12, guide §1.2 "remove unnecessary passes"): every
+    * token of a document with ≥ 2 tokens appears as some w1 or w2 of that
+    * document's own bigrams, so the vocabulary is exactly
+    * distinct(w1 ∪ w2 ∪ tokens of one-token docs). The bigram relation the
+    * caller already builds (any collapse level — per-corpus cb or
+    * per-doc bi0 — as long as w1/w2 cover the population's bigrams)
+    * supplies the first two branches from its persisted rows; only the
+    * ≤ 1-token sliver is tokenized, found by a codegen string prefilter:
+    * tokens are single-space splits, so ≥ 2 non-empty segments require an
+    * inner space in the space-trimmed text — `instr(trim(text), ' ') = 0`
+    * ⟺ the doc has 0 or 1 tokens. NULL text yields NULL instr → dropped,
+    * matching the old path (explode of a NULL token array emits nothing).
+    *
+    * `docsWithText` must be the SAME document population the caller's
+    * vocabulary is defined over (e.g. the md5-bucket train slice). */
+  private[graft] def lmVocabViaBigrams(docsWithText: DataFrame,
+      pairs: DataFrame): Long = {
+    val singles = docsWithText
+      .filter(instr(trim(col("text")), " ") === 0)
+      .select(explode(words(col("text"))).as("t"))
+    pairs.select(col("w1").as("t"))
+      .unionByName(pairs.select(col("w2").as("t")))
+      .unionByName(singles)
+      .agg(countDistinct(col("t"))).first().getLong(0)
+  }
+
   /** One bigram's −ln p(w2|w1) under add-one smoothing, rounded then cast
     * to exact DECIMAL for order-independent summation. Unseen counts
     * (left-join NULLs on a stream of fresh documents) coalesce to pure
@@ -1292,9 +1331,6 @@ object Text {
     // construct — array serialization costs more than the recompute)
     val withWs = docs(s, dir)
       .select(col("doc_id"), words(col("text")).as("ws"))
-    // vocabulary size over ALL tokens (single-token docs included): the
-    // smoothing denominator must not depend on which docs emit bigrams
-    val vocab = lmVocabSize(withWs)
     // collapse the occurrence stream to per-(doc, bigram) multiplicities
     // FIRST: everything downstream — the model tables, the scoring join,
     // the per-doc fold — then runs on the distinct-pair relation, not the
@@ -1307,6 +1343,12 @@ object Text {
       .agg(count(lit(1)).as("m"))
       .persist()
       .transform { df => graft.core.QueryCaches.report(df); df }
+    // vocabulary size over ALL tokens (single-token docs included): the
+    // smoothing denominator must not depend on which docs emit bigrams.
+    // Derived from the persisted bigram relation + the one-token sliver
+    // (r12) — this action also materializes bi0, so the corpus is
+    // tokenized ONCE per query instead of twice.
+    val vocab = lmVocabViaBigrams(docs(s, dir), bi0)
     val cb = bi0.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("cb"))
     val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     // one −ln(p) per DISTINCT bigram, not per occurrence
@@ -1575,7 +1617,6 @@ object Text {
   def dsirScore(s: SparkSession, dir: String): DataFrame = {
     val withWs = docs(s, dir)
       .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
-    val vocab = lmVocabSize(withWs.select(col("doc_id"), col("ws")))
     // one explode, collapsed to per-(doc, bigram) multiplicity with the
     // doc's target flag riding along (lang is doc-functional) — the
     // general and target model tables, the importance-weight join, and
@@ -1588,6 +1629,9 @@ object Text {
       .agg(count(lit(1)).as("m"))
       .persist()
       .transform { df => graft.core.QueryCaches.report(df); df }
+    // vocab from the persisted bigram relation + the one-token sliver
+    // (r12, [[lmVocabViaBigrams]]) — one corpus tokenize instead of two
+    val vocab = lmVocabViaBigrams(docs(s, dir), bi0)
     val cbG = bi0.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("cbg"))
     val cuG = cbG.groupBy(col("w1")).agg(sum(col("cbg")).as("cug"))
     val cbT = bi0.filter(col("is_t"))
